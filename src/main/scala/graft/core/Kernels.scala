@@ -1,0 +1,204 @@
+package graft.core
+
+import graft.tiles.Tile
+
+/** Per-tile kernels — pure Scala re-expressions of the reference's chunk
+  * kernels. These run inside `Dataset.map`/`mapGroups` closures; they touch
+  * no Spark API so they are unit-testable against the golden fixtures
+  * without a session.
+  */
+object Kernels {
+
+  /** O3 `remove_overlapped_objects` (`chunkops.py:11-101`).
+    *
+    * Per tile: classify every label by the fraction `p` of its pixels inside
+    * the interior (non-margin) box; `p > 1-threshold` keeps, `p < threshold`
+    * drops, and labels in between are owned by the first enumerated overlap
+    * region containing them — dropped iff that region's parity is odd
+    * (`chunkops.py:49-79`). Survivors get the chunk-disjoint global int64
+    * offset (`chunkops.py:93-99`). The classes channel is masked by survival
+    * (`relabeling.py:71`).
+    *
+    * Single pass for the histograms (the reference's per-label `np.where`
+    * loops are O(labels*pixels) — its main single-node inefficiency,
+    * BASELINE.md).
+    */
+  def removeOverlapped(tile: Tile, overlaps: Array[Int], threshold: Double): Tile = {
+    val data = tile.data
+    val n = data.length
+    val shape = tile.shape
+    val loc = tile.loc
+    val grid = tile.grid
+
+    // label -> (total pixels, interior pixels)
+    val total = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    var i = 0
+    while (i < n) {
+      val v = data(i)
+      if (v != 0L) {
+        var c = total.get(v)
+        if (c == null) { c = new Array[Int](2); total.put(v, c) }
+        c(0) += 1
+      }
+      i += 1
+    }
+    val interior = Regions.interiorBox(loc, grid, overlaps, shape)
+    Nd.foreachIndex(shape, interior) { flat =>
+      val v = data(flat)
+      if (v != 0L) total.get(v)(1) += 1
+    }
+
+    // region-dim codes (`chunkops.py:49-52`): +/-(dims+1) for firmly
+    // interior/margin labels; 0 for the in-between band.
+    val dims = tile.dims
+    val codes = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    val props = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    val it0 = total.entrySet().iterator()
+    while (it0.hasNext) {
+      val e = it0.next()
+      // float32 division in the reference (`chunkops.py:36-48`); ratios of
+      // small integer counts are far from the threshold in either precision.
+      val p = e.getValue()(1).toDouble / e.getValue()(0).toDouble
+      props.put(e.getKey, p)
+      val c = if (p > 1.0 - threshold) dims + 1
+              else if (p < threshold) -(dims + 1)
+              else 0
+      codes.put(e.getKey, c)
+    }
+
+    // region scan in exact enumeration order (`chunkops.py:59-79`)
+    for (levels <- Regions.validOverlaps(loc, grid)) {
+      val drop = Regions.parityDrop(loc, levels)
+      val rdim = Regions.regionDim(levels)
+      val box = Regions.sourceBox(loc, grid, overlaps, levels, shape)
+      // distinct labels present in this region
+      val present = new java.util.HashSet[java.lang.Long]()
+      Nd.foreachIndex(shape, box) { flat =>
+        val v = data(flat)
+        if (v != 0L) present.add(v)
+      }
+      val it = present.iterator()
+      while (it.hasNext) {
+        val lbl = it.next()
+        val p = props.get(lbl)
+        val c = codes.get(lbl)
+        if (p >= threshold && math.abs(c) < rdim)
+          codes.put(lbl, if (drop) -rdim else rdim)
+      }
+    }
+
+    // drop negatives, offset survivors (`chunkops.py:83-99`)
+    val offset = Regions.labelOffset(loc, grid)
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      val v = data(i)
+      if (v != 0L && codes.get(v) >= 0) out(i) = v + offset
+      i += 1
+    }
+
+    // classes masked by survival (`relabeling.py:71`)
+    val newClasses =
+      if (!tile.hasClasses) tile.classes
+      else tile.classes.map { ch =>
+        val nc = new Array[Long](n)
+        var j = 0
+        while (j < n) { if (out(j) != 0L) nc(j) = ch(j); j += 1 }
+        nc
+      }
+
+    tile.copy(data = out, classes = newClasses)
+  }
+
+  /** O4 `merge_tiles` paint (`chunkops.py:132-189`), shard-based.
+    *
+    * Rather than materializing the doubly-expanded array of `da.map_overlap`,
+    * each merging region's source pixels arrive as a halo shard (keyed by the
+    * region levels from this tile's perspective). In exact merging-region
+    * order, non-zero shard labels overwrite the destination box; classes
+    * follow the same mask (`chunkops.py:170-181`).
+    *
+    * `shardFor(levels)` returns the (labels, classes-channels) payload for a
+    * region, shaped as the region's dest box.
+    */
+  def mergePaint(tile: Tile, overlaps: Array[Int],
+                 shardFor: Array[Int] => (Array[Long], Array[Array[Long]])): Tile = {
+    val shape = tile.shape
+    val out = tile.data.clone()
+    val outClasses = if (tile.hasClasses) tile.classes.map(_.clone()) else tile.classes
+
+    for (levels <- Regions.mergingOverlaps(tile.loc, tile.grid)) {
+      val dst = Regions.destBox(tile.loc, tile.grid, overlaps, levels, shape)
+      val (shard, shardClasses) = shardFor(levels)
+      require(shard.length == dst.numel,
+        s"shard size ${shard.length} != dest box ${dst.numel} for region ${levels.mkString(",")} of tile ${tile.loc.mkString(",")}")
+      var i = 0
+      Nd.foreachIndex(shape, dst) { flat =>
+        val v = shard(i)
+        if (v != 0L) {
+          out(flat) = v
+          if (outClasses.nonEmpty) {
+            var ch = 0
+            while (ch < outClasses.length) {
+              outClasses(ch)(flat) = shardClasses(ch)(i)
+              ch += 1
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    tile.copy(data = out, classes = outClasses)
+  }
+
+  /** Trim halos: keep only the interior box (`da.overlap.trim_overlap`,
+    * `relabeling.py:97`). After this, every tile is core (chunk) sized.
+    */
+  def trimOverlap(tile: Tile, overlaps: Array[Int]): Tile = {
+    val box = Regions.interiorBox(tile.loc, tile.grid, overlaps, tile.shape)
+    val data = Nd.sliceBox(tile.data, tile.shape, box)
+    val classes =
+      if (tile.hasClasses) tile.classes.map(ch => Nd.sliceBox(ch, tile.shape, box))
+      else tile.classes
+    tile.copy(shape = box.shape, data = data, classes = classes)
+  }
+
+  /** O10 `sort_indices` (`chunkops.py:104-113`): remap every label to its
+    * index in the globally sorted distinct-label list (broadcast).
+    */
+  def sortRemap(tile: Tile, rank: java.util.HashMap[java.lang.Long, java.lang.Long]): Tile = {
+    val out = new Array[Long](tile.data.length)
+    var i = 0
+    while (i < out.length) { out(i) = rank.get(tile.data(i)); i += 1 }
+    tile.copy(data = out)
+  }
+
+  /** Zero-pad a tile on the high side to `target` shape
+    * (`relabeling.py:175-178` — pad is high-side only).
+    */
+  def padTo(tile: Tile, target: Array[Int]): Tile = {
+    if (java.util.Arrays.equals(tile.shape, target)) return tile
+    val out = new Array[Long](Nd.size(target))
+    Nd.pasteBox(out, target, Nd.Box(new Array[Int](tile.dims), tile.shape.clone()), tile.data)
+    val classes =
+      if (tile.hasClasses) tile.classes.map { ch =>
+        val o = new Array[Long](Nd.size(target))
+        Nd.pasteBox(o, target, Nd.Box(new Array[Int](tile.dims), tile.shape.clone()), ch)
+        o
+      } else tile.classes
+    tile.copy(shape = target, data = out, classes = classes)
+  }
+
+  /** Crop a tile to `target` shape from the origin (the `image2labels` final
+    * un-pad slice, `relabeling.py:237-240`).
+    */
+  def cropTo(tile: Tile, target: Array[Int]): Tile = {
+    if (java.util.Arrays.equals(tile.shape, target)) return tile
+    val box = Nd.Box(new Array[Int](tile.dims), target.clone())
+    val classes =
+      if (tile.hasClasses) tile.classes.map(ch => Nd.sliceBox(ch, tile.shape, box))
+      else tile.classes
+    tile.copy(shape = target, data = Nd.sliceBox(tile.data, tile.shape, box),
+      classes = classes)
+  }
+}

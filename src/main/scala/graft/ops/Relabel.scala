@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+import graft.core.{CCL, Kernels}
+import graft.tiles.{GridSpec, Tile}
+
+/** The user-supplied segmentation function (the reference's central
+  * extension point, `relabeling.py:14-47`): an arbitrary per-tile
+  * image -> labels kernel, optionally also producing per-object class
+  * channels. Runs as plain JVM code inside `Dataset.map` on executors.
+  */
+trait SegmentationFn extends Serializable {
+  /** Return (labels, classes). `labels` must use 0 for background and values
+    * representable in int32 (they are offset into disjoint int64 ranges
+    * downstream). `classes` empty when the function predicts no classes.
+    */
+  def segment(tile: Tile): (Array[Long], Array[Array[Long]])
+}
+
+/** Built-in connectivity-1 connected-component labeling, the Spark-side
+  * stand-in for the reference tests' `skimage.measure.label`
+  * (`tests/fixtures.py:12-28`).
+  */
+final case class CCLSegmentation(returnsClasses: Boolean = false) extends SegmentationFn {
+  def segment(tile: Tile): (Array[Long], Array[Array[Long]]) = {
+    val labels = CCL.label(tile.data, tile.shape)
+    val classes =
+      if (returnsClasses) Array(labels.map(v => if (v != 0L) 1L else 0L))
+      else Array.empty[Array[Long]]
+    (labels, classes)
+  }
+}
+
+/** Public operator surface (O1-O10, SURVEY.md §2), re-expressed over the tile
+  * table. Everything is a lazy `Dataset` transformation; an action
+  * (`collect`, `write`, `count`) is the `.compute()` boundary.
+  */
+object Relabel {
+
+  /** O1 `prepare_input` (`relabeling.py:166-192`): zero-pad ragged high-edge
+    * tiles to the chunk size (pad is tile-local — no shuffle), then
+    * halo-expand every tile by `overlaps` from its neighbors (one shuffle).
+    *
+    * Input tiles must be chunk-aligned: tile (i,j) holds image block
+    * [i*cs, (i+1)*cs) x [j*cs, (j+1)*cs) clipped to the image.
+    */
+  def prepareInput(tiles: Dataset[Tile], spec: GridSpec, overlaps: Array[Int]): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val chunk = spec.chunk
+    val padded = tiles.map(t => Kernels.padTo(t, chunk))
+    Halo.expand(padded, overlaps)
+  }
+
+  /** O2 `segment_overlapped_input` (`relabeling.py:14-47`): embarrassingly
+    * parallel user kernel per halo-expanded tile.
+    */
+  def segmentOverlappedInput(tiles: Dataset[Tile], segFn: SegmentationFn): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.map { t =>
+      val (labels, classes) = segFn.segment(t)
+      t.copy(data = labels, classes = classes)
+    }
+  }
+
+  /** O2 with aligned auxiliary tile tables (the reference's dask-array
+    * `segmentation_fn_kwargs`, `relabeling.py:28-36`): an equi-join on the
+    * chunk location, then the two-argument kernel.
+    */
+  def segmentWithAux(tiles: Dataset[Tile], aux: Dataset[Tile],
+                     fn: (Tile, Tile) => (Array[Long], Array[Array[Long]])): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .groupByKey(_.linearIndex)
+      .cogroup(aux.groupByKey(_.linearIndex)) { (_, ts, as) =>
+        val t = ts.next(); val a = as.next()
+        val (labels, classes) = fn(t, a)
+        Iterator.single(t.copy(data = labels, classes = classes))
+      }
+  }
+
+  /** O3 `remove_overlapped_labels` (`relabeling.py:50-76`): chunk-local —
+    * no shuffle. Default threshold 0.5 as in the reference signature.
+    */
+  def removeOverlappedLabels(tiles: Dataset[Tile], overlaps: Array[Int],
+                             threshold: Double = 0.5): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.map(t => Kernels.removeOverlapped(t, overlaps, threshold))
+  }
+
+  /** O4 `merge_overlapped_tiles` (`relabeling.py:79-99`): one neighbor
+    * exchange + parity paint + halo trim. Output tiles are core-sized.
+    */
+  def mergeOverlappedTiles(tiles: Dataset[Tile], overlaps: Array[Int]): Dataset[Tile] =
+    Halo.mergeAndTrim(tiles, overlaps)
+
+  /** O10 `sort_label_indices` (`relabeling.py:312-346`): global distinct of
+    * the label space (eager, like the reference's `da.unique(...).compute()`
+    * at `relabeling.py:331`) broadcast back as a dense-rank map. Persist the
+    * input first if it is expensive to recompute — the reference's docstring
+    * gives the same advice.
+    */
+  def sortLabelIndices(tiles: Dataset[Tile]): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    // per-tile distinct first: shrinks the shuffle to O(labels), not O(pixels)
+    val distinctLabels = tiles
+      .flatMap(t => t.data.distinct.iterator)
+      .distinct()
+      .collect()
+      .sorted
+    val rank = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    var i = 0L
+    distinctLabels.foreach { l => rank.put(l, i); i += 1 }
+    val bc = spark.sparkContext.broadcast(rank)
+    tiles.map(t => Kernels.sortRemap(t, bc.value))
+  }
+
+  /** O7 `image2labels` (`relabeling.py:195-242`): the flagship composition.
+    * Exactly two shuffles end-to-end (the two halo exchanges), like the
+    * reference's two neighbor-communication stages.
+    */
+  def image2labels(tiles: Dataset[Tile], spec: GridSpec, segFn: SegmentationFn,
+                   overlaps: Array[Int], threshold: Double = 0.05): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val prepared = prepareInput(tiles, spec, overlaps)
+    val segmented = segmentOverlappedInput(prepared, segFn)
+    val removed = removeOverlappedLabels(segmented, overlaps, threshold)
+    val merged = mergeOverlappedTiles(removed, overlaps)
+    // un-pad: crop high-edge tiles back to the original image extent
+    // (`relabeling.py:237-240`); tile-local.
+    val chunk = spec.chunk
+    val imageShape = spec.imageShape
+    merged.map { t =>
+      val target = Array.tabulate(t.dims) { a =>
+        val remaining = imageShape(a) - t.loc(a).toLong * chunk(a)
+        math.min(chunk(a).toLong, remaining).toInt
+      }
+      Kernels.cropTo(t, target)
+    }
+  }
+
+  /** O8 `labels2geojson` head (`relabeling.py:245-276`): (optional prepare)
+    * -> remove. The annotation tail lives in [[graft.geojson.Annotate]].
+    * Default threshold 0.5 (`relabeling.py:246`), vs 0.05 for image2labels.
+    */
+  def labelsRemoved(tiles: Dataset[Tile], spec: GridSpec, overlaps: Array[Int],
+                    threshold: Double = 0.5,
+                    preOverlapped: Boolean = false): Dataset[Tile] = {
+    val prepared = if (preOverlapped) tiles else prepareInput(tiles, spec, overlaps)
+    removeOverlappedLabels(prepared, overlaps, threshold)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft._
+import graft.ops._
+import graft.tiles._
+
+/** Manual end-to-end drive of the public API (not a ScalaTest suite):
+  * `sbt "Test/runMain graft.tools.DriveDemo"`.
+  */
+object DriveDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val in = Goldens.tiles(spark, "input_2d", Goldens.grid2d)
+    val labels = Relabel.image2labels(in, GridSpec(Array(16L, 12L), Array(4, 4)),
+      CCLSegmentation(), Array(2, 2), 0.25)
+    val tiles = labels.collect().sortBy(t => (t.loc(0), t.loc(1)))
+    val img = Array.ofDim[Long](16, 12)
+    for (t <- tiles; y <- 0 until t.shape(0); x <- 0 until t.shape(1))
+      img(t.loc(0) * 4 + y)(t.loc(1) * 4 + x) = t.data(y * t.shape(1) + x)
+    println("GLOBAL LABELED IMAGE (16x12):")
+    img.foreach(r => println(r.map(v => f"$v%11d").mkString(" ")))
+    val sorted = Relabel.sortLabelIndices(labels).collect()
+    println("distinct labels after sort: " +
+      sorted.flatMap(_.data).distinct.sorted.mkString(","))
+
+    // probe 1: single-tile grid (no neighbors)
+    val one = spark.createDataset(Seq(Tile(Array(0, 0), Array(1, 1), Array(4, 4),
+      Array[Long](1, 1, 0, 0, 1, 1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1))))
+    val oneOut = Relabel.image2labels(one, GridSpec(Array(4L, 4L), Array(4, 4)),
+      CCLSegmentation(), Array(2, 2), 0.25).collect()
+    println("PROBE single-tile: shape=" + oneOut.head.shape.mkString("x") +
+      " labels=" + oneOut.head.data.mkString(","))
+
+    // probe 2: ragged 5x7 image over 4x4 chunks (pad + crop path)
+    val ragged = Seq(
+      Tile(Array(0, 0), Array(2, 2), Array(4, 4), Array.fill(16)(1L)),
+      Tile(Array(0, 1), Array(2, 2), Array(4, 3), Array.fill(12)(1L)),
+      Tile(Array(1, 0), Array(2, 2), Array(1, 4), Array.fill(4)(0L)),
+      Tile(Array(1, 1), Array(2, 2), Array(1, 3), Array.fill(3)(1L)))
+    val rout = Relabel.image2labels(spark.createDataset(ragged),
+      GridSpec(Array(5L, 7L), Array(4, 4)), CCLSegmentation(), Array(2, 2), 0.25)
+      .collect().sortBy(t => (t.loc(0), t.loc(1)))
+    println("PROBE ragged shapes: " +
+      rout.map(t => t.loc.mkString(",") + "->" + t.shape.mkString("x")).mkString(" | "))
+    val rimg = Array.ofDim[Long](5, 7)
+    for (t <- rout; y <- 0 until t.shape(0); x <- 0 until t.shape(1))
+      rimg(t.loc(0) * 4 + y)(t.loc(1) * 4 + x) = t.data(y * t.shape(1) + x)
+    println("ragged labeled image:")
+    rimg.foreach(r => println(r.map(v => f"$v%11d").mkString(" ")))
+    spark.stop()
+  }
+}
