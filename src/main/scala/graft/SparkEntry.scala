@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.rel._
+
+/** Driver contract — see SURVEY.md §7.
+  *
+  * `queries` carries one entry per implemented operator family; `oracleSql`
+  * holds the DuckDB-equivalent SQL for every SQL-expressible entry (the
+  * driver's correctness gate). Non-SQL-expressible operators (tile kernels,
+  * streaming, binary/multimodal plumbing) are exposed Spark-side only and get
+  * the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def families: Seq[Q] =
+    CoreQueries.all ++ RelabelRel.all ++ TextOps.all ++ VectorOps.all ++
+      PipelineOps.all
+
+  /** Flagship: the full image2labels pipeline on a synthetic tile grid
+    * derived from sf0.001 lineitem (driver smoke-checks rows > 0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    PipelineOps.flagship(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    families.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    families.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

@@ -1,0 +1,241 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q.tbl
+
+/** Relational core: scans, filters, joins, aggregations, windows, sorts,
+  * set ops, scalar functions, grouping sets, time bucketing, JSON — the
+  * category checklist of SURVEY.md §2.2 exercised over the harness tables.
+  *
+  * Plans are written Catalyst-first: filters/projections sit directly on the
+  * parquet scans (pushdown), dimension joins are explicitly broadcast, and
+  * aggregates use built-in functions only (whole-stage codegen; no UDFs).
+  */
+object CoreQueries {
+
+  private val dec = "decimal(18,2)"
+
+  def all: Seq[Q] = Seq(
+    // -- aggregation over a full scan (TPC-H Q1 shape) -----------------------
+    Q("q1_agg", (s, d) => {
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_base"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("decimal(22,4)").as("sum_disc"),
+          count(lit(1)).as("cnt"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS sum_disc,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // -- selective filter + aggregate (TPC-H Q6 shape; predicate pushdown) ---
+    Q("q6_filter", (s, d) => {
+      tbl(s, d, "lineitem")
+        .filter(col("l_discount").between(0.03, 0.07) && col("l_quantity") < 25)
+        .agg(sum(col("l_extendedprice").cast(dec) *
+            col("l_discount").cast("decimal(4,2)"))
+          .cast("decimal(22,4)").as("revenue"), count(lit(1)).as("cnt"))
+    }, Some("""
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(22,4)) AS revenue,
+             count(*) AS cnt
+      FROM lineitem
+      WHERE l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""")),
+
+    // -- fact-fact join + aggregate ------------------------------------------
+    Q("q2_join_agg", (s, d) => {
+      val o = tbl(s, d, "orders").filter(col("o_orderdate") >= lit("1996-01-01"))
+      val l = tbl(s, d, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .filter(l("l_shipdate") > o("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(countDistinct("o_orderkey").as("n_orders"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("decimal(22,4)").as("revenue"))
+    }, Some("""
+      SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= '1996-01-01' AND l_shipdate > o_orderdate
+      GROUP BY o_orderpriority""")),
+
+    // -- broadcast dimension join chain --------------------------------------
+    Q("q3_dim_join", (s, d) => {
+      val c = tbl(s, d, "customer")
+      val n = tbl(s, d, "nation")
+      val r = tbl(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(dec)).cast(dec).as("sum_bal"))
+    }, Some("""
+      SELECT r_name, count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""")),
+
+    // -- semi join (EXISTS) ---------------------------------------------------
+    Q("q4_semijoin", (s, d) => {
+      val o = tbl(s, d, "orders")
+      val big = tbl(s, d, "lineitem").filter(col("l_quantity") > 49)
+        .select(col("l_orderkey"))
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+      GROUP BY o_orderstatus""")),
+
+    // -- anti join (NOT EXISTS) ----------------------------------------------
+    Q("q5_antijoin", (s, d) => {
+      val c = tbl(s, d, "customer")
+      val o = tbl(s, d, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment""")),
+
+    // -- top-k per group (window + filter) -----------------------------------
+    Q("q7_topk", (s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      tbl(s, d, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+    }, Some("""
+      SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer) WHERE rn <= 3""")),
+
+    // -- running aggregate (the O10 dense-rank family's windowed cousin) -----
+    Q("q8_running", (s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, d, "lineitem")
+        .filter(col("l_suppkey") % 10 === 0)
+        .withColumn("running_qty",
+          sum(col("l_quantity").cast(dec)).over(w).cast(dec))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    }, Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
+      FROM lineitem WHERE l_suppkey % 10 = 0""")),
+
+    // -- exact distinct aggregation ------------------------------------------
+    Q("q9_distinct", (s, d) => {
+      tbl(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_orderkey").as("n_orders"))
+        .filter(col("n_parts") > 1)
+    }, Some("""
+      SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY l_suppkey HAVING count(DISTINCT l_partkey) > 1""")),
+
+    // -- set operations -------------------------------------------------------
+    Q("q10_setops", (s, d) => {
+      val sold = tbl(s, d, "lineitem").select(col("l_partkey").as("pk")).distinct()
+      val bigParts = tbl(s, d, "part").filter(col("p_size") > 25)
+        .select(col("p_partkey").as("pk"))
+      sold.except(bigParts)
+    }, Some("""
+      SELECT DISTINCT l_partkey AS pk FROM lineitem
+      EXCEPT
+      SELECT p_partkey AS pk FROM part WHERE p_size > 25""")),
+
+    // -- scalar string functions ---------------------------------------------
+    Q("q11_scalar", (s, d) => {
+      tbl(s, d, "part")
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("uname"),
+          length(col("p_name")).as("nlen"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("bt"))
+        .filter(col("p_partkey") % 3 === 0)
+    }, Some("""
+      SELECT p_partkey, upper(substr(p_name, 1, 8)) AS uname,
+             length(p_name) AS nlen,
+             concat_ws('-', p_brand, p_type) AS bt
+      FROM part WHERE p_partkey % 3 = 0""")),
+
+    // -- date parts -----------------------------------------------------------
+    Q("q12_date", (s, d) => {
+      tbl(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast(dec).as("total"))
+    }, Some("""
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      FROM orders GROUP BY year(o_orderdate), month(o_orderdate)""")),
+
+    // -- rollup / grouping sets ----------------------------------------------
+    Q("q13_rollup", (s, d) => {
+      // Dataset.rollup trips Spark's ambiguous-self-join false positive on
+      // this join chain; the SQL form plans identically (broadcast hints on
+      // the dimension tables, Expand + partial/final hash aggregate).
+      s.sql(s"""
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name, count(*) AS n_cust
+        FROM parquet.`$d/customer.parquet` c
+        JOIN parquet.`$d/nation.parquet` n ON c_nationkey = n_nationkey
+        JOIN parquet.`$d/region.parquet` r ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)""")
+    }, Some("""
+      SELECT r_name, n_name, count(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)""")),
+
+    // -- event-time tumbling window (batch form; streaming twin in
+    //    StreamingOps) ---------------------------------------------------------
+    Q("q14_tumbling", (s, d) => {
+      tbl(s, d, "events")
+        .withColumn("bucket", expr("ts div 300000000000"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_value"))
+        .filter(col("n") > 1)
+    }, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+      FROM events GROUP BY 1, 2 HAVING count(*) > 1""")),
+
+    // -- JSON / regexp extraction --------------------------------------------
+    Q("q15_json", (s, d) => {
+      tbl(s, d, "events")
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+    }, Some("""
+      SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) % 10 AS k_mod,
+             count(*) AS n,
+             min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS min_k,
+             max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
+      FROM events GROUP BY 1"""))
+  )
+}

@@ -1,0 +1,151 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Regions
+import graft.ops.Relabel
+import graft.tiles.Tile
+import Q.tbl
+
+/** Bridges between the tile-form engine and the relational harness.
+  *
+  * `px_pipeline` is the flagship: it runs the REAL tile engine — Dataset[Tile]
+  * kernels with the halo-exchange shuffle — over the synthetic grid of
+  * [[RelabelRel]] and is checked against the same DuckDB SQL oracle as the
+  * relational formulation. The tile engine itself is thereby DuckDB-verified,
+  * not just its relational twin.
+  */
+object PipelineOps {
+
+  import RelabelRel.{GY, GX, L, OV, THRESHOLD}
+
+  /** Synthetic pixel table -> Dataset[Tile] (one groupByKey; the same shape
+    * a parquet tile source would produce).
+    */
+  private def tilesFromPixels(s: SparkSession, d: String) = {
+    import s.implicits._
+    RelabelRel.pixels(s, d)
+      .select("gy", "gx", "py", "px", "label")
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey { case (gy, gx, _, _, _) => gy * GX + gx }
+      .mapGroups { (_, it) =>
+        val rows = it.toArray
+        val (gy, gx) = (rows.head._1.toInt, rows.head._2.toInt)
+        val data = new Array[Long](L * L)
+        rows.foreach { case (_, _, py, px, label) =>
+          data(py.toInt * L + px.toInt) = label
+        }
+        Tile(Array(gy, gx), Array(GY, GX), Array(L, L), data)
+      }
+  }
+
+  /** Tile-engine remove+merge, exploded back to labeled pixels in the
+    * original per-tile frame (trim offset re-added).
+    */
+  def pipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiles = tilesFromPixels(s, d)
+    val removed = Relabel.removeOverlappedLabels(tiles, Array(OV, OV), THRESHOLD)
+    val merged = Relabel.mergeOverlappedTiles(removed, Array(OV, OV))
+    merged.flatMap { t =>
+      val y0 = if (t.loc(0) > 0) OV else 0
+      val x0 = if (t.loc(1) > 0) OV else 0
+      val (h, w) = (t.shape(0), t.shape(1))
+      for {
+        y <- 0 until h
+        x <- 0 until w
+        v = t.data(y * w + x)
+        if v != 0L
+      } yield (t.loc(0).toLong, t.loc(1).toLong,
+        (y + y0).toLong, (x + x0).toLong, v)
+    }.toDF("gy", "gx", "py", "px", "gid")
+  }
+
+  /** Tile-engine remove only, exploded (oracle: relational remove join). */
+  def removePixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Relabel.removeOverlappedLabels(tilesFromPixels(s, d), Array(OV, OV), THRESHOLD)
+      .flatMap { t =>
+        val w = t.shape(1)
+        for {
+          y <- 0 until t.shape(0)
+          x <- 0 until w
+          v = t.data(y * w + x)
+          if v != 0L
+        } yield (t.loc(0).toLong, t.loc(1).toLong, y.toLong, x.toLong, v)
+      }.toDF("gy", "gx", "py", "px", "gid")
+  }
+
+  private val REMOVE_PIXELS_SQL: String =
+    RelabelRel.PIXELS_SQL + removeCtesRef + s"""
+    SELECT l.gy, l.gx, l.py, l.px, r.gid
+    FROM lab l JOIN removed r
+      ON l.gy = r.gy AND l.gx = r.gx AND l.label = r.label"""
+
+  private def removeCtesRef: String = {
+    // re-derive the private CTE block from RelabelRel's public SQL: REMOVE_SQL
+    // = PIXELS_SQL + CTES + final select; strip both ends.
+    val full = RelabelRel.REMOVE_SQL
+    full.substring(RelabelRel.PIXELS_SQL.length,
+      full.lastIndexOf("SELECT gy, gx, label, gid FROM removed"))
+  }
+
+  /** Flagship for the driver's smoke check. */
+  def flagship(s: SparkSession, d: String): DataFrame = pipeline(s, d)
+
+  /** Structured Streaming twin of q14: tumbling 5-minute windows over the
+    * events stream, complete-mode memory sink, batch-SQL oracle.
+    */
+  def tumblingStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_tumbling_sink"
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("bucket", expr("ts div 300000000000"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .as("sum_value"))
+    val query = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
+  /** Multimodal stub: opaque binary payloads with typed metadata extracted
+    * per partition. The decode itself is a clearly-marked deterministic fake
+    * (this container has no image codecs) but the Spark plumbing — binary
+    * column, mapPartitions batching, typed output schema — is real.
+    * Rows-only check (no SQL form).
+    */
+  def decodeMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decode: stands in for an image codec; deterministic fake
+          val fakeW = 64 + (if (bytes.nonEmpty) bytes(0) & 0x3f else 0)
+          val fakeH = 64 + (if (bytes.length > 1) bytes(1) & 0x3f else 0)
+          var checksum = 0L
+          var i = 0
+          while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+          (id, bytes.length.toLong, fakeW, fakeH, checksum)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "width", "height", "checksum")
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("px_remove_tiles", removePixels, Some(REMOVE_PIXELS_SQL)),
+    Q("px_pipeline", pipeline, Some(RelabelRel.MERGE_SQL)),
+    Q("st_tumbling", tumblingStream, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+      FROM events GROUP BY 1, 2""")),
+    Q("mm_decode_meta", decodeMeta, None)
+  )
+}

@@ -1,0 +1,272 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.tbl
+
+/** Training-data text operators over `documents`: exact dedup, MinHash+LSH
+  * near-dup, n-gram Jaccard verification, SimHash, language-ID heuristics,
+  * quality scoring, token statistics, fingerprinting.
+  *
+  * Oracle-parity techniques:
+  *  - near-duplicate corpus is synthesized in-query (documents UNION a
+  *    deterministically mutated copy) so the operators have real work to do;
+  *  - MinHash uses the lexicographic MIN of md5 hex strings (identical in
+  *    both engines) instead of engine-specific integer hashes;
+  *  - SimHash derives bit values from md5 nibbles via pure integer
+  *    arithmetic (no hex casts, which DuckDB lacks).
+  *
+  * At scale: every operator is a scan + hash-aggregate + equi-join on
+  * bounded-width keys. The LSH band join is the classic shuffle-bounded
+  * near-dup path (shingle explode is O(tokens), bands are fixed-width);
+  * nothing here collects to the driver.
+  */
+object TextOps {
+
+  /** Corpus with exact duplicates injected (every 7th doc repeated). */
+  private val CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)"""
+
+  /** Near-dup corpus: every 5th doc mutated (word swap + suffix). */
+  private val NEAR_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             replace(text, 'data', 'info') || ' xtra' AS text
+      FROM documents WHERE doc_id % 5 = 0)"""
+
+  private def corpusDf(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(s, d, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private def nearCorpusDf(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(s, d, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(regexp_replace(col("text"), "data", "info"), lit(" xtra"))
+            .as("text")))
+  }
+
+  /** Word 3-gram shingles, 1-based positions (parity with DuckDB lists). */
+  private def shinglesDf(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(words) - 2),
+             i -> concat_ws(' ', element_at(words, i),
+                            element_at(words, i + 1), element_at(words, i + 2)))"""))
+          .as("shingle"))
+
+  private val SHINGLES_SQL = """
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus))"""
+
+  /** 8 MinHashes -> 4 bands of 2 -> candidate pairs. */
+  private def minhashCand(s: SparkSession, d: String): DataFrame = {
+    val sh = shinglesDf(nearCorpusDf(s, d))
+    val js = s.range(8).select(col("id").cast("int").as("j"))
+    val mh = sh.crossJoin(broadcast(js))
+      .groupBy("doc_id", "j")
+      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("shingle"))))
+        .as("mh"))
+    val sig = mh.groupBy(col("doc_id"), expr("j div 2").as("band"))
+      .agg(concat_ws("|",
+        min(when(col("j") % 2 === 0, col("mh"))),
+        min(when(col("j") % 2 === 1, col("mh")))).as("bandval"))
+    val a = sig.as("a"); val b = sig.as("b")
+    a.join(b, expr("a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  private val MINHASH_CAND_SQL = s"""
+    WITH $NEAR_SQL, $SHINGLES_SQL,
+    mh AS (
+      SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
+      FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) js(j)
+      GROUP BY doc_id, j),
+    sig AS (
+      SELECT doc_id, j // 2 AS band,
+             concat_ws('|', min(CASE WHEN j % 2 = 0 THEN mh END),
+                            min(CASE WHEN j % 2 = 1 THEN mh END)) AS bandval
+      FROM mh GROUP BY doc_id, j // 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id)"""
+
+  def all: Seq[Q] = Seq(
+
+    // -- exact dedup: content-hash groups, keep the smallest id --------------
+    Q("dd_exact", (s, d) => {
+      val h = corpusDf(s, d).select(col("doc_id"), md5(col("text")).as("hash"))
+      val keep = h.groupBy("hash").agg(min("doc_id").as("keep_id"))
+      h.join(keep, "hash")
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id").as("dup_id"), col("keep_id"))
+    }, Some(s"""
+      WITH $CORPUS_SQL,
+      h AS (SELECT doc_id, md5(text) AS hash FROM corpus),
+      keep AS (SELECT hash, min(doc_id) AS keep_id FROM h GROUP BY hash)
+      SELECT h.doc_id AS dup_id, keep.keep_id
+      FROM h JOIN keep ON h.hash = keep.hash WHERE h.doc_id != keep.keep_id""")),
+
+    // -- MinHash + LSH candidate pairs ---------------------------------------
+    Q("dd_minhash_lsh", minhashCand,
+      Some(MINHASH_CAND_SQL + " SELECT id_a, id_b FROM cand")),
+
+    // -- n-gram Jaccard verification of LSH candidates -----------------------
+    Q("dd_jaccard", (s, d) => {
+      val cand = minhashCand(s, d)
+      val ds = shinglesDf(nearCorpusDf(s, d)).distinct()
+      val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(ds.as("x"), col("id_a") === col("x.doc_id"))
+        .join(ds.as("y"),
+          col("id_b") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+        .select(col("id_a"), col("id_b"), col("inter"),
+          (col("na.n") + col("nb.n") - col("inter")).as("uni"))
+        .filter(col("inter") * 2 >= col("uni"))
+    }, Some(MINHASH_CAND_SQL + """,
+      ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN ds x ON x.doc_id = c.id_a
+        JOIN ds y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        GROUP BY c.id_a, c.id_b)
+      SELECT i.id_a, i.id_b, i.inter, na.n + nb.n - i.inter AS uni
+      FROM inter i JOIN sizes na ON i.id_a = na.doc_id
+                   JOIN sizes nb ON i.id_b = nb.doc_id
+      WHERE i.inter * 2 >= na.n + nb.n - i.inter""")),
+
+    // -- 16-bit SimHash from md5 nibbles -------------------------------------
+    Q("dd_simhash", (s, d) => {
+      val words = tbl(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .distinct()
+        .withColumn("h", md5(col("word")))
+        .withColumn("v", expr(
+          """(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+             (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+             (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(h, 4, 1)) - 1)"""))
+      val bits = s.range(16).select(col("id").cast("int").as("j"),
+        pow(lit(2), col("id")).cast("long").as("pw"))
+      words.crossJoin(broadcast(bits))
+        .groupBy("doc_id", "j", "pw")
+        .agg(sum(expr("IF((v div pw) % 2 = 1, 1, -1)")).as("bitsum"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("bitsum") > 0, col("pw")).otherwise(0L)).as("simhash"))
+    }, Some("""
+      WITH words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      wv AS (
+        SELECT doc_id,
+               (instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096 +
+               (instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256 +
+               (instr('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16 +
+               (instr('0123456789abcdef', substr(md5(word), 4, 1)) - 1) AS v
+        FROM words),
+      bs AS (
+        SELECT doc_id, j, pw,
+               sum(CASE WHEN (v // pw) % 2 = 1 THEN 1 ELSE -1 END) AS bitsum
+        FROM wv, (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),(5,32),(6,64),(7,128),
+                         (8,256),(9,512),(10,1024),(11,2048),(12,4096),
+                         (13,8192),(14,16384),(15,32768)) bt(j, pw)
+        GROUP BY doc_id, j, pw)
+      SELECT doc_id, sum(CASE WHEN bitsum > 0 THEN pw ELSE 0 END) AS simhash
+      FROM bs GROUP BY doc_id""")),
+
+    // -- language-ID heuristic (stopword hit counting) -----------------------
+    Q("tx_langid", (s, d) => {
+      tbl(s, d, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .select(col("doc_id"), col("lang"),
+          expr("CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS BIGINT)").as("en_hits"),
+          expr("CAST((length(padded) - length(replace(padded, ' data ', ''))) / 6 AS BIGINT)").as("data_hits"),
+          expr("CAST((length(padded) - length(replace(padded, ' query ', ''))) / 7 AS BIGINT)").as("query_hits"))
+        .withColumn("guess",
+          expr("""CASE WHEN en_hits >= data_hits AND en_hits >= query_hits THEN 'en'
+                       WHEN data_hits >= query_hits THEN 'data' ELSE 'query' END"""))
+    }, Some("""
+      SELECT doc_id, lang,
+             CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS BIGINT) AS en_hits,
+             CAST((length(padded) - length(replace(padded, ' data ', ''))) / 6 AS BIGINT) AS data_hits,
+             CAST((length(padded) - length(replace(padded, ' query ', ''))) / 7 AS BIGINT) AS query_hits,
+             CASE WHEN (length(padded) - length(replace(padded, ' the ', ''))) / 5
+                       >= (length(padded) - length(replace(padded, ' data ', ''))) / 6
+                   AND (length(padded) - length(replace(padded, ' the ', ''))) / 5
+                       >= (length(padded) - length(replace(padded, ' query ', ''))) / 7
+                  THEN 'en'
+                  WHEN (length(padded) - length(replace(padded, ' data ', ''))) / 6
+                       >= (length(padded) - length(replace(padded, ' query ', ''))) / 7
+                  THEN 'data' ELSE 'query' END AS guess
+      FROM (SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM documents)""")),
+
+    // -- quality scoring ------------------------------------------------------
+    Q("tx_quality", (s, d) => {
+      val words = tbl(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val distinctWords = words.distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+      tbl(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          length(col("text")).as("len"),
+          expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)")
+            .as("n_tokens"))
+        .join(distinctWords, "doc_id")
+        .withColumn("dup_ratio_pct",
+          expr("CAST((n_tokens - n_distinct) * 100 div n_tokens AS BIGINT)"))
+    }, Some("""
+      WITH dw AS (
+        SELECT doc_id, count(DISTINCT word) AS n_distinct
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY doc_id)
+      SELECT d.doc_id, d.n_chars, length(d.text) AS len,
+             CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+             dw.n_distinct,
+             CAST((length(d.text) - length(replace(d.text, ' ', '')) + 1 - dw.n_distinct)
+                  * 100 // (length(d.text) - length(replace(d.text, ' ', '')) + 1) AS BIGINT) AS dup_ratio_pct
+      FROM documents d JOIN dw ON d.doc_id = dw.doc_id""")),
+
+    // -- token statistics: global top-20 --------------------------------------
+    Q("tx_tokens", (s, d) => {
+      tbl(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(20)
+    }, Some("""
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""")),
+
+    // -- document fingerprint -------------------------------------------------
+    Q("tx_fingerprint", (s, d) => {
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), " ", "")).as("fp"))
+    }, Some("""
+      SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fp
+      FROM documents"""))
+  )
+}

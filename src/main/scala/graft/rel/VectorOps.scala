@@ -1,0 +1,109 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.tbl
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Exactness strategy: embeddings are quantized to integers
+  * (`round(x * 1000)`), so dot products are exact int64 arithmetic — no
+  * float-summation-order divergence between engines. Ranking ties broken by
+  * vector id. DuckDB computes the same dots via `list_dot_product` on the
+  * quantized vectors (exact in doubles far below 2^53).
+  *
+  * Scale path: brute-force top-k is the small-side baseline (queries x
+  * corpus broadcast); the LSH route (`ann_lsh_bucket`) buckets by
+  * deterministic hyperplane signs so candidate generation is an equi-join —
+  * the 100 TB-shaped plan.
+  */
+object VectorOps {
+
+  private val quant =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  private def qvec(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "embeddings").select(col("vec_id"), expr(quant).as("qv"))
+
+  private val QVEC_SQL = """
+    qv AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM embeddings)"""
+
+  private val dotExpr =
+    "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  def all: Seq[Q] = Seq(
+
+    // -- exact pairwise dots between two deterministic strata ----------------
+    Q("vec_dot_pairs", (s, d) => {
+      val a = qvec(s, d).filter(col("vec_id") % 25 === 0).as("a")
+      val b = qvec(s, d).filter(col("vec_id") % 25 === 13).as("b")
+      a.crossJoin(b)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          expr(dotExpr).as("dot"))
+    }, Some(s"""
+      WITH $QVEC_SQL
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot
+      FROM qv a, qv b
+      WHERE a.vec_id % 25 = 0 AND b.vec_id % 25 = 13""")),
+
+    // -- brute-force MIPS top-5 per query vector -----------------------------
+    Q("ann_topk", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // broadcast the (small) query stratum and stream the corpus past it —
+      // the join direction that survives a 100x corpus scale-up
+      val q = qvec(s, d).filter(col("vec_id") % 50 === 0).as("a")
+      val c = qvec(s, d).as("b")
+      val w = Window.partitionBy("id_q").orderBy(col("dot").desc, col("id_n").asc)
+      c.join(broadcast(q), expr("a.vec_id != b.vec_id"))
+        .select(col("a.vec_id").as("id_q"), col("b.vec_id").as("id_n"),
+          expr(dotExpr).as("dot"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+    }, Some(s"""
+      WITH $QVEC_SQL,
+      dots AS (
+        SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot
+        FROM qv a, qv b
+        WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id)
+      SELECT id_q, id_n, dot, rn FROM (
+        SELECT id_q, id_n, dot,
+               row_number() OVER (PARTITION BY id_q
+                                  ORDER BY dot DESC, id_n ASC) AS rn
+        FROM dots) WHERE rn <= 5""")),
+
+    // -- LSH bucketing by deterministic hyperplane signs (the scale path) ----
+    // hyperplane h (h=0..3) has components ((i*31 + h*17) % 7) - 3 over
+    // dimension index i; bucket = 4-bit sign pattern; near-dup candidates are
+    // same-bucket pairs — an equi-join, no cross product.
+    Q("ann_lsh_bucket", (s, d) => {
+      val planes = s.range(4).select(col("id").cast("int").as("h"))
+      val sgn = qvec(s, d).crossJoin(broadcast(planes))
+        .select(col("vec_id"), col("h"),
+          expr("""aggregate(zip_with(qv, sequence(0, 63),
+                    (x, i) -> x * (((i * 31 + h * 17) % 7) - 3)),
+                  0L, (acc, v) -> acc + v)""").as("proj"))
+        .groupBy("vec_id")
+        .agg(sum(expr("IF(proj > 0, CAST(pow(2, h) AS BIGINT), 0L)")).as("bucket"))
+      sgn.groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+        .filter(col("n_vectors") > 1)
+    }, Some(s"""
+      WITH $QVEC_SQL,
+      proj AS (
+        SELECT vec_id, h,
+               CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                 CAST(list_transform(range(0, 64),
+                   i -> ((i * 31 + h * 17) % 7) - 3) AS DOUBLE[])) AS BIGINT) AS proj
+        FROM qv, (VALUES (0),(1),(2),(3)) hs(h)),
+      buckets AS (
+        SELECT vec_id,
+               sum(CASE WHEN proj > 0 THEN CAST(pow(2, h) AS BIGINT) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id)
+      SELECT bucket, count(*) AS n_vectors FROM buckets
+      GROUP BY bucket HAVING count(*) > 1"""))
+  )
+}
