@@ -1,0 +1,134 @@
+package graft.geojson
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.tiles.Tile
+
+/** O5 `annotate_labeled_tiles` (`relabeling.py:102-123`, kernel
+  * `chunkops.py:192-231`, `utils.py:146-188`): per tile, trace each
+  * surviving object's largest contour and emit a GeoJSON FeatureCollection
+  * with global (x, y) pixel coordinates; `null` when the tile has no
+  * objects (the reference's scalar `0`).
+  *
+  * 2D only, like the reference (cv2 contours are 2D; the 3D fixture pins
+  * `annotations_output: None`, `tests/fixtures.py:93`).
+  */
+object Annotate {
+
+  final case class TileAnnotation(locKey: String, geojson: String)
+
+  /** JSON string escaping for the few values we embed (class names). */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** The per-tile kernel (`chunkops.py:192-231`). Returns null when no
+    * feature survives.
+    */
+  def annotateTile(tile: Tile, overlaps: Array[Int],
+                   objectClasses: Map[Long, String]): String = {
+    require(tile.dims == 2, "annotations are 2D-only (reference parity)")
+    val Array(h, w) = tile.shape
+    val data = tile.data
+
+    // global offset: overlapped-array location minus 2*coord*overlap per
+    // axis (`chunkops.py:210-220`), which for a uniform grid reduces to
+    // coord*chunk - overlap on axes with a low-side halo.
+    val off = Array.tabulate(2) { a =>
+      val cs = tile.shape(a) -
+        (if (tile.loc(a) > 0) overlaps(a) else 0) -
+        (if (tile.loc(a) < tile.grid(a) - 1) overlaps(a) else 0)
+      if (tile.loc(a) > 0) tile.loc(a).toLong * cs - overlaps(a) else 0L
+    }
+    val (offX, offY) = (off(1), off(0)) // swapped to (x, y) order
+
+    val labels = data.distinct.filter(_ != 0L).sorted
+    val features = new StringBuilder
+    var nFeatures = 0
+    for (lbl <- labels) {
+      val mask = data.map(v => if (v == lbl) 1L else 0L)
+      // class id = max(classes * mask) over all channels (`utils.py:155-158`)
+      val classId: Long =
+        if (!tile.hasClasses) 0L
+        else {
+          var m = 0L
+          for (ch <- tile.classes; i <- mask.indices)
+            if (mask(i) != 0L && ch(i) > m) m = ch(i)
+          m
+        }
+      val objectType = objectClasses(classId)
+      val contours = Contours.findContours(mask, h, w)
+      if (contours.nonEmpty) {
+        // longest contour wins; ties -> largest index (`utils.py:165-168`,
+        // python max over (len, i) tuples)
+        var best = 0
+        for (i <- contours.indices)
+          if (contours(i).length >= contours(best).length) best = i
+        val cc = contours(best)
+        val n = cc.length / 2
+        if (n >= 2) {
+          val ring = new StringBuilder("[")
+          var i = 0
+          while (i < n) {
+            if (i > 0) ring.append(", ")
+            ring.append('[').append(cc(2 * i) + offX).append(", ")
+              .append(cc(2 * i + 1) + offY).append(']')
+            i += 1
+          }
+          // close the ring (`utils.py:178`)
+          ring.append(", [").append(cc(0) + offX).append(", ")
+            .append(cc(1) + offY).append("]]")
+          if (nFeatures > 0) features.append(", ")
+          features.append(
+            s"""{"geometry": {"coordinates": [${ring.result()}], "type": "Polygon"}, """ +
+              s""""properties": {"objectType": ${jstr(objectType)}}, "type": "Feature"}""")
+          nFeatures += 1
+        }
+      }
+    }
+    if (nFeatures == 0) null
+    else s"""{"features": [${features.result()}], "type": "FeatureCollection"}"""
+  }
+
+  /** Dataset-level O5: one row per tile, `geojson` null when empty. */
+  def annotateLabeledTiles(tiles: Dataset[Tile], overlaps: Array[Int],
+                           objectClasses: Option[Map[Long, String]] = None)
+      : Dataset[TileAnnotation] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.map { t =>
+      // default classes mapping: one "cell" entry per channel
+      // (`relabeling.py:106-109`, `relabeling.py:264-267`)
+      val oc = objectClasses.getOrElse(
+        (0L to math.max(0, t.classes.length).toLong).map(_ -> "cell").toMap)
+      TileAnnotation(t.loc.mkString("-"), annotateTile(t, overlaps, oc))
+    }
+  }
+
+  /** O6 `zip_annotated_labeled_tiles` (`relabeling.py:126-163`): write one
+    * `{y}-{x}.geojson` member per non-empty tile into a single zip. This is
+    * an action (the reference computes here too, `relabeling.py:150`);
+    * annotations stream through the driver via `toLocalIterator`.
+    */
+  def zipAnnotations(annotations: Dataset[TileAnnotation],
+                     outZip: java.nio.file.Path): java.nio.file.Path = {
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(outZip))
+    zos.setLevel(9)
+    try {
+      val it = annotations.toLocalIterator()
+      while (it.hasNext) {
+        val a = it.next()
+        if (a.geojson != null) {
+          zos.putNextEntry(new java.util.zip.ZipEntry(s"${a.locKey}.geojson"))
+          zos.write(a.geojson.getBytes("UTF-8"))
+          zos.closeEntry()
+        }
+      }
+    } finally zos.close()
+    outZip
+  }
+}

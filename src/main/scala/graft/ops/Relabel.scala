@@ -144,14 +144,30 @@ object Relabel {
     }
   }
 
-  /** O8 `labels2geojson` head (`relabeling.py:245-276`): (optional prepare)
-    * -> remove. The annotation tail lives in [[graft.geojson.Annotate]].
-    * Default threshold 0.5 (`relabeling.py:246`), vs 0.05 for image2labels.
+  /** O8 `labels2geojson` (`relabeling.py:245-276`): (optional prepare) ->
+    * remove -> annotate. Default threshold 0.5 (`relabeling.py:246`), vs
+    * 0.05 for image2labels.
     */
-  def labelsRemoved(tiles: Dataset[Tile], spec: GridSpec, overlaps: Array[Int],
-                    threshold: Double = 0.5,
-                    preOverlapped: Boolean = false): Dataset[Tile] = {
+  def labels2geojson(tiles: Dataset[Tile], spec: GridSpec, overlaps: Array[Int],
+                     threshold: Double = 0.5,
+                     objectClasses: Option[Map[Long, String]] = None,
+                     preOverlapped: Boolean = false)
+      : Dataset[graft.geojson.Annotate.TileAnnotation] = {
     val prepared = if (preOverlapped) tiles else prepareInput(tiles, spec, overlaps)
-    removeOverlappedLabels(prepared, overlaps, threshold)
+    val removed = removeOverlappedLabels(prepared, overlaps, threshold)
+    graft.geojson.Annotate.annotateLabeledTiles(removed, overlaps, objectClasses)
+  }
+
+  /** O9 `image2geojson` (`relabeling.py:279-309`): prepare -> segment ->
+    * labels2geojson(pre_overlapped = true).
+    */
+  def image2geojson(tiles: Dataset[Tile], spec: GridSpec, segFn: SegmentationFn,
+                    overlaps: Array[Int], threshold: Double = 0.5,
+                    objectClasses: Option[Map[Long, String]] = None)
+      : Dataset[graft.geojson.Annotate.TileAnnotation] = {
+    val prepared = prepareInput(tiles, spec, overlaps)
+    val segmented = segmentOverlappedInput(prepared, segFn)
+    labels2geojson(segmented, spec, overlaps, threshold, objectClasses,
+      preOverlapped = true)
   }
 }

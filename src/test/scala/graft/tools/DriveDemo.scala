@@ -56,3 +56,27 @@ object DriveDemo {
     spark.stop()
   }
 }
+// (annotation drive appended as a second main)
+object DriveGeoJson {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val in = graft.Goldens.tiles(spark, "input_2d", graft.Goldens.grid2d)
+    val ann = graft.ops.Relabel.image2geojson(in,
+      graft.tiles.GridSpec(Array(16L, 12L), Array(4, 4)),
+      graft.ops.CCLSegmentation(), Array(2, 2), threshold = 0.25)
+    val out = java.nio.file.Files.createTempDirectory("drive").resolve("ann.zip")
+    graft.geojson.Annotate.zipAnnotations(ann, out)
+    println("ZIP: " + out + " size=" + java.nio.file.Files.size(out))
+    val zf = new java.util.zip.ZipFile(out.toFile)
+    import scala.jdk.CollectionConverters._
+    zf.entries().asScala.foreach { e =>
+      println(e.getName + ": " +
+        new String(zf.getInputStream(e).readAllBytes()).take(120))
+    }
+    zf.close()
+    spark.stop()
+  }
+}
