@@ -110,6 +110,10 @@ object RelabelRel {
   // ------------------------------------------------------------------ remove
 
   def remove(s: SparkSession, d: String): DataFrame = {
+    // pixels feed both the stats aggregate and the region-membership join;
+    // cache once (the CacheManager also shares this across the rl_* family
+    // within a session — plan-canonical reuse)
+    pixels(s, d).persist()
     val stats = marginStats(s, d)
       .withColumn("p", col("intr").cast("double") / col("total").cast("double"))
     val firstRegion = pixels(s, d)
@@ -152,6 +156,7 @@ object RelabelRel {
     val rp = pixels(s, d)
       .join(remove(s, d).select("gy", "gx", "label", "gid"),
         Seq("gy", "gx", "label"))
+      .persist()
     val own = rp.select(col("gy"), col("gx"), col("py"), col("px"),
       col("gid"), lit(-1L).as("prio"))
     val painted = rp

@@ -73,18 +73,30 @@ object TextOps {
                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus))"""
 
-  /** 8 MinHashes -> 4 bands of 2 -> candidate pairs. */
+  /** 8 MinHashes -> 4 bands of 2 -> candidate pairs.
+    *
+    * One md5 per shingle; the 8 minhashes are the per-document minima of 8
+    * disjoint 4-hex-char slices of that digest (independent-enough 16-bit
+    * hash functions), computed in a single hash-aggregate pass — no
+    * hash-function explosion. Bands pair adjacent slices (32-bit band
+    * values) and candidates come from a band equi-join.
+    */
   private def minhashCand(s: SparkSession, d: String): DataFrame = {
     val sh = shinglesDf(nearCorpusDf(s, d))
-    val js = s.range(8).select(col("id").cast("int").as("j"))
-    val mh = sh.crossJoin(broadcast(js))
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("shingle"))))
-        .as("mh"))
-    val sig = mh.groupBy(col("doc_id"), expr("j div 2").as("band"))
-      .agg(concat_ws("|",
-        min(when(col("j") % 2 === 0, col("mh"))),
-        min(when(col("j") % 2 === 1, col("mh")))).as("bandval"))
+      .withColumn("h", md5(col("shingle")))
+    val aggs = (0 until 8).map(j =>
+      min(expr(s"substr(h, ${4 * j + 1}, 4)")).as(s"mh$j"))
+    val mins = sh.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      // the band self-join reads this twice; materialize once (no DataFrame CSE)
+      .persist()
+    val sig = mins.select(col("doc_id"),
+      explode(expr(
+        """array(struct(0 AS band, concat(mh0, mh1) AS bandval),
+                 struct(1 AS band, concat(mh2, mh3) AS bandval),
+                 struct(2 AS band, concat(mh4, mh5) AS bandval),
+                 struct(3 AS band, concat(mh6, mh7) AS bandval))""")).as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"), col("bv.bandval").as("bandval"))
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, expr("a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -93,15 +105,18 @@ object TextOps {
 
   private val MINHASH_CAND_SQL = s"""
     WITH $NEAR_SQL, $SHINGLES_SQL,
-    mh AS (
-      SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
-      FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) js(j)
-      GROUP BY doc_id, j),
+    mins AS (
+      SELECT doc_id,
+             min(substr(md5(shingle), 1, 4)) AS mh0, min(substr(md5(shingle), 5, 4)) AS mh1,
+             min(substr(md5(shingle), 9, 4)) AS mh2, min(substr(md5(shingle), 13, 4)) AS mh3,
+             min(substr(md5(shingle), 17, 4)) AS mh4, min(substr(md5(shingle), 21, 4)) AS mh5,
+             min(substr(md5(shingle), 25, 4)) AS mh6, min(substr(md5(shingle), 29, 4)) AS mh7
+      FROM sh GROUP BY doc_id),
     sig AS (
-      SELECT doc_id, j // 2 AS band,
-             concat_ws('|', min(CASE WHEN j % 2 = 0 THEN mh END),
-                            min(CASE WHEN j % 2 = 1 THEN mh END)) AS bandval
-      FROM mh GROUP BY doc_id, j // 2),
+      SELECT doc_id, 0 AS band, mh0 || mh1 AS bandval FROM mins
+      UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM mins
+      UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM mins
+      UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM mins),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sig a JOIN sig b
@@ -129,8 +144,9 @@ object TextOps {
 
     // -- n-gram Jaccard verification of LSH candidates -----------------------
     Q("dd_jaccard", (s, d) => {
-      val cand = minhashCand(s, d)
-      val ds = shinglesDf(nearCorpusDf(s, d)).distinct()
+      val cand = minhashCand(s, d).persist()
+      // shingle sets feed the intersection join twice and the size join twice
+      val ds = shinglesDf(nearCorpusDf(s, d)).distinct().persist()
       val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(ds.as("x"), col("id_a") === col("x.doc_id"))
