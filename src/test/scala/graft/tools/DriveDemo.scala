@@ -80,3 +80,19 @@ object DriveGeoJson {
     spark.stop()
   }
 }
+object DriveTileIO {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tiles = graft.Goldens.tiles(spark, "rem_2d", graft.Goldens.grid2d)
+    val dir = java.nio.file.Files.createTempDirectory("drive-tileio").toString
+    graft.sources.TileIO.write(tiles, dir, coarsePartitions = 3)
+    println("WROTE: " + new java.io.File(dir).listFiles().map(_.getName).sorted.mkString(", "))
+    val box = graft.sources.TileIO.readBox(spark, dir, Array(0, 0), Array(1, 1)).collect()
+    println("READBOX tiles: " + box.map(_.loc.mkString("/")).sorted.mkString(" "))
+    println("nonzero labels in box: " + box.flatMap(_.data).count(_ != 0))
+    spark.stop()
+  }
+}
