@@ -14,8 +14,8 @@ import graft.rel._
 object SparkEntry {
 
   private def families: Seq[Q] =
-    CoreQueries.all ++ RelabelRel.all ++ TextOps.all ++ VectorOps.all ++
-      PipelineOps.all
+    CoreQueries.all ++ RelabelRel.all ++ HaloRel.all ++ TextOps.all ++
+      VectorOps.all ++ PipelineOps.all
 
   /** Flagship: the full image2labels pipeline on a synthetic tile grid
     * derived from sf0.001 lineitem (driver smoke-checks rows > 0).

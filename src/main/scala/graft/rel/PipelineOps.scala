@@ -138,8 +138,21 @@ object PipelineOps {
       .toDF("doc_id", "n_bytes", "width", "height", "checksum")
   }
 
+  /** O5 through the real annotate kernel over the synthetic removed tiles
+    * (rows-only: contour JSON has no SQL form).
+    */
+  def annotateTiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val removed = Relabel.removeOverlappedLabels(tilesFromPixels(s, d),
+      Array(OV, OV), THRESHOLD)
+    graft.geojson.Annotate.annotateLabeledTiles(removed, Array(OV, OV))
+      .filter(_.geojson != null)
+      .toDF("loc_key", "geojson")
+  }
+
   def all: Seq[Q] = Seq(
     Q("px_remove_tiles", removePixels, Some(REMOVE_PIXELS_SQL)),
+    Q("geo_annotate", annotateTiles, None),
     Q("px_pipeline", pipeline, Some(RelabelRel.MERGE_SQL)),
     Q("st_tumbling", tumblingStream, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
