@@ -2,6 +2,7 @@ package graft.rel
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.long_dot
 import Q.tbl
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -31,8 +32,10 @@ object VectorOps {
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
            FROM embeddings)"""
 
-  private val dotExpr =
-    "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  /** Native fused-loop Catalyst expression (graft.functions.LongDotProduct)
+    * — codegen-friendly replacement for aggregate(zip_with(...)).
+    */
+  private def dotCol = long_dot(col("a.qv"), col("b.qv"))
 
   def all: Seq[Q] = Seq(
 
@@ -42,7 +45,7 @@ object VectorOps {
       val b = qvec(s, d).filter(col("vec_id") % 25 === 13).as("b")
       a.crossJoin(b)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          expr(dotExpr).as("dot"))
+          dotCol.as("dot"))
     }, Some(s"""
       WITH $QVEC_SQL
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -60,7 +63,7 @@ object VectorOps {
       val w = Window.partitionBy("id_q").orderBy(col("dot").desc, col("id_n").asc)
       c.join(broadcast(q), expr("a.vec_id != b.vec_id"))
         .select(col("a.vec_id").as("id_q"), col("b.vec_id").as("id_n"),
-          expr(dotExpr).as("dot"))
+          dotCol.as("dot"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
     }, Some(s"""

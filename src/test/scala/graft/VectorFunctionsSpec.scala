@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.long_dot
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+
+  test("long_dot matches aggregate/zip_with composition (codegen + eval)") {
+    import spark.implicits._
+    val df = spark.range(100).select(
+      expr("transform(sequence(0, 63), i -> (id * 31 + i * 17) % 1000 - 500)").as("qv"),
+      expr("transform(sequence(0, 63), i -> (id * 13 + i * 29) % 1000 - 500)").as("wv"))
+    val got = df.select(
+      long_dot(col("qv"), col("wv")).as("native"),
+      expr("aggregate(zip_with(qv, wv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        .as("composed")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("long_dot null propagation and type check") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L), Option(Array(3L, 4L))), (Array(1L, 2L), None))
+      .toDF("a", "b")
+    val rows = df.select(long_dot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).getLong(0) == 11L)
+    assert(rows(1).isNullAt(0))
+    intercept[Exception] {
+      df.select(long_dot(col("a"), lit("nope"))).collect()
+    }
+  }
+}
