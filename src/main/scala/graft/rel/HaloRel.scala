@@ -19,7 +19,7 @@ object HaloRel {
   import RelabelRel.{GY, GX, L, OV}
 
   /** Core tiles carrying foreground=1 pixels (labels forgotten). */
-  private def coreTiles(s: SparkSession, d: String) = {
+  private[rel] def coreTiles(s: SparkSession, d: String) = {
     import s.implicits._
     RelabelRel.pixels(s, d)
       .select("gy", "gx", "py", "px")
@@ -93,7 +93,7 @@ object HaloRel {
     * O2's `Dataset.map` hook exercised with a kernel DuckDB can mirror
     * (labels = spatial block ids over the EXPANDED frame).
     */
-  private final case class BlockSegmentation() extends SegmentationFn {
+  private[rel] final case class BlockSegmentation() extends SegmentationFn {
     def segment(t: Tile): (Array[Long], Array[Array[Long]]) = {
       val w = t.shape(1)
       val out = new Array[Long](t.data.length)
