@@ -1,0 +1,209 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Regions
+import graft.ops.Relabel
+import graft.tiles.Tile
+import Q.tbl
+
+/** 3D gate coverage: the tile engine's remove/merge over a 3x4x3 grid of
+  * pre-overlapped 8^3 tiles (26 neighbor regions per interior chunk),
+  * hash-checked against axis-generic SQL oracles. The region table is
+  * GENERATED from `Regions.validOverlaps` at an interior location so the
+  * enumeration order in the SQL is by construction the kernel's order.
+  */
+object Relabel3Rel {
+
+  val G = Array(3, 4, 3) // gz, gy, gx
+  val L3 = 8; val OV3 = 2
+  val THR = 0.25
+  val OFFSET3: Long = 2147483648L / (G(0) * G(1) * G(2)) + 2147483648L
+
+  private val gCols = Array("gz", "gy", "gx")
+  private val pCols = Array("pz", "py", "px")
+  private val lCols = Array("lz", "ly", "lx")
+
+  /** All 26 regions in exact kernel enumeration order. */
+  private val regions3: Seq[(Int, Array[Int])] =
+    Regions.validOverlaps(Array(1, 1, 1), Array(3, 3, 3)).zipWithIndex
+      .map { case (lv, i) => (i, lv) }
+
+  private val REGIONS3_SQL =
+    "(VALUES " + regions3.map { case (rid, lv) =>
+      s"($rid,${lv(0)},${lv(1)},${lv(2)},${Regions.regionDim(lv)})"
+    }.mkString(", ") + ") AS regions(rid, lz, ly, lx, rdim)"
+
+  // ------------------------------------------------------------- pixel grid
+
+  def pixels3(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "lineitem")
+      .select(
+        expr(s"CAST(l_suppkey % ${G(0)} AS BIGINT)").as("gz"),
+        expr(s"CAST(l_orderkey % ${G(1)} AS BIGINT)").as("gy"),
+        expr(s"CAST(l_partkey % ${G(2)} AS BIGINT)").as("gx"),
+        expr(s"CAST((l_orderkey div 11) % $L3 AS BIGINT)").as("pz"),
+        expr(s"CAST((l_linenumber * 3 + l_orderkey div 7) % $L3 AS BIGINT)").as("py"),
+        expr(s"CAST((l_partkey div 5 + l_suppkey) % $L3 AS BIGINT)").as("px"))
+      .distinct()
+      .filter(expr("(pz * 29 + py * 31 + px * 17 + gz * 5 + gy * 7 + gx * 3) % 10 < 6"))
+      .withColumn("label",
+        expr("(pz div 3) * 9 + (py div 3) * 3 + (px div 3) + 1"))
+
+  val PIXELS3_SQL: String = s"""
+    WITH pix AS (
+      SELECT DISTINCT CAST(l_suppkey % ${G(0)} AS BIGINT) AS gz,
+             CAST(l_orderkey % ${G(1)} AS BIGINT) AS gy,
+             CAST(l_partkey % ${G(2)} AS BIGINT) AS gx,
+             CAST((l_orderkey // 11) % $L3 AS BIGINT) AS pz,
+             CAST((l_linenumber * 3 + l_orderkey // 7) % $L3 AS BIGINT) AS py,
+             CAST((l_partkey // 5 + l_suppkey) % $L3 AS BIGINT) AS px
+      FROM lineitem),
+    lab AS (
+      SELECT gz, gy, gx, pz, py, px,
+             (pz // 3) * 9 + (py // 3) * 3 + (px // 3) + 1 AS label
+      FROM pix
+      WHERE (pz * 29 + py * 31 + px * 17 + gz * 5 + gy * 7 + gx * 3) % 10 < 6)"""
+
+  // -------------------------------------------------------- SQL predicates
+
+  private def interiorSql: String =
+    (0 until 3).map { a =>
+      val (g, p, gmax) = (gCols(a), pCols(a), G(a) - 1)
+      s"""($p >= CASE WHEN $g > 0 THEN $OV3 ELSE 0 END
+           AND $p < CASE WHEN $g < $gmax THEN ${L3 - OV3} ELSE $L3 END)"""
+    }.mkString(" AND ")
+
+  private def srcMemberSql: String =
+    (0 until 3).map { a =>
+      val (lv, g, p, gmax) = (lCols(a), gCols(a), pCols(a), G(a) - 1)
+      s"""(($lv = -1 AND $p >= CASE WHEN $g > 0 THEN $OV3 ELSE 0 END
+             AND $p < CASE WHEN $g < $gmax THEN ${L3 - OV3} ELSE $L3 END)
+        OR ($lv = 1 AND $g < $gmax AND $p >= ${L3 - OV3})
+        OR ($lv = 0 AND $g > 0 AND $p < $OV3))"""
+    }.mkString(" AND ")
+
+  private def paritySql: String =
+    "(" + (0 until 3).map(a =>
+      s"(${lCols(a)} != -1 AND ${gCols(a)} % 2 = 1)").mkString(" OR ") + ")"
+
+  /** CTEs producing `removed(gz,gy,gx,label,gid)` after PIXELS3_SQL. */
+  private val REMOVE3_CTES: String = {
+    val gs = gCols.mkString(", ")
+    s""",
+    stats AS (
+      SELECT $gs, label, count(*) AS total,
+             count(*) FILTER (WHERE $interiorSql) AS intr
+      FROM lab GROUP BY $gs, label),
+    first_region AS (
+      SELECT $gs, label,
+             min(CASE WHEN $paritySql THEN rid * 2 + 1 ELSE rid * 2 END) AS first2
+      FROM lab JOIN $REGIONS3_SQL ON $srcMemberSql
+      GROUP BY $gs, label),
+    removed AS (
+      SELECT s.gz, s.gy, s.gx, s.label,
+             s.label + ((s.gz * ${G(1)} + s.gy) * ${G(2)} + s.gx) * $OFFSET3 AS gid
+      FROM stats s LEFT JOIN first_region f
+        ON s.gz = f.gz AND s.gy = f.gy AND s.gx = f.gx AND s.label = f.label
+      WHERE CAST(s.intr AS DOUBLE) / CAST(s.total AS DOUBLE) >= $THR
+        AND NOT (CAST(s.intr AS DOUBLE) / CAST(s.total AS DOUBLE) <= ${1 - THR}
+                 AND f.first2 IS NOT NULL AND f.first2 % 2 = 1))"""
+  }
+
+  // ------------------------------------------------------------ tile engine
+
+  private def tiles3(s: SparkSession, d: String) = {
+    import s.implicits._
+    pixels3(s, d)
+      .select("gz", "gy", "gx", "pz", "py", "px", "label")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .groupByKey { case (gz, gy, gx, _, _, _, _) =>
+        (gz * G(1) + gy) * G(2) + gx
+      }
+      .mapGroups { (_, it) =>
+        val rows = it.toArray
+        val loc = Array(rows.head._1.toInt, rows.head._2.toInt, rows.head._3.toInt)
+        val data = new Array[Long](L3 * L3 * L3)
+        rows.foreach { case (_, _, _, pz, py, px, label) =>
+          data((pz.toInt * L3 + py.toInt) * L3 + px.toInt) = label
+        }
+        Tile(loc, G.clone(), Array(L3, L3, L3), data)
+      }
+  }
+
+  private def explode5(df: org.apache.spark.sql.Dataset[Tile],
+                       addTrimOffset: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.flatMap { t =>
+      val off = Array.tabulate(3)(a =>
+        if (addTrimOffset && t.loc(a) > 0) OV3 else 0)
+      val st = graft.core.Nd.strides(t.shape)
+      for {
+        z <- 0 until t.shape(0); y <- 0 until t.shape(1); x <- 0 until t.shape(2)
+        v = t.data(z * st(0) + y * st(1) + x)
+        if v != 0L
+      } yield (t.loc(0).toLong, t.loc(1).toLong, t.loc(2).toLong,
+        (z + off(0)).toLong, (y + off(1)).toLong, (x + off(2)).toLong, v)
+    }.toDF("gz", "gy", "gx", "pz", "py", "px", "gid")
+  }
+
+  /** O3 in 3D through the engine (26-region scan per interior chunk). */
+  def remove3(s: SparkSession, d: String): DataFrame =
+    explode5(Relabel.removeOverlappedLabels(tiles3(s, d),
+      Array(OV3, OV3, OV3), THR), addTrimOffset = false)
+
+  val REMOVE3_SQL: String = PIXELS3_SQL + REMOVE3_CTES + """
+    SELECT l.gz, l.gy, l.gx, l.pz, l.py, l.px, r.gid
+    FROM lab l JOIN removed r
+      ON l.gz = r.gz AND l.gy = r.gy AND l.gx = r.gx AND l.label = r.label"""
+
+  /** O3+O4 in 3D through the engine (merge exchange + trim). */
+  def pipeline3(s: SparkSession, d: String): DataFrame = {
+    val removed = Relabel.removeOverlappedLabels(tiles3(s, d),
+      Array(OV3, OV3, OV3), THR)
+    explode5(Relabel.mergeOverlappedTiles(removed, Array(OV3, OV3, OV3)),
+      addTrimOffset = true)
+  }
+
+  val PIPELINE3_SQL: String = {
+    val gs = gCols.mkString(", ")
+    val ps = pCols.mkString(", ")
+    // uniform pre-overlapped tiles: dst/src shift by L-2*OV per varying axis
+    val sh = L3 - 2 * OV3
+    def recvG(a: Int) =
+      s"p.${gCols(a)} - CASE WHEN r.${lCols(a)} = 1 THEN 1 WHEN r.${lCols(a)} = 0 THEN -1 ELSE 0 END"
+    def recvP(a: Int) =
+      s"p.${pCols(a)} + CASE WHEN r.${lCols(a)} = 1 THEN $sh WHEN r.${lCols(a)} = 0 THEN ${-sh} ELSE 0 END"
+    def shipMember(a: Int) =
+      s"""((r.${lCols(a)} = -1) OR (r.${lCols(a)} = 1 AND p.${pCols(a)} < $OV3)
+        OR (r.${lCols(a)} = 0 AND p.${pCols(a)} >= ${L3 - OV3}))"""
+    PIXELS3_SQL + REMOVE3_CTES + s""",
+    rp AS (
+      SELECT l.gz, l.gy, l.gx, l.pz, l.py, l.px, r.gid
+      FROM lab l JOIN removed r
+        ON l.gz = r.gz AND l.gy = r.gy AND l.gx = r.gx AND l.label = r.label),
+    own AS (SELECT $gs, $ps, gid, CAST(-1 AS BIGINT) AS prio FROM rp),
+    painted AS (
+      SELECT ${(0 until 3).map(a => s"${recvG(a)} AS ${gCols(a)}").mkString(", ")},
+             ${(0 until 3).map(a => s"${recvP(a)} AS ${pCols(a)}").mkString(", ")},
+             r.lz AS lz, r.ly AS ly, r.lx AS lx,
+             p.gid AS gid, CAST(r.rid AS BIGINT) AS prio
+      FROM rp p JOIN ${REGIONS3_SQL.replace("AS regions", "AS r")}
+        ON ${(0 until 3).map(shipMember).mkString(" AND ")}),
+    cand AS (
+      SELECT $gs, $ps, gid, prio FROM own
+      UNION ALL
+      SELECT $gs, $ps, gid, prio FROM painted
+      WHERE ${(0 until 3).map(a =>
+        s"${gCols(a)} >= 0 AND ${gCols(a)} < ${G(a)}").mkString(" AND ")}
+        AND $paritySql)
+    SELECT $gs, $ps, arg_max(gid, prio) AS gid
+    FROM cand GROUP BY $gs, $ps
+    HAVING $interiorSql"""
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("px3_remove", remove3, Some(REMOVE3_SQL)),
+    Q("px3_pipeline", pipeline3, Some(PIPELINE3_SQL)))
+}
