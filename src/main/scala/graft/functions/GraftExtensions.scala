@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** `SparkSessionExtensions` installer: registers the native expressions for
+  * SQL use (`SELECT long_dot(a, b) ...`).
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or: spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  */
+object GraftFunctions {
+  /** Runtime registration on an existing session:
+    * `GraftFunctions.register(spark)` then `spark.sql("... long_dot(a,b)")`.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "long_dot", {
+      children =>
+        require(children.length == 2, "long_dot takes exactly 2 arguments")
+        LongDotProduct(children.head, children(1))
+    })
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "long_dot takes exactly 2 arguments")
+        LongDotProduct(children.head, children(1))
+      }))
+  }
+}

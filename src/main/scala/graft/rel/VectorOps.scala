@@ -37,7 +37,64 @@ object VectorOps {
     */
   private def dotCol = long_dot(col("a.qv"), col("b.qv"))
 
+  /** IVF-style ANN: coarse centroids are a deterministic strided sample of
+    * the corpus (vec_id % 100 == 7); every vector is assigned to its
+    * max-dot centroid (broadcast — centroid count is tiny); queries search
+    * only their own cluster — candidate generation becomes an equi-join on
+    * the centroid id, the partition-pruned plan that survives 100 TB.
+    * Output: per (query, cluster) the best in-cluster neighbor.
+    */
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = qvec(s, d).filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val assign = qvec(s, d).as("b").join(broadcast(cents.as("a")),
+        expr("true"))
+      .select(col("b.vec_id").as("vec_id"), col("b.qv").as("qv"), col("cid"),
+        long_dot(col("b.qv"), col("cv")).as("cdot"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select("vec_id", "qv", "cid")
+    val queries = assign.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id_q"), col("qv").as("query_qv"), col("cid"))
+    queries.join(assign.withColumnRenamed("vec_id", "id_n"), Seq("cid"))
+      .filter(col("id_q") =!= col("id_n"))
+      .select(col("id_q"), col("id_n"), col("cid"),
+        long_dot(col("query_qv"), col("qv")).as("dot"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id_q").orderBy(col("dot").desc, col("id_n").asc)))
+      .filter(col("rn") === 1)
+      .select("id_q", "cid", "id_n", "dot")
+  }
+
+  private val ANN_IVF_SQL = s"""
+      WITH $QVEC_SQL,
+      cents AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id % 100 = 7),
+      cdots AS (
+        SELECT b.vec_id, b.qv, a.cid,
+               CAST(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(a.cv AS DOUBLE[])) AS BIGINT) AS cdot
+        FROM qv b, cents a),
+      assign AS (
+        SELECT vec_id, qv, cid FROM (
+          SELECT vec_id, qv, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cdot DESC, cid ASC) AS rn
+          FROM cdots) WHERE rn = 1),
+      hits AS (
+        SELECT q.vec_id AS id_q, n.vec_id AS id_n, q.cid AS cid,
+               CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(n.qv AS DOUBLE[])) AS BIGINT) AS dot
+        FROM assign q JOIN assign n ON q.cid = n.cid AND q.vec_id != n.vec_id
+        WHERE q.vec_id % 50 = 0)
+      SELECT id_q, cid, id_n, dot FROM (
+        SELECT id_q, cid, id_n, dot,
+               row_number() OVER (PARTITION BY id_q
+                                  ORDER BY dot DESC, id_n ASC) AS rn
+        FROM hits) WHERE rn = 1"""
+
   def all: Seq[Q] = Seq(
+
+    Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
 
     // -- exact pairwise dots between two deterministic strata ----------------
     Q("vec_dot_pairs", (s, d) => {

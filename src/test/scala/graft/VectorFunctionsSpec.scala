@@ -30,4 +30,14 @@ class VectorFunctionsSpec extends AnyFunSuite {
       df.select(long_dot(col("a"), lit("nope"))).collect()
     }
   }
+
+  test("GraftFunctions.register exposes long_dot to SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").collect()
+    assert(r(0).getLong(0) == 32L)
+    intercept[Exception] {
+      spark.sql("SELECT long_dot(array(1L))").collect()
+    }
+  }
 }
