@@ -92,9 +92,70 @@ object VectorOps {
                                   ORDER BY dot DESC, id_n ASC) AS rn
         FROM hits) WHERE rn = 1"""
 
+  /** Embedding-cosine near-dup corpus: every 20th vector re-appears scaled
+    * by a small deterministic factor (direction-preserving, so cosine vs the
+    * original is ~1 up to quantization). Detection: cos >= 0.95 via the
+    * exact integer inequality 400*dot^2 >= 361*|a|^2*|b|^2 with dot >= 0.
+    */
+  private def nearCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    base.unionByName(
+      base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(embedding, x -> x * CAST(1.0 + (vec_id % 7 - 3) * 0.001 AS FLOAT))")
+            .as("embedding")))
+      .select(col("vec_id"), expr(quant).as("qv"))
+  }
+
+  private val NEAR_CORPUS_SQL = """
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT v2 AS vec_id,
+             list_transform(embedding,
+               x -> x * CAST(1.0 + (vec_id % 7 - 3) * 0.001 AS FLOAT)) AS embedding
+      FROM (SELECT vec_id, vec_id + 100000 AS v2, embedding
+            FROM embeddings WHERE vec_id % 20 = 0)),
+    qv AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM corpus)"""
+
   def all: Seq[Q] = Seq(
 
     Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
+
+    // -- embedding-cosine near-duplicate detection ---------------------------
+    Q("dd_embed_cos", (s, d) => {
+      val c = nearCorpus(s, d)
+      val norms = c.select(col("vec_id"), long_dot(col("qv"), col("qv")).as("nn"))
+      val a = c.as("a"); val b = c.as("b")
+      // candidate pruning: compare only (x, x_jittered) strata cross pairs --
+      // the jittered stratum vs everything below it
+      a.join(b, expr("a.vec_id < b.vec_id AND b.vec_id >= 100000"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          long_dot(col("a.qv"), col("b.qv")).as("dot"))
+        .join(norms.withColumnRenamed("vec_id", "id_a")
+          .withColumnRenamed("nn", "na"), "id_a")
+        .join(norms.withColumnRenamed("vec_id", "id_b")
+          .withColumnRenamed("nn", "nb"), "id_b")
+        .filter(expr("dot >= 0 AND 400 * dot * dot >= 361 * na * nb"))
+        .select("id_a", "id_b", "dot", "na", "nb")
+    }, Some(s"""
+      WITH $NEAR_CORPUS_SQL,
+      norms AS (
+        SELECT vec_id,
+               CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS BIGINT) AS nn
+        FROM qv),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot
+        FROM qv a, qv b
+        WHERE a.vec_id < b.vec_id AND b.vec_id >= 100000)
+      SELECT p.id_a, p.id_b, p.dot, na.nn AS na, nb.nn AS nb
+      FROM pairs p JOIN norms na ON p.id_a = na.vec_id
+                   JOIN norms nb ON p.id_b = nb.vec_id
+      WHERE p.dot >= 0 AND 400 * p.dot * p.dot >= 361 * na.nn * nb.nn""")),
 
     // -- exact pairwise dots between two deterministic strata ----------------
     Q("vec_dot_pairs", (s, d) => {
