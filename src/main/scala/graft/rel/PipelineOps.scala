@@ -96,9 +96,13 @@ object PipelineOps {
   /** Structured Streaming twin of q14: tumbling 5-minute windows over the
     * events stream, complete-mode memory sink, batch-SQL oracle.
     */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def tumblingStream(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val qn = "st_tumbling_sink"
+    // unique per invocation: a second run in the same session must not
+    // collide with the previous memory sink's query name
+    val qn = "st_tumbling_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("bucket", expr("ts div 300000000000"))

@@ -14,6 +14,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingOps {
 
   private val GAP_NS = 1800L * 1000 * 1000 * 1000 // 30 min session gap
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** One event in flight: (user, ts nanos, value micros). */
   private type Ev = (Long, Long, Long)
@@ -21,7 +22,7 @@ object StreamingOps {
   def sessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val qn = "st_sessionize_sink"
+    val qn = "st_sessionize_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       // ts div 1000 * 1000: truncate nanos to micros — DuckDB TIMESTAMP is
