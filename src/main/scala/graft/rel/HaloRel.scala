@@ -21,7 +21,7 @@ object HaloRel {
   /** Core tiles carrying foreground=1 pixels (labels forgotten). */
   private[rel] def coreTiles(s: SparkSession, d: String) = {
     import s.implicits._
-    RelabelRel.pixels(s, d)
+    RelabelRel.pixelsRaw(s, d)
       .select("gy", "gx", "py", "px")
       .as[(Long, Long, Long, Long)]
       .groupByKey { case (gy, gx, _, _) => gy * GX + gx }

@@ -24,7 +24,7 @@ object PipelineOps {
     */
   private def tilesFromPixels(s: SparkSession, d: String) = {
     import s.implicits._
-    RelabelRel.pixels(s, d)
+    RelabelRel.pixelsRaw(s, d)
       .select("gy", "gx", "py", "px", "label")
       .as[(Long, Long, Long, Long, Long)]
       .groupByKey { case (gy, gx, _, _, _) => gy * GX + gx }

@@ -45,7 +45,7 @@ object Relabel3Rel {
         expr(s"CAST((l_orderkey div 11) % $L3 AS BIGINT)").as("pz"),
         expr(s"CAST((l_linenumber * 3 + l_orderkey div 7) % $L3 AS BIGINT)").as("py"),
         expr(s"CAST((l_partkey div 5 + l_suppkey) % $L3 AS BIGINT)").as("px"))
-      .distinct()
+      // no distinct: tile assembly dedups idempotently (same label per cell)
       .filter(expr("(pz * 29 + py * 31 + px * 17 + gz * 5 + gy * 7 + gx * 3) % 10 < 6"))
       .withColumn("label",
         expr("(pz div 3) * 9 + (py div 3) * 3 + (px div 3) + 1"))

@@ -33,6 +33,21 @@ object RelabelRel {
 
   // ---------------------------------------------------------------- pixels
 
+  /** Non-deduplicated variant for tile building: duplicate (tile, pixel)
+    * rows write the same label into the same cell, so the groupByKey
+    * assembly is idempotent and the `distinct()` exchange can be skipped —
+    * one shuffle instead of two for every engine-side query.
+    */
+  def pixelsRaw(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "lineitem")
+      .select(
+        expr(s"CAST(l_orderkey % $GY AS BIGINT)").as("gy"),
+        expr(s"CAST(l_partkey % $GX AS BIGINT)").as("gx"),
+        expr(s"CAST((l_orderkey div 7 + l_linenumber * 3) % $L AS BIGINT)").as("py"),
+        expr(s"CAST((l_partkey div 5 + l_suppkey) % $L AS BIGINT)").as("px"))
+      .filter(expr(s"(py * 31 + px * 17 + gy * 7 + gx * 3) % 10 < 6"))
+      .withColumn("label", expr(s"(py div 3) * 4 + (px div 3) + 1"))
+
   def pixels(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "lineitem")
       .select(

@@ -276,6 +276,60 @@ object TextOps {
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""")),
 
+    // -- winnowing fingerprint (rolling-hash sketch) --------------------------
+    // per-position shingle hashes, min over a 4-window (winnowing), distinct
+    // mins summarized per doc — the classic local fingerprint for plagiarism/
+    // near-dup detection, fully window-SQL-expressible
+    Q("tx_winnow", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = tbl(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(1, size(words) - 2),
+               i -> concat_ws(' ', element_at(words, i),
+                              element_at(words, i + 1), element_at(words, i + 2)))""")))
+        .withColumnRenamed("pos", "i")
+        .withColumn("h", substring(md5(col("col")), 1, 8))
+      val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+      sh.withColumn("wmin", min(col("h")).over(w))
+        .groupBy("doc_id")
+        .agg(countDistinct("wmin").as("n_fp"),
+          min("wmin").as("fp_min"), max("wmin").as("fp_max"))
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               generate_subscripts(list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1) - 1 AS i,
+               unnest(list_transform(range(1, len(words) - 1),
+                 i -> substr(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 8))) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      wm AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM sh)
+      SELECT doc_id, count(DISTINCT wmin) AS n_fp,
+             min(wmin) AS fp_min, max(wmin) AS fp_max
+      FROM wm GROUP BY doc_id""")),
+
+    // -- correlated-subquery shape: items above their group average ----------
+    // exact arithmetic: price > avg(group) written as price*cnt > sum
+    Q("q16_above_avg", (s, d) => {
+      val p = tbl(s, d, "part")
+      val stats = p.groupBy("p_brand")
+        .agg(sum(col("p_retailprice").cast("decimal(18,2)")).as("brand_sum"),
+          count(lit(1)).as("brand_cnt"))
+      p.join(stats, "p_brand")
+        .filter(expr("CAST(p_retailprice AS DECIMAL(18,2)) * brand_cnt > brand_sum"))
+        .select(col("p_partkey"), col("p_brand"))
+    }, Some("""
+      SELECT p_partkey, p_brand FROM part p
+      WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+            (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+            > (SELECT sum(CAST(p_retailprice AS DECIMAL(18,2))) FROM part p3
+               WHERE p3.p_brand = p.p_brand)""")),
+
     // -- document fingerprint -------------------------------------------------
     Q("tx_fingerprint", (s, d) => {
       tbl(s, d, "documents")
