@@ -154,7 +154,37 @@ object PipelineOps {
       .toDF("loc_key", "geojson")
   }
 
+  /** Multimodal frame sampling: treat each payload as an opaque "video"
+    * (the binary column), cut fixed-size frame windows, keep every k-th
+    * frame, and emit typed per-frame metadata. Decode remains a
+    * deterministic stub (no codecs in this container); the schema,
+    * partition batching, and per-frame explode are the real plumbing.
+    * Rows-only check.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frameBytes = 64
+    val stride = 4
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames by stride).map { f =>
+            val off = f * frameBytes
+            var checksum = 0L
+            var i = off
+            while (i < off + frameBytes) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+            (id, f.toLong, checksum, (bytes(off) & 0xff).toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_checksum", "first_byte")
+  }
+
   def all: Seq[Q] = Seq(
+    Q("mm_frame_sample", frameSample, None),
     Q("px_remove_tiles", removePixels, Some(REMOVE_PIXELS_SQL)),
     Q("geo_annotate", annotateTiles, None),
     Q("px_pipeline", pipeline, Some(RelabelRel.MERGE_SQL)),
