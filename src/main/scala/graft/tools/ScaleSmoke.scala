@@ -1,17 +1,28 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
-import graft.ops.{CCLSegmentation, Relabel}
-import graft.tiles.{GridSpec, Tile}
+import graft.ops.{ByteRelabel, CCLSegmentation, Relabel}
+import graft.tiles.{ByteTile, GridSpec, Tile}
 
-/** Throughput smoke for the tile engine at a scale the golden fixtures
-  * don't reach: an NxN grid of 128x128 tiles with a dense synthetic blob
-  * pattern, through the full image2labels pipeline (two shuffles) on
-  * local[32].
+/** Throughput smoke for the tile engine: an NxN grid of 128x128 tiles with
+  * a dense synthetic blob field through the full image2labels pipeline (two
+  * shuffles) on local[32], for both the int64 and the packed-byte ingest
+  * paths, reporting wall time and actual shuffle bytes written.
   *
   * `sbt "runMain graft.tools.ScaleSmoke 32"` -> 32x32 grid = 16.8M pixels.
   */
 object ScaleSmoke {
+
+  private val shuffleBytes = new AtomicLong(0)
+
+  private final class ShuffleListener extends SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null)
+        shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 32
     val cs = 128
@@ -22,14 +33,12 @@ object ScaleSmoke {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new ShuffleListener)
     import spark.implicits._
 
-    // deterministic blob field: ~1 object per 24x24 cell, radius <= 6 << ov
-    val tiles = spark.range(n.toLong * n).map { lin =>
-      val (gy, gx) = ((lin / n).toInt, (lin % n).toInt)
+    def blob(gy: Int, gx: Int): Array[Long] = {
       val data = new Array[Long](cs * cs)
       var y = 0
       while (y < cs) {
@@ -37,7 +46,6 @@ object ScaleSmoke {
         var x = 0
         while (x < cs) {
           val ix = gx * cs + x
-          // blob centers on a 24-pixel lattice, jittered by a hash
           val cy = (iy / 24) * 24 + 12 + ((iy / 24 * 31 + ix / 24 * 17) % 7 - 3)
           val cx = (ix / 24) * 24 + 12 + ((iy / 24 * 13 + ix / 24 * 29) % 7 - 3)
           val dy = iy - cy; val dx = ix - cx
@@ -46,29 +54,42 @@ object ScaleSmoke {
         }
         y += 1
       }
-      Tile(Array(gy, gx), Array(n, n), Array(cs, cs), data)
+      data
+    }
+
+    def longTiles = spark.range(n.toLong * n).map { lin =>
+      val (gy, gx) = ((lin / n).toInt, (lin % n).toInt)
+      Tile(Array(gy, gx), Array(n, n), Array(cs, cs), blob(gy, gx))
+    }
+    def byteTiles = spark.range(n.toLong * n).map { lin =>
+      val (gy, gx) = ((lin / n).toInt, (lin % n).toInt)
+      ByteTile(Array(gy, gx), Array(n, n), Array(cs, cs),
+        blob(gy, gx).map(_.toByte))
     }
 
     val spec = GridSpec(Array(n.toLong * cs, n.toLong * cs), Array(cs, cs))
-    def timed[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
-    }
-
     val totalPx = n.toLong * n * cs * cs
     println(s"grid ${n}x$n of ${cs}x$cs tiles = $totalPx pixels, overlap $ov")
-    val t0 = System.nanoTime()
-    val out = Relabel.image2labels(tiles, spec, CCLSegmentation(),
-      Array(ov, ov), threshold = 0.05)
-    val nLabels = timed("image2labels+distinct") {
-      out.flatMap(_.data.distinct.iterator).distinct().count()
+
+    def run(name: String)(labelCount: => Long): Unit = {
+      shuffleBytes.set(0)
+      val t0 = System.nanoTime()
+      val labels = labelCount
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; settle briefly
+      Thread.sleep(500)
+      println(f"$name%-10s wall ${wall}%6.2f s  ${totalPx / wall / 1e6}%6.1f Mpx/s  " +
+        f"shuffle ${shuffleBytes.get / 1e6}%8.1f MB  objects ${labels - 1}")
     }
-    val wall = (System.nanoTime() - t0) / 1e9
-    val expected = (n.toLong * cs / 24) * (n.toLong * cs / 24)
-    println(f"objects: ${nLabels - 1} (lattice upper bound ~$expected)")
-    println(f"wall ${wall}%.2f s  |  ${totalPx / wall / 1e6}%.1f Mpx/s")
+
+    run("int64") {
+      Relabel.image2labels(longTiles, spec, CCLSegmentation(), Array(ov, ov), 0.05)
+        .flatMap(_.data.distinct.iterator).distinct().count()
+    }
+    run("bytes") {
+      ByteRelabel.image2labels(byteTiles, spec, CCLSegmentation(), Array(ov, ov), 0.05)
+        .flatMap(_.data.distinct.iterator).distinct().count()
+    }
     spark.stop()
   }
 }
