@@ -62,9 +62,11 @@ object ByteHalo {
         }
       }
       .groupByKey(_.destLin)
-      .mapGroups { (_, it) =>
+      .mapGroups { (lin, it) =>
         val all = it.toArray
-        val core = all.find(_.rd.forall(_ == 0)).get
+        val core = all.find(_.rd.forall(_ == 0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"halo expand: no tile present at linear chunk index $lin — dense grid required"))
         val loc = core.destLoc
         val grid = core.grid
         val dims = loc.length

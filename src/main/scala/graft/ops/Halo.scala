@@ -104,7 +104,14 @@ object Halo {
         }
       }
       .groupByKey(_.destLin)
-      .mapGroups((_, it) => assembleExpanded(it.toArray, overlaps))
+      .mapGroups { (lin, it) =>
+        val all = it.toArray
+        require(all.exists(_.rd.forall(_ == 0)),
+          s"halo expand: no tile present at linear chunk index $lin — the " +
+            "tile table must cover the full grid (dense chunking, like the " +
+            "reference's dask arrays)")
+        assembleExpanded(all, overlaps)
+      }
   }
 
   private def assembleExpanded(all: Array[Shard], overlaps: Array[Int]): Tile = {
@@ -161,9 +168,11 @@ object Halo {
         }
       }
       .groupByKey(_.destLin)
-      .mapGroups { (_, it) =>
+      .mapGroups { (lin, it) =>
         val all = it.toArray
-        val core = all.find(_.rd.forall(_ == 0)).get
+        val core = all.find(_.rd.forall(_ == 0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"merge: no tile present at linear chunk index $lin — dense grid required"))
         val own = Tile(core.destLoc, core.grid, core.shape, core.data, core.classes)
         // region levels (receiver perspective): sender above (rd=+1) feeds a
         // level-1 region, sender below (rd=-1) a level-0 region.

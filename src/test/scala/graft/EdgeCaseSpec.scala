@@ -62,4 +62,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     val labels = out.flatMap(_.data).filter(_ != 0L).distinct
     assert(labels.length == 3, s"expected 3 stripe objects, got ${labels.toSeq}")
   }
+
+  test("sparse grid fails with a clear error, not an NPE") {
+    import spark.implicits._
+    // grid claims 2x2 but only 3 tiles are present
+    val tiles = Seq((0, 0), (0, 1), (1, 0)).map { case (gy, gx) =>
+      Tile(Array(gy, gx), Array(2, 2), Array(4, 4), Array.fill(16)(1L))
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Relabel.prepareInput(spark.createDataset(tiles),
+        GridSpec(Array(8L, 8L), Array(4, 4)), Array(2, 2)).collect()
+    }
+    assert(e.getMessage.contains("no tile present") ||
+      (e.getCause != null && e.getCause.getMessage.contains("no tile present")))
+  }
 }
