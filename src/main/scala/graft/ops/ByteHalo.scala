@@ -108,6 +108,33 @@ object ByteRelabel {
     ByteHalo.expand(tiles.map(t => ByteTile.padTo(t, chunk)), overlaps)
   }
 
+  /** O7 from packed uint16 imagery (the reference notebooks' dtype):
+    * little-endian 2-byte pixels ride the byte halo with the last axis
+    * scaled, then widen locally. 4x less shuffle than int64.
+    */
+  def image2labelsU16(tiles: Dataset[Tile], spec: GridSpec,
+                      segFn: SegmentationFn, overlaps: Array[Int],
+                      threshold: Double = 0.05): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    import graft.tiles.PackedU16
+    val packed = tiles.map(PackedU16.pack _)
+    val prepared = ByteHalo.expand(
+      packed.map(t => ByteTile.padTo(t, PackedU16.scaleSpec(spec).chunk)),
+      PackedU16.scaleOverlaps(overlaps)).map(PackedU16.unpack _)
+    val segmented = Relabel.segmentOverlappedInput(prepared, segFn)
+    val removed = Relabel.removeOverlappedLabels(segmented, overlaps, threshold)
+    val merged = Relabel.mergeOverlappedTiles(removed, overlaps)
+    val chunk = spec.chunk
+    val imageShape = spec.imageShape
+    merged.map { t =>
+      val target = Array.tabulate(t.dims) { a =>
+        math.min(chunk(a).toLong, imageShape(a) - t.loc(a).toLong * chunk(a)).toInt
+      }
+      graft.core.Kernels.cropTo(t, target)
+    }
+  }
+
   /** O7 from packed uint8 imagery: the halo exchange moves bytes; tiles
     * widen to int64 locally at the segmentation boundary.
     */

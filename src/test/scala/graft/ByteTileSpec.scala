@@ -36,4 +36,28 @@ class ByteTileSpec extends AnyFunSuite {
       Goldens.assertSameTiles(got, Goldens.localTiles(golden, grid))
     }
   }
+
+  test("packed uint16 pipeline matches int64 pipeline on random images") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val H = 8; val W = 12; val CS = 4
+    val imgGen = Gen.listOfN(H * W, Gen.frequency(
+      (2, Gen.const(0L)), (1, Gen.choose(1L, 65535L))))
+    (0 until 10).foreach { seed =>
+      val img = imgGen.pureApply(Gen.Parameters.default, Seed(seed.toLong)).toArray
+      val tiles = for (gy <- 0 until H / CS; gx <- 0 until W / CS) yield {
+        val data = new Array[Long](CS * CS)
+        for (y <- 0 until CS; x <- 0 until CS)
+          data(y * CS + x) = img((gy * CS + y) * W + gx * CS + x)
+        graft.tiles.Tile(Array(gy, gx), Array(H / CS, W / CS), Array(CS, CS), data)
+      }
+      val spec = GridSpec(Array(H.toLong, W.toLong), Array(CS, CS))
+      val viaU16 = ByteRelabel.image2labelsU16(spark.createDataset(tiles),
+        spec, CCLSegmentation(), Array(2, 2), 0.25).collect().toSeq
+      val viaLong = graft.ops.Relabel.image2labels(spark.createDataset(tiles),
+        spec, CCLSegmentation(), Array(2, 2), 0.25).collect().toSeq
+      Goldens.assertSameTiles(viaU16, viaLong)
+    }
+  }
 }

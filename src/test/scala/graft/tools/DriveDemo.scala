@@ -96,3 +96,31 @@ object DriveTileIO {
     spark.stop()
   }
 }
+object DriveU16 {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // a 16-bit gradient image with two bright blobs
+    val tiles = for (gy <- 0 until 2; gx <- 0 until 2) yield {
+      val data = Array.tabulate(16) { i =>
+        val (y, x) = (gy * 4 + i / 4, gx * 4 + i % 4)
+        if ((y - 1) * (y - 1) + (x - 1) * (x - 1) <= 1) 40000L
+        else if ((y - 6) * (y - 6) + (x - 6) * (x - 6) <= 1) 50000L else 0L
+      }
+      graft.tiles.Tile(Array(gy, gx), Array(2, 2), Array(4, 4), data)
+    }
+    val out = graft.ops.ByteRelabel.image2labelsU16(spark.createDataset(tiles),
+      graft.tiles.GridSpec(Array(8L, 8L), Array(4, 4)),
+      graft.ops.CCLSegmentation(), Array(2, 2), 0.25).collect()
+      .sortBy(t => (t.loc(0), t.loc(1)))
+    val img = Array.ofDim[Long](8, 8)
+    for (t <- out; y <- 0 until 4; x <- 0 until 4)
+      img(t.loc(0) * 4 + y)(t.loc(1) * 4 + x) = t.data(y * 4 + x)
+    println("U16 LABELED:")
+    img.foreach(r => println(r.map(v => f"$v%11d").mkString(" ")))
+    spark.stop()
+  }
+}
