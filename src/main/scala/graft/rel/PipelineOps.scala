@@ -2,7 +2,6 @@ package graft.rel
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Regions
 import graft.ops.Relabel
 import graft.tiles.Tile
 import Q.tbl
@@ -183,8 +182,50 @@ object PipelineOps {
       .toDF("doc_id", "frame_idx", "frame_checksum", "first_byte")
   }
 
+  /** Multimodal resize stub: byte-stride downsampling standing in for an
+    * image resize kernel; output is again an opaque binary + dimensions.
+    */
+  def resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val factor = 4
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          (id, bytes.length.toLong, out.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "orig_bytes", "resized_bytes", "resized")
+  }
+
+  /** Multimodal feature extraction stub: 16-bin byte histogram as a typed
+    * feature vector (`Array[Long]`) — the shape a real embedding/feature
+    * kernel would produce.
+    */
+  def features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Long](16)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) / 16) += 1; i += 1 }
+          (id, hist)
+        }
+      }
+      .toDF("doc_id", "byte_hist")
+  }
+
   def all: Seq[Q] = Seq(
     Q("mm_frame_sample", frameSample, None),
+    Q("mm_resize", resize, None),
+    Q("mm_features", features, None),
     Q("px_remove_tiles", removePixels, Some(REMOVE_PIXELS_SQL)),
     Q("geo_annotate", annotateTiles, None),
     Q("px_pipeline", pipeline, Some(RelabelRel.MERGE_SQL)),
