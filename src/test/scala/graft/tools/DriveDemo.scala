@@ -124,3 +124,14 @@ object DriveU16 {
     spark.stop()
   }
 }
+object DriveEntry {
+  def main(args: Array[String]): Unit = {
+    // mimics the driver's smoke check: plain session, entry(), rows > 0
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.entry(spark)
+    println("ENTRY rows=" + df.count() + " schema=" + df.schema.simpleString)
+    spark.stop()
+  }
+}
