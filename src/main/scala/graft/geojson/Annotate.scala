@@ -108,6 +108,33 @@ object Annotate {
     }
   }
 
+  /** Executor-side O6 scale path: each partition writes its tiles'
+    * `{loc}.geojson` files directly into `outDir` (a shared filesystem on a
+    * cluster) — no driver streaming; the driver only zips afterwards if an
+    * archive is required. Returns the file count.
+    */
+  def writeAnnotationDir(annotations: Dataset[TileAnnotation],
+                         outDir: java.nio.file.Path): Long = {
+    java.nio.file.Files.createDirectories(outDir)
+    val dir = outDir.toString
+    val spark = annotations.sparkSession
+    import spark.implicits._
+    annotations
+      .filter(_.geojson != null)
+      .mapPartitions { it =>
+        var n = 0L
+        it.foreach { a =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${a.locKey}.geojson"),
+            a.geojson.getBytes("UTF-8"))
+          n += 1
+        }
+        Iterator.single(n)
+      }
+      .collect()
+      .sum
+  }
+
   /** O6 `zip_annotated_labeled_tiles` (`relabeling.py:126-163`): write one
     * `{y}-{x}.geojson` member per non-empty tile into a single zip. This is
     * an action (the reference computes here too, `relabeling.py:150`);

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
 import graft.core.{CCL, Kernels}
 import graft.tiles.{GridSpec, Tile}
 
@@ -117,6 +118,40 @@ object Relabel {
     distinctLabels.foreach { l => rank.put(l, i); i += 1 }
     val bc = spark.sparkContext.broadcast(rank)
     tiles.map(t => Kernels.sortRemap(t, bc.value))
+  }
+
+  /** O10 without the driver round-trip: the reference (and
+    * [[sortLabelIndices]]) collects the distinct label set to the driver —
+    * fine for millions of labels, fatal for billions. This variant keeps
+    * everything distributed: global distinct -> range-partitioned sort with
+    * `zipWithIndex` (two passes, no single-partition sort) -> per-tile rank
+    * maps via an equi-join on the tile's own distinct labels -> cogroup
+    * remap. More shuffles than the broadcast path; choose by label-space
+    * size.
+    */
+  def sortLabelIndicesDistributed(tiles: Dataset[Tile]): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val tileLabels = tiles.flatMap(t =>
+      t.data.distinct.iterator.map(l => (t.linearIndex, l)))
+      .toDF("lin", "label")
+    val ranks = tileLabels.select("label").distinct().as[Long]
+      .rdd.sortBy(identity).zipWithIndex().toDF("label", "rank")
+    val perTile = tileLabels.join(ranks, "label")
+      .select(col("lin"), col("label"), col("rank"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (lin, it) =>
+        (lin, it.map { case (_, l, r) => (l, r) }.toArray)
+      }
+    tiles
+      .groupByKey(_.linearIndex)
+      .cogroup(perTile.groupByKey(_._1)) { (_, ts, rs) =>
+        val t = ts.next()
+        val rank = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        rs.foreach(_._2.foreach { case (l, r) => rank.put(l, r) })
+        Iterator.single(Kernels.sortRemap(t, rank))
+      }
   }
 
   /** O7 `image2labels` (`relabeling.py:195-242`): the flagship composition.

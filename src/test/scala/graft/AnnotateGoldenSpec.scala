@@ -88,4 +88,19 @@ class AnnotateGoldenSpec extends AnyFunSuite {
         mapper.readTree(golden(expected.head.stripSuffix(".geojson"))))
     } finally zf.close()
   }
+
+  test("executor-side annotation dir matches the zip members") {
+    val in = Goldens.tiles(spark, "rem_2d", Goldens.grid2d)
+    val ann = Annotate.annotateLabeledTiles(in, ov)
+    val dir = java.nio.file.Files.createTempDirectory("graft-anndir")
+    val n = Annotate.writeAnnotationDir(ann, dir)
+    val files = dir.toFile.listFiles().map(_.getName).toSet
+    val expected = golden.collect { case (k, v) if v != null => s"$k.geojson" }.toSet
+    assert(n == expected.size && files == expected)
+    for (f <- files) {
+      val body = new String(java.nio.file.Files.readAllBytes(dir.resolve(f)), "UTF-8")
+      assert(mapper.readTree(body) ==
+        mapper.readTree(golden(f.stripSuffix(".geojson"))))
+    }
+  }
 }

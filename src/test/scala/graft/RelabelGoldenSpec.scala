@@ -98,6 +98,15 @@ class RelabelGoldenSpec extends AnyFunSuite {
     Goldens.assertSameTiles(got, Goldens.localTiles("sort_2d", Goldens.grid2d))
   }
 
+  test("distributed sort_label_indices matches the broadcast variant") {
+    for ((file, grid) <- Seq(("trim_2d", Goldens.grid2d), ("trim_3d", Goldens.grid3d))) {
+      val in = Goldens.tiles(spark, file, grid)
+      val viaBroadcast = Relabel.sortLabelIndices(in).collect().toSeq
+      val viaDistributed = Relabel.sortLabelIndicesDistributed(in).collect().toSeq
+      Goldens.assertSameTiles(viaDistributed, viaBroadcast)
+    }
+  }
+
   test("sort_label_indices matches sort_3d") {
     val in = Goldens.tiles(spark, "trim_3d", Goldens.grid3d)
     val got = Relabel.sortLabelIndices(in).collect().toSeq
