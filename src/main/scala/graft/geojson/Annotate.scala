@@ -110,13 +110,18 @@ object Annotate {
 
   /** Executor-side O6 scale path: each partition writes its tiles'
     * `{loc}.geojson` files directly into `outDir` (a shared filesystem on a
-    * cluster) — no driver streaming; the driver only zips afterwards if an
-    * archive is required. Returns the file count.
+    * cluster) — no driver streaming. Returns the number of rows written
+    * (a duplicated tile location overwrites its file and still counts).
+    * The directory is NOT cleared first — pass a fresh directory when an
+    * exact listing matters, exactly like the reference's behavior on
+    * pre-existing directories (`relabeling.py:136-139`).
     */
   def writeAnnotationDir(annotations: Dataset[TileAnnotation],
                          outDir: java.nio.file.Path): Long = {
     java.nio.file.Files.createDirectories(outDir)
-    val dir = outDir.toString
+    // absolutize before capture: executors must not resolve a relative path
+    // against their own working directories
+    val dir = outDir.toAbsolutePath.toString
     val spark = annotations.sparkSession
     import spark.implicits._
     annotations

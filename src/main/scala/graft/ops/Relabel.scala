@@ -132,9 +132,17 @@ object Relabel {
   def sortLabelIndicesDistributed(tiles: Dataset[Tile]): Dataset[Tile] = {
     val spark = tiles.sparkSession
     import spark.implicits._
+    // NOTE: like the broadcast variant (and the reference, which computes
+    // eagerly at `relabeling.py:331`), this runs jobs at call time (range
+    // sampling + zipWithIndex). Persist `tiles` first if its lineage is
+    // expensive or non-deterministic — the rank table and the remap pass
+    // must observe the same label sets.
     val tileLabels = tiles.flatMap(t =>
       t.data.distinct.iterator.map(l => (t.linearIndex, l)))
       .toDF("lin", "label")
+      // read three times below (rank build, join probe, implicit in sort
+      // sampling); tiny (O(distinct labels per tile))
+      .persist()
     val ranks = tileLabels.select("label").distinct().as[Long]
       .rdd.sortBy(identity).zipWithIndex().toDF("label", "rank")
     val perTile = tileLabels.join(ranks, "label")
@@ -146,11 +154,25 @@ object Relabel {
       }
     tiles
       .groupByKey(_.linearIndex)
-      .cogroup(perTile.groupByKey(_._1)) { (_, ts, rs) =>
-        val t = ts.next()
+      .cogroup(perTile.groupByKey(_._1)) { (lin, ts, rs) =>
         val rank = new java.util.HashMap[java.lang.Long, java.lang.Long]()
         rs.foreach(_._2.foreach { case (l, r) => rank.put(l, r) })
-        Iterator.single(Kernels.sortRemap(t, rank))
+        // remap every tile in the group (duplicated locations are remapped,
+        // not dropped) and fail loudly on rank misses rather than NPE-ing —
+        // a miss means the tiles lineage diverged between passes
+        ts.map { t =>
+          val checked = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+          t.data.foreach { l =>
+            if (!checked.containsKey(l)) {
+              val r = rank.get(l)
+              require(r != null,
+                s"label $l of tile $lin has no rank: non-deterministic input " +
+                  "lineage? persist the tiles Dataset before sorting")
+              checked.put(l, r)
+            }
+          }
+          Kernels.sortRemap(t, checked)
+        }
       }
   }
 
