@@ -224,6 +224,26 @@ object CoreQueries {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
       FROM events GROUP BY 1, 2 HAVING count(*) > 1""")),
 
+    // -- outer join with null semantics --------------------------------------
+    Q("q17_left_join", (s, d) => {
+      val o = tbl(s, d, "orders")
+      val big = tbl(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_big"))
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("n_big")).as("n_with_big"),
+          sum(coalesce(col("n_big"), lit(0L))).as("total_big"))
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             count(b.n_big) AS n_with_big,
+             sum(coalesce(b.n_big, 0)) AS total_big
+      FROM orders o LEFT JOIN (
+        SELECT l_orderkey, count(*) AS n_big FROM lineitem
+        WHERE l_quantity > 45 GROUP BY l_orderkey) b
+        ON o.o_orderkey = b.l_orderkey
+      GROUP BY o_orderpriority""")),
+
     // -- JSON / regexp extraction --------------------------------------------
     Q("q15_json", (s, d) => {
       tbl(s, d, "events")
