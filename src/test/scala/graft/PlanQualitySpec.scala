@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale are asserted, not hoped for — column pruning at the scan, pushed
+  * filters, broadcast dimension joins, and the two-exchange bound on the
+  * tile pipeline.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg scan is pruned to the referenced columns with partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("ReadSchema"))
+    // the 5 referenced columns and nothing more
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      p.split("ReadSchema").last)
+    for (c <- Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount")) assert(read.contains(c), s"missing $c")
+    assert(!read.contains("l_shipdate"), "scan reads unreferenced columns")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "expected partial/final hash aggregation")
+  }
+
+  test("q6_filter pushes predicates into the parquet scan") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters: [") &&
+      (p.contains("GreaterThanOrEqual(l_discount") ||
+        p.contains("LessThan(l_quantity")),
+      s"filters not pushed:\n$p")
+  }
+
+  test("q3_dim_join broadcasts both dimension tables") {
+    val p = plan("q3_dim_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"expected 2 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join degenerated to SMJ")
+  }
+
+  test("ann_topk broadcasts the query stratum, not the corpus") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join:\n$p")
+  }
+
+  test("px_pipeline is bounded by two exchanges") {
+    val p = plan("px_pipeline")
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n <= 2, s"tile pipeline grew to $n exchanges:\n$p")
+  }
+}
