@@ -138,6 +138,24 @@ object TextOps {
       SELECT h.doc_id AS dup_id, keep.keep_id
       FROM h JOIN keep ON h.hash = keep.hash WHERE h.doc_id != keep.keep_id""")),
 
+    // -- the deduplicated corpus itself (anti-join of the dup set) -----------
+    Q("dd_dedup_corpus", (s, d) => {
+      val h = corpusDf(s, d).select(col("doc_id"), md5(col("text")).as("hash"))
+      val keep = h.groupBy("hash").agg(min("doc_id").as("keep_id"))
+      val dups = h.join(keep, "hash").filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"))
+      corpusDf(s, d)
+        .join(dups, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+    }, Some(s"""
+      WITH $CORPUS_SQL,
+      h AS (SELECT doc_id, md5(text) AS hash FROM corpus),
+      keep AS (SELECT hash, min(doc_id) AS keep_id FROM h GROUP BY hash),
+      dups AS (SELECT h.doc_id FROM h JOIN keep ON h.hash = keep.hash
+               WHERE h.doc_id != keep.keep_id)
+      SELECT c.doc_id, length(c.text) AS text_len FROM corpus c
+      WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = c.doc_id)""")),
+
     // -- MinHash + LSH candidate pairs ---------------------------------------
     Q("dd_minhash_lsh", minhashCand,
       Some(MINHASH_CAND_SQL + " SELECT id_a, id_b FROM cand")),
