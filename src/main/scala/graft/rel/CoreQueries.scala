@@ -224,6 +224,22 @@ object CoreQueries {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
       FROM events GROUP BY 1, 2 HAVING count(*) > 1""")),
 
+    // -- skew-resistant two-phase distinct aggregation ------------------------
+    // event_type has 5 hot values over 100k+ rows: a naive per-key
+    // countDistinct funnels each hot key through one reducer. Pre-distincting
+    // on (key, value) spreads the heavy phase across the full (key, value)
+    // space — the manual salting shape for distincts — then the final count
+    // per key is tiny.
+    Q("q18_skew_distinct", (s, d) => {
+      tbl(s, d, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+    }, Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type""")),
+
     // -- outer join with null semantics --------------------------------------
     Q("q17_left_join", (s, d) => {
       val o = tbl(s, d, "orders")

@@ -84,6 +84,31 @@ object StreamingOps {
            count(*) AS n_events, sum(qv) AS sum_micros
     FROM s GROUP BY user_id, sid"""
 
+  /** Streaming deduplication: dropDuplicates over the event stream (the
+    * streaming face of the dedup family) — first-seen (user, type) pairs
+    * aggregated per type, matching a batch DISTINCT oracle.
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_dedup_sink_" + sinkCounter.incrementAndGet()
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+    val query = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
-    graft.rel.Q("st_sessionize", sessionize, Some(SESSIONIZE_SQL)))
+    graft.rel.Q("st_sessionize", sessionize, Some(SESSIONIZE_SQL)),
+    graft.rel.Q("st_stream_dedup", streamDedup, Some("""
+      SELECT event_type, count(*) AS n_users
+      FROM (SELECT DISTINCT user_id, event_type FROM events)
+      GROUP BY event_type""")))
 }
