@@ -163,7 +163,11 @@ object TextOps {
     // -- n-gram Jaccard verification of LSH candidates -----------------------
     Q("dd_jaccard", (s, d) => {
       val cand = minhashCand(s, d).persist()
-      // shingle sets feed the intersection join twice and the size join twice
+      // shingle sets feed the intersection join twice and the size join
+      // twice. (At corpus >> candidates scale, semi-join pruning ds to the
+      // candidate ids first is the winning shape; at this corpus size the
+      // broadcast barrier it introduces costs more than the pruning saves —
+      // measured both ways.)
       val ds = shinglesDf(nearCorpusDf(s, d)).distinct().persist()
       val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
