@@ -121,9 +121,59 @@ object VectorOps {
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
            FROM corpus)"""
 
+  /** The full scale-shaped embedding near-dup chain: hyperplane LSH buckets
+    * generate candidates via an equi-join (no cross product), then the exact
+    * integer cosine test verifies — the vector mirror of the
+    * minhash -> jaccard chain. Runs over the jittered near-dup corpus.
+    */
+  private def embedLshVerify(s: SparkSession, d: String): DataFrame = {
+    val c = nearCorpus(s, d)
+    val planes = s.range(4).select(col("id").cast("int").as("h"))
+    val buckets = c.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("qv"), col("h"),
+        expr("""aggregate(zip_with(qv, sequence(0, 63),
+                  (x, i) -> x * (((i * 31 + h * 17) % 7) - 3)),
+                0L, (acc, v) -> acc + v)""").as("proj"))
+      .groupBy("vec_id")
+      .agg(first(col("qv")).as("qv"),
+        sum(expr("IF(proj > 0, CAST(pow(2, h) AS BIGINT), 0L)")).as("bucket"))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    a.join(b, expr("a.bucket = b.bucket AND a.vec_id < b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        long_dot(col("a.qv"), col("b.qv")).as("dot"),
+        long_dot(col("a.qv"), col("a.qv")).as("na"),
+        long_dot(col("b.qv"), col("b.qv")).as("nb"))
+      .filter(expr("dot >= 0 AND 400 * dot * dot >= 361 * na * nb"))
+      .select("id_a", "id_b", "dot")
+  }
+
+  private val EMBED_LSH_VERIFY_SQL = s"""
+      WITH $NEAR_CORPUS_SQL,
+      proj AS (
+        SELECT vec_id, qv, h,
+               CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                 CAST(list_transform(range(0, 64),
+                   i -> ((i * 31 + h * 17) % 7) - 3) AS DOUBLE[])) AS BIGINT) AS proj
+        FROM qv, (VALUES (0),(1),(2),(3)) hs(h)),
+      buckets AS (
+        SELECT vec_id, any_value(qv) AS qv,
+               sum(CASE WHEN proj > 0 THEN CAST(pow(2, h) AS BIGINT) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[])) AS BIGINT) AS na,
+               CAST(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS nb
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, dot FROM pairs
+      WHERE dot >= 0 AND 400 * dot * dot >= 361 * na * nb"""
+
   def all: Seq[Q] = Seq(
 
     Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
+
+    Q("dd_embed_lsh_verify", embedLshVerify, Some(EMBED_LSH_VERIFY_SQL)),
 
     // -- embedding-cosine near-duplicate detection ---------------------------
     Q("dd_embed_cos", (s, d) => {
