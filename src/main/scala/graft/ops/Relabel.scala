@@ -49,6 +49,11 @@ object Relabel {
     val spark = tiles.sparkSession
     import spark.implicits._
     val chunk = spec.chunk
+    overlaps.indices.foreach { a =>
+      require(overlaps(a) >= 0 && overlaps(a) <= chunk(a),
+        s"overlap ${overlaps(a)} on axis $a exceeds the chunk size " +
+          s"${chunk(a)} — a halo cannot be wider than its source chunk")
+    }
     val padded = tiles.map(t => Kernels.padTo(t, chunk))
     Halo.expand(padded, overlaps)
   }
@@ -61,6 +66,13 @@ object Relabel {
     import spark.implicits._
     tiles.map { t =>
       val (labels, classes) = segFn.segment(t)
+      require(labels.length == t.numel,
+        s"segmentation function returned ${labels.length} values for a " +
+          s"${t.shape.mkString("x")} tile (${t.numel} pixels) at ${t.loc.mkString(",")}")
+      classes.zipWithIndex.foreach { case (ch, i) =>
+        require(ch.length == t.numel,
+          s"classes channel $i has ${ch.length} values, expected ${t.numel}")
+      }
       t.copy(data = labels, classes = classes)
     }
   }

@@ -76,4 +76,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no tile present") ||
       (e.getCause != null && e.getCause.getMessage.contains("no tile present")))
   }
+
+  test("misbehaving segmentation function fails with a clear message") {
+    import spark.implicits._
+    val tiles = Seq(Tile(Array(0, 0), Array(1, 1), Array(4, 4),
+      Array.fill(16)(1L)))
+    val badFn = new graft.ops.SegmentationFn {
+      def segment(t: Tile): (Array[Long], Array[Array[Long]]) =
+        (Array(1L, 2L), Array.empty)
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Relabel.segmentOverlappedInput(spark.createDataset(tiles), badFn).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("segmentation function returned 2 values"))
+  }
+
+  test("overlap larger than chunk is rejected upfront") {
+    import spark.implicits._
+    val tiles = Seq(Tile(Array(0, 0), Array(1, 1), Array(4, 4),
+      Array.fill(16)(1L)))
+    val e = intercept[IllegalArgumentException] {
+      Relabel.prepareInput(spark.createDataset(tiles),
+        GridSpec(Array(4L, 4L), Array(4, 4)), Array(5, 2))
+    }
+    assert(e.getMessage.contains("exceeds the chunk size"))
+  }
 }
