@@ -224,6 +224,22 @@ object CoreQueries {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
       FROM events GROUP BY 1, 2 HAVING count(*) > 1""")),
 
+    // -- pivot (wide aggregation) ---------------------------------------------
+    Q("q19_pivot", (s, d) => {
+      tbl(s, d, "events")
+        .groupBy((col("user_id") % 10).as("user_mod"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }, Some("""
+      SELECT user_id % 10 AS user_mod,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'view') AS view,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY user_id % 10""")),
+
     // -- skew-resistant two-phase distinct aggregation ------------------------
     // event_type has 5 hot values over 100k+ rows: a naive per-key
     // countDistinct funnels each hot key through one reducer. Pre-distincting
