@@ -29,12 +29,16 @@ object Kernels {
     // histogram pass. Sparse path covers pre-labeled inputs whose ids are
     // already spread over int64 (labels2geojson on global-id tiles).
     var maxL = 0L
+    var minL = 0L
     var i = 0
     while (i < tile.data.length) {
-      if (tile.data(i) > maxL) maxL = tile.data(i)
+      val v = tile.data(i)
+      if (v > maxL) maxL = v
+      if (v < minL) minL = v
       i += 1
     }
-    if (maxL >= 0L && maxL <= (1 << 22)) removeDense(tile, overlaps, threshold, maxL.toInt)
+    // negative or huge ids (pre-labeled exotic inputs) -> hash-map path
+    if (minL >= 0L && maxL <= (1 << 22)) removeDense(tile, overlaps, threshold, maxL.toInt)
     else removeSparse(tile, overlaps, threshold)
   }
 

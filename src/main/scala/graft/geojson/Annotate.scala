@@ -27,6 +27,15 @@ object Annotate {
 
   /** The per-tile kernel (`chunkops.py:192-231`). Returns null when no
     * feature survives.
+    *
+    * One pass computes per-label bounding boxes and class maxima; contours
+    * are then traced inside each label's bbox only — O(pixels + sum of bbox
+    * areas) instead of the reference's O(labels * pixels) per-label scans.
+    *
+    * Offsets derive the chunk size from this tile's core extent, which is
+    * exact because annotate always runs after `prepare_input`'s padding
+    * (both here and in the reference, whose block_info carries the same
+    * padded geometry) — every core is chunk-sized by construction.
     */
   def annotateTile(tile: Tile, overlaps: Array[Int],
                    objectClasses: Map[Long, String]): String = {
@@ -45,42 +54,75 @@ object Annotate {
     }
     val (offX, offY) = (off(1), off(0)) // swapped to (x, y) order
 
-    val labels = data.distinct.filter(_ != 0L).sorted
+    // single pass: per-label bbox + class maximum
+    final case class Acc(var y0: Int, var y1: Int, var x0: Int, var x1: Int,
+                         var cls: Long)
+    val acc = new java.util.TreeMap[java.lang.Long, Acc]()
+    var i = 0
+    while (i < data.length) {
+      val v = data(i)
+      if (v != 0L) {
+        val y = i / w; val x = i % w
+        var a = acc.get(v)
+        if (a == null) { a = Acc(y, y, x, x, 0L); acc.put(v, a) }
+        else {
+          if (y < a.y0) a.y0 = y; if (y > a.y1) a.y1 = y
+          if (x < a.x0) a.x0 = x; if (x > a.x1) a.x1 = x
+        }
+        if (tile.hasClasses) {
+          var ch = 0
+          while (ch < tile.classes.length) {
+            if (tile.classes(ch)(i) > a.cls) a.cls = tile.classes(ch)(i)
+            ch += 1
+          }
+        }
+      }
+      i += 1
+    }
+
     val features = new StringBuilder
     var nFeatures = 0
-    for (lbl <- labels) {
-      val mask = data.map(v => if (v == lbl) 1L else 0L)
-      // class id = max(classes * mask) over all channels (`utils.py:155-158`)
-      val classId: Long =
-        if (!tile.hasClasses) 0L
-        else {
-          var m = 0L
-          for (ch <- tile.classes; i <- mask.indices)
-            if (mask(i) != 0L && ch(i) > m) m = ch(i)
-          m
+    val it = acc.entrySet().iterator() // ascending label order (np.unique)
+    while (it.hasNext) {
+      val e = it.next()
+      val lbl = e.getKey.longValue()
+      val a = e.getValue
+      val objectType = objectClasses(a.cls)
+      // trace within the bbox only; coordinates translated back afterwards
+      val bh = a.y1 - a.y0 + 1
+      val bw = a.x1 - a.x0 + 1
+      val mask = new Array[Long](bh * bw)
+      var yy = 0
+      while (yy < bh) {
+        var xx = 0
+        while (xx < bw) {
+          if (data((a.y0 + yy) * w + a.x0 + xx) == lbl) mask(yy * bw + xx) = 1L
+          xx += 1
         }
-      val objectType = objectClasses(classId)
-      val contours = Contours.findContours(mask, h, w)
+        yy += 1
+      }
+      val contours = Contours.findContours(mask, bh, bw)
       if (contours.nonEmpty) {
         // longest contour wins; ties -> largest index (`utils.py:165-168`,
         // python max over (len, i) tuples)
         var best = 0
-        for (i <- contours.indices)
-          if (contours(i).length >= contours(best).length) best = i
+        for (ci <- contours.indices)
+          if (contours(ci).length >= contours(best).length) best = ci
         val cc = contours(best)
         val n = cc.length / 2
         if (n >= 2) {
+          val bx = offX + a.x0; val by = offY + a.y0
           val ring = new StringBuilder("[")
-          var i = 0
-          while (i < n) {
-            if (i > 0) ring.append(", ")
-            ring.append('[').append(cc(2 * i) + offX).append(", ")
-              .append(cc(2 * i + 1) + offY).append(']')
-            i += 1
+          var k = 0
+          while (k < n) {
+            if (k > 0) ring.append(", ")
+            ring.append('[').append(cc(2 * k) + bx).append(", ")
+              .append(cc(2 * k + 1) + by).append(']')
+            k += 1
           }
           // close the ring (`utils.py:178`)
-          ring.append(", [").append(cc(0) + offX).append(", ")
-            .append(cc(1) + offY).append("]]")
+          ring.append(", [").append(cc(0) + bx).append(", ")
+            .append(cc(1) + by).append("]]")
           if (nFeatures > 0) features.append(", ")
           features.append(
             s"""{"geometry": {"coordinates": [${ring.result()}], "type": "Polygon"}, """ +

@@ -105,6 +105,7 @@ object ByteRelabel {
     val spark = tiles.sparkSession
     import spark.implicits._
     val chunk = spec.chunk
+    Relabel.validateOverlaps(overlaps, chunk)
     ByteHalo.expand(tiles.map(t => ByteTile.padTo(t, chunk)), overlaps)
   }
 
@@ -118,6 +119,7 @@ object ByteRelabel {
     val spark = tiles.sparkSession
     import spark.implicits._
     import graft.tiles.PackedU16
+    Relabel.validateOverlaps(overlaps, spec.chunk)
     val packed = tiles.map(PackedU16.pack _)
     val prepared = ByteHalo.expand(
       packed.map(t => ByteTile.padTo(t, PackedU16.scaleSpec(spec).chunk)),
@@ -125,14 +127,7 @@ object ByteRelabel {
     val segmented = Relabel.segmentOverlappedInput(prepared, segFn)
     val removed = Relabel.removeOverlappedLabels(segmented, overlaps, threshold)
     val merged = Relabel.mergeOverlappedTiles(removed, overlaps)
-    val chunk = spec.chunk
-    val imageShape = spec.imageShape
-    merged.map { t =>
-      val target = Array.tabulate(t.dims) { a =>
-        math.min(chunk(a).toLong, imageShape(a) - t.loc(a).toLong * chunk(a)).toInt
-      }
-      graft.core.Kernels.cropTo(t, target)
-    }
+    Relabel.cropToImage(merged, spec)
   }
 
   /** O7 from packed uint8 imagery: the halo exchange moves bytes; tiles
@@ -147,13 +142,6 @@ object ByteRelabel {
     val segmented = Relabel.segmentOverlappedInput(prepared, segFn)
     val removed = Relabel.removeOverlappedLabels(segmented, overlaps, threshold)
     val merged = Relabel.mergeOverlappedTiles(removed, overlaps)
-    val chunk = spec.chunk
-    val imageShape = spec.imageShape
-    merged.map { t =>
-      val target = Array.tabulate(t.dims) { a =>
-        math.min(chunk(a).toLong, imageShape(a) - t.loc(a).toLong * chunk(a)).toInt
-      }
-      graft.core.Kernels.cropTo(t, target)
-    }
+    Relabel.cropToImage(merged, spec)
   }
 }

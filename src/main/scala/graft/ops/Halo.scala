@@ -180,7 +180,10 @@ object Halo {
           (s.rd.map { case 1 => 1; case -1 => 0; case _ => Regions.NotVarying }.toSeq, s)
         }.toMap
         val merged = Kernels.mergePaint(own, overlaps, levels => {
-          val s = byRegion(levels.toSeq)
+          val s = byRegion.getOrElse(levels.toSeq,
+            throw new IllegalArgumentException(
+              s"merge: missing neighbor shard for region ${levels.mkString(",")} " +
+                s"of tile ${own.loc.mkString(",")} — dense grid required"))
           (s.data, s.classes)
         })
         Kernels.trimOverlap(merged, overlaps)

@@ -38,6 +38,13 @@ final case class CCLSegmentation(returnsClasses: Boolean = false) extends Segmen
   */
 object Relabel {
 
+  private[ops] def validateOverlaps(overlaps: Array[Int], chunk: Array[Int]): Unit =
+    overlaps.indices.foreach { a =>
+      require(overlaps(a) >= 0 && overlaps(a) <= chunk(a),
+        s"overlap ${overlaps(a)} on axis $a exceeds the chunk size " +
+          s"${chunk(a)} — a halo cannot be wider than its source chunk")
+    }
+
   /** O1 `prepare_input` (`relabeling.py:166-192`): zero-pad ragged high-edge
     * tiles to the chunk size (pad is tile-local — no shuffle), then
     * halo-expand every tile by `overlaps` from its neighbors (one shuffle).
@@ -49,11 +56,7 @@ object Relabel {
     val spark = tiles.sparkSession
     import spark.implicits._
     val chunk = spec.chunk
-    overlaps.indices.foreach { a =>
-      require(overlaps(a) >= 0 && overlaps(a) <= chunk(a),
-        s"overlap ${overlaps(a)} on axis $a exceeds the chunk size " +
-          s"${chunk(a)} — a halo cannot be wider than its source chunk")
-    }
+    validateOverlaps(overlaps, chunk)
     val padded = tiles.map(t => Kernels.padTo(t, chunk))
     Halo.expand(padded, overlaps)
   }
@@ -87,10 +90,16 @@ object Relabel {
     import spark.implicits._
     tiles
       .groupByKey(_.linearIndex)
-      .cogroup(aux.groupByKey(_.linearIndex)) { (_, ts, as) =>
-        val t = ts.next(); val a = as.next()
-        val (labels, classes) = fn(t, a)
-        Iterator.single(t.copy(data = labels, classes = classes))
+      .cogroup(aux.groupByKey(_.linearIndex)) { (lin, ts, as) =>
+        val auxTiles = as.toArray
+        require(auxTiles.nonEmpty || !ts.hasNext,
+          s"aligned aux table has no tile at linear chunk index $lin — " +
+            "aux must cover the same grid as the image (the reference zips " +
+            "aligned dask arrays chunk-wise, relabeling.py:28-36)")
+        ts.map { t =>
+          val (labels, classes) = fn(t, auxTiles.head)
+          t.copy(data = labels, classes = classes)
+        }
       }
   }
 
@@ -188,29 +197,35 @@ object Relabel {
       }
   }
 
-  /** O7 `image2labels` (`relabeling.py:195-242`): the flagship composition.
-    * Exactly two shuffles end-to-end (the two halo exchanges), like the
-    * reference's two neighbor-communication stages.
+  /** Un-pad: crop high-edge tiles back to the original image extent
+    * (`relabeling.py:237-240`); tile-local. Shared by every image2labels
+    * variant so the crop rule cannot diverge between ingest paths.
     */
-  def image2labels(tiles: Dataset[Tile], spec: GridSpec, segFn: SegmentationFn,
-                   overlaps: Array[Int], threshold: Double = 0.05): Dataset[Tile] = {
+  def cropToImage(tiles: Dataset[Tile], spec: GridSpec): Dataset[Tile] = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val prepared = prepareInput(tiles, spec, overlaps)
-    val segmented = segmentOverlappedInput(prepared, segFn)
-    val removed = removeOverlappedLabels(segmented, overlaps, threshold)
-    val merged = mergeOverlappedTiles(removed, overlaps)
-    // un-pad: crop high-edge tiles back to the original image extent
-    // (`relabeling.py:237-240`); tile-local.
     val chunk = spec.chunk
     val imageShape = spec.imageShape
-    merged.map { t =>
+    tiles.map { t =>
       val target = Array.tabulate(t.dims) { a =>
         val remaining = imageShape(a) - t.loc(a).toLong * chunk(a)
         math.min(chunk(a).toLong, remaining).toInt
       }
       Kernels.cropTo(t, target)
     }
+  }
+
+  /** O7 `image2labels` (`relabeling.py:195-242`): the flagship composition.
+    * Exactly two shuffles end-to-end (the two halo exchanges), like the
+    * reference's two neighbor-communication stages.
+    */
+  def image2labels(tiles: Dataset[Tile], spec: GridSpec, segFn: SegmentationFn,
+                   overlaps: Array[Int], threshold: Double = 0.05): Dataset[Tile] = {
+    val prepared = prepareInput(tiles, spec, overlaps)
+    val segmented = segmentOverlappedInput(prepared, segFn)
+    val removed = removeOverlappedLabels(segmented, overlaps, threshold)
+    val merged = mergeOverlappedTiles(removed, overlaps)
+    cropToImage(merged, spec)
   }
 
   /** O8 `labels2geojson` (`relabeling.py:245-276`): (optional prepare) ->

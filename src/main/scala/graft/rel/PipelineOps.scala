@@ -76,18 +76,10 @@ object PipelineOps {
   }
 
   private val REMOVE_PIXELS_SQL: String =
-    RelabelRel.PIXELS_SQL + removeCtesRef + s"""
+    RelabelRel.PIXELS_SQL + RelabelRel.REMOVE_CTES + s"""
     SELECT l.gy, l.gx, l.py, l.px, r.gid
     FROM lab l JOIN removed r
       ON l.gy = r.gy AND l.gx = r.gx AND l.label = r.label"""
-
-  private def removeCtesRef: String = {
-    // re-derive the private CTE block from RelabelRel's public SQL: REMOVE_SQL
-    // = PIXELS_SQL + CTES + final select; strip both ends.
-    val full = RelabelRel.REMOVE_SQL
-    full.substring(RelabelRel.PIXELS_SQL.length,
-      full.lastIndexOf("SELECT gy, gx, label, gid FROM removed"))
-  }
 
   /** Flagship for the driver's smoke check. */
   def flagship(s: SparkSession, d: String): DataFrame = pipeline(s, d)

@@ -143,7 +143,7 @@ object RelabelRel {
   }
 
   /** CTEs appended after PIXELS_SQL yielding `removed(gy,gx,label,gid)`. */
-  private val REMOVE_CTES: String = s""",
+  private[rel] val REMOVE_CTES: String = s""",
     stats AS (
       SELECT gy, gx, label, count(*) AS total,
              count(*) FILTER (WHERE ${interiorPred(spark = false)}) AS intr

@@ -42,16 +42,30 @@ object TileIO {
   }
 
   /** Read only the tiles intersecting a spatial box (grid-coordinate
-    * ranges, inclusive). The filter is a plain column predicate on `loc`,
-    * so Catalyst pushes what it can and the coarse `pgrid` directories
-    * prune when present.
+    * ranges, inclusive). Bounds are Column predicates on `loc` elements —
+    * codegen-evaluated, no typed deserialization of rejected rows. When the
+    * table was written with `coarsePartitions` and the writer's `grid` is
+    * supplied, a `pgrid` range predicate prunes whole directories (the
+    * row-major linear index of any box is bounded by the corner indices).
     */
   def readBox(spark: SparkSession, path: String,
-              lo: Array[Int], hi: Array[Int]): Dataset[Tile] = {
-    val all = read(spark, path)
-    all.filter { t =>
-      t.loc.indices.forall(a => t.loc(a) >= lo(a) && t.loc(a) <= hi(a))
+              lo: Array[Int], hi: Array[Int],
+              grid: Option[Array[Int]] = None,
+              coarsePartitions: Int = 0): Dataset[Tile] = {
+    import spark.implicits._
+    var df = spark.read.parquet(path)
+    if (coarsePartitions > 0 && grid.isDefined &&
+        df.columns.contains("pgrid")) {
+      val g = grid.get
+      val linLo = graft.core.Regions.linearIndex(lo, g)
+      val linHi = graft.core.Regions.linearIndex(hi, g)
+      df = df.filter(col("pgrid") >= linLo / coarsePartitions &&
+        col("pgrid") <= linHi / coarsePartitions)
     }
+    lo.indices.foreach { a =>
+      df = df.filter(col("loc")(a) >= lo(a) && col("loc")(a) <= hi(a))
+    }
+    df.select("loc", "grid", "shape", "data", "classes").as[Tile]
   }
 
   /** Ingest a dense global image (one row per pixel: coords + value) into a

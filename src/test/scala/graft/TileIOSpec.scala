@@ -28,6 +28,13 @@ class TileIOSpec extends AnyFunSuite {
     val got = TileIO.readBox(spark, dir, Array(1, 1), Array(2, 2)).collect()
     assert(got.map(_.loc.toSeq).toSet ==
       Set(Seq(1, 1), Seq(1, 2), Seq(2, 1), Seq(2, 2)))
+    // with grid+coarse supplied the pgrid range predicate prunes directories
+    // and must return the same tiles
+    val pruned = TileIO.readBox(spark, dir, Array(1, 1), Array(2, 2),
+      grid = Some(Array(4, 3)), coarsePartitions = 3)
+    assert(pruned.queryExecution.executedPlan.toString.contains("pgrid"),
+      "expected a pgrid partition predicate in the plan")
+    assert(pruned.collect().map(_.loc.toSeq).toSet == got.map(_.loc.toSeq).toSet)
   }
 
   test("fromPixels bulk load reassembles the image") {
