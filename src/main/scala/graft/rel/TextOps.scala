@@ -335,6 +335,32 @@ object TextOps {
              min(wmin) AS fp_min, max(wmin) AS fp_max
       FROM wm GROUP BY doc_id""")),
 
+    // -- training-shard packing -----------------------------------------------
+    // greedy sequence packing: per source stream (ordered by doc_id),
+    // cumulative token counts cut into fixed-budget shards — the classic
+    // pre-tokenization packing step of an LLM data pipeline, as one window
+    // cumulative sum per source partition
+    Q("tx_pack_shards", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)")
+            .as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("shard_id", expr("(cum - 1) div 2000"))
+        .select("source", "shard_id", "doc_id", "n_tokens")
+    }, Some("""
+      SELECT source, ((cum - 1) // 2000) AS shard_id, doc_id, n_tokens
+      FROM (
+        SELECT doc_id, source,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+               sum(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT))
+                 OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents)""")),
+
     // -- correlated-subquery shape: items above their group average ----------
     // exact arithmetic: price > avg(group) written as price*cnt > sum
     Q("q16_above_avg", (s, d) => {
