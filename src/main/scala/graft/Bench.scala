@@ -31,6 +31,9 @@ object Bench {
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                  failed += name; false }
+               // drop query-local persist()ed intermediates: the loop must
+               // not accumulate cached blocks across 58 queries
+               finally spark.catalog.clearCache()
       // failures report -1 so a broken query can never pass as a fast one
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }

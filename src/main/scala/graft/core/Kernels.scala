@@ -249,7 +249,16 @@ object Kernels {
   def sortRemap(tile: Tile, rank: java.util.HashMap[java.lang.Long, java.lang.Long]): Tile = {
     val out = new Array[Long](tile.data.length)
     var i = 0
-    while (i < out.length) { out(i) = rank.get(tile.data(i)); i += 1 }
+    while (i < out.length) {
+      val r = rank.get(tile.data(i))
+      // fail loudly instead of an opaque unboxing NPE: a miss means the tiles
+      // lineage recomputed differently between the distinct pass and this one
+      if (r == null) throw new IllegalStateException(
+        s"label ${tile.data(i)} has no rank: non-deterministic input " +
+          "lineage? persist the tiles Dataset before sorting")
+      out(i) = r
+      i += 1
+    }
     tile.copy(data = out)
   }
 

@@ -23,17 +23,21 @@ object CoreQueries {
       tbl(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_base"),
+          // sums are exact decimal internally; the FINAL cast to DOUBLE makes
+          // both engines round the same exact value to the same float64 —
+          // DECIMAL outputs render differently across the driver's read paths
+          // (DuckDB pandas → float64, parquet/pyarrow → Decimal objects)
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base"),
           sum(col("l_extendedprice").cast(dec) *
             (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("decimal(22,4)").as("sum_disc"),
+            .cast("double").as("sum_disc"),
           count(lit(1)).as("cnt"))
     }, Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS sum_disc,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
              count(*) AS cnt
       FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
 
@@ -43,9 +47,9 @@ object CoreQueries {
         .filter(col("l_discount").between(0.03, 0.07) && col("l_quantity") < 25)
         .agg(sum(col("l_extendedprice").cast(dec) *
             col("l_discount").cast("decimal(4,2)"))
-          .cast("decimal(22,4)").as("revenue"), count(lit(1)).as("cnt"))
+          .cast("double").as("revenue"), count(lit(1)).as("cnt"))
     }, Some("""
-      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(22,4)) AS revenue,
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
              count(*) AS cnt
       FROM lineitem
       WHERE l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""")),
@@ -60,10 +64,10 @@ object CoreQueries {
         .agg(countDistinct("o_orderkey").as("n_orders"),
           sum(col("l_extendedprice").cast(dec) *
             (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("decimal(22,4)").as("revenue"))
+            .cast("double").as("revenue"))
     }, Some("""
       SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(22,4)) AS revenue
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       WHERE o_orderdate >= '1996-01-01' AND l_shipdate > o_orderdate
       GROUP BY o_orderpriority""")),
@@ -77,10 +81,10 @@ object CoreQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast(dec)).cast(dec).as("sum_bal"))
+          sum(col("c_acctbal").cast(dec)).cast("double").as("sum_bal"))
     }, Some("""
       SELECT r_name, count(*) AS n_cust,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name""")),
@@ -133,14 +137,14 @@ object CoreQueries {
       tbl(s, d, "lineitem")
         .filter(col("l_suppkey") % 10 === 0)
         .withColumn("running_qty",
-          sum(col("l_quantity").cast(dec)).over(w).cast(dec))
+          sum(col("l_quantity").cast(dec)).over(w).cast("double"))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     }, Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
                OVER (PARTITION BY l_suppkey
                      ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       FROM lineitem WHERE l_suppkey % 10 = 0""")),
 
     // -- exact distinct aggregation ------------------------------------------
@@ -186,10 +190,10 @@ object CoreQueries {
         .groupBy(year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(dec)).cast(dec).as("total"))
+          sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
     }, Some("""
       SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-             count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY year(o_orderdate), month(o_orderdate)""")),
 
     // -- rollup / grouping sets ----------------------------------------------
@@ -216,12 +220,12 @@ object CoreQueries {
         .withColumn("bucket", expr("ts div 300000000000"))
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_value"))
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
         .filter(col("n") > 1)
     }, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 HAVING count(*) > 1""")),
 
     // -- pivot (wide aggregation) ---------------------------------------------
@@ -269,7 +273,7 @@ object CoreQueries {
     }, Some("""
       SELECT o_orderpriority, count(*) AS n_orders,
              count(b.n_big) AS n_with_big,
-             sum(coalesce(b.n_big, 0)) AS total_big
+             CAST(sum(coalesce(b.n_big, 0)) AS BIGINT) AS total_big
       FROM orders o LEFT JOIN (
         SELECT l_orderkey, count(*) AS n_big FROM lineitem
         WHERE l_quantity > 45 GROUP BY l_orderkey) b

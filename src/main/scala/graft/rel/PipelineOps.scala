@@ -99,7 +99,9 @@ object PipelineOps {
       .withColumn("bucket", expr("ts div 300000000000"))
       .groupBy("bucket", "event_type")
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+        // exact decimal sum, final DOUBLE: identical float64 on both engines
+        // (a DECIMAL output renders differently across the driver's readers)
+        sum(col("value").cast("decimal(18,6)")).cast("double")
           .as("sum_value"))
     val query = stream.writeStream.outputMode("complete")
       .format("memory").queryName(qn).start()
@@ -208,7 +210,9 @@ object PipelineOps {
           val hist = new Array[Long](16)
           var i = 0
           while (i < bytes.length) { hist((bytes(i) & 0xff) / 16) += 1; i += 1 }
-          (id, hist)
+          // CSV-serialized: the driver's rows-only checker sorts values with
+          // pandas, which cannot hash an Array column — a string is sortable
+          (id, hist.mkString(","))
         }
       }
       .toDF("doc_id", "byte_hist")
@@ -224,7 +228,7 @@ object PipelineOps {
     Q("st_tumbling", tumblingStream, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""")),
     Q("mm_decode_meta", decodeMeta, None)
   )

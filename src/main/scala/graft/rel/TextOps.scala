@@ -231,7 +231,8 @@ object TextOps {
                          (8,256),(9,512),(10,1024),(11,2048),(12,4096),
                          (13,8192),(14,16384),(15,32768)) bt(j, pw)
         GROUP BY doc_id, j, pw)
-      SELECT doc_id, sum(CASE WHEN bitsum > 0 THEN pw ELSE 0 END) AS simhash
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bitsum > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
       FROM bs GROUP BY doc_id""")),
 
     // -- language-ID heuristic (stopword hit counting) -----------------------
@@ -352,7 +353,7 @@ object TextOps {
         .withColumn("shard_id", expr("(cum - 1) div 2000"))
         .select("source", "shard_id", "doc_id", "n_tokens")
     }, Some("""
-      SELECT source, ((cum - 1) // 2000) AS shard_id, doc_id, n_tokens
+      SELECT source, CAST((cum - 1) // 2000 AS BIGINT) AS shard_id, doc_id, n_tokens
       FROM (
         SELECT doc_id, source,
                CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,

@@ -272,7 +272,8 @@ object VectorOps {
         FROM qv, (VALUES (0),(1),(2),(3)) hs(h)),
       buckets AS (
         SELECT vec_id,
-               sum(CASE WHEN proj > 0 THEN CAST(pow(2, h) AS BIGINT) ELSE 0 END) AS bucket
+               CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, h) AS BIGINT) ELSE 0 END)
+                 AS BIGINT) AS bucket
         FROM proj GROUP BY vec_id)
       SELECT bucket, count(*) AS n_vectors FROM buckets
       GROUP BY bucket HAVING count(*) > 1"""))

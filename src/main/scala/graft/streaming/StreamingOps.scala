@@ -81,7 +81,8 @@ object StreamingOps {
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM d)
     SELECT user_id, min(tns) AS session_start,
-           count(*) AS n_events, sum(qv) AS sum_micros
+           count(*) AS n_events,
+           CAST(sum(qv) AS BIGINT) AS sum_micros
     FROM s GROUP BY user_id, sid"""
 
   /** Streaming deduplication: dropDuplicates over the event stream (the
