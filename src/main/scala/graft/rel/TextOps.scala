@@ -81,14 +81,23 @@ object TextOps {
     * hash-function explosion. Bands pair adjacent slices (32-bit band
     * values) and candidates come from a band equi-join.
     */
-  private def minhashCand(s: SparkSession, d: String): DataFrame = {
-    val sh = shinglesDf(nearCorpusDf(s, d))
+  private def minhashCand(s: SparkSession, d: String): DataFrame =
+    minhashCandFrom(shinglesDf(nearCorpusDf(s, d)))
+
+  /** Candidate pairs from a (doc_id, shingle) relation. MinHash minima are
+    * identical over a shingle SET and multiset, so callers that already
+    * hold the distinct shingle relation (dd_jaccard) pass it directly and
+    * the shingle explode + md5 pass is computed once, not twice.
+    */
+  private def minhashCandFrom(shingles: DataFrame): DataFrame = {
+    val sh = shingles
       .withColumn("h", md5(col("shingle")))
     val aggs = (0 until 8).map(j =>
       min(expr(s"substr(h, ${4 * j + 1}, 4)")).as(s"mh$j"))
     val mins = sh.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
-      // the band self-join reads this twice; materialize once (no DataFrame CSE)
+      // the band self-join reads this twice; materialize once (no DataFrame
+      // CSE). Tiny: one 8-slot row per document.
       .persist()
     val sig = mins.select(col("doc_id"),
       explode(expr(
@@ -162,13 +171,14 @@ object TextOps {
 
     // -- n-gram Jaccard verification of LSH candidates -----------------------
     Q("dd_jaccard", (s, d) => {
-      val cand = minhashCand(s, d).persist()
-      // shingle sets feed the intersection join twice and the size join
-      // twice. (At corpus >> candidates scale, semi-join pruning ds to the
+      // shingle sets feed minhash candidate generation, the intersection
+      // join twice, and the size join twice — one shared explode+distinct.
+      // (At corpus >> candidates scale, semi-join pruning ds to the
       // candidate ids first is the winning shape; at this corpus size the
       // broadcast barrier it introduces costs more than the pruning saves —
       // measured both ways.)
       val ds = shinglesDf(nearCorpusDf(s, d)).distinct().persist()
+      val cand = minhashCandFrom(ds).persist()
       val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(ds.as("x"), col("id_a") === col("x.doc_id"))
