@@ -45,27 +45,33 @@ object VectorOps {
     * Output: per (query, cluster) the best in-cluster neighbor.
     */
   private def annIvf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // argmax via max(struct(score, -tiebreak, payload)) instead of a
+    // row_number window: the window form shuffles and sorts every
+    // (vector, centroid) candidate row; the aggregate form map-side-combines
+    // each vector's candidates down to one row before the exchange — at
+    // cluster scale the shuffle is O(vectors), not O(vectors x centroids)
     val cents = qvec(s, d).filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    val assign = qvec(s, d).as("b").join(broadcast(cents.as("a")),
-        expr("true"))
-      .select(col("b.vec_id").as("vec_id"), col("b.qv").as("qv"), col("cid"),
-        long_dot(col("b.qv"), col("cv")).as("cdot"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)))
-      .filter(col("rn") === 1)
-      .select("vec_id", "qv", "cid")
+    val assign = qvec(s, d).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        long_dot(col("qv"), col("cv")).as("cdot"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cdot"), (-col("cid")).as("nc"),
+        col("cid"), col("qv"))).as("m"))
+      .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"))
+    // queries are a 1-in-50 stratum: broadcast them so the probe side never
+    // shuffles; the final top-1 is again an aggregate argmax
     val queries = assign.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("id_q"), col("qv").as("query_qv"), col("cid"))
-    queries.join(assign.withColumnRenamed("vec_id", "id_n"), Seq("cid"))
+    assign.withColumnRenamed("vec_id", "id_n").join(broadcast(queries), Seq("cid"))
       .filter(col("id_q") =!= col("id_n"))
       .select(col("id_q"), col("id_n"), col("cid"),
         long_dot(col("query_qv"), col("qv")).as("dot"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id_q").orderBy(col("dot").desc, col("id_n").asc)))
-      .filter(col("rn") === 1)
-      .select("id_q", "cid", "id_n", "dot")
+      .groupBy("id_q")
+      .agg(max(struct(col("dot"), (-col("id_n")).as("nn"),
+        col("id_n"), col("cid"))).as("m"))
+      .select(col("id_q"), col("m.cid").as("cid"),
+        col("m.id_n").as("id_n"), col("m.dot").as("dot"))
   }
 
   private val ANN_IVF_SQL = s"""
