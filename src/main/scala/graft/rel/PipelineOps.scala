@@ -60,6 +60,36 @@ object PipelineOps {
     }.toDF("gy", "gx", "py", "px", "gid")
   }
 
+  /** px_pipeline with a zarr store in the middle: the synthetic image is
+    * written to a zarr v2 store (executor-side chunk files, zlib), read
+    * back through [[graft.sources.ZarrIO]], and only then run through
+    * remove+merge. Hash-matching the same MERGE_SQL oracle as px_pipeline
+    * proves the source end-to-end — layout, dtype codec, edge-chunk
+    * padding — not just roundtrip self-consistency.
+    */
+  def zarrPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr").toString
+    // labels fit <u2 (max 16): exercise the narrow-dtype path, not just i8
+    graft.sources.ZarrIO.write(tilesFromPixels(s, d), spec, dir, "<u2", "zlib")
+    val tiles = graft.sources.ZarrIO.read(s, dir)
+    val removed = Relabel.removeOverlappedLabels(tiles, Array(OV, OV), THRESHOLD)
+    val merged = Relabel.mergeOverlappedTiles(removed, Array(OV, OV))
+    merged.flatMap { t =>
+      val y0 = if (t.loc(0) > 0) OV else 0
+      val x0 = if (t.loc(1) > 0) OV else 0
+      val w = t.shape(1)
+      for {
+        y <- 0 until t.shape(0)
+        x <- 0 until w
+        v = t.data(y * w + x)
+        if v != 0L
+      } yield (t.loc(0).toLong, t.loc(1).toLong,
+        (y + y0).toLong, (x + x0).toLong, v)
+    }.toDF("gy", "gx", "py", "px", "gid")
+  }
+
   /** Tile-engine remove only, exploded (oracle: relational remove join). */
   def removePixels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -225,6 +255,7 @@ object PipelineOps {
     Q("px_remove_tiles", removePixels, Some(REMOVE_PIXELS_SQL)),
     Q("geo_annotate", annotateTiles, None),
     Q("px_pipeline", pipeline, Some(RelabelRel.MERGE_SQL)),
+    Q("px_zarr_pipeline", zarrPipeline, Some(RelabelRel.MERGE_SQL)),
     Q("st_tumbling", tumblingStream, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,

@@ -1,0 +1,294 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, File, FileInputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{Deflater, DeflaterOutputStream, GZIPInputStream, GZIPOutputStream, InflaterInputStream}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.tiles.{GridSpec, Tile}
+
+/** Zarr v2 chunk-store source/sink for tile tables.
+  *
+  * The reference suggests zarr for pipeline intermediates
+  * (`relabeling.py:319-322` docstring); this implements the published zarr
+  * v2 on-disk layout directly — a `.zarray` JSON descriptor next to one
+  * file per chunk named by its grid indices — with no third-party
+  * dependency (JSON via the Jackson shipped inside Spark, compression via
+  * `java.util.zip`).
+  *
+  * Scale notes: the store is listed on the driver (names only — O(chunks)
+  * strings, no data), and chunk payloads are read/written entirely on
+  * executors, one file per task batch. [[readBox]] prunes the chunk list
+  * to a coordinate box BEFORE any file is opened — the zarr analog of
+  * parquet partition pruning, and the access pattern that matters when the
+  * store is 100 TB on object storage and the query wants one region.
+  *
+  * Supported dtypes: `|u1`, `<u2`, `<i4`, `<i8` (the reference's uint8/16
+  * inputs and int32/64 label spaces, SURVEY.md §1.2). Compressors: zarr's
+  * `zlib` and `gzip` codecs or none (`blosc` needs a native library that a
+  * plain JVM cluster cannot assume). Chunks are stored full-size in C
+  * order, edge chunks padded with `fill_value` — both per the v2 spec.
+  */
+object ZarrIO {
+
+  final case class Meta(
+      shape: Array[Long],
+      chunks: Array[Int],
+      dtype: String,
+      compressor: String, // "zlib" | "gzip" | "" (= null/raw)
+      fillValue: Long,
+      separator: String) {
+    def dims: Int = shape.length
+    def spec: GridSpec = GridSpec(shape, chunks)
+  }
+
+  private val WIDTHS = Map("|u1" -> 1, "<u2" -> 2, "<i4" -> 4, "<i8" -> 8)
+
+  // ------------------------------------------------------------- metadata
+
+  def readMeta(dir: String): Meta = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(Files.readAllBytes(Paths.get(dir, ".zarray")))
+    require(root.path("zarr_format").asInt() == 2,
+      s"unsupported zarr_format ${root.path("zarr_format")}")
+    require(root.path("order").asText("C") == "C", "only C-order zarr supported")
+    require(root.path("filters").isNull || root.path("filters").isMissingNode,
+      "zarr filters not supported")
+    val shape = {
+      val n = root.path("shape")
+      Array.tabulate(n.size())(i => n.get(i).asLong())
+    }
+    val chunks = {
+      val n = root.path("chunks")
+      Array.tabulate(n.size())(i => n.get(i).asInt())
+    }
+    val dtype = root.path("dtype").asText()
+    require(WIDTHS.contains(dtype), s"unsupported zarr dtype $dtype")
+    val comp = root.path("compressor")
+    val compressor =
+      if (comp.isNull || comp.isMissingNode) ""
+      else comp.path("id").asText() match {
+        case c @ ("zlib" | "gzip") => c
+        case c => throw new IllegalArgumentException(s"unsupported compressor $c")
+      }
+    val fill = if (root.path("fill_value").isNull) 0L else root.path("fill_value").asLong()
+    Meta(shape, chunks, dtype, compressor,
+      fill, root.path("dimension_separator").asText("."))
+  }
+
+  private def writeMeta(dir: String, meta: Meta): Unit = {
+    val comp =
+      if (meta.compressor.isEmpty) "null"
+      else if (meta.compressor == "zlib") """{"id": "zlib", "level": 1}"""
+      else s"""{"id": "${meta.compressor}"}"""
+    val json =
+      s"""{
+         |  "zarr_format": 2,
+         |  "shape": [${meta.shape.mkString(", ")}],
+         |  "chunks": [${meta.chunks.mkString(", ")}],
+         |  "dtype": "${meta.dtype}",
+         |  "compressor": $comp,
+         |  "fill_value": ${meta.fillValue},
+         |  "order": "C",
+         |  "filters": null,
+         |  "dimension_separator": "${meta.separator}"
+         |}""".stripMargin
+    Files.write(Paths.get(dir, ".zarray"), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  // ---------------------------------------------------------- chunk codec
+
+  /** Decode one stored chunk (full chunk-size, C order) into the exact-extent
+    * tile payload for chunk `loc` — edge padding is dropped here, so the
+    * Tile rows match what [[graft.sources.TileIO.fromPixels]] builds.
+    */
+  private[sources] def decodeChunk(raw: Array[Byte], meta: Meta,
+      loc: Array[Int], tileShape: Array[Int]): Array[Long] = {
+    val bytes = meta.compressor match {
+      case ""     => raw
+      case "zlib" => drain(new InflaterInputStream(new java.io.ByteArrayInputStream(raw)))
+      case "gzip" => drain(new GZIPInputStream(new java.io.ByteArrayInputStream(raw)))
+    }
+    val w = WIDTHS(meta.dtype)
+    require(bytes.length == meta.chunks.product.toLong * w,
+      s"chunk ${loc.mkString(",")}: ${bytes.length} bytes, " +
+        s"expected ${meta.chunks.product.toLong * w}")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Long](tileShape.product)
+    val chunkStrides = graft.core.Nd.strides(meta.chunks)
+    val tileStrides = graft.core.Nd.strides(tileShape)
+    val idx = new Array[Int](meta.dims)
+    var flat = 0
+    while (flat < out.length) {
+      var src = 0
+      var a = 0
+      while (a < meta.dims) { src += idx(a) * chunkStrides(a); a += 1 }
+      out(flat) = meta.dtype match {
+        case "|u1" => bb.get(src) & 0xffL
+        case "<u2" => bb.getShort(src * 2) & 0xffffL
+        case "<i4" => bb.getInt(src * 4).toLong
+        case "<i8" => bb.getLong(src * 8)
+      }
+      flat += 1
+      var b = meta.dims - 1
+      while (b >= 0 && { idx(b) += 1; idx(b) == tileShape(b) }) { idx(b) = 0; b -= 1 }
+    }
+    out
+  }
+
+  /** Encode one tile payload as a full-size stored chunk (fill-padded). */
+  private[sources] def encodeChunk(data: Array[Long], meta: Meta,
+      tileShape: Array[Int]): Array[Byte] = {
+    val w = WIDTHS(meta.dtype)
+    val bytes = new Array[Byte](meta.chunks.product * w)
+    if (meta.fillValue != 0L) {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < meta.chunks.product) { putVal(bb, i, meta.dtype, meta.fillValue); i += 1 }
+    }
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val chunkStrides = graft.core.Nd.strides(meta.chunks)
+    val idx = new Array[Int](meta.dims)
+    var flat = 0
+    while (flat < data.length) {
+      var dst = 0
+      var a = 0
+      while (a < meta.dims) { dst += idx(a) * chunkStrides(a); a += 1 }
+      putVal(bb, dst, meta.dtype, data(flat))
+      flat += 1
+      var b = meta.dims - 1
+      while (b >= 0 && { idx(b) += 1; idx(b) == tileShape(b) }) { idx(b) = 0; b -= 1 }
+    }
+    meta.compressor match {
+      case "" => bytes
+      case "zlib" =>
+        val bos = new ByteArrayOutputStream()
+        val dos = new DeflaterOutputStream(bos, new Deflater(1))
+        dos.write(bytes); dos.close(); bos.toByteArray
+      case "gzip" =>
+        val bos = new ByteArrayOutputStream()
+        val gos = new GZIPOutputStream(bos)
+        gos.write(bytes); gos.close(); bos.toByteArray
+    }
+  }
+
+  private def putVal(bb: ByteBuffer, i: Int, dtype: String, v: Long): Unit =
+    dtype match {
+      case "|u1" =>
+        require(v >= 0 && v <= 0xffL, s"value $v out of |u1 range"); bb.put(i, v.toByte)
+      case "<u2" =>
+        require(v >= 0 && v <= 0xffffL, s"value $v out of <u2 range")
+        bb.putShort(i * 2, v.toShort)
+      case "<i4" =>
+        require(v >= Int.MinValue && v <= Int.MaxValue, s"value $v out of <i4 range")
+        bb.putInt(i * 4, v.toInt)
+      case "<i8" => bb.putLong(i * 8, v)
+    }
+
+  private def drain(in: java.io.InputStream): Array[Byte] =
+    try {
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+
+  // ------------------------------------------------------------ read path
+
+  /** Read the whole store as a tile table. */
+  def read(spark: SparkSession, dir: String): Dataset[Tile] =
+    readPruned(spark, dir, _ => true)
+
+  /** Read only the chunks whose grid coordinates fall in `[lo, hi]`
+    * (inclusive) — chunk-level pruning before any payload I/O.
+    */
+  def readBox(spark: SparkSession, dir: String,
+      lo: Array[Int], hi: Array[Int]): Dataset[Tile] =
+    readPruned(spark, dir,
+      loc => loc.indices.forall(a => loc(a) >= lo(a) && loc(a) <= hi(a)))
+
+  private def readPruned(spark: SparkSession, dir: String,
+      keep: Array[Int] => Boolean): Dataset[Tile] = {
+    import spark.implicits._
+    val meta = readMeta(dir)
+    val grid = meta.spec.gridShape
+    // driver sees names only; the separator "/" layout nests directories
+    val locs = listChunkLocs(dir, meta).filter(keep)
+    val dims = meta.dims
+    val sep = meta.separator
+    val shape = meta.shape
+    val chunks = meta.chunks
+    spark.createDataset(locs.map(_.toSeq))
+      .repartition(math.max(1, math.min(locs.size,
+        spark.sparkContext.defaultParallelism)))
+      .map { locSeq =>
+        val loc = locSeq.toArray
+        val tileShape = Array.tabulate(dims) { a =>
+          math.min(chunks(a).toLong, shape(a) - loc(a).toLong * chunks(a)).toInt
+        }
+        val path = new File(dir, loc.mkString(sep)).getPath
+        val raw = Files.readAllBytes(Paths.get(path))
+        Tile(loc, grid.clone(), tileShape,
+          decodeChunk(raw, meta, loc, tileShape))
+      }
+  }
+
+  private def listChunkLocs(dir: String, meta: Meta): Seq[Array[Int]] = {
+    val grid = meta.spec.gridShape
+    def valid(loc: Array[Int]): Boolean =
+      loc.length == meta.dims && loc.indices.forall(a => loc(a) >= 0 && loc(a) < grid(a))
+    if (meta.separator == "/") {
+      def walk(f: File, depth: Int, prefix: List[Int]): Seq[Array[Int]] =
+        if (depth == meta.dims) {
+          val loc = prefix.reverse.toArray
+          if (f.isFile && valid(loc)) Seq(loc) else Seq.empty
+        } else if (f.isDirectory) {
+          Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap { c =>
+            c.getName.toIntOption match {
+              case Some(i) => walk(c, depth + 1, i :: prefix)
+              case None    => Seq.empty
+            }
+          }
+        } else Seq.empty
+      walk(new File(dir), 0, Nil)
+    } else {
+      Option(new File(dir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .flatMap { f =>
+          val parts = f.getName.split(java.util.regex.Pattern.quote(meta.separator))
+          val loc = parts.flatMap(_.toIntOption)
+          if (loc.length == parts.length && valid(loc)) Seq(loc) else Seq.empty
+        }
+    }
+  }
+
+  // ----------------------------------------------------------- write path
+
+  /** Write a tile table as a zarr store. Executors write their own chunk
+    * files (the driver only writes the 200-byte `.zarray`), so the sink
+    * scales with the cluster exactly like the geojson sink — no tile
+    * payload ever moves to the driver.
+    */
+  def write(tiles: Dataset[Tile], spec: GridSpec, dir: String,
+      dtype: String = "<i8", compressor: String = "zlib",
+      fillValue: Long = 0L): Unit = {
+    val meta = Meta(spec.imageShape.clone(), spec.chunk.clone(), dtype,
+      compressor, fillValue, ".")
+    val d = new File(dir)
+    d.mkdirs()
+    require(d.isDirectory, s"cannot create $dir")
+    writeMeta(dir, meta)
+    tiles.foreachPartition { (it: Iterator[Tile]) =>
+      it.foreach { t =>
+        val bytes = encodeChunk(t.data, meta, t.shape)
+        val f = new File(dir, t.loc.mkString(meta.separator))
+        val out = new FileOutputStream(f)
+        try out.write(bytes) finally out.close()
+      }
+    }
+  }
+}
