@@ -33,5 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "long_dot takes exactly 2 arguments")
         LongDotProduct(children.head, children(1))
       }))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -20,4 +20,18 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** DataFrame over a hand-built (already-resolved) logical plan — the
+    * entry point for custom operators like [[graft.plans.AsOfJoinPlan]].
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Live-session hook for extra planner strategies. */
+  def experimental(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.ExperimentalMethods =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
 }
