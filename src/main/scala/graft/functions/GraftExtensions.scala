@@ -34,5 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LongDotProduct(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectFunction((
+      new FunctionIdentifier("kmin_strings"),
+      new ExpressionInfo(classOf[KMinStrings].getName, "kmin_strings"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "kmin_strings(col, k) takes 2 arguments")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+            KMinStrings(children.head, k)
+          case other =>
+            throw new IllegalArgumentException(s"k must be an int literal, got $other")
+        }
+      }))
   }
 }

@@ -1,0 +1,74 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KMinStrings
+import Q.tbl
+
+/** KMV distinct-count sketch behind the DuckDB gate.
+  *
+  * `sk_kmv_users` estimates distinct users per event type from the k=8
+  * smallest md5 values via the [[graft.functions.KMinStrings]]
+  * TypedImperativeAggregate — ONE pass over events with map-side partial
+  * aggregation and an O(k) buffer, versus the exact path's full
+  * (type, user) pre-distinct shuffle (q18_skew_distinct). The k-min SET is
+  * order-insensitive, so the sketch is deterministic under any partitioning
+  * and DuckDB can replay it exactly: same k minima, same estimate bits.
+  *
+  * Double parity rule: both engines compute
+  * `7.0 * 2^60 / CAST(v AS DOUBLE)` with v the first 15 md5 nibbles as an
+  * exact BIGINT (Spark `conv`, DuckDB nibble arithmetic — it has no
+  * hex-to-int cast), an identical IEEE op sequence on identical ints.
+  */
+object SketchRel {
+
+  private val K = 8
+  /** 16^15 = 2^60 — exactly representable in a double. */
+  private val SCALE = 1152921504606846976L
+
+  /** First 15 md5 nibbles as a BIGINT, DuckDB side: positional instr
+    * arithmetic with exact power-of-16 BIGINT literals.
+    */
+  private def duckNibbleSum(col: String): String =
+    (1 to 15).map { i =>
+      s"(instr('0123456789abcdef', substr($col, $i, 1)) - 1) * ${1L << (4 * (15 - i))}"
+    }.mkString("(", " + ", ")")
+
+  def kmvUsers(s: SparkSession, d: String): DataFrame = {
+    tbl(s, d, "events")
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(KMinStrings(col("h"), K).as("kmin"))
+      .select(col("event_type"),
+        size(col("kmin")).cast("bigint").as("n_kept"),
+        when(size(col("kmin")) < K, lit(null))
+          .otherwise(element_at(col("kmin"), K)).as("kth_hash"),
+        when(size(col("kmin")) < K, size(col("kmin")).cast("double"))
+          .otherwise(lit(7.0) * lit(SCALE).cast("double") /
+            expr("CAST(conv(substr(element_at(kmin, 8), 1, 15), 16, 10) AS BIGINT)")
+              .cast("double"))
+          .as("est_users"))
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("sk_kmv_users", kmvUsers, Some(s"""
+      WITH h AS (
+        SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
+        FROM events),
+      l AS (
+        SELECT event_type, list(hh ORDER BY hh) AS ls, count(*) AS nd
+        FROM h GROUP BY event_type),
+      x AS (
+        SELECT event_type, nd,
+               CASE WHEN nd < $K THEN NULL ELSE ls[$K] END AS kth_hash
+        FROM l)
+      SELECT event_type,
+             CAST(LEAST(nd, $K) AS BIGINT) AS n_kept,
+             kth_hash,
+             CASE WHEN kth_hash IS NULL THEN CAST(nd AS DOUBLE)
+                  ELSE CAST(7 AS DOUBLE) * CAST($SCALE AS DOUBLE) /
+                       CAST(${duckNibbleSum("kth_hash")} AS DOUBLE)
+             END AS est_users
+      FROM x""")))
+}
