@@ -51,7 +51,38 @@ object SketchRel {
           .as("est_users"))
   }
 
+  /** Range join behind the gate: every purchase opens a 10-minute window;
+    * count and sum all of that user's events inside each window, via the
+    * binned equi-join of [[graft.ops.RangeJoin]] (DuckDB verifies with a
+    * plain inequality join). Windows are deduped first — as with as-of,
+    * the interval set is keyed by (user, instant).
+    */
+  def rangeWindows(s: SparkSession, d: String): DataFrame = {
+    val SPAN = 600000000000L // 10 min in nanos
+    val e = tbl(s, d, "events")
+      .select(col("user_id"), expr("ts div 1000 * 1000").as("t"),
+        col("event_type"), col("value"))
+    val w = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t").as("lo"), (col("t") + SPAN).as("hi"))
+      .distinct()
+    graft.ops.RangeJoin
+      .pointInInterval(e, w, Seq("user_id"), "t", "lo", "hi", binWidth = SPAN)
+      .groupBy("user_id", "lo")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("rj_windows", rangeWindows, Some("""
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) AS t, event_type, value FROM events),
+      w AS (
+        SELECT DISTINCT user_id, t AS lo, t + 600000000000 AS hi
+        FROM e WHERE event_type = 'purchase')
+      SELECT w.user_id, w.lo, count(*) AS n_events,
+             CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM w JOIN e ON e.user_id = w.user_id AND e.t >= w.lo AND e.t <= w.hi
+      GROUP BY w.user_id, w.lo""")),
     Q("sk_kmv_users", kmvUsers, Some(s"""
       WITH h AS (
         SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
