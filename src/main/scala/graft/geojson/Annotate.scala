@@ -135,6 +135,53 @@ object Annotate {
     else s"""{"features": [${features.result()}], "type": "FeatureCollection"}"""
   }
 
+  final case class PlaneAnnotation(locKey: String, plane: Long, geojson: String)
+
+  /** Beyond-reference 3D annotate: the reference pins 3D annotations to
+    * `None` (`tests/fixtures.py:93` — cv2 contours are 2D). GeoJSON is
+    * inherently planar, so the natural volumetric extension is one
+    * FeatureCollection per occupied z-plane: each slice of the tile runs
+    * the SAME 2D kernel (identical contour, offset, and class rules on
+    * axes 1/2) and features carry the global plane index. Tile-local like
+    * O5 — no shuffle.
+    */
+  def annotateTile3d(tile: Tile, overlaps: Array[Int],
+                     objectClasses: Map[Long, String]): Seq[PlaneAnnotation] = {
+    require(tile.dims == 3, s"annotateTile3d expects 3D tiles, got ${tile.dims}D")
+    val Array(dz, h, w) = tile.shape
+    // global z offset: same core-size derivation as the 2D kernel's axes
+    val cs0 = tile.shape(0) -
+      (if (tile.loc(0) > 0) overlaps(0) else 0) -
+      (if (tile.loc(0) < tile.grid(0) - 1) overlaps(0) else 0)
+    val zOff = if (tile.loc(0) > 0) tile.loc(0).toLong * cs0 - overlaps(0) else 0L
+    val key = tile.loc.mkString("-")
+    val plane = h * w
+    (0 until dz).flatMap { z =>
+      val slice = java.util.Arrays.copyOfRange(tile.data, z * plane, (z + 1) * plane)
+      val classes =
+        if (tile.hasClasses)
+          tile.classes.map(ch => java.util.Arrays.copyOfRange(ch, z * plane, (z + 1) * plane))
+        else Array.empty[Array[Long]]
+      val t2 = Tile(Array(tile.loc(1), tile.loc(2)),
+        Array(tile.grid(1), tile.grid(2)), Array(h, w), slice, classes)
+      Option(annotateTile(t2, Array(overlaps(1), overlaps(2)), objectClasses))
+        .map(g => PlaneAnnotation(key, zOff + z, g))
+    }
+  }
+
+  /** Dataset-level 3D annotate: one row per (tile, occupied plane). */
+  def annotateLabeledTiles3d(tiles: Dataset[Tile], overlaps: Array[Int],
+                             objectClasses: Option[Map[Long, String]] = None)
+      : Dataset[PlaneAnnotation] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.flatMap { t =>
+      val oc = objectClasses.getOrElse(
+        (0L to math.max(0, t.classes.length).toLong).map(_ -> "cell").toMap)
+      annotateTile3d(t, overlaps, oc)
+    }
+  }
+
   /** Dataset-level O5: one row per tile, `geojson` null when empty. */
   def annotateLabeledTiles(tiles: Dataset[Tile], overlaps: Array[Int],
                            objectClasses: Option[Map[Long, String]] = None)

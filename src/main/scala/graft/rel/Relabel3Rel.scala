@@ -203,7 +203,21 @@ object Relabel3Rel {
     HAVING $interiorSql"""
   }
 
+  /** Beyond-reference 3D annotate over the engine's 3D remove output:
+    * per-plane GeoJSON FeatureCollections (rows-only — JSON geometry is
+    * not SQL-expressible; same gate class as geo_annotate).
+    */
+  def annotate3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val removed = graft.ops.Relabel.removeOverlappedLabels(tiles3(s, d),
+      Array(OV3, OV3, OV3), THR)
+    graft.geojson.Annotate
+      .annotateLabeledTiles3d(removed, Array(OV3, OV3, OV3))
+      .toDF("loc_key", "plane", "geojson")
+  }
+
   def all: Seq[Q] = Seq(
     Q("px3_remove", remove3, Some(REMOVE3_SQL)),
-    Q("px3_pipeline", pipeline3, Some(PIPELINE3_SQL)))
+    Q("px3_pipeline", pipeline3, Some(PIPELINE3_SQL)),
+    Q("geo_annotate3d", annotate3, None))
 }
