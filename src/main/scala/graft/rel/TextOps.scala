@@ -309,6 +309,27 @@ object TextOps {
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""")),
 
+    // -- BPE-style pre-tokenization count -------------------------------------
+    // the GPT-2 pre-tokenizer shape (contraction suffixes, space-prefixed
+    // letter/digit/punct runs, whitespace runs) restricted to ASCII classes
+    // so both regex engines (Java / RE2) agree; counted per document
+    // alongside the whitespace count — the two token-budget estimators a
+    // packing pipeline actually uses
+    Q("tx_tokens_bpe", (s, d) => {
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("bigint").as("n_bpe"),
+          size(split(col("text"), " ")).cast("bigint").as("n_ws"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +'))
+               AS BIGINT) AS n_bpe,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+      FROM documents""")),
+
     // -- winnowing fingerprint (rolling-hash sketch) --------------------------
     // per-position shingle hashes, min over a 4-window (winnowing), distinct
     // mins summarized per doc — the classic local fingerprint for plagiarism/

@@ -54,4 +54,33 @@ class PlanQualitySpec extends AnyFunSuite {
     val n = "Exchange".r.findAllIn(p).size
     assert(n <= 2, s"tile pipeline grew to $n exchanges:\n$p")
   }
+
+  test("aj_asof plans the custom operator, one exchange per side, no explosion") {
+    val p = plan("aj_asof")
+    assert(p.contains("AsOfJoin"), s"custom as-of operator not planned:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"), "as-of degenerated to BNLJ")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"as-of query grew extra exchanges:\n$p")
+  }
+
+  test("ann_ivf uses aggregate argmax (no row_number window over candidates)") {
+    val p = plan("ann_ivf")
+    assert(!p.contains("Window"), s"argmax degenerated to a window:\n$p")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      "expected map-side partial aggregation for the argmax")
+  }
+
+  test("sk_kmv_users runs the sketch with map-side partial aggregation") {
+    val p = plan("sk_kmv_users")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_kmin_strings"),
+      s"expected a partial (map-side) sketch phase:\n$p")
+  }
+
+  test("rj_windows is an equi-join on bins, not a nested loop") {
+    val p = plan("rj_windows")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
 }
