@@ -85,6 +85,38 @@ object StreamingOps {
            CAST(sum(qv) AS BIGINT) AS sum_micros
     FROM s GROUP BY user_id, sid"""
 
+  /** `mapGroupsWithState` (the one-row-per-group sibling of the sessionizer's
+    * flatMap variant): per-user running aggregate state — max quantized value
+    * and event count — emitted in update mode. With the file source's single
+    * microbatch each group emits once, so a plain batch GROUP BY is the
+    * oracle; with a live source the same code re-emits each user's row as
+    * its state advances.
+    */
+  def runningState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_running_sink_" + sinkCounter.incrementAndGet()
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .selectExpr("user_id", "CAST(round(value * 1000000) AS BIGINT) AS qv")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) => {
+          var (mx, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+          it.foreach { case (_, qv) => if (qv > mx) mx = qv; n += 1 }
+          state.update((mx, n))
+          (user, mx, n)
+        })
+      .toDF("user_id", "max_micros", "n_events")
+    val query = stream.writeStream.outputMode("update")
+      .format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   /** Streaming deduplication: dropDuplicates over the event stream (the
     * streaming face of the dedup family) — first-seen (user, type) pairs
     * aggregated per type, matching a batch DISTINCT oracle.
@@ -107,6 +139,11 @@ object StreamingOps {
   }
 
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_running_state", runningState, Some("""
+      SELECT user_id,
+             CAST(max(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS max_micros,
+             count(*) AS n_events
+      FROM events GROUP BY user_id""")),
     graft.rel.Q("st_sessionize", sessionize, Some(SESSIONIZE_SQL)),
     graft.rel.Q("st_stream_dedup", streamDedup, Some("""
       SELECT event_type, count(*) AS n_users
