@@ -1,0 +1,81 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput smoke for the beyond-reference relational operators at
+  * synthetic scale (no disk dependency): as-of join, binned range join,
+  * and the KMV sketch, each over tens of millions of generated rows on
+  * local[32], reporting wall seconds, output rows, and shuffle bytes.
+  *
+  * `sbt "runMain graft.tools.OpsScale 20"` -> 20M events, 2M states.
+  */
+object OpsScale {
+
+  private val shuffleBytes = new AtomicLong(0)
+
+  private final class ShuffleListener extends SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null)
+        shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val m = if (args.nonEmpty) args(0).toInt else 20
+    val nEvents = m * 1000000L
+    val nStates = nEvents / 10
+    val nUsers = 100000L
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new ShuffleListener)
+
+    // deterministic pseudo-random events: user via multiplicative hash,
+    // time scattered over ~nEvents ticks
+    val events = spark.range(nEvents).select(
+      (col("id") * 2654435761L % nUsers).as("user_id"),
+      (col("id") * 1103515245L % nEvents).as("t"),
+      (col("id") % 1000).as("v"))
+    val states = spark.range(nStates).select(
+      (col("id") * 97003L % nUsers).as("user_id"),
+      (col("id") * 48271L % nEvents).as("s_t"),
+      (col("id") % 7).as("s_v"))
+      .groupBy("user_id", "s_t").agg(max("s_v").as("s_v"))
+
+    def probe(name: String)(f: => Long): Unit = {
+      shuffleBytes.set(0)
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$name","sec":$sec%.1f,"rows":$rows,""" +
+        f""""shuffleMB":${shuffleBytes.get / 1e6}%.0f,""" +
+        f""""rowsPerSec":${(nEvents / sec).toLong}}""")
+    }
+
+    probe("asof_join") {
+      graft.plans.AsOf.join(events, states, Seq("user_id"), "t", "s_t").count()
+    }
+    probe("range_join") {
+      val iv = states.select(col("user_id"), col("s_t").as("lo"),
+        (col("s_t") + 50L).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(
+        events, iv, Seq("user_id"), "t", "lo", "hi", binWidth = 64L).count()
+    }
+    probe("kmv_sketch") {
+      events.select((col("user_id") % 64).as("g"),
+          md5(concat(col("v").cast("string"), col("user_id").cast("string"))).as("h"))
+        .groupBy("g")
+        .agg(graft.functions.KMinStrings(col("h"), 64).as("kmin"))
+        .count()
+    }
+    spark.stop()
+  }
+}
