@@ -72,7 +72,49 @@ object SketchRel {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
   }
 
+  /** Salted skew join: events' 5 hot event_type keys would funnel the whole
+    * fact table through 5 reducers in a plain shuffled join. Salting
+    * replicates the per-type stats SALT times and keys the join on
+    * (event_type, user_id % SALT), spreading each hot key over SALT
+    * partitions. Broadcast is always the FIRST choice for a dim this small
+    * (q3_dim_join); this query forces the shuffle path (SHUFFLE_HASH hint)
+    * to keep the salted shape demonstrable and plan-guarded — the pattern
+    * that matters when the build side exceeds broadcast and keys are hot.
+    * (AQE skew-split covers sort-merge joins; salting is the hash-join and
+    * pre-AQE analog.)
+    */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val SALT = 16
+    val e = tbl(s, d, "events")
+      .select(col("event_type"), col("user_id"),
+        col("value").cast("decimal(18,6)").as("v"))
+    val stats = e.groupBy("event_type")
+      .agg(sum("v").as("type_sum"), count(lit(1)).as("type_n"))
+    val salted = stats.withColumn("salt",
+      explode(sequence(lit(0), lit(SALT - 1))))
+    e.withColumn("salt", pmod(col("user_id"), lit(SALT)).cast("int"))
+      .hint("SHUFFLE_HASH")
+      .join(salted, Seq("event_type", "salt"))
+      // above-type-average test in exact arithmetic: v * n > sum
+      .filter(col("v") * col("type_n") > col("type_sum"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_above"),
+        countDistinct("user_id").as("u_above"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("js_salted", saltedJoin, Some("""
+      WITH e AS (
+        SELECT event_type, user_id, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events),
+      stats AS (
+        SELECT event_type, sum(v) AS type_sum, count(*) AS type_n
+        FROM e GROUP BY event_type)
+      SELECT e.event_type, count(*) AS n_above,
+             count(DISTINCT e.user_id) AS u_above
+      FROM e JOIN stats ON e.event_type = stats.event_type
+      WHERE e.v * stats.type_n > stats.type_sum
+      GROUP BY e.event_type""")),
     Q("rj_windows", rangeWindows, Some("""
       WITH e AS (
         SELECT user_id, epoch_ns(ts) AS t, event_type, value FROM events),

@@ -83,4 +83,10 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"),
       s"range join degenerated to a nested loop:\n$p")
   }
+
+  test("js_salted shuffles on the salted key, spreading the 5 hot types") {
+    val p = plan("js_salted")
+    assert(p.contains("ShuffledHashJoin"), s"expected the forced hash join:\n$p")
+    assert(p.contains("salt"), s"join key is not salted:\n$p")
+  }
 }
