@@ -31,11 +31,12 @@ object Bench {
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                  failed += name; false }
-               // drop query-local persist()ed intermediates: the loop must
-               // not accumulate cached blocks across 58 queries
-               finally spark.catalog.clearCache()
       // failures report -1 so a broken query can never pass as a fast one
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // cache teardown happens OUTSIDE the timed region: dropping a query's
+      // persist()ed intermediates must not bill the next round's comparison
+      spark.catalog.clearCache()
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

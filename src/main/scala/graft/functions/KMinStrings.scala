@@ -89,7 +89,13 @@ case class KMinStrings(
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     val it = buf.iterator()
-    while (it.hasNext) out.writeUTF(it.next())
+    // length-prefixed raw UTF-8 (writeUTF caps at 64 KiB and this function
+    // is registered for arbitrary SQL strings)
+    while (it.hasNext) {
+      val b = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -99,7 +105,12 @@ case class KMinStrings(
     val buf = createAggregationBuffer()
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.add(in.readUTF()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.add(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
     buf
   }
 

@@ -44,6 +44,15 @@ case class AsOfJoinPlan(
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key per side")
+  // the exec builds its comparators from the LEFT types and applies them to
+  // both sides' projections; a hand-built plan bypasses analyzer casts, so
+  // mismatched types would compare raw bytes — fail fast instead
+  (leftKeys zip rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of key type mismatch: ${l.dataType} vs ${r.dataType}")
+  }
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time type mismatch: ${leftTime.dataType} vs ${rightTime.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

@@ -20,7 +20,10 @@ import Q.tbl
 object AsOfRel {
 
   def asofStates(s: SparkSession, d: String): DataFrame = {
+    // SQL-equality parity: the operator's key matching is null-safe, the
+    // oracle's `e.user_id = s.user_id` is not — drop null keys up front
     val e = tbl(s, d, "events")
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), expr("ts div 1000 * 1000").as("t"),
         col("event_type"), col("value"))
     val states = e.filter(col("event_type") === "purchase")
@@ -34,7 +37,8 @@ object AsOfRel {
   def all: Seq[Q] = Seq(
     Q("aj_asof", asofStates, Some("""
       WITH e AS (
-        SELECT user_id, epoch_ns(ts) AS t, event_type, value FROM events),
+        SELECT user_id, epoch_ns(ts) AS t, event_type, value FROM events
+        WHERE user_id IS NOT NULL),
       s AS (
         SELECT user_id, t AS s_t, max(value) AS s_value
         FROM e WHERE event_type = 'purchase' GROUP BY user_id, t)

@@ -38,14 +38,13 @@ object PipelineOps {
       }
   }
 
-  /** Tile-engine remove+merge, exploded back to labeled pixels in the
-    * original per-tile frame (trim offset re-added).
+  /** Merged tiles -> labeled pixels in the original per-tile frame (trim
+    * offset re-added). Shared by every pipeline variant so the trim rule
+    * cannot diverge between ingest paths.
     */
-  def pipeline(s: SparkSession, d: String): DataFrame = {
+  private def explodeMerged(merged: org.apache.spark.sql.Dataset[Tile]): DataFrame = {
+    val s = merged.sparkSession
     import s.implicits._
-    val tiles = tilesFromPixels(s, d)
-    val removed = Relabel.removeOverlappedLabels(tiles, Array(OV, OV), THRESHOLD)
-    val merged = Relabel.mergeOverlappedTiles(removed, Array(OV, OV))
     merged.flatMap { t =>
       val y0 = if (t.loc(0) > 0) OV else 0
       val x0 = if (t.loc(1) > 0) OV else 0
@@ -60,6 +59,13 @@ object PipelineOps {
     }.toDF("gy", "gx", "py", "px", "gid")
   }
 
+  /** Tile-engine remove+merge, exploded back to labeled pixels. */
+  def pipeline(s: SparkSession, d: String): DataFrame = {
+    val tiles = tilesFromPixels(s, d)
+    val removed = Relabel.removeOverlappedLabels(tiles, Array(OV, OV), THRESHOLD)
+    explodeMerged(Relabel.mergeOverlappedTiles(removed, Array(OV, OV)))
+  }
+
   /** px_pipeline with a zarr store in the middle: the synthetic image is
     * written to a zarr v2 store (executor-side chunk files, zlib), read
     * back through [[graft.sources.ZarrIO]], and only then run through
@@ -67,27 +73,28 @@ object PipelineOps {
     * proves the source end-to-end — layout, dtype codec, edge-chunk
     * padding — not just roundtrip self-consistency.
     */
+  /** One store per JVM, overwritten each invocation (same grid at every SF)
+    * and removed on exit — repeated Verify/Bench runs must not accumulate
+    * image copies in /tmp.
+    */
+  private lazy val zarrDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_zarr")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   def zarrPipeline(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
-    val dir = java.nio.file.Files.createTempDirectory("graft_zarr").toString
     // labels fit <u2 (max 16): exercise the narrow-dtype path, not just i8
-    graft.sources.ZarrIO.write(tilesFromPixels(s, d), spec, dir, "<u2", "zlib")
-    val tiles = graft.sources.ZarrIO.read(s, dir)
+    graft.sources.ZarrIO.write(tilesFromPixels(s, d), spec, zarrDir, "<u2", "zlib")
+    val tiles = graft.sources.ZarrIO.read(s, zarrDir)
     val removed = Relabel.removeOverlappedLabels(tiles, Array(OV, OV), THRESHOLD)
-    val merged = Relabel.mergeOverlappedTiles(removed, Array(OV, OV))
-    merged.flatMap { t =>
-      val y0 = if (t.loc(0) > 0) OV else 0
-      val x0 = if (t.loc(1) > 0) OV else 0
-      val w = t.shape(1)
-      for {
-        y <- 0 until t.shape(0)
-        x <- 0 until w
-        v = t.data(y * w + x)
-        if v != 0L
-      } yield (t.loc(0).toLong, t.loc(1).toLong,
-        (y + y0).toLong, (x + x0).toLong, v)
-    }.toDF("gy", "gx", "py", "px", "gid")
+    explodeMerged(Relabel.mergeOverlappedTiles(removed, Array(OV, OV)))
   }
 
   /** Tile-engine remove only, exploded (oracle: relational remove join). */

@@ -45,8 +45,8 @@ object SketchRel {
         when(size(col("kmin")) < K, lit(null))
           .otherwise(element_at(col("kmin"), K)).as("kth_hash"),
         when(size(col("kmin")) < K, size(col("kmin")).cast("double"))
-          .otherwise(lit(7.0) * lit(SCALE).cast("double") /
-            expr("CAST(conv(substr(element_at(kmin, 8), 1, 15), 16, 10) AS BIGINT)")
+          .otherwise(lit((K - 1).toDouble) * lit(SCALE).cast("double") /
+            expr(s"CAST(conv(substr(element_at(kmin, $K), 1, 15), 16, 10) AS BIGINT)")
               .cast("double"))
           .as("est_users"))
   }
@@ -92,7 +92,11 @@ object SketchRel {
       .agg(sum("v").as("type_sum"), count(lit(1)).as("type_n"))
     val salted = stats.withColumn("salt",
       explode(sequence(lit(0), lit(SALT - 1))))
-    e.withColumn("salt", pmod(col("user_id"), lit(SALT)).cast("int"))
+    // coalesce keeps null-user rows joinable (the oracle joins on
+    // event_type alone and retains them); salt quality is irrelevant for
+    // the handful of null keys
+    e.withColumn("salt",
+      pmod(coalesce(col("user_id"), lit(0L)), lit(SALT)).cast("int"))
       .hint("SHUFFLE_HASH")
       .join(salted, Seq("event_type", "salt"))
       // above-type-average test in exact arithmetic: v * n > sum
@@ -140,7 +144,7 @@ object SketchRel {
              CAST(LEAST(nd, $K) AS BIGINT) AS n_kept,
              kth_hash,
              CASE WHEN kth_hash IS NULL THEN CAST(nd AS DOUBLE)
-                  ELSE CAST(7 AS DOUBLE) * CAST($SCALE AS DOUBLE) /
+                  ELSE CAST(${K - 1} AS DOUBLE) * CAST($SCALE AS DOUBLE) /
                        CAST(${duckNibbleSum("kth_hash")} AS DOUBLE)
              END AS est_users
       FROM x""")))

@@ -119,21 +119,24 @@ object ZarrIO {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Long](tileShape.product)
     val chunkStrides = graft.core.Nd.strides(meta.chunks)
-    val tileStrides = graft.core.Nd.strides(tileShape)
     val idx = new Array[Int](meta.dims)
+    val dims = meta.dims
+    // hoist the dtype dispatch out of the pixel loop: one reader function
+    // per chunk, not a string match per element
+    val reader: Int => Long = meta.dtype match {
+      case "|u1" => src => bb.get(src) & 0xffL
+      case "<u2" => src => bb.getShort(src * 2) & 0xffffL
+      case "<i4" => src => bb.getInt(src * 4).toLong
+      case "<i8" => src => bb.getLong(src * 8)
+    }
     var flat = 0
     while (flat < out.length) {
       var src = 0
       var a = 0
-      while (a < meta.dims) { src += idx(a) * chunkStrides(a); a += 1 }
-      out(flat) = meta.dtype match {
-        case "|u1" => bb.get(src) & 0xffL
-        case "<u2" => bb.getShort(src * 2) & 0xffffL
-        case "<i4" => bb.getInt(src * 4).toLong
-        case "<i8" => bb.getLong(src * 8)
-      }
+      while (a < dims) { src += idx(a) * chunkStrides(a); a += 1 }
+      out(flat) = reader(src)
       flat += 1
-      var b = meta.dims - 1
+      var b = dims - 1
       while (b >= 0 && { idx(b) += 1; idx(b) == tileShape(b) }) { idx(b) = 0; b -= 1 }
     }
     out
@@ -143,23 +146,40 @@ object ZarrIO {
   private[sources] def encodeChunk(data: Array[Long], meta: Meta,
       tileShape: Array[Int]): Array[Byte] = {
     val w = WIDTHS(meta.dtype)
-    val bytes = new Array[Byte](meta.chunks.product * w)
-    if (meta.fillValue != 0L) {
-      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      var i = 0
-      while (i < meta.chunks.product) { putVal(bb, i, meta.dtype, meta.fillValue); i += 1 }
-    }
+    val chunkElems = meta.chunks.product
+    val bytes = new Array[Byte](chunkElems * w)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // hoisted writer: range check + dispatch resolved once per chunk
+    val writer: (Int, Long) => Unit = meta.dtype match {
+      case "|u1" => (i, v) => {
+        require(v >= 0 && v <= 0xffL, s"value $v out of |u1 range")
+        bb.put(i, v.toByte)
+      }
+      case "<u2" => (i, v) => {
+        require(v >= 0 && v <= 0xffffL, s"value $v out of <u2 range")
+        bb.putShort(i * 2, v.toShort)
+      }
+      case "<i4" => (i, v) => {
+        require(v >= Int.MinValue && v <= Int.MaxValue, s"value $v out of <i4 range")
+        bb.putInt(i * 4, v.toInt)
+      }
+      case "<i8" => (i, v) => bb.putLong(i * 8, v)
+    }
+    if (meta.fillValue != 0L) {
+      var i = 0
+      while (i < chunkElems) { writer(i, meta.fillValue); i += 1 }
+    }
     val chunkStrides = graft.core.Nd.strides(meta.chunks)
     val idx = new Array[Int](meta.dims)
+    val dims = meta.dims
     var flat = 0
     while (flat < data.length) {
       var dst = 0
       var a = 0
-      while (a < meta.dims) { dst += idx(a) * chunkStrides(a); a += 1 }
-      putVal(bb, dst, meta.dtype, data(flat))
+      while (a < dims) { dst += idx(a) * chunkStrides(a); a += 1 }
+      writer(dst, data(flat))
       flat += 1
-      var b = meta.dims - 1
+      var b = dims - 1
       while (b >= 0 && { idx(b) += 1; idx(b) == tileShape(b) }) { idx(b) = 0; b -= 1 }
     }
     meta.compressor match {
@@ -174,19 +194,6 @@ object ZarrIO {
         gos.write(bytes); gos.close(); bos.toByteArray
     }
   }
-
-  private def putVal(bb: ByteBuffer, i: Int, dtype: String, v: Long): Unit =
-    dtype match {
-      case "|u1" =>
-        require(v >= 0 && v <= 0xffL, s"value $v out of |u1 range"); bb.put(i, v.toByte)
-      case "<u2" =>
-        require(v >= 0 && v <= 0xffffL, s"value $v out of <u2 range")
-        bb.putShort(i * 2, v.toShort)
-      case "<i4" =>
-        require(v >= Int.MinValue && v <= Int.MaxValue, s"value $v out of <i4 range")
-        bb.putInt(i * 4, v.toInt)
-      case "<i8" => bb.putLong(i * 8, v)
-    }
 
   private def drain(in: java.io.InputStream): Array[Byte] =
     try {

@@ -55,6 +55,9 @@ object OpsScale {
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async: give queued task-end events time to
+      // drain so shuffle bytes are attributed to the probe that caused them
+      Thread.sleep(500)
       println(f"""{"probe":"$name","sec":$sec%.1f,"rows":$rows,""" +
         f""""shuffleMB":${shuffleBytes.get / 1e6}%.0f,""" +
         f""""rowsPerSec":${(nEvents / sec).toLong}}""")
