@@ -47,7 +47,7 @@ object Halo {
       }
       .filter(_.exists(_ != 0))
 
-  private def inGrid(loc: Array[Int], d: Array[Int], grid: Array[Int]): Boolean = {
+  private[graft] def inGrid(loc: Array[Int], d: Array[Int], grid: Array[Int]): Boolean = {
     var a = 0
     while (a < loc.length) {
       val c = loc(a) + d(a)
@@ -76,10 +76,10 @@ object Halo {
     Nd.Box(start, end)
   }
 
-  private def ownShard(t: Tile): Shard =
+  private[graft] def ownShard(t: Tile): Shard =
     Shard(t.linearIndex, t.loc, t.grid, new Array[Int](t.dims), t.shape, t.data, t.classes)
 
-  private def shardOf(tile: Tile, d: Array[Int], overlaps: Array[Int]): Shard = {
+  private[graft] def shardOf(tile: Tile, d: Array[Int], overlaps: Array[Int]): Shard = {
     val dest = Array.tabulate(tile.dims)(a => tile.loc(a) + d(a))
     val box = marginBox(tile, d, overlaps)
     Shard(Regions.linearIndex(dest, tile.grid), dest, tile.grid, d.map(-_), box.shape,
@@ -114,7 +114,7 @@ object Halo {
       }
   }
 
-  private def assembleExpanded(all: Array[Shard], overlaps: Array[Int]): Tile = {
+  private[graft] def assembleExpanded(all: Array[Shard], overlaps: Array[Int]): Tile = {
     val core = all.find(_.rd.forall(_ == 0)).get
     val loc = core.destLoc
     val grid = core.grid

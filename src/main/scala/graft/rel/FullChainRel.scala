@@ -136,5 +136,55 @@ object FullChainRel {
     SELECT gy, gx, ey - ${low("gy")} AS py, ex - ${low("gx")} AS px, gid
     FROM merged"""
 
-  def all: Seq[Q] = Seq(Q("px_image2labels", imagePixels, Some(SQL)))
+  /** The same full chain with a STREAMING front half: core tiles are
+    * written to a per-JVM parquet staging dir, read back as a stream, and
+    * pushed through the stateful halo assembly + segment + remove
+    * ([[graft.streaming.StreamingTiles]]); the merge exchange then runs in
+    * batch over the sink. Hash-matching the SAME oracle as px_image2labels
+    * proves the incremental ingestion path end-to-end, not just against
+    * the batch engine.
+    */
+  def imagePixelsStreamed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.sources.TileIO.write(HaloRel.coreTiles(s, d), stageDir)
+    val schema = s.read.parquet(stageDir).schema
+    val stream = s.readStream.schema(schema).parquet(stageDir)
+      .select("loc", "grid", "shape", "data", "classes").as[graft.tiles.Tile]
+    val qn = "st_px_sink_" + sinkCounter.incrementAndGet()
+    val query = graft.streaming.StreamingTiles
+      .expandSegmentRemoveStream(stream, Array(OV, OV),
+        HaloRel.BlockSegmentation(), THRESHOLD)
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val removed = s.table(qn)
+      .select("loc", "grid", "shape", "data", "classes").as[graft.tiles.Tile]
+    val merged = Relabel.mergeOverlappedTiles(removed, Array(OV, OV))
+    merged.flatMap { t =>
+      val w = t.shape(1)
+      for {
+        y <- 0 until t.shape(0); x <- 0 until w
+        v = t.data(y * w + x)
+        if v != 0L
+      } yield (t.loc(0).toLong, t.loc(1).toLong, y.toLong, x.toLong, v)
+    }.toDF("gy", "gx", "py", "px", "gid")
+  }
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Staging dir for the streaming ingest, one per JVM, removed on exit. */
+  private lazy val stageDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_stage")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("px_image2labels", imagePixels, Some(SQL)),
+    Q("st_px_image2labels", imagePixelsStreamed, Some(SQL)))
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ops.{CCLSegmentation, Halo, Relabel}
+import graft.streaming.StreamingTiles
+import graft.tiles.Tile
+
+/** The streaming halo assembly must be a bit-exact re-expression of the
+  * batch engine: same shards, same assembly, same kernels — only the
+  * exchange mechanism differs (stateful buffering vs shuffle). Tiles are
+  * delivered across several microbatches in shuffled order to prove
+  * incremental, order-independent completion.
+  */
+class StreamingTilesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+
+  private val ov = Array(2, 2)
+  private val grid = Array(3, 4)
+  private val cs = 8
+
+  private def coreTiles(seed: Int): Seq[Tile] = {
+    val rnd = new scala.util.Random(seed)
+    for (gy <- 0 until grid(0); gx <- 0 until grid(1)) yield {
+      val data = Array.fill(cs * cs.toInt)(
+        if (rnd.nextInt(10) < 4) 1L else 0L)
+      Tile(Array(gy, gx), grid.clone(), Array(cs, cs), data)
+    }
+  }
+
+  test("shuffled multi-batch stream == batch expand+segment+remove") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tiles = coreTiles(17)
+
+    val batch = Relabel.removeOverlappedLabels(
+      Relabel.segmentOverlappedInput(
+        Halo.expand(spark.createDataset(tiles), ov), CCLSegmentation()),
+      ov, 0.25).collect().toSeq
+
+    val mem = MemoryStream[Tile]
+    val qn = "st_tiles_sink"
+    val query = StreamingTiles
+      .expandSegmentRemoveStream(mem.toDS(), ov, CCLSegmentation(), 0.25)
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      val shuffled = new scala.util.Random(99).shuffle(tiles)
+      val batches = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+      var emitted = Vector.empty[Long]
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        query.processAllAvailable()
+        emitted :+= spark.table(qn).count()
+      }
+      // incremental: some neighborhoods complete before the last batch,
+      // none after all batches are in
+      assert(emitted.last == tiles.size.toLong)
+      assert(emitted.head < tiles.size.toLong)
+      assert(emitted == emitted.sorted)
+
+      val got = spark.table(qn)
+        .select("loc", "grid", "shape", "data", "classes").as[Tile]
+        .collect().toSeq
+      Goldens.assertSameTiles(got, batch)
+    } finally query.stop()
+  }
+
+  test("duplicate deliveries (at-least-once source) do not corrupt assembly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tiles = coreTiles(23)
+    val batch = Relabel.removeOverlappedLabels(
+      Relabel.segmentOverlappedInput(
+        Halo.expand(spark.createDataset(tiles), ov), CCLSegmentation()),
+      ov, 0.25).collect().toSeq
+
+    val mem = MemoryStream[Tile]
+    val qn = "st_tiles_dup_sink"
+    val query = StreamingTiles
+      .expandSegmentRemoveStream(mem.toDS(), ov, CCLSegmentation(), 0.25)
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      // first half, then the FULL set again (first half duplicated)
+      val (a, b) = tiles.splitAt(tiles.size / 2)
+      mem.addData(a: _*); query.processAllAvailable()
+      mem.addData(tiles: _*); query.processAllAvailable()
+      val got = spark.table(qn)
+        .select("loc", "grid", "shape", "data", "classes").as[Tile]
+        .collect().toSeq
+      assert(got.size == tiles.size, "duplicates must not double-emit")
+      Goldens.assertSameTiles(got, batch)
+    } finally query.stop()
+  }
+}
