@@ -21,9 +21,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-footer warmup so the first timed query measures the
-    // query, not session bring-up
+    // query, not session bring-up: exercise the operator shapes the suite
+    // leans on (hash agg, shuffle join, window, explode) once, untimed
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    val w = spark.range(100000L)
+      .selectExpr("id % 97 AS k", "id AS v", "array(id, id + 1) AS arr")
+    w.join(w.groupBy("k").count(), "k")
+      .selectExpr("k", "v", "count",
+        "sum(v) OVER (PARTITION BY k ORDER BY v) AS r", "explode(arr)")
+      .filter("r >= 0").selectExpr("md5(CAST(v AS STRING))").count()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
