@@ -168,32 +168,37 @@ object Halo {
         }
       }
       .groupByKey(_.destLin)
-      .mapGroups { (lin, it) =>
-        val all = it.toArray
-        val core = all.find(_.rd.forall(_ == 0)).getOrElse(
-          throw new IllegalArgumentException(
-            s"merge: no tile present at linear chunk index $lin — dense grid required"))
-        val own = Tile(core.destLoc, core.grid, core.shape, core.data, core.classes)
-        // region levels (receiver perspective): sender above (rd=+1) feeds a
-        // level-1 region, sender below (rd=-1) a level-0 region.
-        val byRegion = all.filter(_.rd.exists(_ != 0)).map { s =>
-          (s.rd.map { case 1 => 1; case -1 => 0; case _ => Regions.NotVarying }.toSeq, s)
-        }.toMap
-        val merged = Kernels.mergePaint(own, overlaps, levels => {
-          val s = byRegion.getOrElse(levels.toSeq,
-            throw new IllegalArgumentException(
-              s"merge: missing neighbor shard for region ${levels.mkString(",")} " +
-                s"of tile ${own.loc.mkString(",")} — dense grid required"))
-          (s.data, s.classes)
-        })
-        Kernels.trimOverlap(merged, overlaps)
-      }
+      .mapGroups((lin, it) => assembleMerged(lin, it.toArray, overlaps))
+  }
+
+  /** Paint-and-trim one receiver's merge group (shared with the streaming
+    * re-expression in [[graft.streaming.StreamingTiles]]).
+    */
+  private[graft] def assembleMerged(lin: Long, all: Array[Shard],
+      overlaps: Array[Int]): Tile = {
+    val core = all.find(_.rd.forall(_ == 0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"merge: no tile present at linear chunk index $lin — dense grid required"))
+    val own = Tile(core.destLoc, core.grid, core.shape, core.data, core.classes)
+    // region levels (receiver perspective): sender above (rd=+1) feeds a
+    // level-1 region, sender below (rd=-1) a level-0 region.
+    val byRegion = all.filter(_.rd.exists(_ != 0)).map { s =>
+      (s.rd.map { case 1 => 1; case -1 => 0; case _ => Regions.NotVarying }.toSeq, s)
+    }.toMap
+    val merged = Kernels.mergePaint(own, overlaps, levels => {
+      val s = byRegion.getOrElse(levels.toSeq,
+        throw new IllegalArgumentException(
+          s"merge: missing neighbor shard for region ${levels.mkString(",")} " +
+            s"of tile ${own.loc.mkString(",")} — dense grid required"))
+      (s.data, s.classes)
+    })
+    Kernels.trimOverlap(merged, overlaps)
   }
 
   /** The receiver at `loc + d` uses the shard iff the corresponding region is
     * in its merging set: some varying axis has an odd receiver coordinate.
     */
-  private def receiverWillMerge(loc: Array[Int], d: Array[Int]): Boolean = {
+  private[graft] def receiverWillMerge(loc: Array[Int], d: Array[Int]): Boolean = {
     var a = 0
     while (a < d.length) {
       if (d(a) != 0 && (loc(a) + d(a)) % 2 != 0) return true

@@ -136,13 +136,13 @@ object FullChainRel {
     SELECT gy, gx, ey - ${low("gy")} AS py, ex - ${low("gx")} AS px, gid
     FROM merged"""
 
-  /** The same full chain with a STREAMING front half: core tiles are
-    * written to a per-JVM parquet staging dir, read back as a stream, and
-    * pushed through the stateful halo assembly + segment + remove
-    * ([[graft.streaming.StreamingTiles]]); the merge exchange then runs in
-    * batch over the sink. Hash-matching the SAME oracle as px_image2labels
-    * proves the incremental ingestion path end-to-end, not just against
-    * the batch engine.
+  /** The same full chain as ONE STREAMING QUERY: core tiles are written to
+    * a per-JVM parquet staging dir, read back as a stream, and pushed
+    * through BOTH stateful halo exchanges chained in append mode — expand +
+    * segment + remove, then the parity-pruned merge
+    * ([[graft.streaming.StreamingTiles]]). Hash-matching the SAME oracle as
+    * px_image2labels proves the incremental ingestion path end-to-end, not
+    * just against the batch engine.
     */
   def imagePixelsStreamed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -151,23 +151,24 @@ object FullChainRel {
     val stream = s.readStream.schema(schema).parquet(stageDir)
       .select("loc", "grid", "shape", "data", "classes").as[graft.tiles.Tile]
     val qn = "st_px_sink_" + sinkCounter.incrementAndGet()
-    val query = graft.streaming.StreamingTiles
-      .expandSegmentRemoveStream(stream, Array(OV, OV),
-        HaloRel.BlockSegmentation(), THRESHOLD)
-      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    val merged = graft.streaming.StreamingTiles.mergeStream(
+      graft.streaming.StreamingTiles.expandSegmentRemoveStream(
+        stream, Array(OV, OV), HaloRel.BlockSegmentation(), THRESHOLD),
+      Array(OV, OV))
+    val query = merged.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
     try query.processAllAvailable()
     finally query.stop()
-    val removed = s.table(qn)
+    s.table(qn)
       .select("loc", "grid", "shape", "data", "classes").as[graft.tiles.Tile]
-    val merged = Relabel.mergeOverlappedTiles(removed, Array(OV, OV))
-    merged.flatMap { t =>
-      val w = t.shape(1)
-      for {
-        y <- 0 until t.shape(0); x <- 0 until w
-        v = t.data(y * w + x)
-        if v != 0L
-      } yield (t.loc(0).toLong, t.loc(1).toLong, y.toLong, x.toLong, v)
-    }.toDF("gy", "gx", "py", "px", "gid")
+      .flatMap { t =>
+        val w = t.shape(1)
+        for {
+          y <- 0 until t.shape(0); x <- 0 until w
+          v = t.data(y * w + x)
+          if v != 0L
+        } yield (t.loc(0).toLong, t.loc(1).toLong, y.toLong, x.toLong, v)
+      }.toDF("gy", "gx", "py", "px", "gid")
   }
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)

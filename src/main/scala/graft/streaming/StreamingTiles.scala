@@ -36,6 +36,54 @@ object StreamingTiles {
     */
   private type ShardState = (Boolean, List[Halo.Shard])
 
+  /** The merge exchange as a second stateful stage, chained after
+    * [[expandSegmentRemoveStream]]: removed tiles flatMap into the SAME
+    * parity-pruned merge shards as [[graft.ops.Halo.mergeAndTrim]], each
+    * receiver buffers until its (static) expected contribution count is
+    * reached, then paints + trims + emits. With both stages in one append-
+    * mode query the WHOLE image2labels chain runs incrementally.
+    */
+  def mergeStream(removed: Dataset[Tile], overlaps: Array[Int]): Dataset[Tile] = {
+    val spark = removed.sparkSession
+    import spark.implicits._
+    val dims = overlaps.length
+    val dirs = Halo.directions(dims)
+    val ov = overlaps.clone()
+
+    removed
+      .flatMap { t =>
+        Halo.ownShard(t) +: dirs.collect {
+          case d if Halo.inGrid(t.loc, d, t.grid) &&
+            Halo.receiverWillMerge(t.loc, d) => Halo.shardOf(t, d, ov)
+        }
+      }
+      .groupByKey(_.destLin)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (lin: Long, it: Iterator[Halo.Shard], state: GroupState[ShardState]) => {
+          val (done, have) = state.getOption.getOrElse((false, Nil))
+          if (done) Iterator.empty
+          else {
+            val merged = (have ++ it).groupBy(_.rd.toSeq).map(_._2.head).toList
+            val loc = merged.head.destLoc
+            val grid = merged.head.grid
+            // contributions this receiver will get: itself plus every
+            // in-grid sender whose parity rule ships toward it
+            val expected = 1 + dirs.count { d =>
+              val sender = Array.tabulate(dims)(a => loc(a) + d(a))
+              Halo.inGrid(loc, d, grid) &&
+                Halo.receiverWillMerge(sender, d.map(-_))
+            }
+            if (merged.size >= expected) {
+              state.update((true, Nil))
+              Iterator.single(Halo.assembleMerged(lin, merged.toArray, ov))
+            } else {
+              state.update((false, merged))
+              Iterator.empty
+            }
+          }
+        })
+  }
+
   def expandSegmentRemoveStream(
       tiles: Dataset[Tile],
       overlaps: Array[Int],

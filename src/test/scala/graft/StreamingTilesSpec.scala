@@ -68,6 +68,38 @@ class StreamingTilesSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("chained stateful stages: full image2labels as ONE streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tiles = coreTiles(31)
+
+    val batch = {
+      val removed = Relabel.removeOverlappedLabels(
+        Relabel.segmentOverlappedInput(
+          Halo.expand(spark.createDataset(tiles), ov), CCLSegmentation()),
+        ov, 0.25)
+      Halo.mergeAndTrim(removed, ov).collect().toSeq
+    }
+
+    val mem = MemoryStream[Tile]
+    val qn = "st_tiles_chain_sink"
+    val chained = StreamingTiles.mergeStream(
+      StreamingTiles.expandSegmentRemoveStream(
+        mem.toDS(), ov, CCLSegmentation(), 0.25), ov)
+    val query = chained.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    try {
+      val shuffled = new scala.util.Random(7).shuffle(tiles)
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        mem.addData(b: _*); query.processAllAvailable()
+      }
+      val got = spark.table(qn)
+        .select("loc", "grid", "shape", "data", "classes").as[Tile]
+        .collect().toSeq
+      Goldens.assertSameTiles(got, batch)
+    } finally query.stop()
+  }
+
   test("duplicate deliveries (at-least-once source) do not corrupt assembly") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
