@@ -117,6 +117,71 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Spark 4's arbitrary-state API (`transformWithState` — the successor to
+    * [m/flat]MapGroupsWithState): per-user distinct event types via a
+    * `MapState` (a state-store-backed set, scalable past what a single
+    * in-memory value could hold) plus a `ValueState` event counter.
+    * Requires the RocksDB state store provider; the previous provider conf
+    * is restored afterwards so the older-API queries keep their default.
+    */
+  private class DistinctTypesProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, Long, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.TTLConfig
+    @transient private var types: org.apache.spark.sql.streaming.MapState[String, java.lang.Boolean] = _
+    @transient private var nEvents: org.apache.spark.sql.streaming.ValueState[java.lang.Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      types = getHandle.getMapState[String, java.lang.Boolean](
+        "types", Encoders.STRING, Encoders.BOOLEAN, TTLConfig.NONE)
+      nEvents = getHandle.getValueState[java.lang.Long](
+        "n", Encoders.LONG, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var n: Long = if (nEvents.exists()) nEvents.get() else 0L
+      rows.foreach { case (_, et) =>
+        types.updateValue(et, java.lang.Boolean.TRUE); n += 1
+      }
+      nEvents.update(n)
+      var k = 0L
+      val it = types.keys()
+      while (it.hasNext) { it.next(); k += 1 }
+      Iterator.single((key, k, n))
+    }
+  }
+
+  def twsDistinctTypes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_tws_sink_" + sinkCounter.incrementAndGet()
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .selectExpr("user_id", "event_type").as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new DistinctTypesProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF("user_id", "n_types", "n_events")
+      val query = stream.writeStream.outputMode("update")
+        .format("memory").queryName(qn).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    } finally prevProvider match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    s.table(qn)
+  }
+
   /** Streaming deduplication: dropDuplicates over the event stream (the
     * streaming face of the dedup family) — first-seen (user, type) pairs
     * aggregated per type, matching a batch DISTINCT oracle.
@@ -142,6 +207,10 @@ object StreamingOps {
     graft.rel.Q("st_running_state", runningState, Some("""
       SELECT user_id,
              CAST(max(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS max_micros,
+             count(*) AS n_events
+      FROM events GROUP BY user_id""")),
+    graft.rel.Q("st_tws_distinct", twsDistinctTypes, Some("""
+      SELECT user_id, count(DISTINCT event_type) AS n_types,
              count(*) AS n_events
       FROM events GROUP BY user_id""")),
     graft.rel.Q("st_sessionize", sessionize, Some(SESSIONIZE_SQL)),
