@@ -61,8 +61,63 @@ case class LongDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Double-precision dot product of two `ArrayType(FloatType)` columns — the
+  * raw-embedding sibling of [[LongDotProduct]]. Each float is widened to
+  * double and accumulated in order, the exact op sequence DuckDB's
+  * `list_dot_product(CAST(v AS DOUBLE[]), ...)` performs, so results are
+  * bit-identical across engines (the oracle-parity requirement).
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.FloatType, _),
+            ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<float> x array<float>, got $l x $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($xs.numElements(), $ys.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $xs.getFloat($i) * (double) $ys.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column wrapper: `long_dot(a, b)`. */
   def long_dot(a: Column, b: Column): Column =
     Bridge.column(LongDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: `float_dot(a, b)` (double result). */
+  def float_dot(a: Column, b: Column): Column =
+    Bridge.column(FloatDotProduct(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -2,7 +2,7 @@ package graft.rel
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.long_dot
+import graft.functions.VectorFunctions.{float_dot, long_dot}
 import Q.tbl
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -175,7 +175,39 @@ object VectorOps {
       SELECT id_a, id_b, dot FROM pairs
       WHERE dot >= 0 AND 400 * dot * dot >= 361 * na * nb"""
 
+  /** Raw-float cosine via the native [[graft.functions.FloatDotProduct]]
+    * expression (no quantization): each float widens to double and
+    * accumulates in order — the exact op sequence of DuckDB's
+    * `list_dot_product` over `CAST(... AS DOUBLE[])`, verified bit-equal.
+    * Two small strata cross-joined (broadcast) keep the pair set bounded.
+    */
+  private def vecCosFloat(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "embeddings")
+    val a = e.filter(col("vec_id") % 97 === 3)
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.filter(col("vec_id") % 89 === 7)
+      .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        float_dot(col("ea"), col("eb")).as("dot"),
+        (float_dot(col("ea"), col("eb")) /
+          sqrt(float_dot(col("ea"), col("ea")) *
+            float_dot(col("eb"), col("eb")))).as("cos"))
+  }
+
   def all: Seq[Q] = Seq(
+
+    Q("vec_cos_float", vecCosFloat, Some("""
+      WITH a AS (SELECT vec_id AS id_a, embedding AS ea
+                 FROM embeddings WHERE vec_id % 97 = 3),
+      b AS (SELECT vec_id AS id_b, embedding AS eb
+            FROM embeddings WHERE vec_id % 89 = 7)
+      SELECT id_a, id_b,
+             list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])) AS dot,
+             list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])) /
+             sqrt(list_dot_product(CAST(ea AS DOUBLE[]), CAST(ea AS DOUBLE[])) *
+                  list_dot_product(CAST(eb AS DOUBLE[]), CAST(eb AS DOUBLE[]))) AS cos
+      FROM a, b WHERE id_a < id_b""")),
 
     Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
 

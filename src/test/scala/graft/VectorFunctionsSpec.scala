@@ -40,4 +40,24 @@ class VectorFunctionsSpec extends AnyFunSuite {
       spark.sql("SELECT long_dot(array(1L))").collect()
     }
   }
+
+  test("float_dot widens per element and accumulates in order (codegen + eval)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.float_dot
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(50)((Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(float_dot(col("a"), col("b")).as("d")).collect()
+    rows.zip(got).foreach { case ((a, b), r) =>
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(acc)) // bit-exact, not approx
+    }
+    intercept[Exception] {
+      df.select(float_dot(col("a"), lit(1.0))).collect()
+    }
+  }
 }
