@@ -106,7 +106,28 @@ object SketchRel {
         countDistinct("user_id").as("u_above"))
   }
 
+  /** Typed-Aggregator gate: per-type weighted mean of quantized values,
+    * weight = user_id % 10 + 1, all arithmetic exact int64 until the one
+    * final double division (replayed identically by the oracle).
+    */
+  def weightedMean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tbl(s, d, "events")
+      .selectExpr("event_type", "CAST(round(value * 1000000) AS BIGINT) AS qv",
+        "user_id % 10 + 1 AS w")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.WeightedMean.toColumn.name("wmean"))
+      .toDF("event_type", "wmean")
+  }
+
   def all: Seq[Q] = Seq(
+    Q("ag_weighted_mean", weightedMean, Some("""
+      SELECT event_type,
+             CAST(CAST(sum(CAST(round(value * 1000000) AS BIGINT) * (user_id % 10 + 1)) AS BIGINT) AS DOUBLE) /
+             CAST(CAST(sum(user_id % 10 + 1) AS BIGINT) AS DOUBLE) AS wmean
+      FROM events GROUP BY event_type""")),
     Q("js_salted", saltedJoin, Some("""
       WITH e AS (
         SELECT event_type, user_id, CAST(value AS DECIMAL(18,6)) AS v
