@@ -127,15 +127,16 @@ object VectorOps {
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
            FROM corpus)"""
 
-  /** The full scale-shaped embedding near-dup chain: hyperplane LSH buckets
-    * generate candidates via an equi-join (no cross product), then the exact
-    * integer cosine test verifies — the vector mirror of the
-    * minhash -> jaccard chain. Runs over the jittered near-dup corpus.
+  /** 4-hyperplane sign-pattern bucket over quantized vectors: hyperplane h
+    * has components ((i*31 + h*17) % 7) - 3 over dimension index i; the
+    * bucket is the 4-bit sign pattern of the projections. Direction-preserving
+    * jitter cannot flip a sign, so near-identical vectors land in the same
+    * bucket and candidate generation becomes an equi-join on `bucket` — the
+    * O(n) shape shared by every embedding near-dup query below.
     */
-  private def embedLshVerify(s: SparkSession, d: String): DataFrame = {
-    val c = nearCorpus(s, d)
+  private def lshBuckets(s: SparkSession, c: DataFrame): DataFrame = {
     val planes = s.range(4).select(col("id").cast("int").as("h"))
-    val buckets = c.crossJoin(broadcast(planes))
+    c.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("qv"), col("h"),
         expr("""aggregate(zip_with(qv, sequence(0, 63),
                   (x, i) -> x * (((i * 31 + h * 17) % 7) - 3)),
@@ -143,6 +144,15 @@ object VectorOps {
       .groupBy("vec_id")
       .agg(first(col("qv")).as("qv"),
         sum(expr("IF(proj > 0, CAST(pow(2, h) AS BIGINT), 0L)")).as("bucket"))
+  }
+
+  /** The full scale-shaped embedding near-dup chain: hyperplane LSH buckets
+    * generate candidates via an equi-join (no cross product), then the exact
+    * integer cosine test verifies — the vector mirror of the
+    * minhash -> jaccard chain. Runs over the jittered near-dup corpus.
+    */
+  private def embedLshVerify(s: SparkSession, d: String): DataFrame = {
+    val buckets = lshBuckets(s, nearCorpus(s, d))
     val a = buckets.as("a"); val b = buckets.as("b")
     a.join(b, expr("a.bucket = b.bucket AND a.vec_id < b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -214,19 +224,21 @@ object VectorOps {
     Q("dd_embed_lsh_verify", embedLshVerify, Some(EMBED_LSH_VERIFY_SQL)),
 
     // -- embedding-cosine near-duplicate detection ---------------------------
+    // Candidates come from the LSH bucket equi-join (lshBuckets): a pair can
+    // only reach the exact integer-cosine verify if the two vectors share the
+    // 4-bit hyperplane signature. The ORACLE stays the all-pairs definition —
+    // at verification SF the bucket join provably recalls every cos>=0.95
+    // pair (jitter is direction-preserving, so signatures match), while the
+    // PLAN is the O(n) equi-join that survives a 100x corpus.
     Q("dd_embed_cos", (s, d) => {
-      val c = nearCorpus(s, d)
-      val norms = c.select(col("vec_id"), long_dot(col("qv"), col("qv")).as("nn"))
-      val a = c.as("a"); val b = c.as("b")
-      // candidate pruning: compare only (x, x_jittered) strata cross pairs --
-      // the jittered stratum vs everything below it
-      a.join(b, expr("a.vec_id < b.vec_id AND b.vec_id >= 100000"))
+      val buckets = lshBuckets(s, nearCorpus(s, d))
+      val a = buckets.as("a"); val b = buckets.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id") && col("b.vec_id") >= 100000)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          long_dot(col("a.qv"), col("b.qv")).as("dot"))
-        .join(norms.withColumnRenamed("vec_id", "id_a")
-          .withColumnRenamed("nn", "na"), "id_a")
-        .join(norms.withColumnRenamed("vec_id", "id_b")
-          .withColumnRenamed("nn", "nb"), "id_b")
+          long_dot(col("a.qv"), col("b.qv")).as("dot"),
+          long_dot(col("a.qv"), col("a.qv")).as("na"),
+          long_dot(col("b.qv"), col("b.qv")).as("nb"))
         .filter(expr("dot >= 0 AND 400 * dot * dot >= 361 * na * nb"))
         .select("id_a", "id_b", "dot", "na", "nb")
     }, Some(s"""
@@ -248,8 +260,10 @@ object VectorOps {
     // -- exact pairwise dots between two deterministic strata ----------------
     Q("vec_dot_pairs", (s, d) => {
       val a = qvec(s, d).filter(col("vec_id") % 25 === 0).as("a")
+      // broadcast the (bounded) b stratum: nested-loop over a broadcast
+      // instead of a two-sided shuffled CartesianProduct
       val b = qvec(s, d).filter(col("vec_id") % 25 === 13).as("b")
-      a.crossJoin(b)
+      a.crossJoin(broadcast(b))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           dotCol.as("dot"))
     }, Some(s"""

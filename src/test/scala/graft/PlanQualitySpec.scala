@@ -84,6 +84,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"range join degenerated to a nested loop:\n$p")
   }
 
+  test("dd_embed_cos candidates come from the LSH bucket equi-join") {
+    val p = plan("dd_embed_cos")
+    assert(!p.contains("CartesianProduct"),
+      s"quadratic candidate generation crept back:\n$p")
+    // the only nested loops allowed are the two 4-row hyperplane fan-outs
+    // (corpus x broadcast(planes)); the vector-pair join itself must be an
+    // equi-join on the bucket signature
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"candidate pairs planned as a nested loop:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[bucket".r
+      .findFirstIn(p).isDefined,
+      s"expected an equi-join on the bucket signature:\n$p")
+  }
+
+  test("vec_dot_pairs broadcasts the small stratum (no shuffled cartesian)") {
+    val p = plan("vec_dot_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"cross join planned as a two-sided shuffle cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected a nested loop over the broadcast stratum:\n$p")
+  }
+
   test("js_salted shuffles on the salted key, spreading the 5 hot types") {
     val p = plan("js_salted")
     assert(p.contains("ShuffledHashJoin"), s"expected the forced hash join:\n$p")
