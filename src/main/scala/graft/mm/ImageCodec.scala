@@ -1,0 +1,156 @@
+package graft.mm
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream}
+import javax.imageio.ImageIO
+
+/** Real image codec over `javax.imageio` (PNG ships with the JDK — the only
+  * codec available in this zero-egress sandbox).
+  *
+  * The multimodal queries synthesize deterministic RGB images from the
+  * closed-form per-pixel formula below, encode them to REAL PNG bytes
+  * executor-side (the opaque binary payload a multimodal corpus would carry),
+  * then decode with ImageIO and compute every output from the decoded
+  * pixels. Because the formula is also expressible in plain SQL, the DuckDB
+  * oracle re-derives the same outputs with no codec at all — a hash match
+  * proves the decode path is real, not a checksum over undecoded bytes.
+  *
+  * The formula constants here MUST stay in sync with the oracle SQL in
+  * [[graft.rel.PipelineOps]].
+  */
+object ImageCodec {
+
+  // ImageIO defaults to a disk-backed stream cache; executors should stay
+  // in-memory (the images are tiny and /tmp churn at 32 threads is waste)
+  ImageIO.setUseCache(false)
+
+  /** Closed-form pixel channels; all operands non-negative so `%` agrees
+    * between Scala and SQL.
+    */
+  def red(seed: Long, x: Int, y: Int): Int = ((x * 7 + y * 3 + seed) % 256).toInt
+  def green(seed: Long, x: Int, y: Int): Int = ((x * 5 + y * 11 + seed * 2) % 256).toInt
+  def blue(seed: Long, x: Int, y: Int): Int = ((x * 13 + y * 7 + seed * 3) % 256).toInt
+
+  def width(seed: Long): Int = 16 + (seed % 17).toInt
+  def height(seed: Long): Int = 16 + (seed % 13).toInt
+
+  /** Deterministic RGB image -> real PNG bytes (ImageIO encoder). */
+  def synthPng(seed: Long): Array[Byte] = {
+    val w = width(seed); val h = height(seed)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (red(seed, x, y) << 16) | (green(seed, x, y) << 8) | blue(seed, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded raster: packed ARGB row-major. */
+  final case class Decoded(w: Int, h: Int, argb: Array[Int])
+
+  def decode(png: Array[Byte]): Decoded = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    Decoded(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+  }
+
+  @inline def rOf(p: Int): Int = (p >> 16) & 0xff
+  @inline def gOf(p: Int): Int = (p >> 8) & 0xff
+  @inline def bOf(p: Int): Int = p & 0xff
+
+  /** Per-channel pixel sums over a decoded raster. */
+  def channelSums(d: Decoded): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < d.argb.length) {
+      val p = d.argb(i); sr += rOf(p); sg += gOf(p); sb += bOf(p); i += 1
+    }
+    (sr, sg, sb)
+  }
+
+  /** Integer box-average downsample by factor `f`; edge blocks are clipped
+    * (smaller divisor), division floors — matches SQL `sum(c) // count(*)`.
+    */
+  def boxResize(d: Decoded, f: Int): Decoded = {
+    val w2 = (d.w + f - 1) / f; val h2 = (d.h + f - 1) / f
+    val out = new Array[Int](w2 * h2)
+    var by = 0
+    while (by < h2) {
+      var bx = 0
+      while (bx < w2) {
+        var sr = 0L; var sg = 0L; var sb = 0L; var n = 0
+        val yEnd = math.min((by + 1) * f, d.h)
+        val xEnd = math.min((bx + 1) * f, d.w)
+        var y = by * f
+        while (y < yEnd) {
+          var x = bx * f
+          while (x < xEnd) {
+            val p = d.argb(y * d.w + x)
+            sr += rOf(p); sg += gOf(p); sb += bOf(p); n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(by * w2 + bx) =
+          ((sr / n).toInt << 16) | ((sg / n).toInt << 8) | (sb / n).toInt
+        bx += 1
+      }
+      by += 1
+    }
+    Decoded(w2, h2, out)
+  }
+
+  /** Integer BT.601-ish luma bucketed into 16 bins. */
+  @inline def lumaBin(p: Int): Int =
+    ((rOf(p) * 299 + gOf(p) * 587 + bOf(p) * 114) / 1000) / 16
+
+  def lumaHist(d: Decoded): Array[Long] = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < d.argb.length) { hist(lumaBin(d.argb(i))) += 1; i += 1 }
+    hist
+  }
+
+  // ---- "video": a container of length-prefixed PNG frames -----------------
+
+  def nFrames(seed: Long): Int = 1 + (seed % 7).toInt
+  def frameSeed(seed: Long, f: Int): Long = seed + 997L * f
+
+  /** Multi-frame payload: each frame is a real PNG with a 4-byte big-endian
+    * length prefix — the variable-length container shape a video column has.
+    */
+  def synthVideo(seed: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    var f = 0
+    while (f < nFrames(seed)) {
+      val png = synthPng(frameSeed(seed, f))
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Parse the container and decode every `stride`-th frame. */
+  def sampleFrames(container: Array[Byte], stride: Int): Iterator[(Int, Decoded)] = {
+    val frames = Iterator.unfold((0, 0)) { case (off, idx) =>
+      if (off >= container.length) None
+      else {
+        val len = ((container(off) & 0xff) << 24) | ((container(off + 1) & 0xff) << 16) |
+          ((container(off + 2) & 0xff) << 8) | (container(off + 3) & 0xff)
+        val frame = java.util.Arrays.copyOfRange(container, off + 4, off + 4 + len)
+        Some(((idx, frame), (off + 4 + len, idx + 1)))
+      }
+    }
+    frames.collect { case (idx, bytes) if idx % stride == 0 => (idx, decode(bytes)) }
+  }
+}

@@ -147,30 +147,63 @@ object PipelineOps {
     s.table(qn)
   }
 
-  /** Multimodal stub: opaque binary payloads with typed metadata extracted
-    * per partition. The decode itself is a clearly-marked deterministic fake
-    * (this container has no image codecs) but the Spark plumbing — binary
-    * column, mapPartitions batching, typed output schema — is real.
-    * Rows-only check (no SQL form).
+  // ---- multimodal: REAL PNG payloads decoded with javax.imageio -----------
+  //
+  // Each doc carries a real PNG (encoded executor-side from the closed-form
+  // pixel formula in graft.mm.ImageCodec); every mm_* output is computed from
+  // the ImageIO-DECODED raster. The DuckDB oracles re-derive the same values
+  // from the formula alone (no codec), so a hash match proves the decode is
+  // real — if the Spark side skipped the codec and used the formula too, any
+  // encode/decode defect would go unseen, which is why the payload column is
+  // bytes and the formula is never consulted after encoding.
+
+  /** Shared SQL: the per-pixel relation of the synthetic image corpus.
+    * MUST stay in sync with graft.mm.ImageCodec's formula constants.
     */
+  private val MM_RGB_CTES = """
+    mm_px AS (
+      SELECT d.doc_id,
+             CAST(16 + d.doc_id % 17 AS BIGINT) AS w,
+             CAST(16 + d.doc_id % 13 AS BIGINT) AS h,
+             tx.x AS x, ty.y AS y
+      FROM documents d, range(0, 32) tx(x), range(0, 28) ty(y)
+      WHERE tx.x < 16 + d.doc_id % 17 AND ty.y < 16 + d.doc_id % 13),
+    mm_rgb AS (
+      SELECT doc_id, w, h, x, y,
+             (x * 7 + y * 3 + doc_id) % 256 AS r,
+             (x * 5 + y * 11 + doc_id * 2) % 256 AS g,
+             (x * 13 + y * 7 + doc_id * 3) % 256 AS b
+      FROM mm_px)"""
+
+  /** documents -> (doc_id, real PNG bytes): the opaque binary column every
+    * decode query below starts from.
+    */
+  private def pngPayloads(s: SparkSession, d: String) = {
+    import s.implicits._
+    tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, graft.mm.ImageCodec.synthPng(id))))
+  }
+
+  /** Decode metadata + per-channel pixel sums from the decoded raster. */
   def decodeMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    tbl(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          // STUB decode: stands in for an image codec; deterministic fake
-          val fakeW = 64 + (if (bytes.nonEmpty) bytes(0) & 0x3f else 0)
-          val fakeH = 64 + (if (bytes.length > 1) bytes(1) & 0x3f else 0)
-          var checksum = 0L
-          var i = 0
-          while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
-          (id, bytes.length.toLong, fakeW, fakeH, checksum)
-        }
-      }
-      .toDF("doc_id", "n_bytes", "width", "height", "checksum")
+    import graft.mm.ImageCodec
+    pngPayloads(s, d)
+      .mapPartitions(_.map { case (id, png) =>
+        val dec = ImageCodec.decode(png)
+        val (sr, sg, sb) = ImageCodec.channelSums(dec)
+        (id, dec.w.toLong, dec.h.toLong, sr, sg, sb)
+      })
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
+
+  private val MM_DECODE_META_SQL = s"""
+    WITH $MM_RGB_CTES
+    SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM mm_rgb GROUP BY doc_id"""
 
   /** O5 through the real annotate kernel over the synthetic removed tiles
     * (rows-only: contour JSON has no SQL form).
@@ -184,81 +217,97 @@ object PipelineOps {
       .toDF("loc_key", "geojson")
   }
 
-  /** Multimodal frame sampling: treat each payload as an opaque "video"
-    * (the binary column), cut fixed-size frame windows, keep every k-th
-    * frame, and emit typed per-frame metadata. Decode remains a
-    * deterministic stub (no codecs in this container); the schema,
-    * partition batching, and per-frame explode are the real plumbing.
-    * Rows-only check.
+  /** Frame sampling over a real container: each doc's payload is a sequence
+    * of length-prefixed PNG frames; every 2nd frame is parsed out, ImageIO-
+    * decoded, and summarized from its decoded raster.
     */
   def frameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val frameBytes = 64
-    val stride = 4
-    tbl(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          val nFrames = bytes.length / frameBytes
-          (0 until nFrames by stride).map { f =>
-            val off = f * frameBytes
-            var checksum = 0L
-            var i = off
-            while (i < off + frameBytes) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
-            (id, f.toLong, checksum, (bytes(off) & 0xff).toLong)
-          }
+    import graft.mm.ImageCodec
+    tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val video = ImageCodec.synthVideo(id)
+        ImageCodec.sampleFrames(video, 2).map { case (idx, dec) =>
+          val (sr, _, _) = ImageCodec.channelSums(dec)
+          (id, idx.toLong, dec.w.toLong, dec.h.toLong, sr)
         }
-      }
-      .toDF("doc_id", "frame_idx", "frame_checksum", "first_byte")
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "sum_r")
   }
 
-  /** Multimodal resize stub: byte-stride downsampling standing in for an
-    * image resize kernel; output is again an opaque binary + dimensions.
+  private val MM_FRAME_SAMPLE_SQL = """
+    WITH fr AS (
+      SELECT d.doc_id, tf.f AS frame_idx, d.doc_id + 997 * tf.f AS fs
+      FROM documents d, range(0, 7) tf(f)
+      WHERE tf.f < 1 + d.doc_id % 7 AND tf.f % 2 = 0),
+    fpx AS (
+      SELECT doc_id, frame_idx, fs,
+             CAST(16 + fs % 17 AS BIGINT) AS w,
+             CAST(16 + fs % 13 AS BIGINT) AS h,
+             tx.x AS x, ty.y AS y
+      FROM fr, range(0, 32) tx(x), range(0, 28) ty(y)
+      WHERE tx.x < 16 + fs % 17 AND ty.y < 16 + fs % 13)
+    SELECT doc_id, frame_idx, any_value(w) AS width, any_value(h) AS height,
+           CAST(sum((x * 7 + y * 3 + fs) % 256) AS BIGINT) AS sum_r
+    FROM fpx GROUP BY doc_id, frame_idx"""
+
+  /** Real resize: ImageIO decode, integer box-average downsample by 4
+    * (edge blocks clipped), channel sums over the RESIZED raster.
     */
   def resize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    tbl(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val factor = 4
-          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-          var i = 0
-          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
-          (id, bytes.length.toLong, out.length.toLong, out)
-        }
-      }
-      .toDF("doc_id", "orig_bytes", "resized_bytes", "resized")
+    import graft.mm.ImageCodec
+    pngPayloads(s, d)
+      .mapPartitions(_.map { case (id, png) =>
+        val r2 = ImageCodec.boxResize(ImageCodec.decode(png), 4)
+        val (sr, sg, sb) = ImageCodec.channelSums(r2)
+        (id, r2.w.toLong, r2.h.toLong, sr, sg, sb)
+      })
+      .toDF("doc_id", "w2", "h2", "sum_r2", "sum_g2", "sum_b2")
   }
 
-  /** Multimodal feature extraction stub: 16-bin byte histogram as a typed
-    * feature vector (`Array[Long]`) — the shape a real embedding/feature
-    * kernel would produce.
+  private val MM_RESIZE_SQL = s"""
+    WITH $MM_RGB_CTES,
+    blocks AS (
+      SELECT doc_id, x // 4 AS bx, y // 4 AS by,
+             sum(r) // count(*) AS ar,
+             sum(g) // count(*) AS ag,
+             sum(b) // count(*) AS ab,
+             any_value((w + 3) // 4) AS bw2, any_value((h + 3) // 4) AS bh2
+      FROM mm_rgb GROUP BY doc_id, bx, by)
+    SELECT doc_id, any_value(bw2) AS w2, any_value(bh2) AS h2,
+           CAST(sum(ar) AS BIGINT) AS sum_r2,
+           CAST(sum(ag) AS BIGINT) AS sum_g2,
+           CAST(sum(ab) AS BIGINT) AS sum_b2
+    FROM blocks GROUP BY doc_id"""
+
+  /** Real feature extraction: 16-bin integer-luma histogram over the decoded
+    * raster, emitted long-form (doc_id, bin, n) — sortable and oracle-able.
     */
   def features(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    tbl(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val hist = new Array[Long](16)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xff) / 16) += 1; i += 1 }
-          // CSV-serialized: the driver's rows-only checker sorts values with
-          // pandas, which cannot hash an Array column — a string is sortable
-          (id, hist.mkString(","))
+    import graft.mm.ImageCodec
+    pngPayloads(s, d)
+      .mapPartitions(_.flatMap { case (id, png) =>
+        val hist = ImageCodec.lumaHist(ImageCodec.decode(png))
+        hist.iterator.zipWithIndex.collect {
+          case (n, bin) if n > 0 => (id, bin.toLong, n)
         }
-      }
-      .toDF("doc_id", "byte_hist")
+      })
+      .toDF("doc_id", "bin", "n")
   }
 
+  private val MM_FEATURES_SQL = s"""
+    WITH $MM_RGB_CTES
+    SELECT doc_id,
+           ((r * 299 + g * 587 + b * 114) // 1000) // 16 AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM mm_rgb GROUP BY doc_id, bin"""
+
   def all: Seq[Q] = Seq(
-    Q("mm_frame_sample", frameSample, None),
-    Q("mm_resize", resize, None),
-    Q("mm_features", features, None),
+    Q("mm_frame_sample", frameSample, Some(MM_FRAME_SAMPLE_SQL)),
+    Q("mm_resize", resize, Some(MM_RESIZE_SQL)),
+    Q("mm_features", features, Some(MM_FEATURES_SQL)),
     Q("px_remove_tiles", removePixels, Some(REMOVE_PIXELS_SQL)),
     Q("geo_annotate", annotateTiles, None),
     Q("px_pipeline", pipeline, Some(RelabelRel.MERGE_SQL)),
@@ -268,6 +317,6 @@ object PipelineOps {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""")),
-    Q("mm_decode_meta", decodeMeta, None)
+    Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL))
   )
 }

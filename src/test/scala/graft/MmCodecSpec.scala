@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.mm.ImageCodec
+
+/** The decode path must be REAL: payloads are actual PNG bytes and every
+  * output is computed from the ImageIO-decoded raster. The independent check
+  * is the closed-form pixel formula — the codec never sees it after encode,
+  * so a decode defect (wrong color order, row stride, dropped rows) breaks
+  * the comparison.
+  */
+class MmCodecSpec extends AnyFunSuite {
+
+  test("payloads are genuine PNG files (magic + IHDR), not raw pixel dumps") {
+    val png = ImageCodec.synthPng(42L)
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    assert(png.take(8).sameElements(magic), "missing PNG signature")
+    assert(new String(png.slice(12, 16), "US-ASCII") == "IHDR")
+    // zlib-compressed scanlines: a raw dump of w*h*3 bytes would be larger
+    assert(png.length != ImageCodec.width(42L) * ImageCodec.height(42L) * 3)
+  }
+
+  test("decode(encode(img)) reproduces the formula exactly for many seeds") {
+    for (seed <- Seq(0L, 1L, 5L, 16L, 17L, 255L, 4999L)) {
+      val dec = ImageCodec.decode(ImageCodec.synthPng(seed))
+      assert(dec.w == ImageCodec.width(seed) && dec.h == ImageCodec.height(seed))
+      for (y <- 0 until dec.h; x <- 0 until dec.w) {
+        val p = dec.argb(y * dec.w + x)
+        assert(ImageCodec.rOf(p) == ImageCodec.red(seed, x, y), s"r($seed,$x,$y)")
+        assert(ImageCodec.gOf(p) == ImageCodec.green(seed, x, y), s"g($seed,$x,$y)")
+        assert(ImageCodec.bOf(p) == ImageCodec.blue(seed, x, y), s"b($seed,$x,$y)")
+      }
+    }
+  }
+
+  test("boxResize matches a hand-computed 6x5 golden (edge blocks clipped)") {
+    // 6x5 raster, single channel in R: pixel value = y*6 + x
+    val argb = Array.tabulate(30)(i => (i << 16))
+    val out = ImageCodec.boxResize(ImageCodec.Decoded(6, 5, argb), 4)
+    assert(out.w == 2 && out.h == 2)
+    // block (0,0): x 0-3, y 0-3 -> mean of {y*6+x} = (0+1+2+3 + 6..9 + 12..15 + 18..21)/16
+    assert(ImageCodec.rOf(out.argb(0)) == (0 to 3).flatMap(y => (0 to 3).map(y * 6 + _)).sum / 16)
+    // block (1,0): x 4-5 (clipped), y 0-3
+    assert(ImageCodec.rOf(out.argb(1)) == (0 to 3).flatMap(y => (4 to 5).map(y * 6 + _)).sum / 8)
+    // block (0,1): x 0-3, y 4 (clipped)
+    assert(ImageCodec.rOf(out.argb(2)) == (24 to 27).sum / 4)
+    // block (1,1): x 4-5, y 4
+    assert(ImageCodec.rOf(out.argb(3)) == (28 + 29) / 2)
+  }
+
+  test("video container round-trips: every 2nd frame, real decode per frame") {
+    val seed = 13L // nFrames = 1 + 13%7 = 7 -> sampled idx 0,2,4,6
+    val frames = ImageCodec.sampleFrames(ImageCodec.synthVideo(seed), 2).toVector
+    assert(frames.map(_._1) == Vector(0, 2, 4, 6))
+    for ((idx, dec) <- frames) {
+      val fs = ImageCodec.frameSeed(seed, idx)
+      assert(dec.w == ImageCodec.width(fs) && dec.h == ImageCodec.height(fs))
+      val (sr, sg, sb) = ImageCodec.channelSums(dec)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until dec.h; x <- 0 until dec.w) {
+        er += ImageCodec.red(fs, x, y); eg += ImageCodec.green(fs, x, y)
+        eb += ImageCodec.blue(fs, x, y)
+      }
+      assert((sr, sg, sb) == ((er, eg, eb)), s"frame $idx channel sums")
+    }
+  }
+
+  test("luma histogram covers all pixels and matches the formula") {
+    val seed = 100L
+    val dec = ImageCodec.decode(ImageCodec.synthPng(seed))
+    val hist = ImageCodec.lumaHist(dec)
+    assert(hist.sum == dec.w.toLong * dec.h)
+    val expected = new Array[Long](16)
+    for (y <- 0 until dec.h; x <- 0 until dec.w) {
+      val l = (ImageCodec.red(seed, x, y) * 299 + ImageCodec.green(seed, x, y) * 587 +
+        ImageCodec.blue(seed, x, y) * 114) / 1000
+      expected(l / 16) += 1
+    }
+    assert(hist.sameElements(expected))
+  }
+}
