@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Pairs every `persist()` with a guaranteed release, without breaking the
+  * lazy query contract (builders return unmaterialized DataFrames; the
+  * action happens in the caller).
+  *
+  * `releaseAfterAction(result, deps*)` persists the deps and registers a
+  * one-shot listener that unpersists them as soon as any action whose plan
+  * contains `result` completes (success OR failure) — so a long-lived
+  * session embedding these queries cannot accumulate cached blocks across
+  * invocations, which previously relied on the harness calling
+  * `clearCache()` between queries. If the result is materialized twice, the
+  * second run recomputes (correct, just uncached) — each fresh builder
+  * invocation re-registers its own cache + release.
+  */
+object Caching {
+
+  def releaseAfterAction[T](result: Dataset[T], deps: Dataset[_]*): Dataset[T] = {
+    deps.foreach(_.persist())
+    val spark = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    object listener extends QueryExecutionListener {
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        // a conservative matcher failure must release rather than leak
+        val hit =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case _: Throwable => true }
+        if (hit && released.compareAndSet(false, true)) {
+          deps.foreach(_.unpersist(blocking = false))
+          spark.listenerManager.unregister(listener)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
+}

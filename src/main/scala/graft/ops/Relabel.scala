@@ -158,12 +158,12 @@ object Relabel {
     // sampling + zipWithIndex). Persist `tiles` first if its lineage is
     // expensive or non-deterministic — the rank table and the remap pass
     // must observe the same label sets.
+    // read three times below (rank build, join probe, implicit in sort
+    // sampling); tiny (O(distinct labels per tile)); released once the
+    // remapped result's action completes
     val tileLabels = tiles.flatMap(t =>
       t.data.distinct.iterator.map(l => (t.linearIndex, l)))
       .toDF("lin", "label")
-      // read three times below (rank build, join probe, implicit in sort
-      // sampling); tiny (O(distinct labels per tile))
-      .persist()
     val ranks = tileLabels.select("label").distinct().as[Long]
       .rdd.sortBy(identity).zipWithIndex().toDF("label", "rank")
     val perTile = tileLabels.join(ranks, "label")
@@ -173,7 +173,7 @@ object Relabel {
       .mapGroups { (lin, it) =>
         (lin, it.map { case (_, l, r) => (l, r) }.toArray)
       }
-    tiles
+    graft.Caching.releaseAfterAction(tiles
       .groupByKey(_.linearIndex)
       .cogroup(perTile.groupByKey(_._1)) { (lin, ts, rs) =>
         val rank = new java.util.HashMap[java.lang.Long, java.lang.Long]()
@@ -194,7 +194,7 @@ object Relabel {
           }
           Kernels.sortRemap(t, checked)
         }
-      }
+      }, tileLabels)
   }
 
   /** Un-pad: crop high-edge tiles back to the original image extent

@@ -3,6 +3,7 @@ package graft.rel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q.tbl
+import graft.Caching
 
 /** Relational (DuckDB-checkable) formulations of the relabel operators
   * (SURVEY.md §2.4/§2.5) over a deterministic synthetic tile grid derived
@@ -126,20 +127,22 @@ object RelabelRel {
 
   def remove(s: SparkSession, d: String): DataFrame = {
     // pixels feed both the stats aggregate and the region-membership join;
-    // cache once (the CacheManager also shares this across the rl_* family
-    // within a session — plan-canonical reuse)
-    pixels(s, d).persist()
+    // cache once (CacheManager plan-canonical reuse covers both reads) and
+    // release when the consuming action completes
+    val px = pixels(s, d)
     val stats = marginStats(s, d)
       .withColumn("p", col("intr").cast("double") / col("total").cast("double"))
     val firstRegion = pixels(s, d)
       .join(broadcast(regionDf(s)), expr(regionMember(spark = true)))
       .groupBy("gy", "gx", "label")
       .agg(min(expr(s"IF($parityPred, rid * 2 + 1, rid * 2)")).as("first2"))
-    stats
-      .join(firstRegion, Seq("gy", "gx", "label"), "left")
-      .filter(expr(keepPred))
-      .select(col("gy"), col("gx"), col("label"),
-        expr(s"label + (gy * $GX + gx) * ${OFFSET_UNIT}L").as("gid"))
+    Caching.releaseAfterAction(
+      stats
+        .join(firstRegion, Seq("gy", "gx", "label"), "left")
+        .filter(expr(keepPred))
+        .select(col("gy"), col("gx"), col("label"),
+          expr(s"label + (gy * $GX + gx) * ${OFFSET_UNIT}L").as("gid")),
+      px)
   }
 
   /** CTEs appended after PIXELS_SQL yielding `removed(gy,gx,label,gid)`. */
@@ -171,7 +174,6 @@ object RelabelRel {
     val rp = pixels(s, d)
       .join(remove(s, d).select("gy", "gx", "label", "gid"),
         Seq("gy", "gx", "label"))
-      .persist()
     val own = rp.select(col("gy"), col("gx"), col("py"), col("px"),
       col("gid"), lit(-1L).as("prio"))
     val painted = rp
@@ -190,10 +192,12 @@ object RelabelRel {
       .filter(expr("(ly != -1 AND rgy % 2 = 1) OR (lx != -1 AND rgx % 2 = 1)"))
       .select(col("rgy").as("gy"), col("rgx").as("gx"), col("py"), col("px"),
         col("gid"), col("prio"))
-    own.unionByName(painted)
-      .groupBy("gy", "gx", "py", "px")
-      .agg(max_by(col("gid"), col("prio")).as("gid"))
-      .filter(expr(interiorPred(spark = true)))
+    Caching.releaseAfterAction(
+      own.unionByName(painted)
+        .groupBy("gy", "gx", "py", "px")
+        .agg(max_by(col("gid"), col("prio")).as("gid"))
+        .filter(expr(interiorPred(spark = true))),
+      rp)
   }
 
   val MERGE_SQL: String = PIXELS_SQL + REMOVE_CTES + s""",

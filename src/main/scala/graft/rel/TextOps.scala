@@ -3,6 +3,7 @@ package graft.rel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q.tbl
+import graft.Caching
 
 /** Training-data text operators over `documents`: exact dedup, MinHash+LSH
   * near-dup, n-gram Jaccard verification, SimHash, language-ID heuristics,
@@ -94,11 +95,11 @@ object TextOps {
       .withColumn("h", md5(col("shingle")))
     val aggs = (0 until 8).map(j =>
       min(expr(s"substr(h, ${4 * j + 1}, 4)")).as(s"mh$j"))
+    // the band self-join reads this twice; materialize once (no DataFrame
+    // CSE). Tiny: one 8-slot row per document. Released by the listener
+    // Caching attaches below once the candidate join's action completes.
     val mins = sh.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
-      // the band self-join reads this twice; materialize once (no DataFrame
-      // CSE). Tiny: one 8-slot row per document.
-      .persist()
     val sig = mins.select(col("doc_id"),
       explode(expr(
         """array(struct(0 AS band, concat(mh0, mh1) AS bandval),
@@ -107,9 +108,11 @@ object TextOps {
                  struct(3 AS band, concat(mh6, mh7) AS bandval))""")).as("bv"))
       .select(col("doc_id"), col("bv.band").as("band"), col("bv.bandval").as("bandval"))
     val a = sig.as("a"); val b = sig.as("b")
-    a.join(b, expr("a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    Caching.releaseAfterAction(
+      a.join(b, expr("a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct(),
+      mins)
   }
 
   private val MINHASH_CAND_SQL = s"""
@@ -177,20 +180,22 @@ object TextOps {
       // candidate ids first is the winning shape; at this corpus size the
       // broadcast barrier it introduces costs more than the pruning saves —
       // measured both ways.)
-      val ds = shinglesDf(nearCorpusDf(s, d)).distinct().persist()
-      val cand = minhashCandFrom(ds).persist()
+      val ds = shinglesDf(nearCorpusDf(s, d)).distinct()
+      val cand = minhashCandFrom(ds)
       val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(ds.as("x"), col("id_a") === col("x.doc_id"))
         .join(ds.as("y"),
           col("id_b") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
-        .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
-        .select(col("id_a"), col("id_b"), col("inter"),
-          (col("na.n") + col("nb.n") - col("inter")).as("uni"))
-        .filter(col("inter") * 2 >= col("uni"))
+      Caching.releaseAfterAction(
+        inter
+          .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
+          .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+          .select(col("id_a"), col("id_b"), col("inter"),
+            (col("na.n") + col("nb.n") - col("inter")).as("uni"))
+          .filter(col("inter") * 2 >= col("uni")),
+        ds, cand)
     }, Some(MINHASH_CAND_SQL + """,
       ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
       sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
