@@ -45,11 +45,15 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep the line SHORT (3-decimal seconds) and put the headline keys
+    // LAST: the driver's tail capture keeps the end of long output, so a
+    // front-truncated line must still carry metric/value/total
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }
 }
