@@ -155,10 +155,12 @@ object FullChainRel {
       graft.streaming.StreamingTiles.expandSegmentRemoveStream(
         stream, Array(OV, OV), HaloRel.BlockSegmentation(), THRESHOLD),
       Array(OV, OV))
-    val query = merged.writeStream.outputMode("append")
-      .format("memory").queryName(qn).start()
-    try query.processAllAvailable()
-    finally query.stop()
+    graft.streaming.StreamingTiles.withChainedStatefulAllowed(s) {
+      val query = merged.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     s.table(qn)
       .select("loc", "grid", "shape", "data", "classes").as[graft.tiles.Tile]
       .flatMap { t =>

@@ -36,6 +36,69 @@ object StreamingTiles {
     */
   private type ShardState = (Boolean, List[Halo.Shard])
 
+  /** Default tombstone retention. An endless scanner feed would otherwise
+    * accrete O(chunks) tombstones; expiring them bounds state at
+    * O(chunks arriving within one TTL window). The trade-off is explicit:
+    * exactly-once suppression of redeliveries holds WITHIN the TTL — a
+    * whole neighborhood redelivered later than the TTL re-emits. Size the
+    * TTL to the source's maximum redelivery lag (30 min default covers
+    * typical at-least-once buses; batch-style replays should re-run the
+    * query instead). Pending (incomplete) neighborhoods never expire —
+    * dropping them would silently lose tiles that are merely late.
+    *
+    * Mechanism: EventTimeTimeout against an INGEST-TIME watermark (each
+    * stage stamps shards with the microbatch's `current_timestamp` and
+    * declares a 0-delay watermark on it), so expiry is driven by data
+    * progress and costs nothing on an idle stream. ProcessingTimeTimeout is
+    * deliberately avoided: registered wall-clock timers make the microbatch
+    * engine spin continuous empty batches (and `processAllAvailable` never
+    * settles), which burns a core on an idle 1000-executor ingest job.
+    */
+  val DefaultTombstoneTtlMs: Long = 30L * 60 * 1000
+
+  /** Stamp each shard with its microbatch ingest time and declare a 0-delay
+    * watermark on it — the clock tombstone expiry runs against. The column
+    * rides alongside the shard as a tuple; the stateful handler drops it.
+    */
+  private def withIngestWatermark(shards: Dataset[Halo.Shard])
+      : Dataset[(Halo.Shard, java.sql.Timestamp)] = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, current_timestamp, struct}
+    shards
+      .select(struct(col("*")).as("_1"), current_timestamp().as("_2"))
+      .withWatermark("_2", "0 seconds")
+      .as[(Halo.Shard, java.sql.Timestamp)]
+  }
+
+  /** Tombstone deadline: ingest wall clock + TTL. Always ahead of the
+    * watermark (which trails the newest ingest timestamp), including in the
+    * first microbatch where `getCurrentWatermarkMs` is still 0.
+    */
+  private def deadline(ttlMs: Long): Long = System.currentTimeMillis() + ttlMs
+
+  /** Run `body` (which starts and fully drains a streaming query) with the
+    * global-watermark correctness heuristic disabled, restoring the prior
+    * setting after. Chaining both stateful stages in one query trips the
+    * pattern check ("stateful operator below a watermark"), but the flagged
+    * hazard — a stateful stage emitting rows that are LATE against the
+    * downstream watermark — cannot occur here: each stage re-stamps its
+    * shards with the CURRENT microbatch's ingest time, which is always ahead
+    * of the min-policy global watermark (derived from earlier batches of the
+    * same clocks), so no row is ever dropped as late.
+    */
+  def withChainedStatefulAllowed[T](spark: org.apache.spark.sql.SparkSession)
+      (body: => T): T = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The merge exchange as a second stateful stage, chained after
     * [[expandSegmentRemoveStream]]: removed tiles flatMap into the SAME
     * parity-pruned merge shards as [[graft.ops.Halo.mergeAndTrim]], each
@@ -43,42 +106,55 @@ object StreamingTiles {
     * reached, then paints + trims + emits. With both stages in one append-
     * mode query the WHOLE image2labels chain runs incrementally.
     */
-  def mergeStream(removed: Dataset[Tile], overlaps: Array[Int]): Dataset[Tile] = {
+  def mergeStream(removed: Dataset[Tile], overlaps: Array[Int],
+                  tombstoneTtlMs: Long = DefaultTombstoneTtlMs): Dataset[Tile] = {
     val spark = removed.sparkSession
     import spark.implicits._
     val dims = overlaps.length
     val dirs = Halo.directions(dims)
     val ov = overlaps.clone()
 
-    removed
+    withIngestWatermark(removed
       .flatMap { t =>
         Halo.ownShard(t) +: dirs.collect {
           case d if Halo.inGrid(t.loc, d, t.grid) &&
             Halo.receiverWillMerge(t.loc, d) => Halo.shardOf(t, d, ov)
         }
-      }
-      .groupByKey(_.destLin)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (lin: Long, it: Iterator[Halo.Shard], state: GroupState[ShardState]) => {
-          val (done, have) = state.getOption.getOrElse((false, Nil))
-          if (done) Iterator.empty
+      })
+      .groupByKey(_._1.destLin)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (lin: Long, rows: Iterator[(Halo.Shard, java.sql.Timestamp)],
+         state: GroupState[ShardState]) => {
+          val it = rows.map(_._1)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val merged = (have ++ it).groupBy(_.rd.toSeq).map(_._2.head).toList
-            val loc = merged.head.destLoc
-            val grid = merged.head.grid
-            // contributions this receiver will get: itself plus every
-            // in-grid sender whose parity rule ships toward it
-            val expected = 1 + dirs.count { d =>
-              val sender = Array.tabulate(dims)(a => loc(a) + d(a))
-              Halo.inGrid(loc, d, grid) &&
-                Halo.receiverWillMerge(sender, d.map(-_))
-            }
-            if (merged.size >= expected) {
-              state.update((true, Nil))
-              Iterator.single(Halo.assembleMerged(lin, merged.toArray, ov))
-            } else {
-              state.update((false, merged))
+            val (done, have) = state.getOption.getOrElse((false, Nil))
+            if (done) {
+              // Spark clears the timeout on every invocation: re-arm it so a
+              // redelivered neighborhood extends the tombstone's life
+              state.setTimeoutTimestamp(deadline(tombstoneTtlMs))
               Iterator.empty
+            } else {
+              val merged = (have ++ it).groupBy(_.rd.toSeq).map(_._2.head).toList
+              val loc = merged.head.destLoc
+              val grid = merged.head.grid
+              // contributions this receiver will get: itself plus every
+              // in-grid sender whose parity rule ships toward it
+              val expected = 1 + dirs.count { d =>
+                val sender = Array.tabulate(dims)(a => loc(a) + d(a))
+                Halo.inGrid(loc, d, grid) &&
+                  Halo.receiverWillMerge(sender, d.map(-_))
+              }
+              if (merged.size >= expected) {
+                state.update((true, Nil))
+                state.setTimeoutTimestamp(deadline(tombstoneTtlMs))
+                Iterator.single(Halo.assembleMerged(lin, merged.toArray, ov))
+              } else {
+                // no timeout for pending buffers: late tiles must not be lost
+                state.update((false, merged))
+                Iterator.empty
+              }
             }
           }
         })
@@ -88,40 +164,52 @@ object StreamingTiles {
       tiles: Dataset[Tile],
       overlaps: Array[Int],
       segFn: SegmentationFn,
-      threshold: Double): Dataset[Tile] = {
+      threshold: Double,
+      tombstoneTtlMs: Long = DefaultTombstoneTtlMs): Dataset[Tile] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val dims = overlaps.length
     val dirs = Halo.directions(dims)
     val ov = overlaps.clone()
 
-    tiles
+    withIngestWatermark(tiles
       .flatMap { t =>
         Halo.ownShard(t) +: dirs.collect {
           case d if Halo.inGrid(t.loc, d, t.grid) => Halo.shardOf(t, d, ov)
         }
-      }
-      .groupByKey(_.destLin)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Long, it: Iterator[Halo.Shard], state: GroupState[ShardState]) => {
-          val (done, have) = state.getOption.getOrElse((false, Nil))
-          if (done) Iterator.empty // redelivery after completion
+      })
+      .groupByKey(_._1.destLin)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, rows: Iterator[(Halo.Shard, java.sql.Timestamp)],
+         state: GroupState[ShardState]) => {
+          val it = rows.map(_._1)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val merged = (have ++ it)
-              .groupBy(_.rd.toSeq).map(_._2.head).toList // at-least-once dedup
-            val loc = merged.head.destLoc
-            val grid = merged.head.grid
-            val expected = 1 + dirs.count(d => Halo.inGrid(loc, d, grid))
-            if (merged.size >= expected) {
-              state.update((true, Nil)) // tombstone: emit exactly once
-              val expanded = Halo.assembleExpanded(merged.toArray, ov)
-              val (labels, classes) = segFn.segment(expanded)
-              val segmented = expanded.copy(data = labels, classes = classes)
-              Iterator.single(
-                Kernels.removeOverlapped(segmented, ov, threshold))
-            } else {
-              state.update((false, merged))
+            val (done, have) = state.getOption.getOrElse((false, Nil))
+            if (done) { // redelivery after completion: suppress, extend TTL
+              state.setTimeoutTimestamp(deadline(tombstoneTtlMs))
               Iterator.empty
+            } else {
+              val merged = (have ++ it)
+                .groupBy(_.rd.toSeq).map(_._2.head).toList // at-least-once dedup
+              val loc = merged.head.destLoc
+              val grid = merged.head.grid
+              val expected = 1 + dirs.count(d => Halo.inGrid(loc, d, grid))
+              if (merged.size >= expected) {
+                // tombstone: emit exactly once (within the TTL window)
+                state.update((true, Nil))
+                state.setTimeoutTimestamp(deadline(tombstoneTtlMs))
+                val expanded = Halo.assembleExpanded(merged.toArray, ov)
+                val (labels, classes) = segFn.segment(expanded)
+                val segmented = expanded.copy(data = labels, classes = classes)
+                Iterator.single(
+                  Kernels.removeOverlapped(segmented, ov, threshold))
+              } else {
+                // no timeout for pending buffers: late tiles must not be lost
+                state.update((false, merged))
+                Iterator.empty
+              }
             }
           }
         })

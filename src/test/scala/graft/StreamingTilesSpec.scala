@@ -86,18 +86,20 @@ class StreamingTilesSpec extends AnyFunSuite {
     val chained = StreamingTiles.mergeStream(
       StreamingTiles.expandSegmentRemoveStream(
         mem.toDS(), ov, CCLSegmentation(), 0.25), ov)
-    val query = chained.writeStream.outputMode("append")
-      .format("memory").queryName(qn).start()
-    try {
-      val shuffled = new scala.util.Random(7).shuffle(tiles)
-      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
-        mem.addData(b: _*); query.processAllAvailable()
-      }
-      val got = spark.table(qn)
-        .select("loc", "grid", "shape", "data", "classes").as[Tile]
-        .collect().toSeq
-      Goldens.assertSameTiles(got, batch)
-    } finally query.stop()
+    StreamingTiles.withChainedStatefulAllowed(spark) {
+      val query = chained.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      try {
+        val shuffled = new scala.util.Random(7).shuffle(tiles)
+        shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+          mem.addData(b: _*); query.processAllAvailable()
+        }
+        val got = spark.table(qn)
+          .select("loc", "grid", "shape", "data", "classes").as[Tile]
+          .collect().toSeq
+        Goldens.assertSameTiles(got, batch)
+      } finally query.stop()
+    }
   }
 
   test("duplicate deliveries (at-least-once source) do not corrupt assembly") {
@@ -124,6 +126,52 @@ class StreamingTilesSpec extends AnyFunSuite {
         .collect().toSeq
       assert(got.size == tiles.size, "duplicates must not double-emit")
       Goldens.assertSameTiles(got, batch)
+    } finally query.stop()
+  }
+
+  test("tombstones expire after the TTL; state is bounded, not accreting") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tiles = coreTiles(41)
+    val batchByLoc = Relabel.removeOverlappedLabels(
+      Relabel.segmentOverlappedInput(
+        Halo.expand(spark.createDataset(tiles), ov), CCLSegmentation()),
+      ov, 0.25).collect().toSeq.groupBy(_.loc.toSeq)
+
+    val mem = MemoryStream[Tile]
+    val qn = "st_tiles_ttl_sink"
+    val query = StreamingTiles
+      .expandSegmentRemoveStream(mem.toDS(), ov, CCLSegmentation(), 0.25,
+        tombstoneTtlMs = 1)
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      mem.addData(tiles: _*); query.processAllAvailable()
+      assert(spark.table(qn).count() == tiles.size.toLong)
+      val full = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(full == tiles.size.toLong, "one tombstone per completed tile")
+
+      // next batch after the TTL elapses: idle keys' tombstones are removed;
+      // only keys touched by the redelivered corner tile survive (re-armed)
+      Thread.sleep(50)
+      mem.addData(tiles.head); query.processAllAvailable()
+      val after = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(after < full, s"tombstones not expiring: $after of $full remain")
+      assert(spark.table(qn).count() == tiles.size.toLong,
+        "a within-TTL redelivery must still be suppressed")
+
+      // the documented trade-off: a FULL redelivery later than the TTL
+      // re-assembles and re-emits — but every re-emission is bit-identical
+      // to the batch result, so downstream dedup-by-location is safe
+      Thread.sleep(50)
+      mem.addData(tiles: _*); query.processAllAvailable()
+      val emitted = spark.table(qn)
+        .select("loc", "grid", "shape", "data", "classes").as[Tile]
+        .collect().toSeq
+      assert(emitted.size > tiles.size, "expired tombstones should re-emit")
+      emitted.groupBy(_.loc.toSeq).foreach { case (loc, ts) =>
+        val expected = batchByLoc(loc).head
+        ts.foreach(t => Goldens.assertSameTiles(Seq(t), Seq(expected)))
+      }
     } finally query.stop()
   }
 }
