@@ -115,6 +115,60 @@ object TextOps {
       mins)
   }
 
+  /** Nibble value expression shared by both engines' simhash: position k
+    * (1-based) of the md5 hex digest as 0..15.
+    */
+  private def nib(h: String, k: Int) =
+    s"(instr('0123456789abcdef', substr($h, $k, 1)) - 1)"
+
+  /** 32-bit term-frequency-weighted SimHash (the Charikar construction):
+    * every word OCCURRENCE votes +1/-1 per bit position from the word's
+    * first 8 md5 nibbles; the hash is the positive-vote mask. Occurrence
+    * voting matters on this corpus: the synthetic docs draw from a ~35-word
+    * vocabulary, so distinct-word sets (and a set-based simhash) collide
+    * corpus-wide, while the frequency profile separates everything but true
+    * near-duplicates. One hash-aggregate pass per document.
+    */
+  private def simhashDf(s: SparkSession, corpus: DataFrame): DataFrame = {
+    val words = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("h", md5(col("word")))
+      .withColumn("v", expr(
+        (1 to 8).map(k => s"${nib("h", k)} * ${1L << (4 * (8 - k))}L")
+          .mkString(" + ")))
+    val bits = s.range(32).select(col("id").cast("int").as("j"),
+      pow(lit(2), col("id")).cast("long").as("pw"))
+    words.crossJoin(broadcast(bits))
+      .groupBy("doc_id", "j", "pw")
+      .agg(sum(expr("IF((v div pw) % 2 = 1, 1, -1)")).as("bitsum"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("bitsum") > 0, col("pw")).otherwise(0L)).as("simhash"))
+  }
+
+  /** CTEs yielding `sh(doc_id, simhash)` over relation `src(doc_id, text)`;
+    * must mirror [[simhashDf]].
+    */
+  private def simhashCtes(src: String): String = s"""
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM $src),
+    wv AS (
+      SELECT doc_id,
+             ${(1 to 8).map(k => s"${nib("md5(word)", k)} * ${1L << (4 * (8 - k))}")
+               .mkString(" +\n             ")} AS v
+      FROM words),
+    bs AS (
+      SELECT doc_id, bt.j AS j, CAST(2 ** bt.j AS BIGINT) AS pw,
+             sum(CASE WHEN (v // CAST(2 ** bt.j AS BIGINT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS bitsum
+      FROM wv, range(0, 32) bt(j)
+      GROUP BY doc_id, bt.j
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bitsum > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+      FROM bs GROUP BY doc_id)"""
+
   private val MINHASH_CAND_SQL = s"""
     WITH $NEAR_SQL, $SHINGLES_SQL,
     mins AS (
@@ -211,44 +265,38 @@ object TextOps {
       WHERE i.inter * 2 >= na.n + nb.n - i.inter""")),
 
     // -- 16-bit SimHash from md5 nibbles -------------------------------------
-    Q("dd_simhash", (s, d) => {
-      val words = tbl(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .distinct()
-        .withColumn("h", md5(col("word")))
-        .withColumn("v", expr(
-          """(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
-             (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
-             (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
-             (instr('0123456789abcdef', substr(h, 4, 1)) - 1)"""))
-      val bits = s.range(16).select(col("id").cast("int").as("j"),
-        pow(lit(2), col("id")).cast("long").as("pw"))
-      words.crossJoin(broadcast(bits))
-        .groupBy("doc_id", "j", "pw")
-        .agg(sum(expr("IF((v div pw) % 2 = 1, 1, -1)")).as("bitsum"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("bitsum") > 0, col("pw")).otherwise(0L)).as("simhash"))
-    }, Some("""
-      WITH words AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
-        FROM documents),
-      wv AS (
-        SELECT doc_id,
-               (instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096 +
-               (instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256 +
-               (instr('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16 +
-               (instr('0123456789abcdef', substr(md5(word), 4, 1)) - 1) AS v
-        FROM words),
-      bs AS (
-        SELECT doc_id, j, pw,
-               sum(CASE WHEN (v // pw) % 2 = 1 THEN 1 ELSE -1 END) AS bitsum
-        FROM wv, (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),(5,32),(6,64),(7,128),
-                         (8,256),(9,512),(10,1024),(11,2048),(12,4096),
-                         (13,8192),(14,16384),(15,32768)) bt(j, pw)
-        GROUP BY doc_id, j, pw)
-      SELECT doc_id,
-             CAST(sum(CASE WHEN bitsum > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
-      FROM bs GROUP BY doc_id""")),
+    Q("dd_simhash", (s, d) => simhashDf(s, tbl(s, d, "documents")),
+      Some(s"WITH ${simhashCtes("documents")} SELECT doc_id, simhash FROM sh")),
+
+    // -- SimHash near-dup pairs: hamming<=3 via byte-band blocking -----------
+    // Pigeonhole over 4 byte bands: any pair within hamming distance 3 of a
+    // 32-bit hash agrees on at least one whole byte, so candidates come
+    // from a (band, byte) equi-join — O(n) like the minhash/hyperplane
+    // chains, never all-pairs — and the exact popcount verifies.
+    Q("dd_simhash_pairs", (s, d) => {
+      val sh = simhashDf(s, nearCorpusDf(s, d))
+      val bands = s.range(4).select(col("id").cast("int").as("band"))
+      val banded = sh.crossJoin(broadcast(bands))
+        .select(col("doc_id"), col("simhash"), col("band"),
+          expr("shiftright(simhash, band * 8) & 255").as("nib"))
+      val a = banded.as("a"); val b = banded.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+        .distinct() // a pair may share several bands
+        .filter(col("hamming") <= 3)
+    }, Some(s"""
+      WITH $NEAR_SQL, ${simhashCtes("corpus")},
+      banded AS (
+        SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS nib
+        FROM sh, (VALUES (0),(1),(2),(3)) bd(band)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""")),
 
     // -- language-ID heuristic (stopword hit counting) -----------------------
     Q("tx_langid", (s, d) => {
