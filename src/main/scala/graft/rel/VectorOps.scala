@@ -98,6 +98,86 @@ object VectorOps {
                                   ORDER BY dot DESC, id_n ASC) AS rn
         FROM hits) WHERE rn = 1"""
 
+  /** Product-quantization ANN: the codebook path that scales ANN past IVF.
+    * 8 subspaces x 16 centroids (centroid c of every subspace comes from
+    * vector 7c+3 — deterministic, reconstructable in SQL), exact integer
+    * arithmetic end-to-end.
+    *
+    * Encode: per (vector, subspace), the nearest centroid by squared L2 via
+    * an aggregate argmin (min of (dist, cid) structs — map-side combinable,
+    * no window). Search: asymmetric distance computation — each query's
+    * 8x16 lookup table of subspace dots is tiny and broadcast, scoring is an
+    * equi-join on (subspace, code) + one sum, and the final top-1 is again
+    * an aggregate argmax. No stage is all-pairs; at cluster scale the codes
+    * table is 8 bytes/vector instead of 256, which is the point of PQ.
+    */
+  private def annPq(s: SparkSession, d: String): DataFrame = {
+    val subs = qvec(s, d)
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"),
+        expr("slice(qv, m * 8 + 1, 8)").as("sv"))
+    val cents = subs.filter(col("vec_id") % 7 === 3 && col("vec_id") <= 108)
+      .select(expr("vec_id div 7").as("cid"), col("m"), col("sv").as("cv"))
+    val codes = subs.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"),
+        (long_dot(col("sv"), col("sv"))
+          - lit(2) * long_dot(col("sv"), col("cv"))
+          + long_dot(col("cv"), col("cv"))).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.cid").as("code"))
+    val lut = subs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id_q"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(cents), Seq("m"))
+      .select(col("id_q"), col("m"), col("cid").as("code"),
+        long_dot(col("qsv"), col("cv")).as("pdot"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("id_q") =!= col("vec_id"))
+      .groupBy(col("id_q"), col("vec_id").as("id_n"))
+      .agg(sum("pdot").as("adc"))
+      .groupBy("id_q")
+      .agg(max(struct(col("adc"), (-col("id_n")).as("ni"), col("id_n"))).as("t"))
+      .select(col("id_q"), col("t.id_n").as("id_n"), col("t.adc").as("adc"))
+  }
+
+  private val ANN_PQ_SQL = s"""
+      WITH $QVEC_SQL,
+      subs AS (
+        SELECT vec_id, m.m AS m, qv[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+        FROM qv, range(0, 8) m(m)),
+      cents AS (
+        SELECT vec_id // 7 AS cid, m, sv AS cv FROM subs
+        WHERE vec_id % 7 = 3 AND vec_id <= 108),
+      dists AS (
+        SELECT s.vec_id, s.m, c.cid,
+               CAST(list_dot_product(CAST(s.sv AS DOUBLE[]), CAST(s.sv AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST(s.sv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                  + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                 AS BIGINT) AS dist
+        FROM subs s JOIN cents c ON s.m = c.m),
+      codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT vec_id, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m
+                                    ORDER BY dist ASC, cid ASC) AS rn
+          FROM dists) WHERE rn = 1),
+      lut AS (
+        SELECT s.vec_id AS id_q, s.m, c.cid AS code,
+               CAST(list_dot_product(CAST(s.sv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                 AS BIGINT) AS pdot
+        FROM subs s JOIN cents c ON s.m = c.m
+        WHERE s.vec_id % 50 = 0),
+      scores AS (
+        SELECT l.id_q, c.vec_id AS id_n, CAST(sum(l.pdot) AS BIGINT) AS adc
+        FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+        WHERE l.id_q != c.vec_id
+        GROUP BY l.id_q, c.vec_id)
+      SELECT id_q, id_n, adc FROM (
+        SELECT id_q, id_n, adc,
+               row_number() OVER (PARTITION BY id_q
+                                  ORDER BY adc DESC, id_n ASC) AS rn
+        FROM scores) WHERE rn = 1"""
+
   /** Embedding-cosine near-dup corpus: every 20th vector re-appears scaled
     * by a small deterministic factor (direction-preserving, so cosine vs the
     * original is ~1 up to quantization). Detection: cos >= 0.95 via the
@@ -220,6 +300,8 @@ object VectorOps {
       FROM a, b WHERE id_a < id_b""")),
 
     Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
+
+    Q("ann_pq", annPq, Some(ANN_PQ_SQL)),
 
     Q("dd_embed_lsh_verify", embedLshVerify, Some(EMBED_LSH_VERIFY_SQL)),
 

@@ -84,6 +84,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"range join degenerated to a nested loop:\n$p")
   }
 
+  test("ann_pq encodes and scores with broadcast equi-joins, no window, no loop") {
+    val p = plan("ann_pq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"PQ stage degenerated to a pairwise plan:\n$p")
+    assert(!p.contains("Window"), s"argmin/argmax degenerated to a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/LUT should broadcast:\n$p")
+  }
+
   test("dd_embed_cos candidates come from the LSH bucket equi-join") {
     val p = plan("dd_embed_cos")
     assert(!p.contains("CartesianProduct"),
