@@ -229,6 +229,22 @@ object Annotate {
       .sum
   }
 
+  /** O6 as a streaming sink: each microbatch's annotations land as
+    * `{loc}.geojson` files through the same executor-side dir writer the
+    * batch scale path uses — `foreachBatch` is the bridge, so a scanner feed
+    * can emit annotations incrementally as tiles complete. Append-mode;
+    * at-least-once redelivery overwrites the same file idempotently.
+    */
+  def streamAnnotationDir(annotations: Dataset[TileAnnotation],
+                          outDir: java.nio.file.Path,
+                          queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    annotations.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[TileAnnotation], _: Long) =>
+        writeAnnotationDir(batch, outDir); ()
+      }
+      .queryName(queryName).start()
+
   /** O6 `zip_annotated_labeled_tiles` (`relabeling.py:126-163`): write one
     * `{y}-{x}.geojson` member per non-empty tile into a single zip. This is
     * an action (the reference computes here too, `relabeling.py:150`);

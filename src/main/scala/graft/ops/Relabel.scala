@@ -32,6 +32,16 @@ final case class CCLSegmentation(returnsClasses: Boolean = false) extends Segmen
   }
 }
 
+/** Pass-through segmentation for inputs that already carry labels — the
+  * `labels2geojson` ingest shape (`relabeling.py:245-276`, where the image
+  * is labeled upstream). Composing it with the streaming front half
+  * re-expresses O8's prepare -> remove incrementally.
+  */
+final case class IdentitySegmentation() extends SegmentationFn {
+  def segment(tile: Tile): (Array[Long], Array[Array[Long]]) =
+    (tile.data, tile.classes)
+}
+
 /** Public operator surface (O1-O10, SURVEY.md §2), re-expressed over the tile
   * table. Everything is a lazy `Dataset` transformation; an action
   * (`collect`, `write`, `count`) is the `.compute()` boundary.

@@ -46,19 +46,15 @@ object GeoRel {
     }
   }
 
-  /** O8 end-to-end; output = one row per emitted GeoJSON feature with the
-    * ring's bbox in global pixel coordinates, parsed FROM the JSON string
-    * the annotate kernel produced (not from the tiles) — the gate fails if
-    * any stage, including the JSON serialization itself, drifts.
+  /** (loc_key, geojson) rows -> one row per feature with the ring's bbox in
+    * global pixel coordinates, parsed FROM the JSON string the annotate
+    * kernel produced (not from the tiles) — gates fail if any stage,
+    * including the JSON serialization itself, drifts.
     */
-  def labels2geojsonGate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ann = Relabel.labels2geojson(labelTiles(s),
-      GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L)),
-      Array(OV, OV))
+  private def annotationBboxes(ann: DataFrame): DataFrame = {
     val schema =
       "features ARRAY<STRUCT<geometry: STRUCT<coordinates: ARRAY<ARRAY<ARRAY<BIGINT>>>>>>"
-    ann.filter(_.geojson != null).toDF("loc_key", "geojson")
+    ann
       .select(
         split(col("loc_key"), "-").getItem(0).cast("long").as("gy"),
         split(col("loc_key"), "-").getItem(1).cast("long").as("gx"),
@@ -72,6 +68,52 @@ object GeoRel {
         array_min(expr("transform(ring, p -> p[1])")).as("min_y"),
         array_max(expr("transform(ring, p -> p[0])")).as("max_x"),
         array_max(expr("transform(ring, p -> p[1])")).as("max_y"))
+  }
+
+  /** O8 end-to-end (batch). */
+  def labels2geojsonGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ann = Relabel.labels2geojson(labelTiles(s),
+      GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L)),
+      Array(OV, OV))
+    annotationBboxes(ann.filter(_.geojson != null).toDF("loc_key", "geojson"))
+  }
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Staging dir for the streaming ingest, one per JVM, removed on exit. */
+  private lazy val stageDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_geo_stage")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
+  /** O8 as ONE STREAMING QUERY: labeled tiles stream in (any order, any
+    * microbatching), the stateful halo exchange runs prepare with an
+    * identity segmentation, the remove kernel applies the 0.5 default, and
+    * the annotate kernel emits GeoJSON per completed tile — gated by the
+    * SAME oracle as the batch gate.
+    */
+  def labels2geojsonStreamed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.sources.TileIO.write(labelTiles(s), stageDir)
+    val schema = s.read.parquet(stageDir).schema
+    val stream = s.readStream.schema(schema).parquet(stageDir)
+      .select("loc", "grid", "shape", "data", "classes").as[graft.tiles.Tile]
+    val removed = graft.streaming.StreamingTiles.expandSegmentRemoveStream(
+      stream, Array(OV, OV), graft.ops.IdentitySegmentation(), 0.5)
+    val ann = graft.geojson.Annotate.annotateLabeledTiles(removed, Array(OV, OV))
+    val qn = "st_geo_sink_" + sinkCounter.incrementAndGet()
+    val query = ann.filter(_.geojson != null).toDF("loc_key", "geojson")
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    annotationBboxes(s.table(qn))
   }
 
   // ---- SQL reconstruction (expanded frame, border-aware) -------------------
@@ -135,5 +177,6 @@ object GeoRel {
     HAVING count(*) >= 2"""
 
   def all: Seq[Q] = Seq(
-    Q("geo_labels2geojson", labels2geojsonGate, Some(SQL)))
+    Q("geo_labels2geojson", labels2geojsonGate, Some(SQL)),
+    Q("st_geo_labels2geojson", labels2geojsonStreamed, Some(SQL)))
 }

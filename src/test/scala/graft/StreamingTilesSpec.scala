@@ -129,6 +129,35 @@ class StreamingTilesSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming annotation dir sink: files match the batch annotate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tiles = coreTiles(53)
+    val expected = graft.geojson.Annotate
+      .annotateLabeledTiles(spark.createDataset(tiles), ov)
+      .collect().filter(_.geojson != null)
+      .map(a => a.locKey -> a.geojson).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ann")
+    val mem = MemoryStream[Tile]
+    val query = graft.geojson.Annotate.streamAnnotationDir(
+      graft.geojson.Annotate.annotateLabeledTiles(mem.toDS(), ov),
+      dir, "st_ann_dir_sink")
+    try {
+      tiles.grouped((tiles.size + 1) / 2).foreach { b =>
+        mem.addData(b: _*); query.processAllAvailable()
+      }
+      val written = Option(dir.toFile.listFiles()).get
+        .map(f => f.getName.stripSuffix(".geojson") ->
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .toMap
+      assert(written == expected, "streamed files differ from batch annotate")
+    } finally {
+      query.stop()
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
   test("tombstones expire after the TTL; state is bounded, not accreting") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
