@@ -136,13 +136,16 @@ object TextOps {
       .withColumn("v", expr(
         (1 to 8).map(k => s"${nib("h", k)} * ${1L << (4 * (8 - k))}L")
           .mkString(" + ")))
-    val bits = s.range(32).select(col("id").cast("int").as("j"),
-      pow(lit(2), col("id")).cast("long").as("pw"))
-    words.crossJoin(broadcast(bits))
-      .groupBy("doc_id", "j", "pw")
-      .agg(sum(expr("IF((v div pw) % 2 = 1, 1, -1)")).as("bitsum"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("bitsum") > 0, col("pw")).otherwise(0L)).as("simhash"))
+    // 32 vote counters in ONE hash-aggregate pass (like the minhash 8-agg
+    // trick) — a per-bit explode here would put 32x the occurrence count
+    // through the aggregate and was measured 8x slower at sf0.1
+    val aggs = (0 until 32).map(j =>
+      sum(expr(s"IF((v div ${1L << j}L) % 2 = 1, 1, -1)")).as(s"b$j"))
+    words.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), expr(
+        (0 until 32).map(j => s"IF(b$j > 0, ${1L << j}L, 0L)")
+          .mkString(" + ")).as("simhash"))
   }
 
   /** CTEs yielding `sh(doc_id, simhash)` over relation `src(doc_id, text)`;
@@ -158,16 +161,17 @@ object TextOps {
                .mkString(" +\n             ")} AS v
       FROM words),
     bs AS (
-      SELECT doc_id, bt.j AS j, CAST(2 ** bt.j AS BIGINT) AS pw,
-             sum(CASE WHEN (v // CAST(2 ** bt.j AS BIGINT)) % 2 = 1
-                      THEN 1 ELSE -1 END) AS bitsum
-      FROM wv, range(0, 32) bt(j)
-      GROUP BY doc_id, bt.j
-    ),
+      SELECT doc_id,
+             ${(0 until 32).map(j =>
+               s"sum(CASE WHEN (v // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+               .mkString(",\n             ")}
+      FROM wv GROUP BY doc_id),
     sh AS (
       SELECT doc_id,
-             CAST(sum(CASE WHEN bitsum > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
-      FROM bs GROUP BY doc_id)"""
+             CAST(${(0 until 32).map(j =>
+               s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+               .mkString(" + ")} AS BIGINT) AS simhash
+      FROM bs)"""
 
   private val MINHASH_CAND_SQL = s"""
     WITH $NEAR_SQL, $SHINGLES_SQL,
@@ -284,8 +288,8 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") <= 3) // before the dedup exchange: shrink it
         .distinct() // a pair may share several bands
-        .filter(col("hamming") <= 3)
     }, Some(s"""
       WITH $NEAR_SQL, ${simhashCtes("corpus")},
       banded AS (
