@@ -97,6 +97,30 @@ object PipelineOps {
     explodeMerged(Relabel.mergeOverlappedTiles(removed, Array(OV, OV)))
   }
 
+  /** px_zarr_pipeline's v3 twin: same image, same oracle, but through the
+    * zarr v3 layout (`zarr.json`, `c/`-keys, bytes+gzip codec chain) —
+    * proving the second store format end-to-end, not just roundtrip.
+    */
+  def zarr3Pipeline(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
+    graft.sources.Zarr3IO.write(tilesFromPixels(s, d), spec, zarr3Dir,
+      "uint16", gzip = true)
+    val tiles = graft.sources.Zarr3IO.read(s, zarr3Dir)
+    val removed = Relabel.removeOverlappedLabels(tiles, Array(OV, OV), THRESHOLD)
+    explodeMerged(Relabel.mergeOverlappedTiles(removed, Array(OV, OV)))
+  }
+
+  private lazy val zarr3Dir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_zarr3")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Tile-engine remove only, exploded (oracle: relational remove join). */
   def removePixels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -312,6 +336,7 @@ object PipelineOps {
     Q("geo_annotate", annotateTiles, None),
     Q("px_pipeline", pipeline, Some(RelabelRel.MERGE_SQL)),
     Q("px_zarr_pipeline", zarrPipeline, Some(RelabelRel.MERGE_SQL)),
+    Q("px_zarr3_pipeline", zarr3Pipeline, Some(RelabelRel.MERGE_SQL)),
     Q("st_tumbling", tumblingStream, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,
