@@ -50,7 +50,7 @@ object OpsScale {
       (col("id") % 7).as("s_v"))
       .groupBy("user_id", "s_t").agg(max("s_v").as("s_v"))
 
-    def probe(name: String)(f: => Long): Unit = {
+    def probeN(name: String, work: Long)(f: => Long): Unit = {
       shuffleBytes.set(0)
       val t0 = System.nanoTime()
       val rows = f
@@ -60,8 +60,9 @@ object OpsScale {
       Thread.sleep(500)
       println(f"""{"probe":"$name","sec":$sec%.1f,"rows":$rows,""" +
         f""""shuffleMB":${shuffleBytes.get / 1e6}%.0f,""" +
-        f""""rowsPerSec":${(nEvents / sec).toLong}}""")
+        f""""rowsPerSec":${(work / sec).toLong}}""")
     }
+    def probe(name: String)(f: => Long): Unit = probeN(name, nEvents)(f)
 
     probe("asof_join") {
       graft.plans.AsOf.join(events, states, Seq("user_id"), "t", "s_t").count()
@@ -77,6 +78,38 @@ object OpsScale {
           md5(concat(col("v").cast("string"), col("user_id").cast("string"))).as("h"))
         .groupBy("g")
         .agg(graft.functions.KMinStrings(col("h"), 64).as("kmin"))
+        .count()
+    }
+    // real PNG encode+decode+features per image, all executor-side — the
+    // multimodal column path; rowsPerSec here is images/second
+    val nImages = m * 5000L
+    probeN("png_codec", nImages) {
+      import spark.implicits._
+      spark.range(nImages).as[Long].mapPartitions(_.map { i =>
+        val dec = graft.mm.ImageCodec.decode(graft.mm.ImageCodec.synthPng(i))
+        graft.mm.ImageCodec.lumaHist(dec).sum
+      }).filter(_ > 0).count()
+    }
+    // PQ encode at vector scale: 8 subspaces x 16 broadcast centroids,
+    // aggregate argmin — rowsPerSec is vectors/second through the codebook
+    val nVecs = m * 50000L
+    probeN("pq_encode", nVecs) {
+      import graft.functions.VectorFunctions.long_dot
+      val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), " +
+          "j -> CAST((id * 31 + j * 17) % 4001 - 2000 AS BIGINT))").as("qv"))
+      val subs = vecs
+        .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
+        .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
+      val cents = subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
+      subs.join(broadcast(cents), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"),
+          (long_dot(col("sv"), col("sv"))
+            - lit(2) * long_dot(col("sv"), col("cv"))
+            + long_dot(col("cv"), col("cv"))).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("cid"))).as("mn"))
         .count()
     }
     spark.stop()

@@ -93,6 +93,38 @@ object DriveTileIO {
     val box = graft.sources.TileIO.readBox(spark, dir, Array(0, 0), Array(1, 1)).collect()
     println("READBOX tiles: " + box.map(_.loc.mkString("/")).sorted.mkString(" "))
     println("nonzero labels in box: " + box.flatMap(_.data).count(_ != 0))
+
+    // PROBE O8 labels2geojson: pre-labeled 8x8 image, 2x2 grid of 4x4
+    // chunks, one 3x3 object (rows 1-3, cols 2-4) straddling the vertical
+    // boundary: tile (0,0) holds 6/9 pixels in its core (p=0.67, kept);
+    // tile (0,1) holds exactly half (p=0.5) and its odd-gx parity removes
+    // it — exactly one feature comes out, from the owning tile
+    val coreTiles = {
+      import spark.implicits._
+      val lab = for (gy <- 0 until 2; gx <- 0 until 2) yield {
+        val data = Array.tabulate(16) { i =>
+          val (y, x) = (gy * 4 + i / 4, gx * 4 + i % 4)
+          if (y >= 1 && y <= 3 && x >= 2 && x <= 4) 7L else 0L
+        }
+        graft.tiles.Tile(Array(gy, gx), Array(2, 2), Array(4, 4), data)
+      }
+      spark.createDataset(lab)
+    }
+    val ann = graft.ops.Relabel.labels2geojson(coreTiles,
+      graft.tiles.GridSpec(Array(8L, 8L), Array(4, 4)), Array(1, 1))
+      .collect().filter(_.geojson != null).sortBy(_.locKey)
+    println("O8 PROBE tiles-with-features: " + ann.map(_.locKey).mkString(" "))
+    ann.foreach(a => println(s"  ${a.locKey}: ${a.geojson}"))
+
+    // PROBE zarr v3 roundtrip through the library surface (core tiles fit
+    // the 4x4 chunk grid; the golden `rem_2d` tiles above are overlapped
+    // and would not)
+    val z3 = java.nio.file.Files.createTempDirectory("drive_zarr3").toString
+    graft.sources.Zarr3IO.write(coreTiles,
+      graft.tiles.GridSpec(Array(8L, 8L), Array(4, 4)), z3, "int64", gzip = true)
+    val back = graft.sources.Zarr3IO.read(spark, z3).collect()
+    println("ZARR3 roundtrip tiles: " + back.map(_.loc.mkString("/")).sorted.mkString(" ")
+      + " nonzero: " + back.flatMap(_.data).count(_ != 0))
     spark.stop()
   }
 }
