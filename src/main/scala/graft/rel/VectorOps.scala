@@ -178,6 +178,75 @@ object VectorOps {
                                   ORDER BY adc DESC, id_n ASC) AS rn
         FROM scores) WHERE rn = 1"""
 
+  /** IVF+PQ composed — the production ANN shape: a coarse quantizer prunes
+    * candidates to the query's cluster (equi-join on the coarse id), and
+    * PQ-on-RESIDUALS scores them asymmetrically:
+    * `score(q, n) ≈ dot(q, coarse(n)) + Σ_m lut_q[m][code_m(n)]`
+    * where codes quantize `n - coarse(n)`. Residuals stay exact integers
+    * (elementwise subtraction of quantized vectors), so both engines agree
+    * bit-for-bit. Every stage is an aggregate argmin/argmax or a broadcast
+    * equi-join; candidate volume is cluster-local, never corpus-wide.
+    */
+  private def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val base = qvec(s, d)
+    val coarse = base.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("ccid"), col("qv").as("ccv"))
+    // assign feeds codes, the residual codebook, queries, and the base
+    // term: cache it once (released after the consuming action) so the
+    // coarse-assignment pass runs once, not four times
+    val assign = base.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("qv"), col("ccid"), col("ccv"),
+        long_dot(col("qv"), col("ccv")).as("cdot"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cdot"), (-col("ccid")).as("nc"),
+        col("ccid"), col("qv"), col("ccv"))).as("t"))
+      .select(col("vec_id"), col("t.ccid").as("ccid"), col("t.qv").as("qv"),
+        expr("zip_with(t.qv, t.ccv, (a, b) -> a - b)").as("rv"))
+    val subs = assign
+      .select(col("vec_id"), col("ccid"),
+        explode(expr("sequence(0, 7)")).as("m"), col("rv"))
+      .select(col("vec_id"), col("ccid"), col("m"),
+        expr("slice(rv, m * 8 + 1, 8)").as("sv"))
+    val cents = subs.filter(col("vec_id") % 7 === 3 && col("vec_id") <= 108)
+      .select(expr("vec_id div 7").as("cid"), col("m"), col("sv").as("cv"))
+    val codes = subs.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("ccid"), col("m"), col("cid"),
+        (long_dot(col("sv"), col("sv"))
+          - lit(2) * long_dot(col("sv"), col("cv"))
+          + long_dot(col("cv"), col("cv"))).as("dist"))
+      .groupBy("vec_id", "ccid", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("ccid"), col("m"), col("mn.cid").as("code"))
+    val queries = assign.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id_q"), col("ccid").as("qccid"),
+        col("qv").as("qqv"))
+    val lut = queries
+      .select(col("id_q"), col("qccid"),
+        explode(expr("sequence(0, 7)")).as("m"), col("qqv"))
+      .select(col("id_q"), col("qccid"), col("m"),
+        expr("slice(qqv, m * 8 + 1, 8)").as("qsv"))
+      .join(broadcast(cents), Seq("m"))
+      .select(col("id_q"), col("qccid"), col("m"), col("cid").as("code"),
+        long_dot(col("qsv"), col("cv")).as("pdot"))
+    val baseTerm = queries.join(broadcast(coarse),
+        col("qccid") === col("ccid"))
+      .select(col("id_q"), col("qccid"),
+        long_dot(col("qqv"), col("ccv")).as("bdot"))
+    codes.as("c").join(broadcast(lut.as("l")),
+        expr("l.m = c.m AND l.code = c.code AND l.qccid = c.ccid"))
+      .filter(col("l.id_q") =!= col("c.vec_id"))
+      .groupBy(col("l.id_q").as("id_q"), col("c.vec_id").as("id_n"),
+        col("c.ccid").as("ccid"))
+      .agg(sum("l.pdot").as("rdot"))
+      .join(broadcast(baseTerm.withColumnRenamed("qccid", "ccid")),
+        Seq("id_q", "ccid"))
+      .select(col("id_q"), col("id_n"), (col("bdot") + col("rdot")).as("adc"))
+      .groupBy("id_q")
+      .agg(max(struct(col("adc"), (-col("id_n")).as("ni"), col("id_n"))).as("t"))
+      .select(col("id_q"), col("t.id_n").as("id_n"), col("t.adc").as("adc"))
+      .transform(graft.Caching.releaseAfterAction(_, assign))
+  }
+
   /** Embedding-cosine near-dup corpus: every 20th vector re-appears scaled
     * by a small deterministic factor (direction-preserving, so cosine vs the
     * original is ~1 up to quantization). Detection: cos >= 0.95 via the
@@ -302,6 +371,67 @@ object VectorOps {
     Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
 
     Q("ann_pq", annPq, Some(ANN_PQ_SQL)),
+
+    Q("ann_ivfpq", annIvfPq, Some(s"""
+      WITH $QVEC_SQL,
+      coarse AS (SELECT vec_id AS ccid, qv AS ccv FROM qv WHERE vec_id % 100 = 7),
+      cdots AS (
+        SELECT b.vec_id, b.qv, a.ccid, a.ccv,
+               CAST(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(a.ccv AS DOUBLE[])) AS BIGINT) AS cdot
+        FROM qv b, coarse a),
+      assign AS (
+        SELECT vec_id, qv, ccid,
+               list_transform(range(1, 65), i -> qv[i] - ccv[i]) AS rv
+        FROM (
+          SELECT vec_id, qv, ccid, ccv,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cdot DESC, ccid ASC) AS rn
+          FROM cdots) WHERE rn = 1),
+      subs AS (
+        SELECT vec_id, ccid, m.m AS m, rv[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+        FROM assign, range(0, 8) m(m)),
+      cents AS (
+        SELECT vec_id // 7 AS cid, m, sv AS cv FROM subs
+        WHERE vec_id % 7 = 3 AND vec_id <= 108),
+      dists AS (
+        SELECT s.vec_id, s.ccid, s.m, c.cid,
+               CAST(list_dot_product(CAST(s.sv AS DOUBLE[]), CAST(s.sv AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST(s.sv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                  + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                 AS BIGINT) AS dist
+        FROM subs s JOIN cents c ON s.m = c.m),
+      codes AS (
+        SELECT vec_id, ccid, m, cid AS code FROM (
+          SELECT vec_id, ccid, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m
+                                    ORDER BY dist ASC, cid ASC) AS rn
+          FROM dists) WHERE rn = 1),
+      queries AS (
+        SELECT vec_id AS id_q, ccid AS qccid, qv AS qqv
+        FROM assign WHERE vec_id % 50 = 0),
+      lut AS (
+        SELECT q.id_q, q.qccid, c.m, c.cid AS code,
+               CAST(list_dot_product(
+                 CAST(q.qqv[c.m * 8 + 1 : c.m * 8 + 8] AS DOUBLE[]),
+                 CAST(c.cv AS DOUBLE[])) AS BIGINT) AS pdot
+        FROM queries q, cents c),
+      base_term AS (
+        SELECT q.id_q, q.qccid AS ccid,
+               CAST(list_dot_product(CAST(q.qqv AS DOUBLE[]), CAST(a.ccv AS DOUBLE[])) AS BIGINT) AS bdot
+        FROM queries q JOIN coarse a ON q.qccid = a.ccid),
+      scores AS (
+        SELECT l.id_q, c.vec_id AS id_n, c.ccid,
+               CAST(sum(l.pdot) AS BIGINT) AS rdot
+        FROM codes c JOIN lut l
+          ON l.m = c.m AND l.code = c.code AND l.qccid = c.ccid
+        WHERE l.id_q != c.vec_id
+        GROUP BY l.id_q, c.vec_id, c.ccid)
+      SELECT id_q, id_n, adc FROM (
+        SELECT s.id_q, s.id_n, b.bdot + s.rdot AS adc,
+               row_number() OVER (PARTITION BY s.id_q
+                                  ORDER BY b.bdot + s.rdot DESC, s.id_n ASC) AS rn
+        FROM scores s JOIN base_term b
+          ON s.id_q = b.id_q AND s.ccid = b.ccid) WHERE rn = 1""")),
 
     Q("dd_embed_lsh_verify", embedLshVerify, Some(EMBED_LSH_VERIFY_SQL)),
 

@@ -93,6 +93,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"codebook/LUT should broadcast:\n$p")
   }
 
+  test("ann_ivfpq prunes to the query's cluster with no pairwise stage") {
+    val p = plan("ann_ivfpq")
+    assert(!p.contains("CartesianProduct"),
+      s"cluster pruning degenerated to a pairwise plan:\n$p")
+    assert(!p.contains("Window"), s"argmin/argmax degenerated to a window:\n$p")
+    // the only nested loop is the 13-row coarse fan-out inside the CACHED
+    // assignment plan — every InMemoryRelation occurrence reprints it, so
+    // bound the count by the relation count rather than by 1
+    assert(p.contains("InMemoryTableScan"),
+      s"coarse assignment should be computed once (cached), not inlined 4x:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <=
+      "InMemoryRelation".r.findAllIn(p).size,
+      s"a nested loop outside the cached fan-out:\n$p")
+    assert("BroadcastHashJoin \\[m#\\d+L?, code#\\d+L?, ccid#\\d+L?\\]".r
+      .findFirstIn(p).isDefined,
+      s"scoring join must hash on (subspace, code, cluster):\n$p")
+  }
+
   test("dd_embed_cos candidates come from the LSH bucket equi-join") {
     val p = plan("dd_embed_cos")
     assert(!p.contains("CartesianProduct"),
