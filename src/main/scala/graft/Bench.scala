@@ -52,7 +52,11 @@ object Bench {
     // keep the line SHORT (3-decimal seconds) and put the headline keys
     // LAST: the driver's tail capture keeps the end of long output, so a
     // front-truncated line must still carry metric/value/total
-    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma decimal separator would break the driver's JSON parse
+    def fmt(v: Double) =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum

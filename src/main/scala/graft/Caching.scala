@@ -16,6 +16,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * `clearCache()` between queries. If the result is materialized twice, the
   * second run recomputes (correct, just uncached) — each fresh builder
   * invocation re-registers its own cache + release.
+  *
+  * Caveat: a result that is BUILT but never materialized (plan-inspection
+  * only) keeps its deps cached and its listener registered until either the
+  * session ends or something drops the cache; the listener self-prunes as
+  * soon as it observes its deps uncached (e.g. after a `clearCache()`), so
+  * harness loops that clear between queries cannot accumulate stale
+  * listeners.
   */
 object Caching {
 
@@ -26,10 +33,14 @@ object Caching {
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     object listener extends QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
+        // self-prune when something else (clearCache) already dropped the
+        // deps — the release would be a no-op but the listener must go
+        val alreadyDropped = deps.forall(
+          _.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         // a conservative matcher failure must release rather than leak
-        val hit =
-          try qe.analyzed.exists(_.sameResult(target))
-          catch { case _: Throwable => true }
+        val hit = alreadyDropped ||
+          (try qe.analyzed.exists(_.sameResult(target))
+           catch { case _: Throwable => true })
         if (hit && released.compareAndSet(false, true)) {
           deps.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(listener)

@@ -169,11 +169,15 @@ object Relabel {
     // expensive or non-deterministic — the rank table and the remap pass
     // must observe the same label sets.
     // read three times below (rank build, join probe, implicit in sort
-    // sampling); tiny (O(distinct labels per tile)); released once the
-    // remapped result's action completes
+    // sampling); tiny (O(distinct labels per tile)). Persist EAGERLY here —
+    // the sortBy sampling and zipWithIndex jobs below run at call time, and
+    // they must populate (then reuse) the cache, not each recompute the
+    // tiles lineage. releaseAfterAction's own persist() is then a no-op;
+    // its listener still releases after the remapped result's action.
     val tileLabels = tiles.flatMap(t =>
       t.data.distinct.iterator.map(l => (t.linearIndex, l)))
       .toDF("lin", "label")
+      .persist()
     val ranks = tileLabels.select("label").distinct().as[Long]
       .rdd.sortBy(identity).zipWithIndex().toDF("label", "rank")
     val perTile = tileLabels.join(ranks, "label")

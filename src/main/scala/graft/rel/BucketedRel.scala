@@ -21,16 +21,7 @@ object BucketedRel {
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** One warehouse dir per JVM, removed on exit. */
-  private lazy val warehouseDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_bucketed")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
+  private lazy val warehouseDir: String = graft.TempDirs.create("graft_bucketed")
 
   /** Build the bucketed warehouse once per (session, sf dir) — a warehouse
     * is written once and queried many times; re-deriving it on every

@@ -55,11 +55,8 @@ object FullChainRel {
   private val SRC_MEMBER =
     srcAxis("ly", "gy", "ey", GY - 1) + " AND " + srcAxis("lx", "gx", "ex", GX - 1)
 
-  private val PARITY = "((ly != -1 AND gy % 2 = 1) OR (lx != -1 AND gx % 2 = 1))"
-
-  private def regionsAs(alias: String) =
-    "(VALUES " + RelabelRel.REGIONS.map { case (r, ly, lx, dm) =>
-      s"($r,$ly,$lx,$dm)" }.mkString(", ") + s") AS $alias(rid, ly, lx, rdim)"
+  private val PARITY = RelabelRel.parityPred
+  private def regionsAs(alias: String) = RelabelRel.regionsSqlAs(alias)
   private val REGIONS_SQL = regionsAs("regions")
 
   /** Shipped-margin membership on the SENDER's expanded frame for the merge
@@ -176,16 +173,7 @@ object FullChainRel {
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Staging dir for the streaming ingest, one per JVM, removed on exit. */
-  private lazy val stageDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_stage")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
+  private lazy val stageDir: String = graft.TempDirs.create("graft_stage")
 
   def all: Seq[Q] = Seq(
     Q("px_image2labels", imagePixels, Some(SQL)),

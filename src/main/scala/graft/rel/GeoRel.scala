@@ -82,16 +82,7 @@ object GeoRel {
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Staging dir for the streaming ingest, one per JVM, removed on exit. */
-  private lazy val stageDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_geo_stage")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
+  private lazy val stageDir: String = graft.TempDirs.create("graft_geo_stage")
 
   /** O8 as ONE STREAMING QUERY: labeled tiles stream in (any order, any
     * microbatching), the stateful halo exchange runs prepare with an
@@ -131,11 +122,8 @@ object GeoRel {
   private val SRC_MEMBER =
     srcAxis("ly", "gy", "ey", GY - 1) + " AND " + srcAxis("lx", "gx", "ex", GX - 1)
 
-  private val PARITY = "((ly != -1 AND gy % 2 = 1) OR (lx != -1 AND gx % 2 = 1))"
-
-  private val REGIONS_SQL =
-    "(VALUES " + RelabelRel.REGIONS.map { case (r, ly, lx, dm) =>
-      s"($r,$ly,$lx,$dm)" }.mkString(", ") + ") AS regions(rid, ly, lx, rdim)"
+  private val PARITY = RelabelRel.parityPred
+  private val REGIONS_SQL = RelabelRel.regionsSqlAs("regions")
 
   val SQL: String = s"""
     WITH grid AS (

@@ -77,16 +77,7 @@ object PipelineOps {
     * and removed on exit — repeated Verify/Bench runs must not accumulate
     * image copies in /tmp.
     */
-  private lazy val zarrDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_zarr")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
+  private lazy val zarrDir: String = graft.TempDirs.create("graft_zarr")
 
   def zarrPipeline(s: SparkSession, d: String): DataFrame = {
     val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
@@ -110,16 +101,7 @@ object PipelineOps {
     explodeMerged(Relabel.mergeOverlappedTiles(removed, Array(OV, OV)))
   }
 
-  private lazy val zarr3Dir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_zarr3")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
+  private lazy val zarr3Dir: String = graft.TempDirs.create("graft_zarr3")
 
   /** Tile-engine remove only, exploded (oracle: relational remove join). */
   def removePixels(s: SparkSession, d: String): DataFrame = {

@@ -94,7 +94,9 @@ object RelabelRel {
     axis("ly", "gy", "py", GY - 1) + " AND " + axis("lx", "gx", "px", GX - 1)
   }
 
-  private val parityPred = "((ly != -1 AND gy % 2 = 1) OR (lx != -1 AND gx % 2 = 1))"
+  /** Receiver-parity rule shared by every relabel oracle (`utils.py:101-110`). */
+  private[rel] val parityPred =
+    "((ly != -1 AND gy % 2 = 1) OR (lx != -1 AND gx % 2 = 1))"
 
   private val keepPred =
     s"""p >= $THRESHOLD AND NOT (p <= ${1 - THRESHOLD}
@@ -105,7 +107,7 @@ object RelabelRel {
     REGIONS.toDF("rid", "ly", "lx", "rdim")
   }
 
-  private def regionsSqlAs(alias: String) =
+  private[rel] def regionsSqlAs(alias: String) =
     "(VALUES " + REGIONS.map { case (r, ly, lx, dm) => s"($r,$ly,$lx,$dm)" }
       .mkString(", ") + s") AS $alias(rid, ly, lx, rdim)"
   private val REGIONS_SQL = regionsSqlAs("regions")

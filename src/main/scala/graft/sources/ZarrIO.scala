@@ -190,7 +190,10 @@ object ZarrIO {
         dos.write(bytes); dos.close(); bos.toByteArray
       case "gzip" =>
         val bos = new ByteArrayOutputStream()
-        val gos = new GZIPOutputStream(bos)
+        // level 1 to match what the v3 zarr.json declares for its gzip
+        // codec (GZIPOutputStream would otherwise silently use level 6);
+        // `def` is DeflaterOutputStream's protected Deflater field
+        val gos = new GZIPOutputStream(bos) { `def`.setLevel(Deflater.BEST_SPEED) }
         gos.write(bytes); gos.close(); bos.toByteArray
     }
   }

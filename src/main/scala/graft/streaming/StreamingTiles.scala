@@ -43,8 +43,15 @@ object StreamingTiles {
     * whole neighborhood redelivered later than the TTL re-emits. Size the
     * TTL to the source's maximum redelivery lag (30 min default covers
     * typical at-least-once buses; batch-style replays should re-run the
-    * query instead). Pending (incomplete) neighborhoods never expire —
-    * dropping them would silently lose tiles that are merely late.
+    * query instead).
+    *
+    * Pending (incomplete) buffers get a 10x LONGER timeout rather than
+    * none — merely-late tiles re-arm it, so they are not lost — because a
+    * neighborhood partially redelivered after its tombstone expired
+    * would otherwise buffer pixel shards forever waiting for neighbors that
+    * will never re-arrive — unbounded state strictly worse than the
+    * tombstones the TTL bounds. Every new shard re-arms the pending clock,
+    * so only genuinely abandoned buffers are dropped.
     *
     * Mechanism: EventTimeTimeout against an INGEST-TIME watermark (each
     * stage stamps shards with the microbatch's `current_timestamp` and
@@ -55,6 +62,9 @@ object StreamingTiles {
     * settles), which burns a core on an idle 1000-executor ingest job.
     */
   val DefaultTombstoneTtlMs: Long = 30L * 60 * 1000
+
+  /** Pending buffers survive this multiple of the tombstone TTL. */
+  val PendingTtlFactor: Long = 10L
 
   /** Stamp each shard with its microbatch ingest time and declare a 0-delay
     * watermark on it — the clock tombstone expiry runs against. The column
@@ -71,11 +81,17 @@ object StreamingTiles {
       .as[(Halo.Shard, java.sql.Timestamp)]
   }
 
-  /** Tombstone deadline: ingest wall clock + TTL. Always ahead of the
-    * watermark (which trails the newest ingest timestamp), including in the
-    * first microbatch where `getCurrentWatermarkMs` is still 0.
+  /** Timeout deadline: TTL past the later of the current watermark and the
+    * executor wall clock. Anchoring on the watermark alone would put
+    * first-batch deadlines near the epoch (watermark starts at 0); the wall
+    * clock alone could fall AT or BELOW the watermark on an executor whose
+    * clock lags the driver's batch timestamps by more than the TTL — and
+    * `setTimeoutTimestamp` throws (killing the query) when handed a
+    * deadline not strictly ahead of the watermark. The max of both is safe
+    * against each failure mode.
     */
-  private def deadline(ttlMs: Long): Long = System.currentTimeMillis() + ttlMs
+  private def deadline(state: GroupState[ShardState], ttlMs: Long): Long =
+    math.max(state.getCurrentWatermarkMs(), System.currentTimeMillis()) + ttlMs
 
   /** Run `body` (which starts and fully drains a streaming query) with the
     * global-watermark correctness heuristic disabled, restoring the prior
@@ -133,7 +149,7 @@ object StreamingTiles {
             if (done) {
               // Spark clears the timeout on every invocation: re-arm it so a
               // redelivered neighborhood extends the tombstone's life
-              state.setTimeoutTimestamp(deadline(tombstoneTtlMs))
+              state.setTimeoutTimestamp(deadline(state, tombstoneTtlMs))
               Iterator.empty
             } else {
               val merged = (have ++ it).groupBy(_.rd.toSeq).map(_._2.head).toList
@@ -148,11 +164,15 @@ object StreamingTiles {
               }
               if (merged.size >= expected) {
                 state.update((true, Nil))
-                state.setTimeoutTimestamp(deadline(tombstoneTtlMs))
+                state.setTimeoutTimestamp(deadline(state, tombstoneTtlMs))
                 Iterator.single(Halo.assembleMerged(lin, merged.toArray, ov))
               } else {
-                // no timeout for pending buffers: late tiles must not be lost
+                // pending buffers survive 10x the tombstone TTL (re-armed on
+                // every shard): abandoned post-expiry partial redeliveries
+                // must not hold pixel state forever
                 state.update((false, merged))
+                state.setTimeoutTimestamp(
+                  deadline(state, tombstoneTtlMs * PendingTtlFactor))
                 Iterator.empty
               }
             }
@@ -188,7 +208,7 @@ object StreamingTiles {
           else {
             val (done, have) = state.getOption.getOrElse((false, Nil))
             if (done) { // redelivery after completion: suppress, extend TTL
-              state.setTimeoutTimestamp(deadline(tombstoneTtlMs))
+              state.setTimeoutTimestamp(deadline(state, tombstoneTtlMs))
               Iterator.empty
             } else {
               val merged = (have ++ it)
@@ -199,15 +219,19 @@ object StreamingTiles {
               if (merged.size >= expected) {
                 // tombstone: emit exactly once (within the TTL window)
                 state.update((true, Nil))
-                state.setTimeoutTimestamp(deadline(tombstoneTtlMs))
+                state.setTimeoutTimestamp(deadline(state, tombstoneTtlMs))
                 val expanded = Halo.assembleExpanded(merged.toArray, ov)
                 val (labels, classes) = segFn.segment(expanded)
                 val segmented = expanded.copy(data = labels, classes = classes)
                 Iterator.single(
                   Kernels.removeOverlapped(segmented, ov, threshold))
               } else {
-                // no timeout for pending buffers: late tiles must not be lost
+                // pending buffers survive 10x the tombstone TTL (re-armed on
+                // every shard): abandoned post-expiry partial redeliveries
+                // must not hold pixel state forever
                 state.update((false, merged))
+                state.setTimeoutTimestamp(
+                  deadline(state, tombstoneTtlMs * PendingTtlFactor))
                 Iterator.empty
               }
             }
