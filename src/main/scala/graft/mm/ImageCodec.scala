@@ -108,6 +108,62 @@ object ImageCodec {
     Decoded(w2, h2, out)
   }
 
+  /** Horizontal flip: out(x, y) = in(w-1-x, y). */
+  def flipH(d: Decoded): Decoded = {
+    val out = new Array[Int](d.argb.length)
+    var y = 0
+    while (y < d.h) {
+      var x = 0
+      while (x < d.w) {
+        out(y * d.w + x) = d.argb(y * d.w + (d.w - 1 - x))
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(d.w, d.h, out)
+  }
+
+  /** Clockwise 90-degree rotation: out(x', y') = in(y', h-1-x') with the
+    * output sized (h, w) — i.e. source pixel (x, y) lands at (h-1-y, x).
+    */
+  def rot90(d: Decoded): Decoded = {
+    val out = new Array[Int](d.argb.length)
+    val w2 = d.h; val h2 = d.w
+    var y = 0
+    while (y < d.h) {
+      var x = 0
+      while (x < d.w) {
+        out(x * w2 + (d.h - 1 - y)) = d.argb(y * d.w + x)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(w2, h2, out)
+  }
+
+  /** Re-encode a decoded raster as PNG (the augment write-back path). */
+  def encodePng(d: Decoded): Array[Byte] = {
+    val img = new BufferedImage(d.w, d.h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, d.w, d.h, d.argb, 0, d.w)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Position-weighted red sum — orientation-sensitive: Σ x·r over pixels.
+    * A flip or rotation that mishandles coordinates changes it.
+    */
+  def weightedX(d: Decoded): Long = {
+    var s = 0L
+    var y = 0
+    while (y < d.h) {
+      var x = 0
+      while (x < d.w) { s += x.toLong * rOf(d.argb(y * d.w + x)); x += 1 }
+      y += 1
+    }
+    s
+  }
+
   /** Integer BT.601-ish luma bucketed into 16 bins. */
   @inline def lumaBin(p: Int): Int =
     ((rOf(p) * 299 + gOf(p) * 587 + bOf(p) * 114) / 1000) / 16

@@ -303,6 +303,36 @@ object PipelineOps {
       .toDF("doc_id", "bin", "n")
   }
 
+  /** Real augmentation: decode, flip / rotate the raster, RE-ENCODE to PNG
+    * (the write-back a training-data augmentation job performs), decode the
+    * re-encoded bytes, and emit orientation-sensitive weighted sums — a
+    * coordinate mistake in either transform or either codec pass breaks the
+    * hash. The oracle derives both sums from the closed form: a horizontal
+    * flip sends weight x to w-1-x; a clockwise rotation sends source (x, y)
+    * to x' = h-1-y.
+    */
+  def augment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.mm.ImageCodec
+    pngPayloads(s, d)
+      .mapPartitions(_.map { case (id, png) =>
+        val dec = ImageCodec.decode(png)
+        val flip = ImageCodec.decode(ImageCodec.encodePng(ImageCodec.flipH(dec)))
+        val rot = ImageCodec.decode(ImageCodec.encodePng(ImageCodec.rot90(dec)))
+        (id, ImageCodec.weightedX(flip),
+          rot.w.toLong, rot.h.toLong, ImageCodec.weightedX(rot))
+      })
+      .toDF("doc_id", "flip_wx", "rot_w", "rot_h", "rot_wx")
+  }
+
+  private val MM_AUGMENT_SQL = s"""
+    WITH $MM_RGB_CTES
+    SELECT doc_id,
+           CAST(sum((w - 1 - x) * r) AS BIGINT) AS flip_wx,
+           any_value(h) AS rot_w, any_value(w) AS rot_h,
+           CAST(sum((h - 1 - y) * r) AS BIGINT) AS rot_wx
+    FROM mm_rgb GROUP BY doc_id"""
+
   private val MM_FEATURES_SQL = s"""
     WITH $MM_RGB_CTES
     SELECT doc_id,
@@ -314,6 +344,7 @@ object PipelineOps {
     Q("mm_frame_sample", frameSample, Some(MM_FRAME_SAMPLE_SQL)),
     Q("mm_resize", resize, Some(MM_RESIZE_SQL)),
     Q("mm_features", features, Some(MM_FEATURES_SQL)),
+    Q("mm_augment", augment, Some(MM_AUGMENT_SQL)),
     Q("px_remove_tiles", removePixels, Some(REMOVE_PIXELS_SQL)),
     Q("geo_annotate", annotateTiles, None),
     Q("px_pipeline", pipeline, Some(RelabelRel.MERGE_SQL)),

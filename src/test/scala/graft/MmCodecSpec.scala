@@ -65,6 +65,26 @@ class MmCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("flip and rotate move every pixel to the right place, PNG-roundtripped") {
+    val seed = 77L
+    val dec = ImageCodec.decode(ImageCodec.synthPng(seed))
+    val flip = ImageCodec.decode(ImageCodec.encodePng(ImageCodec.flipH(dec)))
+    assert(flip.w == dec.w && flip.h == dec.h)
+    for (y <- 0 until dec.h; x <- 0 until dec.w)
+      assert(flip.argb(y * flip.w + x) == dec.argb(y * dec.w + (dec.w - 1 - x)),
+        s"flip($x,$y)")
+    val rot = ImageCodec.decode(ImageCodec.encodePng(ImageCodec.rot90(dec)))
+    assert(rot.w == dec.h && rot.h == dec.w)
+    for (y <- 0 until dec.h; x <- 0 until dec.w)
+      assert(rot.argb(x * rot.w + (dec.h - 1 - y)) == dec.argb(y * dec.w + x),
+        s"rot($x,$y)")
+    // double flip is identity; four rotations are identity
+    val f2 = ImageCodec.flipH(ImageCodec.flipH(dec))
+    assert(f2.argb.sameElements(dec.argb))
+    val r4 = Iterator.iterate(dec)(ImageCodec.rot90).drop(4).next()
+    assert(r4.w == dec.w && r4.h == dec.h && r4.argb.sameElements(dec.argb))
+  }
+
   test("luma histogram covers all pixels and matches the formula") {
     val seed = 100L
     val dec = ImageCodec.decode(ImageCodec.synthPng(seed))
