@@ -268,6 +268,63 @@ object TextOps {
                    JOIN sizes nb ON i.id_b = nb.doc_id
       WHERE i.inter * 2 >= na.n + nb.n - i.inter""")),
 
+    // -- transitive near-dup clustering (connected components) ---------------
+    // The final step of corpus dedup: group everything transitively linked
+    // through the LSH candidate graph and elect min-id canonicals. Spark
+    // side is Pregel-style min-label propagation — O(component diameter)
+    // rounds of equi-join + aggregate, each a bounded shuffle (the shape
+    // that scales; diameters of near-dup clusters are tiny in practice).
+    // The oracle closes the graph with a recursive CTE.
+    Q("dd_components", (s, d) => {
+      val edges = minhashCand(s, d)
+      val docs = nearCorpusDf(s, d).select(col("doc_id"))
+      val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .persist()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("comp")).persist()
+      try {
+        var changed = 1L
+        while (changed > 0) {
+          val next = labels
+            .join(sym, col("doc_id") === col("src"), "left")
+            .join(labels.select(col("doc_id").as("nd"), col("comp").as("ncomp")),
+              col("dst") === col("nd"), "left")
+            .groupBy("doc_id")
+            .agg(least(first(col("comp")), min(col("ncomp"))).as("comp"))
+            .select(col("doc_id"),
+              coalesce(col("comp"), col("doc_id")).as("comp"))
+            .persist()
+          changed = next.as("n")
+            .join(labels.as("o"), expr("n.doc_id = o.doc_id AND n.comp != o.comp"))
+            .count()
+          labels.unpersist(blocking = false)
+          labels = next
+        }
+        // the fixpoint stays cached (it IS the result) and is released —
+        // along with the edge list — after the caller's action; the
+        // listener registers only now, so the loop's convergence counts
+        // (which already ran) cannot fire it early
+        Caching.releaseAfterAction(labels, labels, sym)
+      } catch {
+        case e: Throwable =>
+          sym.unpersist(blocking = false)
+          labels.unpersist(blocking = false)
+          throw e
+      }
+    }, Some(MINHASH_CAND_SQL.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM cand
+        UNION ALL SELECT id_b, id_a FROM cand),
+      reach(a, b) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src),
+      docs AS (SELECT doc_id FROM corpus)
+      SELECT d.doc_id,
+             CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS comp
+      FROM docs d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id""")),
+
     // -- 16-bit SimHash from md5 nibbles -------------------------------------
     Q("dd_simhash", (s, d) => simhashDf(s, tbl(s, d, "documents")),
       Some(s"WITH ${simhashCtes("documents")} SELECT doc_id, simhash FROM sh")),
