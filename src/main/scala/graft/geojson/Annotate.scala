@@ -245,6 +245,27 @@ object Annotate {
       }
       .queryName(queryName).start()
 
+  /** O6 zip sink for streams: one `part-<batch>.zip` per non-empty
+    * microbatch (a single append-only zip cannot span batches), each
+    * holding that batch's `{loc}.geojson` members via [[zipAnnotations]].
+    * Downstream consumers treat the part set as one logical archive;
+    * at-least-once redelivery can repeat a member across parts — dedup by
+    * member name when unpacking (contents are identical by construction).
+    */
+  def streamAnnotationZips(annotations: Dataset[TileAnnotation],
+                           outDir: java.nio.file.Path,
+                           queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    java.nio.file.Files.createDirectories(outDir)
+    annotations.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[TileAnnotation], batchId: Long) =>
+        if (!batch.isEmpty)
+          zipAnnotations(batch, outDir.resolve(f"part-$batchId%05d.zip"))
+        ()
+      }
+      .queryName(queryName).start()
+  }
+
   /** O6 `zip_annotated_labeled_tiles` (`relabeling.py:126-163`): write one
     * `{y}-{x}.geojson` member per non-empty tile into a single zip. This is
     * an action (the reference computes here too, `relabeling.py:150`);

@@ -158,6 +158,50 @@ class StreamingTilesSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming zip sink: union of part members equals the batch zip") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tiles = coreTiles(67)
+    val expected = graft.geojson.Annotate
+      .annotateLabeledTiles(spark.createDataset(tiles), ov)
+      .collect().filter(_.geojson != null)
+      .map(a => a.locKey -> a.geojson).toMap
+
+    def zipMembers(p: java.nio.file.Path): Map[String, String] = {
+      val zf = new java.util.zip.ZipFile(p.toFile)
+      try {
+        val it = zf.entries()
+        val buf = scala.collection.mutable.Map.empty[String, String]
+        while (it.hasMoreElements) {
+          val e = it.nextElement()
+          buf += e.getName.stripSuffix(".geojson") ->
+            new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+        }
+        buf.toMap
+      } finally zf.close()
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_zip")
+    val mem = MemoryStream[Tile]
+    val query = graft.geojson.Annotate.streamAnnotationZips(
+      graft.geojson.Annotate.annotateLabeledTiles(mem.toDS(), ov),
+      dir, "st_ann_zip_sink")
+    try {
+      tiles.grouped((tiles.size + 2) / 3).foreach { b =>
+        mem.addData(b: _*); query.processAllAvailable()
+      }
+      val parts = Option(dir.toFile.listFiles()).get
+        .filter(_.getName.endsWith(".zip")).sortBy(_.getName)
+      assert(parts.length > 1, "expected one part per non-empty microbatch")
+      val merged = parts.map(f => zipMembers(f.toPath))
+        .foldLeft(Map.empty[String, String])(_ ++ _)
+      assert(merged == expected, "part-zip union differs from batch annotate")
+    } finally {
+      query.stop()
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
   test("tombstones expire after the TTL; state is bounded, not accreting") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
