@@ -277,47 +277,16 @@ object TextOps {
     // The oracle closes the graph with a recursive CTE.
     Q("dd_components", (s, d) => {
       // persist the directed candidate list BEFORE mirroring it: the union
-      // would otherwise materialize the whole minhash pipeline twice
+      // inside connectedComponents would otherwise materialize the whole
+      // minhash pipeline twice. The fixpoint loop itself (pointer doubling,
+      // per-round lineage truncation) lives in GraphOps.
       val edges = minhashCand(s, d).persist()
-      val docs = nearCorpusDf(s, d).select(col("doc_id"))
-      val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      // localCheckpoint(eager) after every round: an iterative fixpoint with
-      // self-joins DOUBLES its logical plan per round if only persisted —
-      // analysis cost goes exponential while the data stays tiny.
-      // Checkpointing truncates lineage to the materialized blocks, keeping
-      // per-round planning O(1); the blocks are reclaimed by Spark's
-      // ContextCleaner once the loop drops its references.
-      var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
-        .localCheckpoint(true)
-      try {
-        var changed = 1L
-        while (changed > 0) {
-          // one neighbor-min hop PLUS a pointer-doubling hop (comp of comp):
-          // doubling collapses chains in O(log diameter) rounds instead of
-          // O(diameter) — round count is what a fixpoint loop pays for
-          val hop = labels
-            .join(labels.select(col("comp").as("hc"), col("doc_id").as("hd")),
-              col("comp") === col("hd"), "left")
-            .select(col("doc_id"), least(col("comp"), col("hc")).as("comp"))
-          val next = hop
-            .join(sym, col("doc_id") === col("src"), "left")
-            .join(hop.select(col("doc_id").as("nd"), col("comp").as("ncomp")),
-              col("dst") === col("nd"), "left")
-            .groupBy("doc_id")
-            .agg(least(first(col("comp")), min(col("ncomp"))).as("comp"))
-            .select(col("doc_id"),
-              coalesce(col("comp"), col("doc_id")).as("comp"))
-            .localCheckpoint(true)
-          changed = next.as("n")
-            .join(labels.as("o"), expr("n.doc_id = o.doc_id AND n.comp != o.comp"))
-            .count()
-          labels = next
-        }
-        // the edge cache is released after the caller's action consumes the
-        // (checkpointed, lineage-free) fixpoint
-        Caching.releaseAfterAction(labels, edges)
-      } catch {
+      try
+        Caching.releaseAfterAction(
+          GraphOps.connectedComponents(
+            nearCorpusDf(s, d).select(col("doc_id")), edges),
+          edges)
+      catch {
         case e: Throwable =>
           edges.unpersist(blocking = false)
           throw e

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rel.GraphOps
+
+/** Differential test: the distributed label-propagation fixpoint must agree
+  * with a plain union-find on arbitrary graphs — random sparse and dense
+  * graphs, chains (worst-case diameter), stars, and isolated vertices.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are minimal ids because unions always point larger to smaller
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  private def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val vs = spark.range(n.toLong).toDF("doc_id")
+    val es = edges.toDF("id_a", "id_b")
+    val got = GraphOps.connectedComponents(vs, es)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(n, edges))
+  }
+
+  test("random sparse graph matches union-find") {
+    val rnd = new scala.util.Random(11)
+    check(200, Seq.fill(120)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(e => e._1 != e._2))
+  }
+
+  test("random dense graph matches union-find") {
+    val rnd = new scala.util.Random(13)
+    check(60, Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2))
+  }
+
+  test("a single long chain (worst-case diameter) collapses to one component") {
+    val n = 64
+    check(n, (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)))
+  }
+
+  test("reversed chain and star centered on the max id") {
+    check(32, (0 until 31).map(i => ((i + 1).toLong, i.toLong)))
+    check(20, (0 until 19).map(i => (19L, i.toLong)))
+  }
+
+  test("edgeless graph: every vertex is its own component") {
+    check(25, Seq.empty)
+  }
+}
