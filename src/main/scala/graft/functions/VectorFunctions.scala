@@ -112,6 +112,94 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused product-quantization encoder: one pass over the vector against a
+  * flat codebook literal (`[m][c][j]` layout, `subspaces*centroids*subDim`
+  * longs) producing the packed code word `Σ code_m << (4*m)` — nearest
+  * centroid per subspace by squared L2, ties to the smallest centroid id,
+  * exactly the argmin the relational formulation computes with an explode +
+  * aggregate over `subspaces x centroids` rows. At encode time this is the
+  * difference between shuffling 128 candidate rows per vector and emitting
+  * one long from whole-stage codegen.
+  */
+case class PqEncodeWord(left: Expression, right: Expression,
+                        subspaces: Int, centroids: Int, subDim: Int)
+    extends BinaryExpression {
+
+  require(centroids <= 16, "4-bit packing supports at most 16 centroids")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects array<bigint> x array<bigint>, got $l x $r")
+    }
+
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val book = cb.asInstanceOf[ArrayData]
+    var word = 0L
+    var m = 0
+    while (m < subspaces) {
+      var best = 0L
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < centroids) {
+        var d = 0L
+        var j = 0
+        while (j < subDim) {
+          val diff = vec.getLong(m * subDim + j) -
+            book.getLong((m * centroids + c) * subDim + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict <: ties keep min c
+        c += 1
+      }
+      word |= best << (4 * m)
+      m += 1
+    }
+    word
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, book) => {
+      val word = ctx.freshName("word")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |long $word = 0L;
+         |for (int $m = 0; $m < $subspaces; $m++) {
+         |  long $best = 0L;
+         |  long $bestD = Long.MAX_VALUE;
+         |  for (int $c = 0; $c < $centroids; $c++) {
+         |    long $d = 0L;
+         |    for (int $j = 0; $j < $subDim; $j++) {
+         |      long $diff = $vec.getLong($m * $subDim + $j)
+         |        - $book.getLong(($m * $centroids + $c) * $subDim + $j);
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $word |= $best << (4 * $m);
+         |}
+         |${ev.value} = $word;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeWord =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column wrapper: `long_dot(a, b)`. */
   def long_dot(a: Column, b: Column): Column =
@@ -120,4 +208,11 @@ object VectorFunctions {
   /** Column wrapper: `float_dot(a, b)` (double result). */
   def float_dot(a: Column, b: Column): Column =
     Bridge.column(FloatDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: `pq_encode_word(vec, codebookLiteral)`. */
+  def pq_encode_word(vec: Column, codebook: Column,
+                     subspaces: Int = 8, centroids: Int = 16,
+                     subDim: Int = 8): Column =
+    Bridge.column(PqEncodeWord(Bridge.expression(vec),
+      Bridge.expression(codebook), subspaces, centroids, subDim))
 }

@@ -140,8 +140,10 @@ object VectorOps {
       .select(col("id_q"), col("t.id_n").as("id_n"), col("t.adc").as("adc"))
   }
 
-  private val ANN_PQ_SQL = s"""
-      WITH $QVEC_SQL,
+  /** CTEs yielding `codes(vec_id, m, code)` — the relational PQ encode both
+    * PQ queries' oracles share.
+    */
+  private val PQ_CODES_CTES = s"""$QVEC_SQL,
       subs AS (
         SELECT vec_id, m.m AS m, qv[m.m * 8 + 1 : m.m * 8 + 8] AS sv
         FROM qv, range(0, 8) m(m)),
@@ -160,7 +162,10 @@ object VectorOps {
           SELECT vec_id, m, cid,
                  row_number() OVER (PARTITION BY vec_id, m
                                     ORDER BY dist ASC, cid ASC) AS rn
-          FROM dists) WHERE rn = 1),
+          FROM dists) WHERE rn = 1)"""
+
+  private val ANN_PQ_SQL = s"""
+      WITH $PQ_CODES_CTES,
       lut AS (
         SELECT s.vec_id AS id_q, s.m, c.cid AS code,
                CAST(list_dot_product(CAST(s.sv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
@@ -177,6 +182,34 @@ object VectorOps {
                row_number() OVER (PARTITION BY id_q
                                   ORDER BY adc DESC, id_n ASC) AS rn
         FROM scores) WHERE rn = 1"""
+
+  /** The PQ encode as ONE native codegen expression
+    * ([[graft.functions.PqEncodeWord]]): the 16-vector codebook is small BY
+    * CONSTRUCTION, so collecting it to the driver and embedding it as an
+    * array literal ships the same information a broadcast would — and the
+    * encoder becomes a fused three-level loop inside whole-stage codegen
+    * emitting one packed long per vector, instead of exploding 128
+    * candidate rows per vector through a shuffle-backed argmin. The oracle
+    * recomputes the codes relationally and packs them the same way.
+    */
+  private def annPqNative(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.pq_encode_word
+    val cents = qvec(s, d)
+      .filter(col("vec_id") % 7 === 3 && col("vec_id") <= 108)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val flat = new Array[Long](8 * 16 * 8)
+    for (((_, v), cid) <- cents.zipWithIndex; m <- 0 until 8; j <- 0 until 8)
+      flat((m * 16 + cid) * 8 + j) = v(m * 8 + j)
+    qvec(s, d).select(col("vec_id"),
+      pq_encode_word(col("qv"), lit(flat)).as("pqword"))
+  }
+
+  private val ANN_PQ_NATIVE_SQL = s"""
+      WITH $PQ_CODES_CTES
+      SELECT vec_id,
+             CAST(sum(code * CAST(2 ** (4 * m) AS BIGINT)) AS BIGINT) AS pqword
+      FROM codes GROUP BY vec_id"""
 
   /** IVF+PQ composed — the production ANN shape: a coarse quantizer prunes
     * candidates to the query's cluster (equi-join on the coarse id), and
@@ -371,6 +404,8 @@ object VectorOps {
     Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
 
     Q("ann_pq", annPq, Some(ANN_PQ_SQL)),
+
+    Q("ann_pq_native", annPqNative, Some(ANN_PQ_NATIVE_SQL)),
 
     Q("ann_ivfpq", annIvfPq, Some(s"""
       WITH $QVEC_SQL,

@@ -112,6 +112,19 @@ object OpsScale {
         .agg(min(struct(col("dist"), col("cid"))).as("mn"))
         .count()
     }
+    // the same encode as ONE fused codegen expression (PqEncodeWord) —
+    // no explode, no shuffle, one packed long per vector
+    probeN("pq_encode_native", nVecs) {
+      import graft.functions.VectorFunctions.pq_encode_word
+      val flat = new Array[Long](8 * 16 * 8)
+      for (c <- 0 until 16; m <- 0 until 8; j <- 0 until 8)
+        flat((m * 16 + c) * 8 + j) = (c.toLong * 31 + (m * 8 + j) * 17) % 4001 - 2000
+      spark.range(nVecs).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> CAST((id * 31 + j * 17) % 4001 - 2000 AS BIGINT))").as("qv"))
+        .select(pq_encode_word(col("qv"), lit(flat)).as("w"))
+        .filter(col("w") >= 0).count()
+    }
     spark.stop()
   }
 }

@@ -93,6 +93,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"codebook/LUT should broadcast:\n$p")
   }
 
+  test("ann_pq_native is one scan + one projection: no join, no shuffle") {
+    val p = plan("ann_pq_native")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the fused encoder must not shuffle or join:\n$p")
+    assert(p.toLowerCase.contains("pqencodeword"),
+      s"native expression not planned:\n$p")
+    // the projection itself interprets because the surrounding quantization
+    // transform() is a HigherOrderFunction (CodegenFallback); the encoder
+    // supplies doGenCode for stages that can fuse it
+    assert("FileScan".r.findAllIn(p).size == 1, s"expected a single scan:\n$p")
+  }
+
   test("ann_ivfpq prunes to the query's cluster with no pairwise stage") {
     val p = plan("ann_ivfpq")
     assert(!p.contains("CartesianProduct"),
