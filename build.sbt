@@ -14,6 +14,10 @@ Test / fork := true
 // (BucketingSpec) — run sequentially to keep plan-shape assertions stable
 Test / parallelExecution := false
 run / fork := true
+// Emit the forked process's stdout verbatim: the driver parses Bench's one
+// JSON line from the tail of sbt output, and the default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks that parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

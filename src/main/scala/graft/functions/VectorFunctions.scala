@@ -126,6 +126,22 @@ case class PqEncodeWord(left: Expression, right: Expression,
     extends BinaryExpression {
 
   require(centroids <= 16, "4-bit packing supports at most 16 centroids")
+  require(subspaces * 4 <= 64,
+    "4-bit packing supports at most 16 subspaces per 64-bit word")
+
+  // UnsafeArrayData.getLong does not bounds-check, so a short vector or a
+  // mis-sized codebook would silently produce garbage codes; fail loudly
+  // instead, from both the interpreted and the generated path.
+  def checkLengths(vecLen: Int, bookLen: Int): Unit = {
+    if (vecLen < subspaces * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode_word: vector has $vecLen elements, " +
+          s"need ${subspaces * subDim} (subspaces*subDim)")
+    if (bookLen < subspaces * centroids * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode_word: codebook has $bookLen elements, " +
+          s"need ${subspaces * centroids * subDim} (subspaces*centroids*subDim)")
+  }
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
@@ -141,6 +157,7 @@ case class PqEncodeWord(left: Expression, right: Expression,
   override def nullSafeEval(v: Any, cb: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
     val book = cb.asInstanceOf[ArrayData]
+    checkLengths(vec.numElements(), book.numElements())
     var word = 0L
     var m = 0
     while (m < subspaces) {
@@ -175,7 +192,9 @@ case class PqEncodeWord(left: Expression, right: Expression,
       val diff = ctx.freshName("diff")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      val self = ctx.addReferenceObj("pqEncodeWord", this, classOf[PqEncodeWord].getName)
       s"""
+         |$self.checkLengths($vec.numElements(), $book.numElements());
          |long $word = 0L;
          |for (int $m = 0; $m < $subspaces; $m++) {
          |  long $best = 0L;

@@ -143,11 +143,16 @@ object FullChainRel {
     */
   def imagePixelsStreamed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.sources.TileIO.write(HaloRel.coreTiles(s, d), stageDir)
-    val schema = s.read.parquet(stageDir).schema
-    val stream = s.readStream.schema(schema).parquet(stageDir)
+    // fresh per-invocation subdirectory: overwriting a SHARED staging dir
+    // could delete parquet files out from under a concurrent invocation's
+    // still-active file-source stream
+    val n = sinkCounter.incrementAndGet()
+    val stage = stageDir + "/in_" + n
+    graft.sources.TileIO.write(HaloRel.coreTiles(s, d), stage)
+    val schema = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(schema).parquet(stage)
       .select("loc", "grid", "shape", "data", "classes").as[graft.tiles.Tile]
-    val qn = "st_px_sink_" + sinkCounter.incrementAndGet()
+    val qn = "st_px_sink_" + n
     val merged = graft.streaming.StreamingTiles.mergeStream(
       graft.streaming.StreamingTiles.expandSegmentRemoveStream(
         stream, Array(OV, OV), HaloRel.BlockSegmentation(), THRESHOLD),

@@ -92,14 +92,19 @@ object GeoRel {
     */
   def labels2geojsonStreamed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.sources.TileIO.write(labelTiles(s), stageDir)
-    val schema = s.read.parquet(stageDir).schema
-    val stream = s.readStream.schema(schema).parquet(stageDir)
+    // fresh per-invocation subdirectory: overwriting a SHARED staging dir
+    // could delete parquet files out from under a concurrent invocation's
+    // still-active file-source stream
+    val n = sinkCounter.incrementAndGet()
+    val stage = stageDir + "/in_" + n
+    graft.sources.TileIO.write(labelTiles(s), stage)
+    val schema = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(schema).parquet(stage)
       .select("loc", "grid", "shape", "data", "classes").as[graft.tiles.Tile]
     val removed = graft.streaming.StreamingTiles.expandSegmentRemoveStream(
       stream, Array(OV, OV), graft.ops.IdentitySegmentation(), 0.5)
     val ann = graft.geojson.Annotate.annotateLabeledTiles(removed, Array(OV, OV))
-    val qn = "st_geo_sink_" + sinkCounter.incrementAndGet()
+    val qn = "st_geo_sink_" + n
     val query = ann.filter(_.geojson != null).toDF("loc_key", "geojson")
       .writeStream.outputMode("append").format("memory").queryName(qn).start()
     try query.processAllAvailable()

@@ -328,6 +328,44 @@ object VectorOps {
         sum(expr("IF(proj > 0, CAST(pow(2, h) AS BIGINT), 0L)")).as("bucket"))
   }
 
+  /** Multi-probe variant of [[lshBuckets]]: a vector emits its canonical
+    * 4-bit sign code AND every code reachable by flipping planes whose
+    * projection is within `margin` of zero (one row per emitted code).
+    *
+    * Soundness: buckets hash the QUANTIZED vectors, and quantization happens
+    * after the jitter, so a projection can change sign between a vector and
+    * its jittered twin by up to the quantization noise. That noise is
+    * bounded: per component |round(1000*x*(1+eps)) - round(1000*x)| <=
+    * 1000*|x|*0.003 + 1 < 3 (|x| < 0.6 in this corpus, |eps| <= 0.003),
+    * hyperplane components are in [-3, 3], 64 dims => |proj(twin) -
+    * proj(orig)| <= 64*3*3 = 576. With margin >= that bound, each twin
+    * emits the other's canonical code (bit=1 needs proj > -margin, bit=0
+    * needs proj <= margin), so every jitter-twin pair provably shares a
+    * bucket. Recall of arbitrary (non-twin) cos>=0.95 pairs remains
+    * empirically gated by the hash check, as with any LSH scheme.
+    */
+  private def lshBucketsProbe(s: SparkSession, c: DataFrame,
+      margin: Int): DataFrame = {
+    val planes = s.range(4).select(col("id").cast("int").as("h"))
+    val bit = (h: Int) => s"(CAST(c / ${1 << h} AS INT) % 2) = 1"
+    val planeOk = (h: Int) =>
+      s"(IF(${bit(h)}, p$h > ${-margin}, p$h <= $margin))"
+    c.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("qv"), col("h"),
+        expr("""aggregate(zip_with(qv, sequence(0, 63),
+                  (x, i) -> x * (((i * 31 + h * 17) % 7) - 3)),
+                0L, (acc, v) -> acc + v)""").as("proj"))
+      .groupBy("vec_id")
+      .agg(first(col("qv")).as("qv"),
+        sum(when(col("h") === 0, col("proj"))).as("p0"),
+        sum(when(col("h") === 1, col("proj"))).as("p1"),
+        sum(when(col("h") === 2, col("proj"))).as("p2"),
+        sum(when(col("h") === 3, col("proj"))).as("p3"))
+      .select(col("vec_id"), col("qv"),
+        explode(expr(s"""filter(sequence(0, 15), c ->
+          ${(0 to 3).map(planeOk).mkString(" AND ")})""")).as("bucket"))
+  }
+
   /** The full scale-shaped embedding near-dup chain: hyperplane LSH buckets
     * generate candidates via an equi-join (no cross product), then the exact
     * integer cosine test verifies — the vector mirror of the
@@ -471,21 +509,28 @@ object VectorOps {
     Q("dd_embed_lsh_verify", embedLshVerify, Some(EMBED_LSH_VERIFY_SQL)),
 
     // -- embedding-cosine near-duplicate detection ---------------------------
-    // Candidates come from the LSH bucket equi-join (lshBuckets): a pair can
-    // only reach the exact integer-cosine verify if the two vectors share the
-    // 4-bit hyperplane signature. The ORACLE stays the all-pairs definition —
-    // at verification SF the bucket join provably recalls every cos>=0.95
-    // pair (jitter is direction-preserving, so signatures match), while the
-    // PLAN is the O(n) equi-join that survives a 100x corpus.
+    // Candidates come from the multi-probe LSH bucket equi-join
+    // (lshBucketsProbe): a pair reaches the exact integer-cosine verify only
+    // if the two vectors share an emitted 4-bit code. The ORACLE stays the
+    // all-pairs definition; margin 576 covers the worst-case quantization
+    // noise between a vector and its jittered twin (see lshBucketsProbe), so
+    // every twin pair the oracle counts provably survives candidate
+    // generation, while the PLAN stays the O(n) equi-join (multi-probe
+    // fan-out is ~1.3x rows) that survives a 100x corpus.
     Q("dd_embed_cos", (s, d) => {
-      val buckets = lshBuckets(s, nearCorpus(s, d))
-      val a = buckets.as("a"); val b = buckets.as("b")
+      val probes = lshBucketsProbe(s, nearCorpus(s, d), margin = 576)
+      val a = probes.as("a"); val b = probes.as("b")
       a.join(b, col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id") && col("b.vec_id") >= 100000)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          long_dot(col("a.qv"), col("b.qv")).as("dot"),
-          long_dot(col("a.qv"), col("a.qv")).as("na"),
-          long_dot(col("b.qv"), col("b.qv")).as("nb"))
+          col("a.qv").as("qa"), col("b.qv").as("qb"))
+        // a pair sharing several probe codes joins once per shared code:
+        // dedupe on the ids (qa/qb are functions of the ids) before the dots
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"),
+          long_dot(col("qa"), col("qb")).as("dot"),
+          long_dot(col("qa"), col("qa")).as("na"),
+          long_dot(col("qb"), col("qb")).as("nb"))
         .filter(expr("dot >= 0 AND 400 * dot * dot >= 361 * na * nb"))
         .select("id_a", "id_b", "dot", "na", "nb")
     }, Some(s"""

@@ -104,7 +104,7 @@ object StreamingTiles {
     * same clocks), so no row is ever dropped as late.
     */
   def withChainedStatefulAllowed[T](spark: org.apache.spark.sql.SparkSession)
-      (body: => T): T = {
+      (body: => T): T = chainedStatefulLock.synchronized {
     val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "false")
@@ -114,6 +114,18 @@ object StreamingTiles {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** The override mutates the SESSION conf, so it is visible to any other
+    * streaming query started on the same session while `body` runs — callers
+    * must start only their own chained query inside `body` (all in-repo
+    * callers do). The JVM-wide lock serializes overlapping invocations so
+    * the save/restore pair cannot race and leave the correctness check
+    * permanently disabled. (Scoping via `newSession` is not viable here:
+    * the flag is read from the conf of the session the DATASETS were built
+    * against — e.g. a spec's `MemoryStream` — not the one starting the
+    * query.)
+    */
+  private val chainedStatefulLock = new Object
 
   /** The merge exchange as a second stateful stage, chained after
     * [[expandSegmentRemoveStream]]: removed tiles flatMap into the SAME

@@ -41,6 +41,35 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_encode_word rejects mis-sized inputs instead of packing garbage") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.pq_encode_word
+    def book(n: Int) = typedLit((0 until n).map(_.toLong))
+    val ok = Seq(Tuple1((0 until 16).map(_.toLong).toArray)).toDF("v")
+      .select(pq_encode_word(col("v"), book(2 * 4 * 8),
+        subspaces = 2, centroids = 4, subDim = 8))
+    assert(ok.collect().length == 1)
+    // short vector: 15 elements where subspaces*subDim = 16
+    val shortVec = Seq(Tuple1((0 until 15).map(_.toLong).toArray)).toDF("v")
+      .select(pq_encode_word(col("v"), book(2 * 4 * 8),
+        subspaces = 2, centroids = 4, subDim = 8))
+    val e1 = intercept[Exception] { shortVec.collect() }
+    assert(e1.getMessage.contains("pq_encode_word") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("pq_encode_word"))
+    // mis-sized codebook: 63 elements where subspaces*centroids*subDim = 64
+    val shortBook = Seq(Tuple1((0 until 16).map(_.toLong).toArray)).toDF("v")
+      .select(pq_encode_word(col("v"), book(63),
+        subspaces = 2, centroids = 4, subDim = 8))
+    val e2 = intercept[Exception] { shortBook.collect() }
+    assert(e2.getMessage.contains("pq_encode_word") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("pq_encode_word"))
+    // >16 subspaces cannot pack into one 64-bit word
+    intercept[IllegalArgumentException] {
+      pq_encode_word(col("v"), book(17 * 16 * 1),
+        subspaces = 17, centroids = 16, subDim = 1)
+    }
+  }
+
   test("float_dot widens per element and accumulates in order (codegen + eval)") {
     import spark.implicits._
     import graft.functions.VectorFunctions.float_dot
