@@ -1,0 +1,182 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import Q.tbl
+
+/** Corpus-curation operators: the steps a training-data pipeline runs AFTER
+  * near-dup detection — transitive dedup compaction with canonical election,
+  * corpus n-gram statistics, per-document distinctive-term extraction
+  * (TF-IDF), and deterministic hash-based train/val/test splitting.
+  *
+  * At scale: everything is scan + hash-aggregate + equi-join; the only
+  * window runs per-document (bounded partitions), top-k uses
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows, never
+  * a single-partition sort), and the split assignment is a pure hash of the
+  * key — no sampling state, rerunnable on any subset of a 100 TB corpus.
+  */
+object CurationOps {
+
+  /** Shared tail of the dd_components oracle: recursive closure of the
+    * minhash candidate graph -> per-doc component id.
+    */
+  private val COMP_SQL = TextOps.MINHASH_CAND_SQL
+    .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL SELECT id_b, id_a FROM cand),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src),
+    comp AS (
+      SELECT d.doc_id,
+             CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS comp
+      FROM (SELECT doc_id FROM corpus) d
+      LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id)"""
+
+  /** Two-nibble (0..255) integer from the head of an md5 hex digest, by
+    * pure instr arithmetic — the hex-cast-free construction both engines
+    * evaluate identically (DuckDB has no hex->int cast).
+    */
+  private def bucket(idExpr: String) = {
+    def nb(k: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST($idExpr AS STRING)), $k, 1)) - 1)"
+    s"(${nb(1)} * 16 + ${nb(2)})"
+  }
+  private def bucketSql(idExpr: String) = {
+    def nb(k: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $k, 1)) - 1)"
+    s"(${nb(1)} * 16 + ${nb(2)})"
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // -- transitive dedup compaction with canonical election -----------------
+    // The step after dd_components in a real dedup pipeline: per connected
+    // near-dup component, elect the canonical document (longest text, ties
+    // to the smallest id) and mark everything else for dropping. Canonical
+    // election is an aggregate argmax (map-side combinable), not a window.
+    Q("dd_canonical", (s, d) => {
+      val edges = TextOps.minhashCand(s, d).persist()
+      try {
+        val corpus = TextOps.nearCorpusDf(s, d)
+        val comps = GraphOps.connectedComponents(
+          corpus.select(col("doc_id")), edges)
+        val scored = comps.join(
+          corpus.select(col("doc_id"),
+            length(col("text")).cast("long").as("len")), "doc_id")
+        val canon = scored.groupBy("comp")
+          .agg(max(struct(col("len"), (-col("doc_id")).as("nd"),
+            col("doc_id"))).as("m"))
+          .select(col("comp").as("ccomp"), col("m.doc_id").as("canonical"))
+        graft.Caching.releaseAfterAction(
+          scored.join(canon, col("comp") === col("ccomp"))
+            .select(col("doc_id"), col("comp"), col("len"), col("canonical"),
+              (col("doc_id") === col("canonical")).as("kept")),
+          edges)
+      } catch {
+        case e: Throwable => edges.unpersist(blocking = false); throw e
+      }
+    }, Some(COMP_SQL + """,
+      scored AS (
+        SELECT c.doc_id, c.comp, CAST(length(x.text) AS BIGINT) AS len
+        FROM comp c JOIN corpus x ON x.doc_id = c.doc_id),
+      canon AS (
+        SELECT comp AS ccomp, doc_id AS canonical FROM (
+          SELECT comp, doc_id,
+                 row_number() OVER (PARTITION BY comp
+                                    ORDER BY len DESC, doc_id ASC) AS rn
+          FROM scored) WHERE rn = 1)
+      SELECT s.doc_id, s.comp, s.len, c.canonical,
+             s.doc_id = c.canonical AS kept
+      FROM scored s JOIN canon c ON s.comp = c.ccomp""")),
+
+    // -- corpus-level n-gram statistics --------------------------------------
+    // Top-20 bigrams by frequency: the contamination-check / LM-statistics
+    // primitive. orderBy+limit plans as TakeOrderedAndProject (bounded
+    // per-partition heaps), and (n DESC, bigram ASC) is a total order so the
+    // cut is deterministic.
+    Q("tx_ngrams", (s, d) => {
+      tbl(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(explode(expr(
+          """transform(sequence(1, size(words) - 1),
+             i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"""))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }, Some("""
+      WITH bi AS (
+        SELECT unnest(list_transform(range(1, len(words)),
+                 i -> words[i] || ' ' || words[i+1])) AS bigram
+        FROM (SELECT string_split(text, ' ') AS words FROM documents))
+      SELECT bigram, count(*) AS n FROM bi
+      GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""")),
+
+    // -- per-document distinctive terms (TF-IDF) -----------------------------
+    // Top-3 terms per document. RANKING is pure integer (tf DESC, df ASC,
+    // term ASC) so it cannot flip on floating-point ulps across engines;
+    // the score column is the log-free idf ratio tf*N/df — an exact integer
+    // product and ONE IEEE division, bit-identical in both engines, where
+    // ln(N/df) diverges at the last ulp between libm implementations (the
+    // log is monotone in the ratio, so ranking semantics are unchanged).
+    // The corpus size reaches the plan as a broadcast 1-row aggregate, not
+    // a collected literal.
+    Q("tx_tfidf", (s, d) => {
+      val docs = tbl(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("nn"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rn"),
+          ((col("tf") * col("nn")).cast("double") / col("df").cast("double"))
+            .as("tfnidf"))
+    }, Some("""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS nn FROM documents)
+      SELECT doc_id, term, tf, df, rn,
+             CAST(tf * nn AS DOUBLE) / CAST(df AS DOUBLE) AS tfnidf
+      FROM (
+        SELECT t.doc_id, t.term, t.tf, d.df, nn,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rn
+        FROM tf t JOIN df d ON t.term = d.term, n) WHERE rn <= 3""")),
+
+    // -- deterministic train/val/test split ----------------------------------
+    // Split assignment is a pure function of the doc id (md5 head byte:
+    // <230 train, <243 val, else test ~= 90/5/5), so it is reproducible,
+    // join-free, and any shard of the corpus can be split independently —
+    // the property that matters when the corpus is 100 TB. Output is the
+    // per-(lang, source, split) composition table.
+    Q("tx_sample_split", (s, d) => {
+      tbl(s, d, "documents")
+        .withColumn("b", expr(bucket("doc_id")))
+        .withColumn("split",
+          when(col("b") < 230, "train").when(col("b") < 243, "val")
+            .otherwise("test"))
+        .groupBy("lang", "source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }, Some(s"""
+      WITH b AS (
+        SELECT lang, source, ${bucketSql("doc_id")} AS b, n_chars
+        FROM documents)
+      SELECT lang, source,
+             CASE WHEN b < 230 THEN 'train'
+                  WHEN b < 243 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM b GROUP BY 1, 2, 3""")))
+}

@@ -30,33 +30,54 @@ object GraphOps {
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    def truncate(df: DataFrame): DataFrame = {
-      val rdd = df.select(col("doc_id"), col("comp")).as[(Long, Long)].rdd
-      rdd.localCheckpoint()
-      rdd.count() // materialize now; later rounds read the blocks
-      rdd.toDF("doc_id", "comp")
-    }
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = truncate(vertices.select(col("doc_id"), col("doc_id").as("comp")))
+      .persist() // scanned every round; released after the result's action
+    // Only EDGE-TOUCHED vertices enter the fixpoint: an isolated vertex is
+    // its own component and can never change, so at corpus scale (where the
+    // overwhelming majority of documents touch no near-dup edge) the
+    // iteration runs over the small connected subgraph, not the corpus.
+    // The seed folds one neighbor-min pass into initialization.
+    val seed = sym.groupBy(col("src").as("doc_id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("comp"))
+    var labels = { // materialize the seed through the RDD layer (see above)
+      val rdd = seed.as[(Long, Long)].rdd
+      rdd.localCheckpoint(); rdd.count()
+      rdd.toDF("doc_id", "comp")
+    }
     var changed = 1L
     while (changed > 0) {
-      val hop = labels
-        .join(labels.select(col("comp").as("hc"), col("doc_id").as("hd")),
-          col("comp") === col("hd"), "left")
-        .select(col("doc_id"), least(col("comp"), col("hc")).as("comp"))
-      val next = truncate(hop
+      // two pointer-doubling hops (comp := min(comp, comp of comp), twice),
+      // then the neighbor-min pass — chains collapse in O(log diameter)
+      // rounds and each round is ONE Spark action: the changed-count rides
+      // the same job that materializes the checkpointed blocks
+      val hop1 = labels
+        .join(labels.select(col("comp").as("hc1"), col("doc_id").as("hd1")),
+          col("comp") === col("hd1"), "left")
+        .select(col("doc_id"), least(col("comp"), col("hc1")).as("comp"))
+      val hop2 = hop1
+        .join(hop1.select(col("comp").as("hc2"), col("doc_id").as("hd2")),
+          col("comp") === col("hd2"), "left")
+        .select(col("doc_id"), least(col("comp"), col("hc2")).as("comp"))
+      val next = hop2
         .join(sym, col("doc_id") === col("src"), "left")
-        .join(hop.select(col("doc_id").as("nd"), col("comp").as("ncomp")),
+        .join(hop2.select(col("doc_id").as("nd"), col("comp").as("ncomp")),
           col("dst") === col("nd"), "left")
         .groupBy("doc_id")
         .agg(least(first(col("comp")), min(col("ncomp"))).as("comp"))
-        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp")))
-      changed = next.as("n")
-        .join(labels.as("o"), expr("n.doc_id = o.doc_id AND n.comp != o.comp"))
-        .count()
-      labels = next
+      val flagged = next
+        .join(labels.select(col("doc_id").as("od"), col("comp").as("oc")),
+          col("doc_id") === col("od"))
+        .select(col("doc_id"), col("comp"), (col("comp") =!= col("oc")).as("chg"))
+      val rdd = flagged.as[(Long, Long, Boolean)].rdd
+      rdd.localCheckpoint()
+      changed = rdd.filter(_._3).count() // materializes AND counts changes
+      labels = rdd.map(t => (t._1, t._2)).toDF("doc_id", "comp")
     }
-    labels
+    val untouched = vertices.select(col("doc_id"))
+      .join(labels.select(col("doc_id").as("td")), col("doc_id") === col("td"),
+        "left_anti")
+      .select(col("doc_id"), col("doc_id").as("comp"))
+    graft.Caching.releaseAfterAction(labels.unionByName(untouched), sym)
   }
 }

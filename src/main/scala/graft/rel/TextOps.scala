@@ -32,7 +32,7 @@ object TextOps {
       SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)"""
 
   /** Near-dup corpus: every 5th doc mutated (word swap + suffix). */
-  private val NEAR_SQL = """
+  private[rel] val NEAR_SQL = """
     corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -47,7 +47,7 @@ object TextOps {
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
-  private def nearCorpusDf(s: SparkSession, d: String): DataFrame = {
+  private[rel] def nearCorpusDf(s: SparkSession, d: String): DataFrame = {
     val docs = tbl(s, d, "documents").select("doc_id", "text")
     docs.unionByName(
       docs.filter(col("doc_id") % 5 === 0)
@@ -82,7 +82,7 @@ object TextOps {
     * hash-function explosion. Bands pair adjacent slices (32-bit band
     * values) and candidates come from a band equi-join.
     */
-  private def minhashCand(s: SparkSession, d: String): DataFrame =
+  private[rel] def minhashCand(s: SparkSession, d: String): DataFrame =
     minhashCandFrom(shinglesDf(nearCorpusDf(s, d)))
 
   /** Candidate pairs from a (doc_id, shingle) relation. MinHash minima are
@@ -173,7 +173,7 @@ object TextOps {
                .mkString(" + ")} AS BIGINT) AS simhash
       FROM bs)"""
 
-  private val MINHASH_CAND_SQL = s"""
+  private[rel] val MINHASH_CAND_SQL = s"""
     WITH $NEAR_SQL, $SHINGLES_SQL,
     mins AS (
       SELECT doc_id,
