@@ -220,7 +220,13 @@ object VectorOps {
     * bit-for-bit. Every stage is an aggregate argmin/argmax or a broadcast
     * equi-join; candidate volume is cluster-local, never corpus-wide.
     */
-  private def annIvfPq(s: SparkSession, d: String): DataFrame = {
+  /** Shared IVF+PQ machinery: returns the ADC-scored candidate pairs
+    * `(id_q, id_n, adc)` (cluster-local, asymmetric-distance-scored) plus
+    * the cached coarse-assignment relation for dependency release / exact
+    * vector lookup. [[annIvfPq]] takes the ADC top-1; [[annIvfPqRerank]]
+    * shortlists top-3 and re-ranks them with exact dots.
+    */
+  private def ivfPqScored(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = qvec(s, d)
     val coarse = base.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("ccid"), col("qv").as("ccv"))
@@ -265,7 +271,7 @@ object VectorOps {
         col("qccid") === col("ccid"))
       .select(col("id_q"), col("qccid"),
         long_dot(col("qqv"), col("ccv")).as("bdot"))
-    codes.as("c").join(broadcast(lut.as("l")),
+    val scored = codes.as("c").join(broadcast(lut.as("l")),
         expr("l.m = c.m AND l.code = c.code AND l.qccid = c.ccid"))
       .filter(col("l.id_q") =!= col("c.vec_id"))
       .groupBy(col("l.id_q").as("id_q"), col("c.vec_id").as("id_n"),
@@ -274,9 +280,45 @@ object VectorOps {
       .join(broadcast(baseTerm.withColumnRenamed("qccid", "ccid")),
         Seq("id_q", "ccid"))
       .select(col("id_q"), col("id_n"), (col("bdot") + col("rdot")).as("adc"))
+    (scored, assign)
+  }
+
+  private def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (scored, assign) = ivfPqScored(s, d)
+    scored
       .groupBy("id_q")
       .agg(max(struct(col("adc"), (-col("id_n")).as("ni"), col("id_n"))).as("t"))
       .select(col("id_q"), col("t.id_n").as("id_n"), col("t.adc").as("adc"))
+      .transform(graft.Caching.releaseAfterAction(_, assign))
+  }
+
+  /** IVF+PQ with exact re-rank — the full production serving shape: the ADC
+    * score shortlists top-3 per query (a window over the cluster-local,
+    * already-aggregated candidate set), then ONLY those 3 rows join back to
+    * the true vectors (from the cached assignment — no corpus re-scan) for
+    * an exact integer dot, which picks the final neighbor. Compression
+    * error from the codebook affects only the shortlist cut, never the
+    * reported score.
+    */
+  private def annIvfPqRerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (scored, assign) = ivfPqScored(s, d)
+    val w = Window.partitionBy("id_q").orderBy(col("adc").desc, col("id_n").asc)
+    val short = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val vecs = assign.select(col("vec_id"), col("qv"))
+    short
+      .join(vecs.select(col("vec_id").as("id_n"), col("qv").as("nv")), "id_n")
+      .join(broadcast(
+        vecs.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("id_q"), col("qv").as("qvv"))), "id_q")
+      .select(col("id_q"), col("id_n"), col("adc"),
+        long_dot(col("qvv"), col("nv")).as("dot"))
+      .groupBy("id_q")
+      .agg(max(struct(col("dot"), (-col("id_n")).as("ni"), col("id_n"),
+        col("adc"))).as("t"))
+      .select(col("id_q"), col("t.id_n").as("id_n"), col("t.dot").as("dot"),
+        col("t.adc").as("adc"))
       .transform(graft.Caching.releaseAfterAction(_, assign))
   }
 
@@ -425,27 +467,11 @@ object VectorOps {
             float_dot(col("eb"), col("eb")))).as("cos"))
   }
 
-  def all: Seq[Q] = Seq(
-
-    Q("vec_cos_float", vecCosFloat, Some("""
-      WITH a AS (SELECT vec_id AS id_a, embedding AS ea
-                 FROM embeddings WHERE vec_id % 97 = 3),
-      b AS (SELECT vec_id AS id_b, embedding AS eb
-            FROM embeddings WHERE vec_id % 89 = 7)
-      SELECT id_a, id_b,
-             list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])) AS dot,
-             list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])) /
-             sqrt(list_dot_product(CAST(ea AS DOUBLE[]), CAST(ea AS DOUBLE[])) *
-                  list_dot_product(CAST(eb AS DOUBLE[]), CAST(eb AS DOUBLE[]))) AS cos
-      FROM a, b WHERE id_a < id_b""")),
-
-    Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
-
-    Q("ann_pq", annPq, Some(ANN_PQ_SQL)),
-
-    Q("ann_pq_native", annPqNative, Some(ANN_PQ_NATIVE_SQL)),
-
-    Q("ann_ivfpq", annIvfPq, Some(s"""
+  /** Oracle CTE chain shared by ann_ivfpq and ann_ivfpq_rerank: coarse
+    * assignment, residual codebook, PQ codes, per-query LUT, base term, and
+    * the summed residual-dot scores.
+    */
+  private val IVFPQ_CTES = s"""
       WITH $QVEC_SQL,
       coarse AS (SELECT vec_id AS ccid, qv AS ccv FROM qv WHERE vec_id % 100 = 7),
       cdots AS (
@@ -498,7 +524,30 @@ object VectorOps {
         FROM codes c JOIN lut l
           ON l.m = c.m AND l.code = c.code AND l.qccid = c.ccid
         WHERE l.id_q != c.vec_id
-        GROUP BY l.id_q, c.vec_id, c.ccid)
+        GROUP BY l.id_q, c.vec_id, c.ccid)"""
+
+  def all: Seq[Q] = Seq(
+
+    Q("vec_cos_float", vecCosFloat, Some("""
+      WITH a AS (SELECT vec_id AS id_a, embedding AS ea
+                 FROM embeddings WHERE vec_id % 97 = 3),
+      b AS (SELECT vec_id AS id_b, embedding AS eb
+            FROM embeddings WHERE vec_id % 89 = 7)
+      SELECT id_a, id_b,
+             list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])) AS dot,
+             list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])) /
+             sqrt(list_dot_product(CAST(ea AS DOUBLE[]), CAST(ea AS DOUBLE[])) *
+                  list_dot_product(CAST(eb AS DOUBLE[]), CAST(eb AS DOUBLE[]))) AS cos
+      FROM a, b WHERE id_a < id_b""")),
+
+    Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
+
+    Q("ann_pq", annPq, Some(ANN_PQ_SQL)),
+
+    Q("ann_pq_native", annPqNative, Some(ANN_PQ_NATIVE_SQL)),
+
+    Q("ann_ivfpq", annIvfPq, Some(s"""
+      $IVFPQ_CTES
       SELECT id_q, id_n, adc FROM (
         SELECT s.id_q, s.id_n, b.bdot + s.rdot AS adc,
                row_number() OVER (PARTITION BY s.id_q
@@ -506,6 +555,26 @@ object VectorOps {
         FROM scores s JOIN base_term b
           ON s.id_q = b.id_q AND s.ccid = b.ccid) WHERE rn = 1""")),
 
+    Q("ann_ivfpq_rerank", annIvfPqRerank, Some(s"""
+      $IVFPQ_CTES,
+      shortlist AS (
+        SELECT id_q, id_n, adc FROM (
+          SELECT s.id_q, s.id_n, b.bdot + s.rdot AS adc,
+                 row_number() OVER (PARTITION BY s.id_q
+                                    ORDER BY b.bdot + s.rdot DESC, s.id_n ASC) AS rn
+          FROM scores s JOIN base_term b
+            ON s.id_q = b.id_q AND s.ccid = b.ccid) WHERE rn <= 3),
+      rer AS (
+        SELECT sl.id_q, sl.id_n, sl.adc,
+               CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                 CAST(n.qv AS DOUBLE[])) AS BIGINT) AS dot
+        FROM shortlist sl JOIN qv q ON q.vec_id = sl.id_q
+                          JOIN qv n ON n.vec_id = sl.id_n)
+      SELECT id_q, id_n, dot, adc FROM (
+        SELECT id_q, id_n, dot, adc,
+               row_number() OVER (PARTITION BY id_q
+                                  ORDER BY dot DESC, id_n ASC) AS rn
+        FROM rer) WHERE rn = 1""")),
     Q("dd_embed_lsh_verify", embedLshVerify, Some(EMBED_LSH_VERIFY_SQL)),
 
     // -- embedding-cosine near-duplicate detection ---------------------------
