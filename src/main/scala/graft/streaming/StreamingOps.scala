@@ -203,7 +203,51 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Stream-stream time-interval inner join — the attribution primitive
+    * (clicks joined to same-user purchases within 10 minutes after). Both
+    * sides carry event-time watermarks, so the join state is BOUNDED: rows
+    * older than watermark + interval are evicted instead of accreting
+    * forever — the property that keeps this runnable on an endless feed.
+    * Times are quantized to micros (exact int64) for oracle parity.
+    */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_join_sink_" + sinkCounter.incrementAndGet()
+    def side(et: String, user: String, tsCol: String) =
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .filter(col("event_type") === et)
+        .select(col("user_id").as(user),
+          expr("timestamp_micros(ts div 1000)").as(tsCol))
+        .withWatermark(tsCol, "1 hour")
+    val clicks = side("click", "user_id", "click_ts")
+    val purchases = side("purchase", "p_user", "purchase_ts")
+    val joined = clicks.join(purchases, expr(
+        """user_id = p_user AND purchase_ts >= click_ts
+           AND purchase_ts <= click_ts + interval 10 minutes"""))
+      .select(col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_stream_join", streamJoin, Some("""
+      WITH a AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS click_us
+        FROM events WHERE event_type = 'click'),
+      b AS (
+        SELECT user_id AS p_user, epoch_ns(ts) // 1000 AS purchase_us
+        FROM events WHERE event_type = 'purchase')
+      SELECT user_id, click_us, purchase_us
+      FROM a JOIN b ON user_id = p_user
+        AND purchase_us >= click_us
+        AND purchase_us <= click_us + 600000000""")),
     graft.rel.Q("st_running_state", runningState, Some("""
       SELECT user_id,
              CAST(max(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS max_micros,
