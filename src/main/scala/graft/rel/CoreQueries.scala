@@ -292,6 +292,42 @@ object CoreQueries {
              count(*) AS n,
              min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS min_k,
              max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
-      FROM events GROUP BY 1"""))
+      FROM events GROUP BY 1""")),
+
+    // -- exact discrete quantiles per group ----------------------------------
+    // p50/p95/p99 as the element at ceil(p*n) of each group's sorted values
+    // (quantile_disc semantics) — pure integer selection, so both engines
+    // agree bit-for-bit where continuous-interpolation quantiles carry
+    // last-ulp FP noise. The window partitions per event_type: bounded
+    // groups, shuffle on the group key only.
+    Q("q21_quantile", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("qv").asc, col("event_id").asc)
+      val ranked = tbl(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+        .withColumn("rn", row_number().over(w))
+      val sized = ranked.groupBy("event_type").agg(count(lit(1)).as("n"))
+      ranked.join(sized, "event_type")
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5), col("qv"))).as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("qv"))).as("p95"),
+          max(when(col("rn") === ceil(col("n") * 0.99), col("qv"))).as("p99"))
+        .select("event_type", "n", "p50", "p95", "p99")
+    }, Some("""
+      WITH ranked AS (
+        SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS qv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(round(value * 1000000) AS BIGINT) ASC,
+                                           event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, n,
+             CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN qv END) AS BIGINT) AS p50,
+             CAST(max(CASE WHEN rn = ceil(n * 0.95) THEN qv END) AS BIGINT) AS p95,
+             CAST(max(CASE WHEN rn = ceil(n * 0.99) THEN qv END) AS BIGINT) AS p99
+      FROM ranked GROUP BY event_type, n"""))
   )
 }

@@ -467,6 +467,94 @@ object VectorOps {
             float_dot(col("eb"), col("eb")))).as("cos"))
   }
 
+  /** Two-iteration Lloyd k-means over the embedding corpus — the semantic
+    * clustering step of a curation pipeline (domain discovery / data
+    * mixing). Exactness construction: iteration 1 assigns by integer
+    * squared-L2 to a strided centroid sample; the recomputed centroids are
+    * per-dimension means ROUNDED TO THE 1/1000 GRID the corpus quantization
+    * already uses (round(1000 * sum / n) — one exact double division and a
+    * half-away-from-zero round, identical in both engines), so iteration
+    * 2's distances are again pure int64 and no floating-point fold ever
+    * happens. At scale: assignment is a broadcast cross of k centroids +
+    * aggregate argmin (map-side combinable, no window over the corpus);
+    * mean recomputation is one hash aggregate on (cluster, dim).
+    */
+  private def kmCluster(s: SparkSession, d: String): DataFrame = {
+    val base = qvec(s, d)
+    val c0 = base.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val a1 = base.crossJoin(broadcast(c0))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        (long_dot(col("qv"), col("qv"))
+          - lit(2) * long_dot(col("qv"), col("cv"))
+          + long_dot(col("cv"), col("cv"))).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"), col("qv"))).as("m"))
+      .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("c1"))
+    val means = a1
+      .select(col("c1"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("c1", "dim")
+      .agg(expr("CAST(round(CAST(sum(v) AS DOUBLE) * 1000 / count(1)) AS BIGINT)")
+        .as("mv"))
+      .groupBy("c1")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), x -> x.mv)")
+        .as("cv"))
+      .select(col("c1").as("cid2"), col("cv"))
+    val a2 = a1.crossJoin(broadcast(means))
+      .select(col("vec_id"), col("cid2"),
+        expr("zip_with(qv, cv, (x, y) -> x * 1000 - y)").as("diff"))
+      .select(col("vec_id"), col("cid2"),
+        long_dot(col("diff"), col("diff")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid2"))).as("m"))
+      .select(col("vec_id"), col("m.cid2").as("cluster"))
+    graft.Caching.releaseAfterAction(
+      a2.groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_id"),
+          min("vec_id").as("min_id"), max("vec_id").as("max_id")),
+      a1)
+  }
+
+  private val KM_CLUSTER_SQL = s"""
+      WITH $QVEC_SQL,
+      c0 AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id % 100 = 7),
+      d1 AS (
+        SELECT b.vec_id, b.qv, a.cid,
+               CAST(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(a.cv AS DOUBLE[]))
+                  + list_dot_product(CAST(a.cv AS DOUBLE[]), CAST(a.cv AS DOUBLE[]))
+                 AS BIGINT) AS dist
+        FROM qv b, c0 a),
+      a1 AS (
+        SELECT vec_id, qv, cid AS c1 FROM (
+          SELECT vec_id, qv, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist ASC, cid ASC) AS rn
+          FROM d1) WHERE rn = 1),
+      dims AS (
+        SELECT c1, i.i AS dim, qv[i.i] AS v FROM a1, range(1, 65) i(i)),
+      means AS (
+        SELECT c1, dim,
+               CAST(round(CAST(sum(v) AS DOUBLE) * 1000 / count(*)) AS BIGINT) AS mv
+        FROM dims GROUP BY c1, dim),
+      cv2 AS (SELECT c1 AS cid2, list(mv ORDER BY dim) AS cv FROM means GROUP BY c1),
+      d2 AS (
+        SELECT v.vec_id, c.cid2,
+               CAST(list_dot_product(
+                 CAST(list_transform(range(1, 65), i -> v.qv[i] * 1000 - c.cv[i]) AS DOUBLE[]),
+                 CAST(list_transform(range(1, 65), i -> v.qv[i] * 1000 - c.cv[i]) AS DOUBLE[]))
+                 AS BIGINT) AS dist
+        FROM a1 v, cv2 c),
+      a2 AS (
+        SELECT vec_id, cid2 AS cluster FROM (
+          SELECT vec_id, cid2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist ASC, cid2 ASC) AS rn
+          FROM d2) WHERE rn = 1)
+      SELECT cluster, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_id,
+             min(vec_id) AS min_id, max(vec_id) AS max_id
+      FROM a2 GROUP BY cluster"""
+
   /** Oracle CTE chain shared by ann_ivfpq and ann_ivfpq_rerank: coarse
     * assignment, residual codebook, PQ codes, per-query LUT, base term, and
     * the summed residual-dot scores.
@@ -575,6 +663,8 @@ object VectorOps {
                row_number() OVER (PARTITION BY id_q
                                   ORDER BY dot DESC, id_n ASC) AS rn
         FROM rer) WHERE rn = 1""")),
+    Q("km_cluster", kmCluster, Some(KM_CLUSTER_SQL)),
+
     Q("dd_embed_lsh_verify", embedLshVerify, Some(EMBED_LSH_VERIFY_SQL)),
 
     // -- embedding-cosine near-duplicate detection ---------------------------
