@@ -63,9 +63,12 @@ object CurationOps {
         val corpus = TextOps.nearCorpusDf(s, d)
         val comps = GraphOps.connectedComponents(
           corpus.select(col("doc_id")), edges)
+        // canon derives from scored and joins back to it: cache the tiny
+        // scored relation so the component join runs once, not twice
         val scored = comps.join(
           corpus.select(col("doc_id"),
             length(col("text")).cast("long").as("len")), "doc_id")
+          .persist()
         val canon = scored.groupBy("comp")
           .agg(max(struct(col("len"), (-col("doc_id")).as("nd"),
             col("doc_id"))).as("m"))
@@ -74,7 +77,7 @@ object CurationOps {
           scored.join(canon, col("comp") === col("ccomp"))
             .select(col("doc_id"), col("comp"), col("len"), col("canonical"),
               (col("doc_id") === col("canonical")).as("kept")),
-          edges)
+          edges, scored)
       } catch {
         case e: Throwable => edges.unpersist(blocking = false); throw e
       }
