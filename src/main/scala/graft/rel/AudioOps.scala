@@ -1,0 +1,155 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.mm.AudioCodec
+import Q.tbl
+
+/** Audio-modality operators: real WAV payloads decoded with the JDK's
+  * `javax.sound.sampled` RIFF codec.
+  *
+  * Each doc carries a real WAV clip (encoded executor-side from the
+  * closed-form per-sample formula in [[graft.mm.AudioCodec]]); every
+  * mm_audio_* output is computed from the DECODED samples. The DuckDB oracles
+  * re-derive the same values from the formula alone (no codec), so a hash
+  * match proves the decode path is real. The payload column is bytes and the
+  * formula is never consulted after encoding.
+  *
+  * Scale shape: one narrow scan of `documents`, a single mapPartitions per
+  * query (embarrassingly parallel, no shuffle before the final aggregation-
+  * free projection) — the same per-row codec cost profile a 100 TB audio
+  * corpus has.
+  */
+object AudioOps {
+
+  /** documents -> (doc_id, real WAV bytes): the opaque binary column every
+    * decode query below starts from.
+    */
+  private def wavPayloads(s: SparkSession, d: String) = {
+    import s.implicits._
+    tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, AudioCodec.synthWav(id))))
+  }
+
+  /** Shared SQL: the per-sample relation of the synthetic audio corpus.
+    * MUST stay in sync with graft.mm.AudioCodec's formula constants.
+    */
+  private val MM_SIG_CTES = """
+    mm_au AS (
+      SELECT d.doc_id,
+             CAST(1 + d.doc_id % 2 AS BIGINT) AS ch,
+             CAST(400 + d.doc_id % 211 AS BIGINT) AS nf,
+             ti.i AS i, tc.c AS c
+      FROM documents d, range(0, 611) ti(i), range(0, 2) tc(c)
+      WHERE ti.i < 400 + d.doc_id % 211 AND tc.c < 1 + d.doc_id % 2),
+    mm_sig AS (
+      SELECT doc_id, ch, nf, i, c,
+             ((i * 7 + c * 11 + doc_id * 13) % 4096) - 2048 AS v
+      FROM mm_au)"""
+
+  /** Decode metadata + full-clip sums from the decoded samples. */
+  def audioMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavPayloads(s, d)
+      .mapPartitions(_.map { case (id, wav) =>
+        val p = AudioCodec.decode(wav)
+        var sum = 0L; var sumAbs = 0L
+        var i = 0
+        while (i < p.data.length) {
+          sum += p.data(i); sumAbs += math.abs(p.data(i)); i += 1
+        }
+        (id, p.channels.toLong, p.frames.toLong,
+          p.frames.toLong * 1000 / AudioCodec.SampleRate, sum, sumAbs)
+      })
+      .toDF("doc_id", "n_channels", "n_frames", "dur_ms", "sum_s", "sum_abs")
+  }
+
+  private val MM_AUDIO_META_SQL = s"""
+    WITH $MM_SIG_CTES
+    SELECT doc_id, any_value(ch) AS n_channels, any_value(nf) AS n_frames,
+           any_value(nf * 1000 // 8000) AS dur_ms,
+           CAST(sum(v) AS BIGINT) AS sum_s,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+    FROM mm_sig GROUP BY doc_id"""
+
+  /** Windowed features from the decoded samples: per (doc, channel, 20 ms
+    * window) integer energy and zero-crossing count. Long-form rows — the
+    * shape a feature store ingests.
+    */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val win = 160 // 20 ms at 8 kHz
+    wavPayloads(s, d)
+      .mapPartitions(_.flatMap { case (id, wav) =>
+        val p = AudioCodec.decode(wav)
+        val nWin = (p.frames + win - 1) / win
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+        var c = 0
+        while (c < p.channels) {
+          var w = 0
+          while (w < nWin) {
+            var energy = 0L; var zc = 0L
+            val end = math.min((w + 1) * win, p.frames)
+            var i = w * win
+            while (i < end) {
+              val v = p.data(i * p.channels + c)
+              energy += v.toLong * v
+              // within-window crossings only (no cross-window pairs)
+              if (i > w * win && p.data((i - 1) * p.channels + c).toLong * v < 0) zc += 1
+              i += 1
+            }
+            rows += ((id, c.toLong, w.toLong, energy, zc))
+            w += 1
+          }
+          c += 1
+        }
+        rows.iterator
+      })
+      .toDF("doc_id", "chan", "win", "energy", "zc")
+  }
+
+  private val MM_AUDIO_FEATURES_SQL = s"""
+    WITH $MM_SIG_CTES,
+    lagd AS (
+      SELECT doc_id, c, i, v,
+             lag(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv
+      FROM mm_sig)
+    SELECT doc_id, c AS chan, i // 160 AS win,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(count(*) FILTER (WHERE i % 160 <> 0 AND pv * v < 0) AS BIGINT) AS zc
+    FROM lagd GROUP BY doc_id, c, win"""
+
+  /** Real resample: decode, decimate by 2, RE-ENCODE to WAV (the write-back
+    * a resampling job performs), decode the re-encoded bytes, and summarize
+    * from the second decode — a frame-alignment mistake in either codec pass
+    * breaks the hash.
+    */
+  def audioResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    wavPayloads(s, d)
+      .mapPartitions(_.map { case (id, wav) =>
+        val half = AudioCodec.decode(
+          AudioCodec.encode(AudioCodec.decimate(AudioCodec.decode(wav), 2)))
+        var sum2 = 0L; var energy2 = 0L
+        var i = 0
+        while (i < half.data.length) {
+          val v = half.data(i); sum2 += v; energy2 += v.toLong * v; i += 1
+        }
+        (id, half.frames.toLong, sum2, energy2)
+      })
+      .toDF("doc_id", "n2", "sum2", "energy2")
+  }
+
+  private val MM_AUDIO_RESAMPLE_SQL = s"""
+    WITH $MM_SIG_CTES
+    SELECT doc_id, any_value((nf + 1) // 2) AS n2,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum2,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN v * v ELSE 0 END) AS BIGINT) AS energy2
+    FROM mm_sig GROUP BY doc_id"""
+
+  def all: Seq[Q] = Seq(
+    Q("mm_audio_meta", audioMeta, Some(MM_AUDIO_META_SQL)),
+    Q("mm_audio_features", audioFeatures, Some(MM_AUDIO_FEATURES_SQL)),
+    Q("mm_audio_resample", audioResample, Some(MM_AUDIO_RESAMPLE_SQL))
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.mm.AudioCodec
+
+/** The audio decode path must be REAL: payloads are actual RIFF/WAV bytes and
+  * every output is computed from the AudioSystem-decoded samples. The
+  * independent check is the closed-form sample formula — the codec never sees
+  * it after encode, so a decode defect (endianness, channel interleave,
+  * frame-length parsing) breaks the comparison.
+  */
+class AudioCodecSpec extends AnyFunSuite {
+
+  test("payloads are genuine WAV files (RIFF/WAVE magic), not raw PCM dumps") {
+    val wav = AudioCodec.synthWav(42L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // a RIFF container is strictly larger than its PCM payload
+    val frames = AudioCodec.nFrames(42L)
+    assert(wav.length > frames * AudioCodec.channels(42L) * 2)
+  }
+
+  test("decode(encode(pcm)) reproduces the formula exactly for many seeds") {
+    for (seed <- Seq(0L, 1L, 2L, 3L, 210L, 211L, 4999L)) {
+      val p = AudioCodec.decode(AudioCodec.synthWav(seed))
+      assert(p.channels == AudioCodec.channels(seed), s"channels($seed)")
+      assert(p.frames == AudioCodec.nFrames(seed), s"frames($seed)")
+      for (i <- 0 until p.frames; c <- 0 until p.channels) {
+        assert(p.data(i * p.channels + c) == AudioCodec.sample(seed, i, c),
+          s"sample($seed, i=$i, c=$c)")
+      }
+    }
+  }
+
+  test("sample values span negative and positive (sign extension is live)") {
+    val p = AudioCodec.decode(AudioCodec.synthWav(7L))
+    assert(p.data.min < 0 && p.data.max > 0)
+    assert(p.data.forall(v => v >= -2048 && v <= 2047))
+  }
+
+  test("decimate keeps every stride-th frame, all channels, clipped tail") {
+    val seed = 3L // stereo
+    val p = AudioCodec.decode(AudioCodec.synthWav(seed))
+    val half = AudioCodec.decimate(p, 2)
+    assert(half.channels == p.channels)
+    assert(half.frames == (p.frames + 1) / 2)
+    for (j <- 0 until half.frames; c <- 0 until half.channels)
+      assert(half.data(j * half.channels + c) == p.data(2 * j * p.channels + c))
+  }
+
+  test("re-encode round-trip is bit-faithful to the decimated samples") {
+    for (seed <- Seq(4L, 5L)) {
+      val half = AudioCodec.decimate(AudioCodec.decode(AudioCodec.synthWav(seed)), 2)
+      val again = AudioCodec.decode(AudioCodec.encode(half))
+      assert(again.channels == half.channels && again.frames == half.frames)
+      assert(again.data.sameElements(half.data))
+    }
+  }
+}

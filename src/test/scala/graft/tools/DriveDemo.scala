@@ -53,6 +53,17 @@ object DriveDemo {
       rimg(t.loc(0) * 4 + y)(t.loc(1) * 4 + x) = t.data(y * t.shape(1) + x)
     println("ragged labeled image:")
     rimg.foreach(r => println(r.map(v => f"$v%11d").mkString(" ")))
+
+    // probe 3: audio codec round-trip (RIFF/WAV via javax.sound.sampled)
+    for (seed <- Seq(3L, 4L)) {
+      val wav = graft.mm.AudioCodec.synthWav(seed)
+      val pcm = graft.mm.AudioCodec.decode(wav)
+      val half = graft.mm.AudioCodec.decode(
+        graft.mm.AudioCodec.encode(graft.mm.AudioCodec.decimate(pcm, 2)))
+      println(s"PROBE audio seed=$seed: wav=${wav.length}B ch=${pcm.channels} " +
+        s"frames=${pcm.frames} sum=${pcm.data.map(_.toLong).sum} " +
+        s"halfFrames=${half.frames} halfSum=${half.data.map(_.toLong).sum}")
+    }
     spark.stop()
   }
 }
