@@ -95,6 +95,58 @@ object CurationOps {
              s.doc_id = c.canonical AS kept
       FROM scored s JOIN canon c ON s.comp = c.ccomp""")),
 
+    // -- paragraph-level exact dedup (the CCNet/C4 pattern) ------------------
+    // Segment every document into fixed 10-word sentences (the deterministic
+    // stand-in for punctuation segmentation — the corpus has no sentence
+    // marks), dedup sentences CORPUS-WIDE keeping only the first occurrence
+    // (smallest doc_id, then position), and reassemble each document from
+    // its surviving sentences. At scale: one explode, one hash-partitioned
+    // window on the sentence text (equi-key shuffle — switch the key to
+    // md5(sent) for long paragraphs and the shape is unchanged), one
+    // per-document aggregate. The reassembled text is fingerprinted so the
+    // gate pins the full rebuilt string, not just counts.
+    Q("dd_paragraph", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sents = tbl(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, (size(words) - 1) div 10),
+               s -> concat_ws(' ', slice(words, s * 10 + 1, 10)))""")))
+        .withColumnRenamed("pos", "sent_idx")
+        .withColumnRenamed("col", "sent")
+      val w = Window.partitionBy("sent").orderBy(col("doc_id"), col("sent_idx"))
+      sents.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sents"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          md5(concat_ws(" ",
+            expr("""transform(
+                      array_sort(collect_list(
+                        CASE WHEN rn = 1 THEN struct(sent_idx, sent) END)),
+                      x -> x.sent)"""))).as("fp"))
+    }, Some("""
+      WITH sents AS (
+        SELECT doc_id,
+               generate_subscripts(ss, 1) - 1 AS sent_idx,
+               unnest(ss) AS sent
+        FROM (SELECT doc_id,
+                list_transform(range(0, (len(words) - 1) // 10 + 1),
+                  s -> array_to_string(words[s * 10 + 1 : s * 10 + 10], ' ')) AS ss
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents))),
+      flagged AS (
+        SELECT doc_id, sent_idx, sent,
+               row_number() OVER (PARTITION BY sent
+                                  ORDER BY doc_id, sent_idx) AS rn
+        FROM sents)
+      SELECT doc_id,
+             count(*) AS n_sents,
+             CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+             md5(coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, ' '
+                                     ORDER BY sent_idx), '')) AS fp
+      FROM flagged GROUP BY doc_id""")),
+
     // -- corpus-level n-gram statistics --------------------------------------
     // Top-20 bigrams by frequency: the contamination-check / LM-statistics
     // primitive. orderBy+limit plans as TakeOrderedAndProject (bounded
@@ -158,6 +210,62 @@ object CurationOps {
                row_number() OVER (PARTITION BY t.doc_id
                                   ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rn
         FROM tf t JOIN df d ON t.term = d.term, n) WHERE rn <= 3""")),
+
+    // -- BM25 term scoring ----------------------------------------------------
+    // Okapi BM25 (k1=1.2, b=0.75) as EXACT rational arithmetic: with
+    // k1=6/5, b=3/4 and avgdl=L/N (L = corpus word count), the term factor
+    //   tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    // reduces to 22*tf*L / (10*tf*L + 3*L + 9*dl*N) and the Robertson idf
+    // ratio (N-df+0.5)/(df+0.5) to (2N-2df+1)/(2df+1) — so the score is one
+    // integer numerator, one integer denominator, and ONE IEEE division,
+    // bit-identical in both engines (the usual ln() is dropped the same way
+    // tx_tfidf drops it: monotone, so ranking is unchanged). Ordering by the
+    // double is safe BECAUSE it is exactly rounded from identical integers.
+    // Top-5 terms per document; corpus totals reach the plan as a broadcast
+    // 1-row aggregate.
+    Q("tx_bm25", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(s, d, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nl = words.agg(
+        countDistinct(col("doc_id")).as("nn"), count(lit(1)).as("ll"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("bm25").desc, col("term").asc)
+      tf.join(dl, "doc_id").join(df, "term").crossJoin(broadcast(nl))
+        .withColumn("bm25",
+          (lit(22L) * col("tf") * col("ll")
+            * (lit(2L) * col("nn") - lit(2L) * col("df") + 1L)).cast("double")
+          / ((lit(10L) * col("tf") * col("ll") + lit(3L) * col("ll")
+              + lit(9L) * col("dl") * col("nn"))
+             * (lit(2L) * col("df") + 1L)).cast("double"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
+          col("rn"), col("bm25"))
+    }, Some("""
+      WITH wrd AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM wrd GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, count(*) AS dl FROM wrd GROUP BY doc_id),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      nl AS (SELECT count(DISTINCT doc_id) AS nn, count(*) AS ll FROM wrd)
+      , scored AS (
+        SELECT t.doc_id, t.term, t.tf, l.dl, d.df,
+               CAST(22 * t.tf * ll * (2 * nn - 2 * d.df + 1) AS DOUBLE)
+               / CAST((10 * t.tf * ll + 3 * ll + 9 * l.dl * nn)
+                      * (2 * d.df + 1) AS DOUBLE) AS bm25
+        FROM tf t JOIN dl l ON t.doc_id = l.doc_id
+             JOIN df d ON t.term = d.term, nl)
+      SELECT doc_id, term, tf, dl, df, rn, bm25 FROM (
+        SELECT doc_id, term, tf, dl, df, bm25,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY bm25 DESC, term ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5""")),
 
     // -- deterministic train/val/test split ----------------------------------
     // Split assignment is a pure function of the doc id (md5 head byte:
