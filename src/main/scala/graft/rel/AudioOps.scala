@@ -147,8 +147,42 @@ object AudioOps {
            CAST(sum(CASE WHEN i % 2 = 0 THEN v * v ELSE 0 END) AS BIGINT) AS energy2
     FROM mm_sig GROUP BY doc_id"""
 
+  /** Streaming twin of mm_audio_meta: the documents table is replayed as a
+    * file-source stream, each microbatch encodes + decodes real WAV payloads
+    * executor-side (append mode, stateless — the decode is per-row, so the
+    * streaming plan needs no state store at all), and the memory sink's
+    * table is gated by the SAME DuckDB oracle as the batch query.
+    */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def audioMetaStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val qn = "st_mm_audio_sink_" + sinkCounter.incrementAndGet()
+    val out = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val p = AudioCodec.decode(AudioCodec.synthWav(id))
+        var sum = 0L; var sumAbs = 0L
+        var i = 0
+        while (i < p.data.length) {
+          sum += p.data(i); sumAbs += math.abs(p.data(i)); i += 1
+        }
+        (id, p.channels.toLong, p.frames.toLong,
+          p.frames.toLong * 1000 / AudioCodec.SampleRate, sum, sumAbs)
+      })
+      .toDF("doc_id", "n_channels", "n_frames", "dur_ms", "sum_s", "sum_abs")
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   def all: Seq[Q] = Seq(
     Q("mm_audio_meta", audioMeta, Some(MM_AUDIO_META_SQL)),
+    Q("st_mm_audio", audioMetaStream, Some(MM_AUDIO_META_SQL)),
     Q("mm_audio_features", audioFeatures, Some(MM_AUDIO_FEATURES_SQL)),
     Q("mm_audio_resample", audioResample, Some(MM_AUDIO_RESAMPLE_SQL))
   )

@@ -614,7 +614,56 @@ object VectorOps {
         WHERE l.id_q != c.vec_id
         GROUP BY l.id_q, c.vec_id, c.ccid)"""
 
+  /** Int8 post-training quantization of the embedding column — the
+    * compression step every embedding-serving stack runs before ANN. Scale
+    * is per-vector symmetric (q = round(127·v/maxabs)), expressed as pure
+    * integer arithmetic with `div` on non-negative operands only (floor vs
+    * truncate never diverges between engines), plus the exact integer
+    * reconstruction error Σ(127·v − q·maxabs)². Scale shape: a single
+    * projection — array lambdas per row, NO shuffle, no join; the 100 TB
+    * plan is one scan.
+    */
+  private def vecInt8Quant(s: SparkSession, d: String): DataFrame = {
+    qvec(s, d)
+      .withColumn("maxabs",
+        greatest(array_max(expr("transform(qv, x -> abs(x))")), lit(1L)))
+      .withColumn("q8", expr(
+        """transform(qv, v -> CASE
+             WHEN v >= 0 THEN (254 * v + maxabs) div (2 * maxabs)
+             ELSE -((254 * (-v) + maxabs) div (2 * maxabs)) END)"""))
+      .select(col("vec_id"), col("maxabs"),
+        expr("aggregate(q8, CAST(0 AS BIGINT), (a, x) -> a + x)").as("qsum"),
+        expr("aggregate(q8, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+          .as("qnorm2"),
+        expr("""aggregate(
+                  zip_with(qv, q8,
+                    (v, q) -> (127 * v - q * maxabs) * (127 * v - q * maxabs)),
+                  CAST(0 AS BIGINT), (a, x) -> a + x)""").as("err2"))
+  }
+
+  private val VEC_INT8_SQL = s"""
+    WITH $QVEC_SQL,
+    m AS (
+      SELECT vec_id, qv,
+             greatest(list_max(list_transform(qv, x -> abs(x))), 1) AS maxabs
+      FROM qv),
+    q8t AS (
+      SELECT vec_id, qv, maxabs,
+             list_transform(qv, v -> CASE
+               WHEN v >= 0 THEN (254 * v + maxabs) // (2 * maxabs)
+               ELSE -((254 * (-v) + maxabs) // (2 * maxabs)) END) AS q8
+      FROM m)
+    SELECT vec_id, CAST(maxabs AS BIGINT) AS maxabs,
+           CAST(list_sum(q8) AS BIGINT) AS qsum,
+           CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS qnorm2,
+           CAST(list_sum(list_transform(range(1, len(qv) + 1),
+             i -> (127 * qv[i] - q8[i] * maxabs)
+                  * (127 * qv[i] - q8[i] * maxabs))) AS BIGINT) AS err2
+    FROM q8t"""
+
   def all: Seq[Q] = Seq(
+
+    Q("vec_int8_quant", vecInt8Quant, Some(VEC_INT8_SQL)),
 
     Q("vec_cos_float", vecCosFloat, Some("""
       WITH a AS (SELECT vec_id AS id_a, embedding AS ea
