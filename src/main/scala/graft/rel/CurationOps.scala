@@ -211,6 +211,106 @@ object CurationOps {
                                   ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rn
         FROM tf t JOIN df d ON t.term = d.term, n) WHERE rn <= 3""")),
 
+    // -- benchmark decontamination -------------------------------------------
+    // The GPT-3/PaLM decontamination pass: flag training documents sharing
+    // any 4-word n-gram with the held-out eval set (here the deterministic
+    // doc_id % 100 == 0 stratum). The eval side is tiny BY CONSTRUCTION
+    // (benchmarks are, at any corpus scale) so it broadcasts; the train side
+    // streams through one equi-join on the n-gram — no shuffle of the corpus,
+    // the 100 TB decontamination shape. Output: per (train, eval) pair the
+    // count of distinct shared 4-grams (4 is the longest n with nonzero
+    // collisions in the synthetic corpus's 35-word vocabulary — the gate must
+    // gate something).
+    Q("tx_decontam", (s, d) => {
+      def grams8(df: org.apache.spark.sql.DataFrame, idCol: String) = df
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id").as(idCol),
+          // CASE guard: Spark's sequence(1, n) DESCENDS for n < 1 (DuckDB's
+          // range is empty) — docs under 4 words must yield no shingles
+          explode(expr(
+            """CASE WHEN size(words) >= 4
+               THEN transform(sequence(1, size(words) - 3),
+                    i -> concat_ws(' ', slice(words, i, 4)))
+               ELSE array() END""")).as("g"))
+        .distinct()
+      val docs = tbl(s, d, "documents")
+      val ev = grams8(docs.filter(col("doc_id") % 100 === 0), "eval_id")
+      val tr = grams8(docs.filter(col("doc_id") % 100 =!= 0), "doc_id")
+      tr.join(broadcast(ev), "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+    }, Some("""
+      WITH g8 AS (
+        SELECT doc_id, unnest(list_transform(
+                 range(1, greatest(len(words) - 3, 0) + 1),
+                 i -> array_to_string(words[i : i + 3], ' '))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      gd AS (SELECT DISTINCT doc_id, g FROM g8),
+      ev AS (SELECT doc_id AS eval_id, g FROM gd WHERE eval_id % 100 = 0),
+      tr AS (SELECT doc_id, g FROM gd WHERE doc_id % 100 != 0)
+      SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+      FROM tr t JOIN ev e ON t.g = e.g
+      GROUP BY t.doc_id, e.eval_id""")),
+
+    // -- within-document repetition signals (Gopher/MassiveText) -------------
+    // The repetition quality gates from the Gopher filtering recipe: top-word
+    // frequency and duplicate-bigram mass, per document. All counts are
+    // integers; each ratio is ONE IEEE division of exact integers, so the
+    // doubles agree bit-for-bit across engines. One explode + per-doc hash
+    // aggregates — map-side combinable, no window, linear at any scale.
+    Q("tx_repetition", (s, d) => {
+      val docs = tbl(s, d, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val wstats = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_words"), max("tf").as("max_tf"),
+          count(lit(1)).as("n_distinct"))
+      val bi = docs
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(expr(
+            """CASE WHEN size(words) >= 2
+               THEN transform(sequence(1, size(words) - 1),
+                    i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))
+               ELSE array() END""")).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("bf"))
+        .groupBy("doc_id")
+        .agg(sum("bf").as("n_bigrams"),
+          sum(col("bf") - 1).as("dup_bigrams"))
+      wstats.join(bi, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("max_tf"), col("n_distinct"),
+          col("n_bigrams"), col("dup_bigrams"),
+          (col("max_tf").cast("double") / col("n_words").cast("double"))
+            .as("top_word_ratio"),
+          (col("dup_bigrams").cast("double") / col("n_bigrams").cast("double"))
+            .as("dup_bigram_ratio"))
+    }, Some("""
+      WITH wrd AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM wrd GROUP BY doc_id, w),
+      ws AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+               CAST(max(tf) AS BIGINT) AS max_tf,
+               count(*) AS n_distinct
+        FROM tf GROUP BY doc_id),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                 i -> words[i] || ' ' || words[i+1])) AS b
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      bf AS (SELECT doc_id, b, count(*) AS bf FROM bg GROUP BY doc_id, b),
+      bs AS (
+        SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+               CAST(sum(bf - 1) AS BIGINT) AS dup_bigrams
+        FROM bf GROUP BY doc_id)
+      SELECT w.doc_id, w.n_words, w.max_tf, w.n_distinct,
+             b.n_bigrams, b.dup_bigrams,
+             CAST(w.max_tf AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+               AS top_word_ratio,
+             CAST(b.dup_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+               AS dup_bigram_ratio
+      FROM ws w JOIN bs b ON w.doc_id = b.doc_id""")),
+
     // -- BM25 term scoring ----------------------------------------------------
     // Okapi BM25 (k1=1.2, b=0.75) as EXACT rational arithmetic: with
     // k1=6/5, b=3/4 and avgdl=L/N (L = corpus word count), the term factor
