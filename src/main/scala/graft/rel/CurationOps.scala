@@ -367,6 +367,51 @@ object CurationOps {
         FROM scored)
       WHERE rn <= 5""")),
 
+    // -- PII redaction --------------------------------------------------------
+    // The scrubbing pass a compliant pipeline runs before training: detect
+    // and redact emails and phone-shaped tokens. PII is INJECTED
+    // deterministically (the synthetic corpus has none), then both engines
+    // scrub with the same character-class-only regexes — no \\d, \\b, or
+    // lookaround, so Java regex and RE2 cannot disagree. The fingerprint
+    // pins the full scrubbed text. One projection per row: no shuffle.
+    Q("tx_pii_scrub", (s, d) => {
+      val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phonePat = "[0-9]{3}-[0-9]{4}"
+      tbl(s, d, "documents")
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"),
+              (col("doc_id") % 9000 + 1000).cast("string"),
+              lit(" today"))).otherwise(lit(""))))
+        .select(col("doc_id"),
+          regexp_count(col("text2"), lit(emailPat)).cast("long").as("n_emails"),
+          regexp_count(col("text2"), lit(phonePat)).cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("text2"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>")).as("fp"))
+    }, Some("""
+      WITH aug AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example now' ELSE '' END ||
+          CASE WHEN doc_id % 11 = 0
+               THEN ' call 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                    || ' today' ELSE '' END AS text2
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text2,
+               '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text2,
+               '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+             md5(regexp_replace(regexp_replace(text2,
+               '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS fp
+      FROM aug""")),
+
     // -- deterministic train/val/test split ----------------------------------
     // Split assignment is a pure function of the doc id (md5 head byte:
     // <230 train, <243 val, else test ~= 90/5/5), so it is reproducible,
