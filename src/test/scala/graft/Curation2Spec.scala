@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-4 curation / quantization / audio operators. The
+  * hash-vs-DuckDB gate is the driver's; these pin the pipeline invariants.
+  */
+class Curation2Spec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("dd_paragraph keeps exactly the distinct sentences corpus-wide") {
+    val df = q("dd_paragraph").cache()
+    try {
+      // every doc's sentence count is what its word count implies
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"),
+          ((size(split(col("text"), " ")) - 1).cast("long") / 10 + 1)
+            .cast("long").as("want"))
+      assert(df.join(docs, "doc_id")
+        .filter(col("n_sents") =!= col("want")).count() == 0)
+      // total kept across the corpus == number of distinct sentences
+      val kept = df.agg(sum("n_kept")).collect()(0).getLong(0)
+      val distinctSents = spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("words", split(col("text"), " "))
+        .select(explode(expr(
+          """transform(sequence(0, (size(words) - 1) div 10),
+             s -> concat_ws(' ', slice(words, s * 10 + 1, 10)))""")).as("s"))
+        .distinct().count()
+      assert(kept == distinctSents, s"kept=$kept distinct=$distinctSents")
+      assert(df.filter(col("n_kept") > col("n_sents")).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("tx_decontam only pairs train with eval, with positive overlap") {
+    val rows = q("tx_decontam").collect()
+    assert(rows.forall(r => r.getLong(1) % 100 == 0), "eval_id stratum")
+    assert(rows.forall(r => r.getLong(0) % 100 != 0), "train stratum")
+    assert(rows.forall(r => r.getLong(2) >= 1), "n_shared positive")
+  }
+
+  test("tx_pii_scrub: injected docs detected, scrub leaves no residue") {
+    val df = q("tx_pii_scrub").cache()
+    try {
+      assert(df.filter(col("doc_id") % 7 === 0 && col("n_emails") < 1)
+        .count() == 0, "every injected email detected")
+      assert(df.filter(col("doc_id") % 11 === 0 && col("n_phones") < 1)
+        .count() == 0, "every injected phone detected")
+      // re-run the scrub pipeline and verify zero remaining matches
+      val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phonePat = "[0-9]{3}-[0-9]{4}"
+      val residue = spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"),
+              (col("doc_id") % 9000 + 1000).cast("string"),
+              lit(" today"))).otherwise(lit(""))))
+        .withColumn("scrubbed", regexp_replace(
+          regexp_replace(col("text2"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"))
+        .filter(regexp_count(col("scrubbed"), lit(emailPat)) > 0 ||
+          regexp_count(col("scrubbed"), lit(phonePat)) > 0)
+      assert(residue.count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("vec_int8_quant: codes bounded, reconstruction error within bound") {
+    val df = q("vec_int8_quant").cache()
+    try {
+      // |q| <= 127 implies qnorm2 <= 127^2 * 64 for 64-dim vectors
+      assert(df.filter(col("qnorm2") > 127L * 127L * 64L).count() == 0)
+      // per-dim |127 v - q maxabs| <= maxabs (round-to-nearest), so
+      // err2 <= 64 * maxabs^2
+      assert(df.filter(
+        col("err2") > lit(64L) * col("maxabs") * col("maxabs")).count() == 0)
+      assert(df.count() ==
+        spark.read.parquet(s"$sf/embeddings.parquet").count())
+    } finally df.unpersist()
+  }
+
+  test("tx_bm25 ranks 5 terms per doc by strictly ordered score") {
+    val df = q("tx_bm25").cache()
+    try {
+      assert(df.filter(col("rn") < 1 || col("rn") > 5).count() == 0)
+      assert(df.filter(col("bm25") <= 0.0).count() == 0)
+      // within a doc, rn order must agree with (bm25 DESC, term ASC)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("bm25").desc, col("term").asc)
+      assert(df.withColumn("rn2", row_number().over(w).cast("long"))
+        .filter(col("rn") =!= col("rn2")).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("tx_repetition ratios are the exact integer quotients") {
+    val df = q("tx_repetition").cache()
+    try {
+      val bad = df.filter(
+        col("top_word_ratio") =!=
+          col("max_tf").cast("double") / col("n_words").cast("double") ||
+        col("dup_bigram_ratio") =!=
+          col("dup_bigrams").cast("double") / col("n_bigrams").cast("double"))
+      assert(bad.count() == 0)
+      assert(df.filter(col("max_tf") > col("n_words")).count() == 0)
+      assert(df.filter(col("dup_bigrams") >= col("n_bigrams")).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("st_mm_audio equals the batch mm_audio_meta result") {
+    val batch = q("mm_audio_meta").collect().toSet
+    val stream = q("st_mm_audio").collect().toSet
+    assert(batch == stream)
+  }
+}
