@@ -112,6 +112,32 @@ object OpsScale {
         .agg(min(struct(col("dist"), col("cid"))).as("mn"))
         .count()
     }
+    // real WAV encode+decode per clip (javax.sound.sampled), executor-side —
+    // rowsPerSec is clips/second (~500 frames each)
+    val nClips = m * 5000L
+    probeN("wav_codec", nClips) {
+      import spark.implicits._
+      spark.range(nClips).as[Long].mapPartitions(_.map { i =>
+        graft.mm.AudioCodec.decode(graft.mm.AudioCodec.synthWav(i)).data.length.toLong
+      }).filter(_ > 0).count()
+    }
+    // corpus-wide sentence dedup (the dd_paragraph shape): explode fixed
+    // windows, one hash-partitioned window on the sentence key, reassemble —
+    // rowsPerSec is documents/second (6 sentences each)
+    val nDocs = m * 100000L
+    probeN("paragraph_dedup", nDocs) {
+      import org.apache.spark.sql.expressions.Window
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        expr("""transform(sequence(0, 5),
+                 s -> concat_ws(' ', transform(sequence(0, 9),
+                      j -> concat('w', (id * 7 + s * 13 + j) % 1000))))""").as("ss"))
+      val sents = docs.select(col("doc_id"), posexplode(col("ss")))
+      val w = Window.partitionBy("col").orderBy("doc_id", "pos")
+      sents.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept"))
+        .count()
+    }
     // the same encode as ONE fused codegen expression (PqEncodeWord) —
     // no explode, no shuffle, one packed long per vector
     probeN("pq_encode_native", nVecs) {
