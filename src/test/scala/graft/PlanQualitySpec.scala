@@ -150,4 +150,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), s"expected the forced hash join:\n$p")
     assert(p.contains("salt"), s"join key is not salted:\n$p")
   }
+
+  test("vec_int8_quant is one scan + one projection: no join, no shuffle") {
+    val p = plan("vec_int8_quant")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"per-row quantization must not shuffle or join:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1, s"expected a single scan:\n$p")
+  }
+
+  test("tx_pii_scrub is one scan + one projection: no join, no shuffle") {
+    val p = plan("tx_pii_scrub")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"per-row scrubbing must not shuffle or join:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1, s"expected a single scan:\n$p")
+  }
+
+  test("tx_decontam broadcasts the eval side; the corpus never shuffles twice") {
+    val p = plan("tx_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny eval side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"n-gram match degenerated to a pairwise plan:\n$p")
+  }
+
+  test("dd_paragraph is bounded: one window shuffle, one doc aggregate") {
+    val p = plan("dd_paragraph")
+    // sentence-key window exchange + per-doc aggregate exchange, nothing else
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"dedup shape grew extra shuffles:\n$p")
+    assert(!p.contains("Join"), s"reassembly must not self-join:\n$p")
+  }
 }
