@@ -367,6 +367,86 @@ object CurationOps {
         FROM scored)
       WHERE rn <= 5""")),
 
+    // -- SCD2 interval construction ------------------------------------------
+    // The warehouse dimension-versioning pass: per user, collapse runs of
+    // unchanged event_type into versions with [valid_from, valid_to)
+    // intervals (no-change suppression + lead-closed intervals). All three
+    // windows and the aggregate share ONE partitioning on user_id — a single
+    // shuffle no matter how many versions a user has.
+    Q("q22_scd2", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = tbl(s, d, "events").select(col("user_id"), col("event_type"),
+        expr("ts div 1000000").as("ts_ms"), col("event_id"))
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms"), col("event_id"))
+      val versioned = ev
+        .withColumn("chg", when(
+          lag(col("event_type"), 1).over(wOrd).isNull ||
+            lag(col("event_type"), 1).over(wOrd) =!= col("event_type"),
+          1L).otherwise(0L))
+        .withColumn("version", sum("chg").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val runs = versioned.groupBy("user_id", "version")
+        .agg(min("event_type").as("event_type"),
+          min("ts_ms").as("valid_from"), count(lit(1)).as("n_events"))
+      val wVer = Window.partitionBy("user_id").orderBy("version")
+      runs.withColumn("valid_to",
+          coalesce(lead(col("valid_from"), 1).over(wVer), lit(-1L)))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_type, ts_ms, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w != event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      versioned AS (
+        SELECT user_id, event_type, ts_ms,
+               CAST(sum(chg) OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS version
+        FROM flagged),
+      runs AS (
+        SELECT user_id, version, min(event_type) AS event_type,
+               min(ts_ms) AS valid_from, count(*) AS n_events
+        FROM versioned GROUP BY user_id, version)
+      SELECT user_id, version, event_type, valid_from,
+             coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                             ORDER BY version),
+                      -1) AS valid_to,
+             n_events
+      FROM runs""")),
+
+    // -- triangle counting on the near-dup graph -----------------------------
+    // Cluster-cohesion analytics over the minhash candidate graph: every
+    // triangle (a < b < c, all three edges present). Two equi-joins over the
+    // edge relation — the standard edge-partitioned distributed shape; the
+    // ordered-edge orientation (id_a < id_b) means each triangle is found
+    // exactly once, no post-dedup.
+    Q("dd_triangles", (s, d) => {
+      val e = TextOps.minhashCand(s, d).persist()
+      try graft.Caching.releaseAfterAction(
+        e.as("e1").join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
+          .join(e.as("e3"),
+            col("e1.id_a") === col("e3.id_a") &&
+              col("e2.id_b") === col("e3.id_b"))
+          .select(col("e1.id_a").as("a"), col("e1.id_b").as("b"),
+            col("e2.id_b").as("c")),
+        e)
+      catch {
+        case ex: Throwable => e.unpersist(blocking = false); throw ex
+      }
+    }, Some(TextOps.MINHASH_CAND_SQL + """
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM cand e1 JOIN cand e2 ON e1.id_b = e2.id_a
+           JOIN cand e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b""")),
+
     // -- PII redaction --------------------------------------------------------
     // The scrubbing pass a compliant pipeline runs before training: detect
     // and redact emails and phone-shaped tokens. PII is INJECTED
