@@ -174,6 +174,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"n-gram match degenerated to a pairwise plan:\n$p")
   }
 
+  test("src_partitioned_prune prunes partitions at the directory level") {
+    val p = plan("src_partitioned_prune")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.isDefined, s"no PartitionFilters in the scan:\n$p")
+    assert(scanLine.get.contains("event_type"),
+      s"the partition column is not pruned on:\n$p")
+    // the predicate must NOT degrade to a post-scan data filter
+    assert(!p.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") && l.contains("event_type")),
+      s"partition predicate applied as a row filter:\n$p")
+  }
+
   test("dd_paragraph is bounded: one window shuffle, one doc aggregate") {
     val p = plan("dd_paragraph")
     // sentence-key window exchange + per-doc aggregate exchange, nothing else
