@@ -367,6 +367,48 @@ object CurationOps {
         FROM scored)
       WHERE rn <= 5""")),
 
+    // -- ranked-window suite --------------------------------------------------
+    // The remaining SQL window functions in one gated query: rank, ntile,
+    // percent_rank, cume_dist, lag. Ordering is (double, key) — the key
+    // tiebreak makes every rank total, and percent_rank/cume_dist are single
+    // IEEE divisions of small exact integers, identical in both engines.
+    Q("q23_window_suite", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      tbl(s, d, "orders").filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("ntl", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("prev_price",
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0d)))
+    }, Some("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             rank() OVER w AS rnk,
+             ntile(4) OVER w AS ntl,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             coalesce(lag(o_totalprice) OVER w, -1.0) AS prev_price
+      FROM orders WHERE o_orderkey % 20 = 0
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)""")),
+
+    // -- full CUBE with grouping ids -----------------------------------------
+    // q13_rollup's lattice sibling: all four grouping sets of
+    // (status, priority) plus the grouping id that disambiguates real NULLs
+    // from subtotal rows — the OLAP primitive a reporting layer needs.
+    Q("q24_cube", (s, d) => {
+      tbl(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(grouping(o_orderstatus) * 2
+                  + grouping(o_orderpriority) AS BIGINT) AS gid
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // -- SCD2 interval construction ------------------------------------------
     // The warehouse dimension-versioning pass: per user, collapse runs of
     // unchanged event_type into versions with [valid_from, valid_to)
