@@ -180,7 +180,71 @@ object AudioOps {
     s.table(qn)
   }
 
+  /** A/V mux demux: one binary column carrying BOTH modalities as tagged
+    * length-prefixed segments; demux dispatches each segment to its real
+    * codec (PNG via ImageIO, WAV via the RIFF reader) and summarizes from
+    * the decoded data. The oracle re-derives every segment from the two
+    * closed-form formulas, so the hash gate breaks on any container-offset
+    * or cross-modal dispatch mistake.
+    */
+  def muxDemux(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.mm.{ImageCodec, MuxCodec}
+    tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        MuxCodec.demux(MuxCodec.synthMux(id)).map { case (k, kind, payload) =>
+          if (kind == MuxCodec.KindVideo) {
+            val dec = ImageCodec.decode(payload)
+            val (sr, _, _) = ImageCodec.channelSums(dec)
+            (id, k.toLong, "v", dec.w.toLong * dec.h, sr)
+          } else {
+            val p = AudioCodec.decode(payload)
+            var sum = 0L; var i = 0
+            while (i < p.data.length) { sum += p.data(i); i += 1 }
+            (id, k.toLong, "a", p.data.length.toLong, sum)
+          }
+        }
+      })
+      .toDF("doc_id", "seg_idx", "kind", "elems", "msum")
+  }
+
+  private val MM_MUX_SQL = """
+    WITH segs AS (
+      SELECT d.doc_id, kk.k FROM documents d, range(0, 7) kk(k)
+      WHERE kk.k < 2 + d.doc_id % 5),
+    vseg AS (
+      SELECT doc_id, k, doc_id + 997 * k AS fs FROM segs WHERE k % 2 = 0),
+    vpx AS (
+      SELECT doc_id, k, fs,
+             CAST(16 + fs % 17 AS BIGINT) AS w,
+             CAST(16 + fs % 13 AS BIGINT) AS h,
+             tx.x AS x, ty.y AS y
+      FROM vseg, range(0, 32) tx(x), range(0, 28) ty(y)
+      WHERE tx.x < 16 + fs % 17 AND ty.y < 16 + fs % 13),
+    vout AS (
+      SELECT doc_id, k AS seg_idx, 'v' AS kind,
+             any_value(w * h) AS elems,
+             CAST(sum((x * 7 + y * 3 + fs) % 256) AS BIGINT) AS msum
+      FROM vpx GROUP BY doc_id, k),
+    aseg AS (
+      SELECT doc_id, k, doc_id + 131 * k AS es FROM segs WHERE k % 2 = 1),
+    apx AS (
+      SELECT doc_id, k, es,
+             CAST(1 + es % 2 AS BIGINT) AS ch,
+             CAST(400 + es % 211 AS BIGINT) AS nf,
+             ti.i AS i, tc.c AS c
+      FROM aseg, range(0, 611) ti(i), range(0, 2) tc(c)
+      WHERE ti.i < 400 + es % 211 AND tc.c < 1 + es % 2),
+    aout AS (
+      SELECT doc_id, k AS seg_idx, 'a' AS kind,
+             any_value(nf * ch) AS elems,
+             CAST(sum(((i * 7 + c * 11 + es * 13) % 4096) - 2048) AS BIGINT)
+               AS msum
+      FROM apx GROUP BY doc_id, k)
+    SELECT * FROM vout UNION ALL SELECT * FROM aout"""
+
   def all: Seq[Q] = Seq(
+    Q("mm_mux_demux", muxDemux, Some(MM_MUX_SQL)),
     Q("mm_audio_meta", audioMeta, Some(MM_AUDIO_META_SQL)),
     Q("st_mm_audio", audioMetaStream, Some(MM_AUDIO_META_SQL)),
     Q("mm_audio_features", audioFeatures, Some(MM_AUDIO_FEATURES_SQL)),
