@@ -48,6 +48,26 @@ class AudioCodecSpec extends AnyFunSuite {
       assert(half.data(j * half.channels + c) == p.data(2 * j * p.channels + c))
   }
 
+  test("mux container round-trips both modalities with correct dispatch") {
+    import graft.mm.{ImageCodec, MuxCodec}
+    for (seed <- Seq(0L, 3L, 6L, 11L)) {
+      val segs = MuxCodec.demux(MuxCodec.synthMux(seed)).toSeq
+      assert(segs.length == MuxCodec.nSegs(seed))
+      for ((k, kind, payload) <- segs) {
+        assert(kind == MuxCodec.kindOf(k))
+        if (kind == MuxCodec.KindVideo) {
+          val dec = ImageCodec.decode(payload)
+          assert(dec.w == ImageCodec.width(MuxCodec.vSeed(seed, k)))
+          assert(dec.h == ImageCodec.height(MuxCodec.vSeed(seed, k)))
+        } else {
+          val p = AudioCodec.decode(payload)
+          assert(p.frames == AudioCodec.nFrames(MuxCodec.aSeed(seed, k)))
+          assert(p.channels == AudioCodec.channels(MuxCodec.aSeed(seed, k)))
+        }
+      }
+    }
+  }
+
   test("re-encode round-trip is bit-faithful to the decimated samples") {
     for (seed <- Seq(4L, 5L)) {
       val half = AudioCodec.decimate(AudioCodec.decode(AudioCodec.synthWav(seed)), 2)

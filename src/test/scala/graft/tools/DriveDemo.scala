@@ -64,6 +64,12 @@ object DriveDemo {
         s"frames=${pcm.frames} sum=${pcm.data.map(_.toLong).sum} " +
         s"halfFrames=${half.frames} halfSum=${half.data.map(_.toLong).sum}")
     }
+
+    // probe 4: A/V mux container (tagged segments -> both codecs)
+    val muxSegs = graft.mm.MuxCodec.demux(graft.mm.MuxCodec.synthMux(6L)).toSeq
+    println("PROBE mux seed=6: " + muxSegs.map { case (k, kind, payload) =>
+      s"$k:${if (kind == graft.mm.MuxCodec.KindVideo) "v" else "a"}:${payload.length}B"
+    }.mkString(" "))
     spark.stop()
   }
 }
