@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.DotProductFusion.ensureInstalled(spark)
     // JVM/codegen/parquet-footer warmup so the first timed query measures the
     // query, not session bring-up: exercise the operator shapes the suite
     // leans on (hash agg, shuffle join, window, explode) once, untimed

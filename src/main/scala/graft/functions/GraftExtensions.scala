@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LongDotProduct(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductFusion)
     ext.injectFunction((
       new FunctionIdentifier("kmin_strings"),
       new ExpressionInfo(classOf[KMinStrings].getName, "kmin_strings"),
