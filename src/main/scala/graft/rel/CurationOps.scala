@@ -489,6 +489,70 @@ object CurationOps {
       FROM cand e1 JOIN cand e2 ON e1.id_b = e2.id_a
            JOIN cand e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b""")),
 
+    // -- composed C4-style filter decision -----------------------------------
+    // The actual keep/drop gate a curation pipeline emits: every document
+    // scored against word-count bounds, top-word concentration, and
+    // duplicate-bigram mass (the Gopher/C4 rule family), with the FIRST
+    // failing rule recorded. All thresholds compare integers cross-multiplied
+    // (20*max_tf vs 3*n_words etc.) so no ratio ever materializes — the
+    // decision is exact in both engines. One explode + per-doc aggregates.
+    Q("tx_c4_filter", (s, d) => {
+      val docs = tbl(s, d, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_words"), max("tf").as("max_tf"))
+      val bi = docs.withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(words) >= 2
+             THEN transform(sequence(1, size(words) - 1),
+                  i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))
+             ELSE array() END""")).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("bf"))
+        .groupBy("doc_id")
+        .agg(sum("bf").as("n_bigrams"), sum(col("bf") - 1).as("dup_bigrams"))
+      tf.join(bi, "doc_id")
+        .withColumn("reason",
+          when(col("n_words") < 20, "too_short")
+            .when(col("n_words") > 500, "too_long")
+            // top_word_ratio > 0.15  <=>  20 * max_tf > 3 * n_words
+            .when(col("max_tf") * 20 > col("n_words") * 3, "top_word_conc")
+            // dup_bigram_ratio > 0.33 <=> 3 * dup > n_bigrams
+            .when(col("dup_bigrams") * 3 > col("n_bigrams"), "dup_bigrams")
+            .otherwise("ok"))
+        .select(col("doc_id"), col("n_words"), col("max_tf"),
+          col("dup_bigrams"), (col("reason") === "ok").as("keep"),
+          col("reason"))
+    }, Some("""
+      WITH wrd AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tfx AS (SELECT doc_id, w, count(*) AS tf FROM wrd GROUP BY doc_id, w),
+      ws AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+               CAST(max(tf) AS BIGINT) AS max_tf
+        FROM tfx GROUP BY doc_id),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                 i -> words[i] || ' ' || words[i+1])) AS b
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      bfx AS (SELECT doc_id, b, count(*) AS bf FROM bg GROUP BY doc_id, b),
+      bs AS (
+        SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+               CAST(sum(bf - 1) AS BIGINT) AS dup_bigrams
+        FROM bfx GROUP BY doc_id),
+      scored AS (
+        SELECT w.doc_id, w.n_words, w.max_tf, b.n_bigrams, b.dup_bigrams,
+               CASE WHEN w.n_words < 20 THEN 'too_short'
+                    WHEN w.n_words > 500 THEN 'too_long'
+                    WHEN w.max_tf * 20 > w.n_words * 3 THEN 'top_word_conc'
+                    WHEN b.dup_bigrams * 3 > b.n_bigrams THEN 'dup_bigrams'
+                    ELSE 'ok' END AS reason
+        FROM ws w JOIN bs b ON w.doc_id = b.doc_id)
+      SELECT doc_id, n_words, max_tf, dup_bigrams,
+             reason = 'ok' AS keep, reason
+      FROM scored""")),
+
     // -- PII redaction --------------------------------------------------------
     // The scrubbing pass a compliant pipeline runs before training: detect
     // and redact emails and phone-shaped tokens. PII is INJECTED
