@@ -236,7 +236,65 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Incremental upsert materialization — the MERGE-into-snapshot sink
+    * pattern (what a Delta/Iceberg MERGE does) on plain parquet: the events
+    * stream is delivered in 8 microbatches (staged files +
+    * maxFilesPerTrigger=1), and foreachBatch folds each batch into a
+    * latest-row-per-key snapshot, alternating between two generation dirs
+    * (write-then-swap, never overwriting the generation being read). The
+    * merge key order (ts, event_id) is total, so the fold is
+    * order-independent — any microbatch arrival order yields the same
+    * snapshot, which is what makes the pattern safe under redelivery.
+    */
+  def upsertSnapshot(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val inv = sinkCounter.incrementAndGet()
+    val stageDir = graft.TempDirs.create(s"graft_upsert_stage_$inv")
+    val snapBase = graft.TempDirs.create(s"graft_upsert_snap_$inv")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id", "ts div 1000 AS us", "event_id",
+        "event_type", "value")
+    ev.repartition(8).write.mode("overwrite").parquet(stageDir)
+
+    def latestPerUser(df: DataFrame): DataFrame = df
+      .groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("event_type"),
+        col("value"))).as("t"))
+      .select(col("user_id"), col("t.us").as("us"),
+        col("t.event_id").as("event_id"), col("t.event_type").as("event_type"),
+        col("t.value").as("value"))
+
+    var current: String = null
+    var gen = 0
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val query = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged =
+          if (current == null) latestPerUser(batch)
+          else latestPerUser(batch.unionByName(
+            batch.sparkSession.read.parquet(current)))
+        val next = s"$snapBase/gen${gen % 2}"
+        merged.write.mode("overwrite").parquet(next)
+        current = next
+        gen += 1
+        ()
+      }
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.read.parquet(current).select("user_id", "us", "event_type", "value")
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_upsert_snapshot", upsertSnapshot, Some("""
+      SELECT user_id, us, event_type, value FROM (
+        SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type,
+               value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts) // 1000 DESC,
+                                           event_id DESC) AS rn
+        FROM events) WHERE rn = 1""")),
     graft.rel.Q("st_stream_join", streamJoin, Some("""
       WITH a AS (
         SELECT user_id, epoch_ns(ts) // 1000 AS click_us
