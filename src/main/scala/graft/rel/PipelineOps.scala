@@ -103,6 +103,27 @@ object PipelineOps {
 
   private lazy val zarr3Dir: String = graft.TempDirs.create("graft_zarr3")
 
+  /** The same store through the DataSource V2 relational surface
+    * (`spark.read.format("zarr")`): grid-coordinate predicates push down to
+    * chunk pruning (only the g0 in [1, 2] chunk files are opened — plan-
+    * guarded), and the result aggregates the decoded pixels under the
+    * synthetic-image SQL oracle. Proves the DSv2 path end-to-end: schema
+    * inference, pushdown, partition planning, chunk decode, row emission.
+    */
+  def zarrDsv2(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
+    graft.sources.ZarrIO.write(tilesFromPixels(s, d), spec, zarrDir, "<u2", "zlib")
+    s.read.format("zarr").load(zarrDir)
+      .filter(col("g0") >= 1 && col("g0") <= 2 && col("value") =!= 0)
+      .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
+      .groupBy("gy", "gx")
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+  }
+
+  private val ZARR_DSV2_SQL: String = RelabelRel.PIXELS_SQL + """
+    SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
+    FROM lab WHERE gy BETWEEN 1 AND 2 GROUP BY gy, gx"""
+
   /** Tile-engine remove only, exploded (oracle: relational remove join). */
   def removePixels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -355,6 +376,7 @@ object PipelineOps {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""")),
-    Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL))
+    Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
+    Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL))
   )
 }

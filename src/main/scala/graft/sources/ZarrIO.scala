@@ -247,7 +247,7 @@ object ZarrIO {
       }
   }
 
-  private def listChunkLocs(dir: String, meta: Meta): Seq[Array[Int]] = {
+  private[sources] def listChunkLocs(dir: String, meta: Meta): Seq[Array[Int]] = {
     val grid = meta.spec.gridShape
     def valid(loc: Array[Int]): Boolean =
       loc.length == meta.dims && loc.indices.forall(a => loc(a) >= 0 && loc(a) < grid(a))

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.ZarrIO
+import graft.sources.zarr.ZarrTableProvider
+import graft.tiles.{GridSpec, Tile}
+
+/** The DSv2 zarr source: schema, pushdowns, and row-level agreement with
+  * the Dataset[Tile] reader over the same store.
+  */
+class ZarrDsv2Spec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  // a 6x4 grid of 5x5 chunks over a 28x17 image (ragged edges), values
+  // v(y, x) = y * 31 + x (nonzero everywhere except the origin)
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = TempDirs.create("graft_dsv2_spec")
+    val spec = GridSpec(Array(28L, 17L), Array(5, 5))
+    val tiles = for (gy <- 0 until 6; gx <- 0 until 4) yield {
+      val h = math.min(5, 28 - gy * 5); val w = math.min(5, 17 - gx * 5)
+      Tile(Array(gy, gx), Array(6, 4), Array(h, w),
+        Array.tabulate(h * w) { i =>
+          val y = gy * 5 + i / w; val x = gx * 5 + i % w
+          y.toLong * 31 + x
+        })
+    }
+    ZarrIO.write(spark.createDataset(tiles), spec, d, "<i8", "zlib")
+    d
+  }
+
+  test("schema inference: g/p coordinates + value, all BIGINT") {
+    val df = spark.read.format("zarr").load(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("g0", "g1", "p0", "p1", "value"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "long"))
+  }
+
+  test("rows agree with the Dataset[Tile] reader, ragged edges included") {
+    val viaDsv2 = spark.read.format("zarr").load(dir)
+      .selectExpr("g0 * 5 + p0 AS y", "g1 * 5 + p1 AS x", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaTiles = ZarrIO.read(spark, dir).collect().flatMap { t =>
+      for (y <- 0 until t.shape(0); x <- 0 until t.shape(1))
+        yield ((t.loc(0) * 5 + y).toLong, (t.loc(1) * 5 + x).toLong,
+          t.data(y * t.shape(1) + x))
+    }.filter(_._3 != 0L).toSet
+    // the tile reader strips fill-value zeros; DSv2 emits every cell
+    assert(viaDsv2.count(_._3 != 0L) == viaTiles.size)
+    assert(viaDsv2.filter(_._3 != 0L) == viaTiles)
+    assert(viaDsv2.size == 28 * 17)
+  }
+
+  test("grid predicates push down to chunk pruning, no residual filter") {
+    val df = spark.read.format("zarr").load(dir)
+      .filter(col("g0") >= 1 && col("g0") < 3 && col("g1") === 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrScan"), plan)
+    assert(plan.contains("g0 in [1, 2]") && plan.contains("g1 in [2, 2]"),
+      s"bounds not pushed:\n$plan")
+    // no residual Filter node (the scan line's "RuntimeFilters: []" is not one)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Filter ") && l.contains("g0")),
+      s"pushed predicates left a residual:\n$plan")
+    // 2 grid rows x 1 grid col = 2 chunk partitions
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 2 * 5 * 5) // chunks (1,2) and (2,2): 5x5 cells each
+  }
+
+  test("column pruning skips payload I/O for coordinate-only scans") {
+    ZarrTableProvider.payloadReads.set(0)
+    val n = spark.read.format("zarr").load(dir)
+      .select("g0", "p0").count()
+    assert(n == 28 * 17)
+    assert(ZarrTableProvider.payloadReads.get() == 0,
+      "coordinate-only scan opened chunk files")
+    val s = spark.read.format("zarr").load(dir)
+      .agg(sum("value")).collect()(0).getLong(0)
+    assert(ZarrTableProvider.payloadReads.get() == 24,
+      "value scan should open every chunk exactly once")
+    // sum over full image of y*31+x
+    val want = (for (y <- 0 until 28; x <- 0 until 17)
+      yield y.toLong * 31 + x).sum
+    assert(s == want)
+  }
+}
