@@ -108,7 +108,7 @@ object Zarr3IO {
   }
 
   /** Default chunk-key encoding: "c" <sep> i0 <sep> i1 ... */
-  private def chunkKey(loc: Array[Int], sep: String): String =
+  private[sources] def chunkKey(loc: Array[Int], sep: String): String =
     ("c" +: loc.map(_.toString)).mkString(sep)
 
   // ------------------------------------------------------------ read path
@@ -145,7 +145,7 @@ object Zarr3IO {
       }
   }
 
-  private def listChunkLocs(dir: String, meta: Meta3): Seq[Array[Int]] = {
+  private[sources] def listChunkLocs(dir: String, meta: Meta3): Seq[Array[Int]] = {
     val grid = meta.spec.gridShape
     def valid(loc: Array[Int]): Boolean =
       loc.length == meta.dims &&

@@ -13,7 +13,7 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.ZarrIO
+import graft.sources.{Zarr3IO, ZarrIO}
 
 /** DataSource V2 for zarr v2 stores: `spark.read.format("zarr").load(dir)`.
   *
@@ -46,7 +46,7 @@ class ZarrTableProvider extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrTableProvider.schemaFor(ZarrIO.readMeta(path(options)).dims)
+    ZarrTableProvider.schemaFor(ZarrTableProvider.metaOf(path(options)).dims)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -54,6 +54,18 @@ class ZarrTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object ZarrTableProvider {
+
+  /** Format autodetection: a v3 store has `zarr.json`, a v2 store
+    * `.zarray`. Either way the rest of the source works off the
+    * v2-equivalent codec meta (the v3 metadata maps onto it losslessly for
+    * the supported dtype/codec subset).
+    */
+  def isV3(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "zarr.json"))
+
+  def metaOf(dir: String): ZarrIO.Meta =
+    if (isV3(dir)) Zarr3IO.readMeta(dir).v2 else ZarrIO.readMeta(dir)
+
   def schemaFor(dims: Int): StructType = StructType(
     (0 until dims).map(a => StructField(s"g$a", LongType, nullable = false)) ++
       (0 until dims).map(a => StructField(s"p$a", LongType, nullable = false)) :+
@@ -67,7 +79,7 @@ object ZarrTableProvider {
 }
 
 final class ZarrTable(dir: String) extends Table with SupportsRead {
-  private lazy val meta = ZarrIO.readMeta(dir)
+  private lazy val meta = ZarrTableProvider.metaOf(dir)
   override def name(): String = s"zarr:$dir"
   override def schema(): StructType = ZarrTableProvider.schemaFor(meta.dims)
   override def capabilities(): util.Set[TableCapability] =
@@ -160,20 +172,25 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ZarrIO.listChunkLocs(dir, meta)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val locs =
+      if (ZarrTableProvider.isV3(dir)) Zarr3IO.listChunkLocs(dir, Zarr3IO.readMeta(dir))
+      else ZarrIO.listChunkLocs(dir, meta)
+    locs
       .filter(loc => loc.indices.forall(a => loc(a) >= lo(a) && loc(a) <= hi(a)))
       .map(loc => ZarrInputPartition(loc): InputPartition)
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ZarrReaderFactory(dir, meta, required.fieldNames)
+    ZarrReaderFactory(dir, meta, required.fieldNames,
+      ZarrTableProvider.isV3(dir))
 }
 
 final case class ZarrInputPartition(loc: Array[Int]) extends InputPartition
 
 final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
-    columns: Array[String]) extends PartitionReaderFactory {
+    columns: Array[String], isV3: Boolean) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val loc = partition.asInstanceOf[ZarrInputPartition].loc
@@ -187,7 +204,10 @@ final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
       if (!needValue) null
       else {
         ZarrTableProvider.payloadReads.incrementAndGet()
-        val path = new java.io.File(dir, loc.mkString(meta.separator)).getPath
+        val key =
+          if (isV3) Zarr3IO.chunkKey(loc, meta.separator)
+          else loc.mkString(meta.separator)
+        val path = new java.io.File(dir, key).getPath
         ZarrIO.decodeChunk(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), meta, loc, tileShape)
       }

@@ -70,6 +70,29 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(df.count() == 2 * 5 * 5) // chunks (1,2) and (2,2): 5x5 cells each
   }
 
+  test("v3 stores are autodetected and read through the same scan") {
+    import spark.implicits._
+    val d3 = TempDirs.create("graft_dsv2_v3")
+    val spec = GridSpec(Array(9L, 7L), Array(4, 4))
+    val tiles = for (gy <- 0 until 3; gx <- 0 until 2) yield {
+      val h = math.min(4, 9 - gy * 4); val w = math.min(4, 7 - gx * 4)
+      Tile(Array(gy, gx), Array(3, 2), Array(h, w),
+        Array.tabulate(h * w) { i =>
+          val y = gy * 4 + i / w; val x = gx * 4 + i % w
+          y.toLong * 10 + x + 1
+        })
+    }
+    graft.sources.Zarr3IO.write(spark.createDataset(tiles), spec, d3,
+      "uint16", gzip = true)
+    val df = spark.read.format("zarr").load(d3)
+    assert(df.count() == 9 * 7)
+    val got = df.filter(col("g0") === 1)
+      .agg(sum("value")).collect()(0).getLong(0)
+    val want = (for (y <- 4 until 8; x <- 0 until 7)
+      yield y.toLong * 10 + x + 1).sum
+    assert(got == want)
+  }
+
   test("column pruning skips payload I/O for coordinate-only scans") {
     ZarrTableProvider.payloadReads.set(0)
     val n = spark.read.format("zarr").load(dir)
