@@ -70,6 +70,16 @@ object DriveDemo {
     println("PROBE mux seed=6: " + muxSegs.map { case (k, kind, payload) =>
       s"$k:${if (kind == graft.mm.MuxCodec.KindVideo) "v" else "a"}:${payload.length}B"
     }.mkString(" "))
+
+    // probe 5: DSv2 zarr scan with pushdown over a store written here
+    val zdir = graft.TempDirs.create("graft_demo_zarr")
+    graft.sources.ZarrIO.write(labels, GridSpec(Array(16L, 12L), Array(4, 4)),
+      zdir, "<i8", "zlib")
+    val zdf = spark.read.format("zarr").load(zdir)
+      .filter(org.apache.spark.sql.functions.col("g0") === 1)
+    println("PROBE dsv2: partitions=" + zdf.rdd.getNumPartitions +
+      " rows=" + zdf.count() +
+      " nonzero=" + zdf.filter("value != 0").count())
     spark.stop()
   }
 }
