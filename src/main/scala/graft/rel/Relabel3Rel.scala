@@ -216,8 +216,32 @@ object Relabel3Rel {
       .toDF("loc_key", "plane", "geojson")
   }
 
+  private lazy val zarr3dDir: String = graft.TempDirs.create("graft_zarr3d")
+
+  /** The 3D volume through the DSv2 relational scan: |u1 dtype (labels fit
+    * a byte), a gz == 1 slab pushed down to chunk pruning (12 of 36 chunk
+    * files opened), aggregated under the 3D pixel oracle — gates the
+    * source's dimension-generic path end-to-end.
+    */
+  def zarrDsv23d(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.tiles.GridSpec(
+      Array(G(0).toLong * L3, G(1).toLong * L3, G(2).toLong * L3),
+      Array(L3, L3, L3))
+    graft.sources.ZarrIO.write(tiles3(s, d), spec, zarr3dDir, "|u1", "zlib")
+    s.read.format("zarr").load(zarr3dDir)
+      .filter(col("g0") === 1 && col("value") =!= 0)
+      .select(col("g1").as("gy"), col("g2").as("gx"), col("value"))
+      .groupBy("gy", "gx")
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+  }
+
+  private val ZARR_DSV2_3D_SQL: String = PIXELS3_SQL + """
+    SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
+    FROM lab WHERE gz = 1 GROUP BY gy, gx"""
+
   def all: Seq[Q] = Seq(
     Q("px3_remove", remove3, Some(REMOVE3_SQL)),
     Q("px3_pipeline", pipeline3, Some(PIPELINE3_SQL)),
+    Q("px3_zarr_dsv2", zarrDsv23d, Some(ZARR_DSV2_3D_SQL)),
     Q("geo_annotate3d", annotate3, None))
 }
