@@ -161,9 +161,27 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
 }
 
 final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
-    hi: Array[Long], required: StructType) extends Scan with Batch {
+    hi: Array[Long], required: StructType) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Post-pruning size estimate: cells in the surviving chunk box × row
+    * width. Exact on row count for full chunks (edge chunks overestimate
+    * slightly, which is the safe direction). Lets Catalyst auto-broadcast
+    * a heavily pruned scan in joins — pruning changes not just I/O but the
+    * JOIN STRATEGY downstream.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val cells: Long = lo.indices.map { a =>
+      val chunksInBox = math.max(0L, hi(a) - lo(a) + 1)
+      chunksInBox * meta.chunks(a)
+    }.product
+    private val rowBytes = 8L * required.size
+    override def sizeInBytes = java.util.OptionalLong.of(
+      math.max(1L, cells * rowBytes))
+    override def numRows = java.util.OptionalLong.of(cells)
+  }
 
   override def description(): String =
     s"ZarrScan ${meta.dims}d bounds=" +

@@ -93,6 +93,22 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("pruned-scan statistics flow to the join planner: auto-broadcast") {
+    import spark.implicits._
+    // without pruning the store is 28x17 = 476 rows; pruned to one chunk
+    // it reports ~25 rows, far under the broadcast threshold
+    val big = spark.range(100000).select(col("id").as("y"),
+      (col("id") % 97).as("w"))
+    val pruned = spark.read.format("zarr").load(dir)
+      .filter(col("g0") === 2 && col("g1") === 1)
+      .selectExpr("g0 * 5 + p0 AS y", "value")
+    val joined = big.join(pruned, "y")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pruned zarr side not broadcast:\n$plan")
+    assert(joined.count() == 25) // one full 5x5 chunk, y in [10, 14] x 5 cols
+  }
+
   test("column pruning skips payload I/O for coordinate-only scans") {
     ZarrTableProvider.payloadReads.set(0)
     val n = spark.read.format("zarr").load(dir)
