@@ -124,6 +124,33 @@ object PipelineOps {
     SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
     FROM lab WHERE gy BETWEEN 1 AND 2 GROUP BY gy, gx"""
 
+  /** The full DSv2 write -> read cycle under the driver gate: the synthetic
+    * pixel relation is written through `df.write.format("zarr")` (the
+    * chunk-aligned clustered-distribution sink), read back through the DSv2
+    * scan, and aggregated per tile against the pixel oracle. A layout,
+    * codec, fill, or clustering defect in EITHER direction breaks the hash.
+    */
+  private lazy val zarrWriteDir: String = graft.TempDirs.create("graft_zarr_w")
+
+  def zarrDsv2Write(s: SparkSession, d: String): DataFrame = {
+    RelabelRel.pixelsRaw(s, d)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+      .write.format("zarr")
+      .option("shape", s"${GY * L},${GX * L}").option("chunks", s"$L,$L")
+      .option("dtype", "<u2").option("compressor", "zlib")
+      .mode("overwrite").save(zarrWriteDir)
+    s.read.format("zarr").load(zarrWriteDir)
+      .filter(col("value") =!= 0)
+      .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
+      .groupBy("gy", "gx")
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+  }
+
+  private val ZARR_DSV2_WRITE_SQL: String = RelabelRel.PIXELS_SQL + """
+    SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
+    FROM lab GROUP BY gy, gx"""
+
   /** Tile-engine remove only, exploded (oracle: relational remove join). */
   def removePixels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -377,6 +404,7 @@ object PipelineOps {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""")),
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
-    Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL))
+    Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL)),
+    Q("px_zarr_dsv2_write", zarrDsv2Write, Some(ZARR_DSV2_WRITE_SQL))
   )
 }

@@ -79,7 +79,7 @@ object ZarrIO {
       fill, root.path("dimension_separator").asText("."))
   }
 
-  private def writeMeta(dir: String, meta: Meta): Unit = {
+  private[sources] def writeMeta(dir: String, meta: Meta): Unit = {
     val comp =
       if (meta.compressor.isEmpty) "null"
       else if (meta.compressor == "zlib") """{"id": "zlib", "level": 1}"""

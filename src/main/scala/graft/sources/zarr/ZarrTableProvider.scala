@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,12 +46,26 @@ class ZarrTableProvider extends TableProvider with DataSourceRegister {
     p
   }
 
+  private def dimsOf(p: String, options: util.Map[String, String]): Int =
+    if (new java.io.File(p, ".zarray").exists() ||
+      new java.io.File(p, "zarr.json").exists())
+      ZarrTableProvider.metaOf(p).dims
+    else {
+      // a write to a fresh store: dims come from the mandatory option
+      val sh = options.get("shape")
+      require(sh != null,
+        s"no store at $p and no 'shape' option — nothing to infer from")
+      sh.split(",").length
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrTableProvider.schemaFor(ZarrTableProvider.metaOf(path(options)).dims)
+    ZarrTableProvider.schemaFor(dimsOf(path(options), options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ZarrTable(path(properties))
+      properties: util.Map[String, String]): Table = {
+    val p = path(properties)
+    new ZarrTable(p, dimsOf(p, properties))
+  }
 }
 
 object ZarrTableProvider {
@@ -78,14 +93,20 @@ object ZarrTableProvider {
   val payloadReads = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
-final class ZarrTable(dir: String) extends Table with SupportsRead {
+final class ZarrTable(dir: String, dims: Int) extends Table with SupportsRead
+    with SupportsWrite {
+  // reads need the full store metadata; writes to a fresh dir must not
+  // touch it (dims alone drives the schema)
   private lazy val meta = ZarrTableProvider.metaOf(dir)
   override def name(): String = s"zarr:$dir"
-  override def schema(): StructType = ZarrTableProvider.schemaFor(meta.dims)
+  override def schema(): StructType = ZarrTableProvider.schemaFor(dims)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(dir, meta)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ZarrWriteBuilder(dir, info)
 }
 
 final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
@@ -259,6 +280,120 @@ final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
         new GenericInternalRow(
           emit.map(f => f(p, flat): Any))
 
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ---------------------------------------------------------------- write path
+
+/** `df.write.format("zarr").option("shape", "72,48").option("chunks",
+  * "12,12").option("dtype", "<u2").option("compressor", "zlib")
+  * .mode("overwrite").save(dir)` — rows are (g*, p*, value); cells not
+  * present take the fill value (0).
+  *
+  * The write declares `RequiresDistributionAndOrdering` clustered on the
+  * grid coordinates, so Spark shuffles rows chunk-aligned BEFORE the
+  * writers run: each chunk file is produced whole by exactly one task —
+  * no cross-task chunk stitching, no commit-time merge, the property that
+  * keeps the sink correct on a 1000-executor cluster.
+  */
+final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val o = info.options
+    val shape = o.get("shape").split(",").map(_.trim.toLong)
+    val chunks = o.get("chunks").split(",").map(_.trim.toInt)
+    val meta = ZarrIO.Meta(shape, chunks,
+      Option(o.get("dtype")).getOrElse("<i8"),
+      Option(o.get("compressor")).getOrElse("zlib"), 0L, ".")
+    new ZarrWrite(dir, meta, info.schema(), doTruncate)
+  }
+}
+
+final class ZarrWrite(dir: String, meta: ZarrIO.Meta, schema: StructType,
+    doTruncate: Boolean) extends Write with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(
+      (0 until meta.dims).map(a =>
+        Expressions.identity(s"g$a"): org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    if (doTruncate) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      Option(d.listFiles()).foreach(_.foreach(rm))
+    }
+    new ZarrBatchWrite(dir, meta, schema)
+  }
+}
+
+final class ZarrBatchWrite(dir: String, meta: ZarrIO.Meta,
+    schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    ZarrWriterFactory(dir, meta, schema.fieldNames)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ZarrIO.writeMeta(dir, meta) // metadata last: readers see a complete store
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class ZarrChunksWritten(n: Int) extends WriterCommitMessage
+
+final case class ZarrWriterFactory(dir: String, meta: ZarrIO.Meta,
+    columns: Array[String]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val dims = meta.dims
+    val gIdx = (0 until dims).map(a => columns.indexOf(s"g$a")).toArray
+    val pIdx = (0 until dims).map(a => columns.indexOf(s"p$a")).toArray
+    val vIdx = columns.indexOf("value")
+    require(gIdx.forall(_ >= 0) && pIdx.forall(_ >= 0) && vIdx >= 0,
+      s"zarr write needs g0..g${dims - 1}, p0..p${dims - 1}, value; " +
+        s"got ${columns.mkString(",")}")
+
+    new DataWriter[InternalRow] {
+      private val buf =
+        scala.collection.mutable.LinkedHashMap.empty[Seq[Int], (Array[Int], Array[Long])]
+
+      private def tileShapeOf(loc: Array[Int]): Array[Int] =
+        Array.tabulate(dims) { a =>
+          math.min(meta.chunks(a).toLong,
+            meta.shape(a) - loc(a).toLong * meta.chunks(a)).toInt
+        }
+
+      override def write(row: InternalRow): Unit = {
+        val loc = Array.tabulate(dims)(a => row.getLong(gIdx(a)).toInt)
+        val (ts, data) = buf.getOrElseUpdate(loc.toSeq, {
+          val t = tileShapeOf(loc)
+          (t, new Array[Long](t.product))
+        })
+        var flat = 0
+        var a = 0
+        while (a < dims) { flat = flat * ts(a) + row.getLong(pIdx(a)).toInt; a += 1 }
+        data(flat) = row.getLong(vIdx)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        buf.foreach { case (locSeq, (ts, data)) =>
+          val loc = locSeq.toArray
+          val f = new java.io.File(dir, loc.mkString(meta.separator))
+          Option(f.getParentFile).foreach(_.mkdirs())
+          java.nio.file.Files.write(f.toPath,
+            ZarrIO.encodeChunk(data, meta, ts))
+        }
+        ZarrChunksWritten(buf.size)
+      }
+
+      override def abort(): Unit = ()
       override def close(): Unit = ()
     }
   }
