@@ -118,6 +118,8 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
   // inclusive chunk-box bounds per grid axis, tightened by pushed filters
   private val lo = Array.fill(dims)(0L)
   private val hi = grid.map(_ - 1L)
+  // non-contiguous membership per axis (IN lists); null = unconstrained
+  private val allowed: Array[Set[Long]] = Array.fill(dims)(null)
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = ZarrTableProvider.schemaFor(dims)
 
@@ -159,6 +161,17 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
       case (Some(a), Some(x)) => hi(a) = math.min(hi(a), x); true
       case _ => false
     }
+    case In(att, values) => axisOf(att) match {
+      case Some(a) =>
+        val vs = values.flatMap(asLong)
+        if (vs.length != values.length) false
+        else {
+          val set = vs.toSet
+          allowed(a) = if (allowed(a) == null) set else allowed(a).intersect(set)
+          true
+        }
+      case _ => false
+    }
     case And(l, r) =>
       // consume both or neither (bounds only tighten, so a half-consumed
       // And would still be sound — but returning it as residual is simpler)
@@ -178,12 +191,12 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
     required = requiredSchema
 
   override def build(): Scan =
-    new ZarrScan(dir, meta, lo.clone(), hi.clone(), required)
+    new ZarrScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(), required)
 }
 
 final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
-    hi: Array[Long], required: StructType) extends Scan with Batch
-    with SupportsReportStatistics {
+    hi: Array[Long], allowed: Array[Set[Long]], required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
@@ -195,8 +208,9 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private val cells: Long = lo.indices.map { a =>
-      val chunksInBox = math.max(0L, hi(a) - lo(a) + 1)
-      chunksInBox * meta.chunks(a)
+      val inBox = (lo(a) to hi(a)).count(v =>
+        allowed(a) == null || allowed(a).contains(v))
+      inBox.toLong * meta.chunks(a)
     }.product
     private val rowBytes = 8L * required.size
     override def sizeInBytes = java.util.OptionalLong.of(
@@ -206,7 +220,12 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
 
   override def description(): String =
     s"ZarrScan ${meta.dims}d bounds=" +
-      lo.indices.map(a => s"g$a in [${lo(a)}, ${hi(a)}]").mkString(", ") +
+      lo.indices.map { a =>
+        val setPart =
+          if (allowed(a) == null) ""
+          else s" and in {${allowed(a).toSeq.sorted.mkString(",")}}"
+        s"g$a in [${lo(a)}, ${hi(a)}]$setPart"
+      }.mkString(", ") +
       s" columns=${required.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = this
@@ -216,7 +235,9 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
       if (ZarrTableProvider.isV3(dir)) Zarr3IO.listChunkLocs(dir, Zarr3IO.readMeta(dir))
       else ZarrIO.listChunkLocs(dir, meta)
     locs
-      .filter(loc => loc.indices.forall(a => loc(a) >= lo(a) && loc(a) <= hi(a)))
+      .filter(loc => loc.indices.forall(a =>
+        loc(a) >= lo(a) && loc(a) <= hi(a) &&
+          (allowed(a) == null || allowed(a).contains(loc(a).toLong))))
       .map(loc => ZarrInputPartition(loc): InputPartition)
       .toArray
   }

@@ -173,6 +173,16 @@ class ZarrDsv2Spec extends AnyFunSuite {
       s"write did not cluster on the grid coordinates:\n$plan")
   }
 
+  test("IN lists push down to non-contiguous chunk pruning") {
+    val df = spark.read.format("zarr").load(dir)
+      .filter(col("g0").isin(0, 3, 5) && col("g1") === 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("in {0,3,5}"), s"IN list not pushed:\n$plan")
+    assert(df.rdd.getNumPartitions == 3)
+    // rows: g0=0 and 3 are full-height (5), g0=5 is the ragged edge (3)
+    assert(df.count() == (5 + 5 + 3) * 5)
+  }
+
   test("column pruning skips payload I/O for coordinate-only scans") {
     ZarrTableProvider.payloadReads.set(0)
     val n = spark.read.format("zarr").load(dir)
