@@ -196,7 +196,37 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
 
 final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     hi: Array[Long], allowed: Array[Set[Long]], required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Dynamic pruning: at execution time Spark can derive IN/= filters on
+    * the grid columns from the other side of a join (the DSv2 analogue of
+    * dynamic partition pruning) and hand them here — chunks outside the
+    * runtime set are dropped before any partition is planned.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only the grid columns that SURVIVED column pruning: Spark resolves
+    // these against the pruned output and would fail on a projected-out one
+    (0 until meta.dims).map(a => s"g$a")
+      .filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case EqualTo(att, v) => GAxis.unapply(att, meta.dims).foreach { a =>
+      GAxis.long(v).foreach { x =>
+        lo(a) = math.max(lo(a), x); hi(a) = math.min(hi(a), x)
+      }
+    }
+    case In(att, values) => GAxis.unapply(att, meta.dims).foreach { a =>
+      val vs = values.flatMap(GAxis.long)
+      if (vs.length == values.length) {
+        val set = vs.toSet
+        allowed(a) = if (allowed(a) == null) set else allowed(a).intersect(set)
+      }
+    }
+    case _ => () // unsupported runtime filters are simply not pruned on
+  }
 
   override def readSchema(): StructType = required
 
@@ -245,6 +275,22 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrReaderFactory(dir, meta, required.fieldNames,
       ZarrTableProvider.isV3(dir))
+}
+
+/** Shared axis/literal matching for static and runtime filter pushdown. */
+private[zarr] object GAxis {
+  private val GCol = "g([0-9]+)".r
+  def unapply(att: String, dims: Int): Option[Int] = att match {
+    case GCol(a) if a.toInt < dims => Some(a.toInt)
+    case _ => None
+  }
+  def long(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
 }
 
 final case class ZarrInputPartition(loc: Array[Int]) extends InputPartition

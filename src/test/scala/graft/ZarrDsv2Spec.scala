@@ -183,6 +183,24 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(df.count() == (5 + 5 + 3) * 5)
   }
 
+  test("runtime filters prune chunks at execution time (DPP analogue)") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    // build the scan directly and drive the runtime-filtering contract
+    val meta = ZarrIO.readMeta(dir)
+    val table = new graft.sources.zarr.ZarrTable(dir, meta.dims)
+    val sb = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    val scan = sb.build().asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("g0", "g1"))
+    val batch = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+    assert(batch.planInputPartitions().length == 24) // 6x4 grid, unpruned
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("g0", Array(1, 2, 4)), EqualTo("g1", 3)))
+    assert(batch.planInputPartitions().length == 3)
+  }
+
   test("column pruning skips payload I/O for coordinate-only scans") {
     ZarrTableProvider.payloadReads.set(0)
     val n = spark.read.format("zarr").load(dir)
