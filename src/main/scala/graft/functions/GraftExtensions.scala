@@ -16,12 +16,23 @@ object GraftFunctions {
   /** Runtime registration on an existing session:
     * `GraftFunctions.register(spark)` then `spark.sql("... long_dot(a,b)")`.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "long_dot", {
       children =>
         require(children.length == 2, "long_dot takes exactly 2 arguments")
         LongDotProduct(children.head, children(1))
     })
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "kmin_strings", {
+      children =>
+        require(children.length == 2, "kmin_strings(col, k) takes 2 arguments")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+            KMinStrings(children.head, k)
+          case other => throw new IllegalArgumentException(
+            s"k must be an int literal, got $other")
+        }
+    })
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -26,18 +26,6 @@ object AudioCodec {
   // threads that lock serializes the whole stage (measured 4.9k clips/s vs
   // 11.6k single-threaded). Resolve the JDK's RIFF reader/writer SPI once;
   // the provider instances are stateless and safe to share across threads.
-  private val wavReader: javax.sound.sampled.spi.AudioFileReader = {
-    val it = java.util.ServiceLoader
-      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
-    var found: javax.sound.sampled.spi.AudioFileReader = null
-    while (found == null && it.hasNext) {
-      val r = it.next()
-      if (r.getClass.getName.toLowerCase.contains("wave")) found = r
-    }
-    require(found != null, "no RIFF/WAVE AudioFileReader SPI in this JDK")
-    found
-  }
-
   private val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
     val it = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
@@ -47,6 +35,34 @@ object AudioCodec {
       if (w.isFileTypeSupported(AudioFileFormat.Type.WAVE)) found = w
     }
     require(found != null, "no RIFF/WAVE AudioFileWriter SPI in this JDK")
+    found
+  }
+
+  // selected by CAPABILITY, not class name: synthesize a probe clip with
+  // the writer above and keep the first reader that actually parses it
+  // back to s16le PCM (provider order varies across JDK vendors, and e.g.
+  // WaveFloatFileReader would match a name check but reject integer PCM)
+  private val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    val probe: Array[Byte] = {
+      val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(new Array[Byte](8)), fmt, 4L)
+      val bos = new ByteArrayOutputStream()
+      wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileReader = null
+    while (found == null && it.hasNext) {
+      val r = it.next()
+      try {
+        val f = r.getAudioInputStream(new ByteArrayInputStream(probe)).getFormat
+        if (f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+          f.getEncoding == AudioFormat.Encoding.PCM_SIGNED) found = r
+      } catch { case _: Exception => () }
+    }
+    require(found != null, "no RIFF/WAVE AudioFileReader SPI in this JDK")
     found
   }
 

@@ -64,7 +64,11 @@ object DotProductFusion extends Rule[LogicalPlan] {
     */
   def ensureInstalled(spark: org.apache.spark.sql.SparkSession): Unit = {
     val exp = org.apache.spark.sql.graft.Bridge.experimental(spark)
-    if (!exp.extraOptimizations.contains(DotProductFusion))
+    // a session built withExtensions already runs the rule in the operator-
+    // optimization batch; adding it to extraOptimizations would run a
+    // redundant whole-plan pass per query
+    if (!org.apache.spark.sql.graft.Bridge.hasOptimizerRule(spark, DotProductFusion) &&
+      !exp.extraOptimizations.contains(DotProductFusion))
       exp.extraOptimizations = exp.extraOptimizations :+ DotProductFusion
   }
 }

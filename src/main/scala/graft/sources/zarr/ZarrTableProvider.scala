@@ -123,22 +123,15 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = ZarrTableProvider.schemaFor(dims)
 
-  private val GCol = "g([0-9]+)".r
+  private def axisOf(att: String): Option[Int] = GAxis.unapply(att, dims)
+  private def asLong(v: Any): Option[Long] = GAxis.long(v)
 
-  private def axisOf(att: String): Option[Int] = att match {
-    case GCol(a) if a.toInt < dims => Some(a.toInt)
-    case _ => None
-  }
-
-  private def asLong(v: Any): Option[Long] = v match {
-    case i: Int => Some(i.toLong)
-    case l: Long => Some(l)
-    case s: Short => Some(s.toLong)
-    case b: Byte => Some(b.toLong)
-    case _ => None
-  }
-
-  /** Tighten bounds for one comparison; true when fully consumed. */
+  /** Tighten bounds for one comparison; true when fully consumed.
+    * Strict bounds use saturating +-1: at the Long extremes the predicate
+    * is unsatisfiable and the box empties rather than wrapping around
+    * (x + 1 overflowing to Long.MinValue would DROP the filter's effect
+    * while still reporting it consumed — every row would come back).
+    */
   private def consume(f: Filter): Boolean = f match {
     case EqualTo(att, v) => (axisOf(att), asLong(v)) match {
       case (Some(a), Some(x)) =>
@@ -146,7 +139,10 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
       case _ => false
     }
     case GreaterThan(att, v) => (axisOf(att), asLong(v)) match {
-      case (Some(a), Some(x)) => lo(a) = math.max(lo(a), x + 1); true
+      case (Some(a), Some(x)) =>
+        if (x == Long.MaxValue) { lo(a) = 1; hi(a) = 0 } // empty box
+        else lo(a) = math.max(lo(a), x + 1)
+        true
       case _ => false
     }
     case GreaterThanOrEqual(att, v) => (axisOf(att), asLong(v)) match {
@@ -154,7 +150,10 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
       case _ => false
     }
     case LessThan(att, v) => (axisOf(att), asLong(v)) match {
-      case (Some(a), Some(x)) => hi(a) = math.min(hi(a), x - 1); true
+      case (Some(a), Some(x)) =>
+        if (x == Long.MinValue) { lo(a) = 1; hi(a) = 0 } // empty box
+        else hi(a) = math.min(hi(a), x - 1)
+        true
       case _ => false
     }
     case LessThanOrEqual(att, v) => (axisOf(att), asLong(v)) match {
@@ -238,9 +237,10 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private val cells: Long = lo.indices.map { a =>
-      val inBox = (lo(a) to hi(a)).count(v =>
-        allowed(a) == null || allowed(a).contains(v))
-      inBox.toLong * meta.chunks(a)
+      val inBox =
+        if (allowed(a) == null) math.max(0L, hi(a) - lo(a) + 1)
+        else allowed(a).count(v => v >= lo(a) && v <= hi(a)).toLong
+      inBox * meta.chunks(a)
     }.product
     private val rowBytes = 8L * required.size
     override def sizeInBytes = java.util.OptionalLong.of(
@@ -359,11 +359,17 @@ final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
   * .mode("overwrite").save(dir)` — rows are (g*, p*, value); cells not
   * present take the fill value (0).
   *
-  * The write declares `RequiresDistributionAndOrdering` clustered on the
-  * grid coordinates, so Spark shuffles rows chunk-aligned BEFORE the
-  * writers run: each chunk file is produced whole by exactly one task —
-  * no cross-task chunk stitching, no commit-time merge, the property that
-  * keeps the sink correct on a 1000-executor cluster.
+  * Scale + durability shape:
+  *  - `RequiresDistributionAndOrdering` clusters rows on the grid
+  *    coordinates AND sorts within each task, so every chunk file is
+  *    produced whole by exactly one task and the writer streams: it holds
+  *    ONE chunk buffer at a time, flushing when the grid key advances —
+  *    memory is O(chunk), not O(chunks-per-task).
+  *  - Writers stage into `dir/.staging-<uuid>/`; the previous store is
+  *    untouched until driver-side commit, which swaps the staged files in
+  *    (clearing the old store first under overwrite) and writes `.zarray`
+  *    LAST — a failed or aborted write leaves the old store fully intact,
+  *    and readers never observe a store without metadata.
   */
 final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -383,43 +389,73 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
 final class ZarrWrite(dir: String, meta: ZarrIO.Meta, schema: StructType,
     doTruncate: Boolean) extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-  import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
   override def requiredDistribution(): Distribution =
     Distributions.clustered(
       (0 until meta.dims).map(a =>
         Expressions.identity(s"g$a"): org.apache.spark.sql.connector.expressions.Expression).toArray)
-  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def requiredOrdering(): Array[SortOrder] =
+    (0 until meta.dims).map(a =>
+      Expressions.sort(Expressions.identity(s"g$a"),
+        SortDirection.ASCENDING): SortOrder).toArray
 
   override def toBatch: BatchWrite = {
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    if (doTruncate) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      Option(d.listFiles()).foreach(_.foreach(rm))
-    }
-    new ZarrBatchWrite(dir, meta, schema)
+    new java.io.File(dir).mkdirs()
+    val staging = ".staging-" + java.util.UUID.randomUUID().toString
+    new ZarrBatchWrite(dir, staging, meta, schema, doTruncate)
   }
 }
 
-final class ZarrBatchWrite(dir: String, meta: ZarrIO.Meta,
-    schema: StructType) extends BatchWrite {
+final class ZarrBatchWrite(dir: String, staging: String, meta: ZarrIO.Meta,
+    schema: StructType, doTruncate: Boolean) extends BatchWrite {
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ZarrWriterFactory(dir, meta, schema.fieldNames)
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    ZarrIO.writeMeta(dir, meta) // metadata last: readers see a complete store
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    ZarrWriterFactory(new java.io.File(dir, staging).getPath, meta,
+      schema.fieldNames)
+
+  /** Swap the staged files in: clear the old store (overwrite mode) only
+    * now that every task has succeeded, then move chunks, then metadata
+    * LAST. The pre-commit store is never touched by a failing write.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new java.io.File(dir)
+    val stage = new java.io.File(dir, staging)
+    if (doTruncate)
+      Option(root.listFiles()).foreach(_.filterNot(_.getName == staging)
+        .foreach(rm))
+    def move(f: java.io.File, rel: String): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).foreach(_.foreach(c =>
+          move(c, if (rel.isEmpty) c.getName else rel + "/" + c.getName)))
+      else {
+        val target = new java.io.File(root, rel)
+        Option(target.getParentFile).foreach(_.mkdirs())
+        java.nio.file.Files.move(f.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    move(stage, "")
+    rm(stage)
+    ZarrIO.writeMeta(dir, meta)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    rm(new java.io.File(dir, staging)) // old store untouched
 }
 
 final case class ZarrChunksWritten(n: Int) extends WriterCommitMessage
 
-final case class ZarrWriterFactory(dir: String, meta: ZarrIO.Meta,
+final case class ZarrWriterFactory(stageDir: String, meta: ZarrIO.Meta,
     columns: Array[String]) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val dims = meta.dims
+    val grid = meta.spec.gridShape
     val gIdx = (0 until dims).map(a => columns.indexOf(s"g$a")).toArray
     val pIdx = (0 until dims).map(a => columns.indexOf(s"p$a")).toArray
     val vIdx = columns.indexOf("value")
@@ -428,8 +464,12 @@ final case class ZarrWriterFactory(dir: String, meta: ZarrIO.Meta,
         s"got ${columns.mkString(",")}")
 
     new DataWriter[InternalRow] {
-      private val buf =
-        scala.collection.mutable.LinkedHashMap.empty[Seq[Int], (Array[Int], Array[Long])]
+      // rows arrive sorted on the grid key (requiredOrdering), so exactly
+      // one chunk is open at a time: flush on key change, O(chunk) memory
+      private var curLoc: Array[Int] = null
+      private var curShape: Array[Int] = null
+      private var curData: Array[Long] = null
+      private var written = 0
 
       private def tileShapeOf(loc: Array[Int]): Array[Int] =
         Array.tabulate(dims) { a =>
@@ -437,27 +477,45 @@ final case class ZarrWriterFactory(dir: String, meta: ZarrIO.Meta,
             meta.shape(a) - loc(a).toLong * meta.chunks(a)).toInt
         }
 
+      private def flush(): Unit = if (curLoc != null) {
+        val f = new java.io.File(stageDir, curLoc.mkString(meta.separator))
+        Option(f.getParentFile).foreach(_.mkdirs())
+        java.nio.file.Files.write(f.toPath,
+          ZarrIO.encodeChunk(curData, meta, curShape))
+        written += 1
+        curLoc = null; curShape = null; curData = null
+      }
+
       override def write(row: InternalRow): Unit = {
         val loc = Array.tabulate(dims)(a => row.getLong(gIdx(a)).toInt)
-        val (ts, data) = buf.getOrElseUpdate(loc.toSeq, {
-          val t = tileShapeOf(loc)
-          (t, new Array[Long](t.product))
-        })
-        var flat = 0
         var a = 0
-        while (a < dims) { flat = flat * ts(a) + row.getLong(pIdx(a)).toInt; a += 1 }
-        data(flat) = row.getLong(vIdx)
+        while (a < dims) {
+          require(loc(a) >= 0 && loc(a) < grid(a),
+            s"grid coordinate g$a=${loc(a)} outside [0, ${grid(a)})")
+          a += 1
+        }
+        if (curLoc == null || !java.util.Arrays.equals(loc, curLoc)) {
+          flush()
+          curLoc = loc
+          curShape = tileShapeOf(loc)
+          curData = new Array[Long](curShape.product)
+        }
+        var flat = 0
+        a = 0
+        while (a < dims) {
+          val pv = row.getLong(pIdx(a)).toInt
+          require(pv >= 0 && pv < curShape(a),
+            s"in-chunk coordinate p$a=$pv outside [0, ${curShape(a)}) " +
+              s"for chunk ${curLoc.mkString(",")}")
+          flat = flat * curShape(a) + pv
+          a += 1
+        }
+        curData(flat) = row.getLong(vIdx)
       }
 
       override def commit(): WriterCommitMessage = {
-        buf.foreach { case (locSeq, (ts, data)) =>
-          val loc = locSeq.toArray
-          val f = new java.io.File(dir, loc.mkString(meta.separator))
-          Option(f.getParentFile).foreach(_.mkdirs())
-          java.nio.file.Files.write(f.toPath,
-            ZarrIO.encodeChunk(data, meta, ts))
-        }
-        ZarrChunksWritten(buf.size)
+        flush()
+        ZarrChunksWritten(written)
       }
 
       override def abort(): Unit = ()

@@ -34,4 +34,15 @@ object Bridge {
   def experimental(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.ExperimentalMethods =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+
+  /** Whether a construction-time-injected optimizer rule is already active
+    * (injectOptimizerRule lands in extendedOperatorOptimizationRules) — the
+    * live-session installer must not add a second copy via
+    * experimental.extraOptimizations.
+    */
+  def hasOptimizerRule(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Boolean =
+    spark.sessionState.optimizer.extendedOperatorOptimizationRules
+      .contains(rule)
 }
