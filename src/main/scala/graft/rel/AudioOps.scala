@@ -243,8 +243,43 @@ object AudioOps {
       FROM apx GROUP BY doc_id, k)
     SELECT * FROM vout UNION ALL SELECT * FROM aout"""
 
+  /** Streaming twin of mm_mux_demux: the same tagged-container demux with
+    * both codecs, per microbatch, append mode, same oracle — stateless
+    * per-row decode needs no state store even inside the streaming plan.
+    */
+  def muxDemuxStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.mm.{ImageCodec, MuxCodec}
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val qn = "st_mm_mux_sink_" + sinkCounter.incrementAndGet()
+    val out = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        MuxCodec.demux(MuxCodec.synthMux(id)).map { case (k, kind, payload) =>
+          if (kind == MuxCodec.KindVideo) {
+            val dec = ImageCodec.decode(payload)
+            val (sr, _, _) = ImageCodec.channelSums(dec)
+            (id, k.toLong, "v", dec.w.toLong * dec.h, sr)
+          } else {
+            val p = AudioCodec.decode(payload)
+            var sum = 0L; var i = 0
+            while (i < p.data.length) { sum += p.data(i); i += 1 }
+            (id, k.toLong, "a", p.data.length.toLong, sum)
+          }
+        }
+      })
+      .toDF("doc_id", "seg_idx", "kind", "elems", "msum")
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   def all: Seq[Q] = Seq(
     Q("mm_mux_demux", muxDemux, Some(MM_MUX_SQL)),
+    Q("st_mm_mux", muxDemuxStream, Some(MM_MUX_SQL)),
     Q("mm_audio_meta", audioMeta, Some(MM_AUDIO_META_SQL)),
     Q("st_mm_audio", audioMetaStream, Some(MM_AUDIO_META_SQL)),
     Q("mm_audio_features", audioFeatures, Some(MM_AUDIO_FEATURES_SQL)),

@@ -395,6 +395,26 @@ object CurationOps {
       WINDOW w AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice, o_orderkey)""")),
 
+    // -- semi-structured VARIANT path ----------------------------------------
+    // Spark 4's VARIANT type over the events props JSON: parse once into
+    // the binary variant encoding, path-extract with variant_get (typed,
+    // codegen'd — no per-row regex), aggregate. The oracle uses DuckDB's
+    // JSON path operator over the same strings. q15_json keeps the
+    // regex-extraction formulation; this is the engine-native one.
+    Q("q25_variant", (s, d) => {
+      tbl(s, d, "events")
+        .withColumn("k",
+          expr("variant_get(parse_json(props), '$.k', 'bigint')"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+    }, Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+             max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type""")),
+
     // -- full CUBE with grouping ids -----------------------------------------
     // q13_rollup's lattice sibling: all four grouping sets of
     // (status, priority) plus the grouping id that disambiguates real NULLs
