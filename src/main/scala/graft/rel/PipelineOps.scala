@@ -259,18 +259,6 @@ object PipelineOps {
            CAST(sum(b) AS BIGINT) AS sum_b
     FROM mm_rgb GROUP BY doc_id"""
 
-  /** O5 through the real annotate kernel over the synthetic removed tiles
-    * (rows-only: contour JSON has no SQL form).
-    */
-  def annotateTiles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val removed = Relabel.removeOverlappedLabels(tilesFromPixels(s, d),
-      Array(OV, OV), THRESHOLD)
-    graft.geojson.Annotate.annotateLabeledTiles(removed, Array(OV, OV))
-      .filter(_.geojson != null)
-      .toDF("loc_key", "geojson")
-  }
-
   /** Frame sampling over a real container: each doc's payload is a sequence
     * of length-prefixed PNG frames; every 2nd frame is parsed out, ImageIO-
     * decoded, and summarized from its decoded raster.
@@ -394,7 +382,6 @@ object PipelineOps {
     Q("mm_features", features, Some(MM_FEATURES_SQL)),
     Q("mm_augment", augment, Some(MM_AUGMENT_SQL)),
     Q("px_remove_tiles", removePixels, Some(REMOVE_PIXELS_SQL)),
-    Q("geo_annotate", annotateTiles, None),
     Q("px_pipeline", pipeline, Some(RelabelRel.MERGE_SQL)),
     Q("px_zarr_pipeline", zarrPipeline, Some(RelabelRel.MERGE_SQL)),
     Q("px_zarr3_pipeline", zarr3Pipeline, Some(RelabelRel.MERGE_SQL)),

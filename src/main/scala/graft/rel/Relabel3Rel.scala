@@ -203,19 +203,6 @@ object Relabel3Rel {
     HAVING $interiorSql"""
   }
 
-  /** Beyond-reference 3D annotate over the engine's 3D remove output:
-    * per-plane GeoJSON FeatureCollections (rows-only — JSON geometry is
-    * not SQL-expressible; same gate class as geo_annotate).
-    */
-  def annotate3(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val removed = graft.ops.Relabel.removeOverlappedLabels(tiles3(s, d),
-      Array(OV3, OV3, OV3), THR)
-    graft.geojson.Annotate
-      .annotateLabeledTiles3d(removed, Array(OV3, OV3, OV3))
-      .toDF("loc_key", "plane", "geojson")
-  }
-
   private lazy val zarr3dDir: String = graft.TempDirs.create("graft_zarr3d")
 
   /** The 3D volume through the DSv2 relational scan: |u1 dtype (labels fit
@@ -242,6 +229,5 @@ object Relabel3Rel {
   def all: Seq[Q] = Seq(
     Q("px3_remove", remove3, Some(REMOVE3_SQL)),
     Q("px3_pipeline", pipeline3, Some(PIPELINE3_SQL)),
-    Q("px3_zarr_dsv2", zarrDsv23d, Some(ZARR_DSV2_3D_SQL)),
-    Q("geo_annotate3d", annotate3, None))
+    Q("px3_zarr_dsv2", zarrDsv23d, Some(ZARR_DSV2_3D_SQL)))
 }
