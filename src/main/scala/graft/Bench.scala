@@ -50,9 +50,6 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
-    // keep the line SHORT (3-decimal seconds) and put the headline keys
-    // LAST: the driver's tail capture keeps the end of long output, so a
-    // front-truncated line must still carry metric/value/total
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator would break the driver's JSON parse
     def fmt(v: Double) =
@@ -62,7 +59,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
+    val full =
+      s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
+    // the full per-query map no longer fits the driver's bounded tail
+    // capture (truncated at ~115 queries in round 4), so it goes to a FILE
+    // (committed per round) and stdout carries it best-effort…
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(full)
+    // …while the LAST line is a short, always-complete JSON summary: a tail
+    // capture that truncates the map line still ends with one parseable
+    // object carrying the headline total
+    println(s"""{"queries_file":"$outFile","failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }
 }

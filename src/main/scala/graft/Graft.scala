@@ -33,6 +33,13 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     install(s) // getOrCreate may return a pre-existing session: upgrade it
+    // getOrCreate silently ignores builder confs on a pre-existing session;
+    // re-apply the session-scoped ones the engine's operators assume (for a
+    // fresh session these are no-ops). conf.set throws on a non-modifiable
+    // conf, which is the right failure: better than running with it wrong.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s
   }
 

@@ -40,14 +40,23 @@ object MuxCodec {
     bos.toByteArray
   }
 
-  /** Parse the container into (segment index, kind, payload bytes). */
+  /** Parse the container into (segment index, kind, payload bytes).
+    * Truncated or corrupt containers fail with a diagnosable container
+    * error naming the segment, not an index error deep in the copy.
+    */
   def demux(c: Array[Byte]): Iterator[(Int, Byte, Array[Byte])] =
     Iterator.unfold((0, 0)) { case (off, idx) =>
       if (off >= c.length) None
       else {
+        require(off + 5 <= c.length,
+          s"mux container truncated in segment $idx header at offset $off " +
+            s"(${c.length} bytes total)")
         val kind = c(off)
         val len = ((c(off + 1) & 0xff) << 24) | ((c(off + 2) & 0xff) << 16) |
           ((c(off + 3) & 0xff) << 8) | (c(off + 4) & 0xff)
+        require(len >= 0 && off + 5 + len <= c.length,
+          s"mux container segment $idx at offset $off declares $len payload " +
+            s"bytes but only ${c.length - off - 5} remain")
         val payload = java.util.Arrays.copyOfRange(c, off + 5, off + 5 + len)
         Some(((idx, kind, payload), (off + 5 + len, idx + 1)))
       }

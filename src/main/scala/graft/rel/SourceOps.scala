@@ -11,17 +11,19 @@ import Q.tbl
   * for every format (layout, type mapping, codec), not just roundtrip
   * self-consistency.
   *
-  * Staging stores are per-JVM temp dirs, overwritten per invocation and
-  * removed on exit. Every store is written executor-side through the
-  * DataFrameWriter (distributed, one file per partition — the shape a real
-  * export job has).
+  * Staging stores are per-JVM temp dirs, removed on exit; each invocation
+  * stages into a fresh counter-suffixed subdirectory so two concurrent
+  * invocations in one JVM can never overwrite (= delete) files under each
+  * other's still-active reads. Every store is written executor-side through
+  * the DataFrameWriter (distributed, one file per partition — the shape a
+  * real export job has).
   */
 object SourceOps {
 
-  private lazy val orcDir = graft.TempDirs.create("graft_orc")
-  private lazy val csvDir = graft.TempDirs.create("graft_csv")
-  private lazy val jsonDir = graft.TempDirs.create("graft_json")
-  private lazy val partDir = graft.TempDirs.create("graft_part")
+  private lazy val stageRoot = graft.TempDirs.create("graft_src")
+  private val invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def stage(kind: String): String =
+    s"$stageRoot/${kind}_${invocation.incrementAndGet()}"
 
   /** Events projected to the columns whose text/binary round-trip is
     * format-exact: longs, strings, and the raw double (Java's shortest
@@ -52,6 +54,7 @@ object SourceOps {
     // type mapping; predicate pushdown and column pruning apply to the
     // read-back scan exactly as for parquet.
     Q("src_orc_roundtrip", (s, d) => {
+      val orcDir = stage("orc")
       ev(s, d).write.mode(SaveMode.Overwrite).orc(orcDir)
       gateAgg(s.read.orc(orcDir))
     }, Some(GATE_SQL)),
@@ -60,6 +63,7 @@ object SourceOps {
     // none); ts survives as the raw nanosecond long, value as the shortest
     // round-trip double rendering.
     Q("src_csv_roundtrip", (s, d) => {
+      val csvDir = stage("csv")
       ev(s, d).write.mode(SaveMode.Overwrite)
         .option("header", "true").csv(csvDir)
       gateAgg(s.read.option("header", "true")
@@ -70,6 +74,7 @@ object SourceOps {
 
     // JSON lines: the log-interchange path, schema on read.
     Q("src_jsonl_roundtrip", (s, d) => {
+      val jsonDir = stage("json")
       ev(s, d).write.mode(SaveMode.Overwrite).json(jsonDir)
       gateAgg(s.read
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
@@ -83,6 +88,7 @@ object SourceOps {
     // PlanQualitySpec). The 100 TB lever: a partition-pruned scan reads
     // only the slice a query touches.
     Q("src_partitioned_prune", (s, d) => {
+      val partDir = stage("part")
       ev(s, d).write.mode(SaveMode.Overwrite)
         .partitionBy("event_type").parquet(partDir)
       gateAgg(s.read.parquet(partDir)

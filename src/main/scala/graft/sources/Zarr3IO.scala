@@ -1,9 +1,8 @@
 package graft.sources
 
-import java.io.{File, FileOutputStream}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.tiles.{GridSpec, Tile}
@@ -47,7 +46,8 @@ object Zarr3IO {
 
   def readMeta(dir: String): Meta3 = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.readTree(Files.readAllBytes(Paths.get(dir, "zarr.json")))
+    val root = om.readTree(StoreIO.readAllBytes(StoreIO.hadoopConf,
+      new Path(dir, "zarr.json").toString))
     require(root.path("zarr_format").asInt() == 3,
       s"unsupported zarr_format ${root.path("zarr_format")}")
     require(root.path("node_type").asText() == "array",
@@ -104,7 +104,8 @@ object Zarr3IO {
          |  "fill_value": ${meta.fillValue},
          |  "codecs": $codecs
          |}""".stripMargin
-    Files.write(Paths.get(dir, "zarr.json"), json.getBytes(StandardCharsets.UTF_8))
+    StoreIO.write(StoreIO.hadoopConf, new Path(dir, "zarr.json").toString,
+      json.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Default chunk-key encoding: "c" <sep> i0 <sep> i1 ... */
@@ -130,6 +131,7 @@ object Zarr3IO {
     val sep = meta.separator
     val shape = meta.shape
     val chunks = meta.chunks
+    val sconf = StoreIO.ser(StoreIO.hadoopConf)
     spark.createDataset(locs.map(_.toSeq))
       .repartition(math.max(1, math.min(locs.size,
         spark.sparkContext.defaultParallelism)))
@@ -138,38 +140,39 @@ object Zarr3IO {
         val tileShape = Array.tabulate(dims) { a =>
           math.min(chunks(a).toLong, shape(a) - loc(a).toLong * chunks(a)).toInt
         }
-        val raw = Files.readAllBytes(
-          Paths.get(new File(dir, chunkKey(loc, sep)).getPath))
+        val raw = StoreIO.readAllBytes(sconf.value,
+          new Path(dir, chunkKey(loc, sep)).toString)
         Tile(loc, grid.clone(), tileShape,
           ZarrIO.decodeChunk(raw, v2, loc, tileShape))
       }
   }
 
   private[sources] def listChunkLocs(dir: String, meta: Meta3): Seq[Array[Int]] = {
+    val conf = StoreIO.hadoopConf
     val grid = meta.spec.gridShape
     def valid(loc: Array[Int]): Boolean =
       loc.length == meta.dims &&
         loc.indices.forall(a => loc(a) >= 0 && loc(a) < grid(a))
     if (meta.separator == "/") {
-      val croot = new File(dir, "c")
-      def walk(f: File, depth: Int, prefix: List[Int]): Seq[Array[Int]] =
+      def walk(path: String, isFile: Boolean, depth: Int,
+          prefix: List[Int]): Seq[Array[Int]] =
         if (depth == meta.dims) {
           val loc = prefix.reverse.toArray
-          if (f.isFile && valid(loc)) Seq(loc) else Seq.empty
-        } else if (f.isDirectory) {
-          Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap { c =>
-            c.getName.toIntOption match {
-              case Some(i) => walk(c, depth + 1, i :: prefix)
+          if (isFile && valid(loc)) Seq(loc) else Seq.empty
+        } else if (!isFile) {
+          StoreIO.list(conf, path).flatMap { c =>
+            c.getPath.getName.toIntOption match {
+              case Some(i) => walk(c.getPath.toString, c.isFile, depth + 1, i :: prefix)
               case None    => Seq.empty
             }
           }
         } else Seq.empty
-      walk(croot, 0, Nil)
+      walk(new Path(dir, "c").toString, isFile = false, 0, Nil)
     } else {
-      Option(new File(dir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-        .filter(f => f.isFile && f.getName.startsWith("c" + meta.separator))
+      StoreIO.list(conf, dir)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("c" + meta.separator))
         .flatMap { f =>
-          val parts = f.getName
+          val parts = f.getPath.getName
             .split(java.util.regex.Pattern.quote(meta.separator)).drop(1)
           val loc = parts.flatMap(_.toIntOption)
           if (loc.length == parts.length && loc.length == meta.dims && valid(loc))
@@ -191,18 +194,16 @@ object Zarr3IO {
     val meta = Meta3(spec.imageShape.clone(), spec.chunk.clone(), dataType,
       gzip, fillValue, "/")
     val v2 = meta.v2
-    val d = new File(dir)
-    d.mkdirs()
-    require(d.isDirectory, s"cannot create $dir")
+    val conf = StoreIO.hadoopConf
+    StoreIO.mkdirs(conf, dir)
     writeMeta(dir, meta)
     val sep = meta.separator
+    val sconf = StoreIO.ser(conf)
     tiles.foreachPartition { (it: Iterator[Tile]) =>
       it.foreach { t =>
         val bytes = ZarrIO.encodeChunk(t.data, v2, t.shape)
-        val f = new File(dir, chunkKey(t.loc, sep))
-        f.getParentFile.mkdirs()
-        val out = new FileOutputStream(f)
-        try out.write(bytes) finally out.close()
+        StoreIO.write(sconf.value,
+          new Path(dir, chunkKey(t.loc, sep)).toString, bytes)
       }
     }
   }

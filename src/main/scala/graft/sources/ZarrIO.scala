@@ -1,11 +1,11 @@
 package graft.sources
 
-import java.io.{ByteArrayOutputStream, File, FileInputStream, FileOutputStream}
+import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import java.util.zip.{Deflater, DeflaterOutputStream, GZIPInputStream, GZIPOutputStream, InflaterInputStream}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.tiles.{GridSpec, Tile}
@@ -24,7 +24,10 @@ import graft.tiles.{GridSpec, Tile}
   * executors, one file per task batch. [[readBox]] prunes the chunk list
   * to a coordinate box BEFORE any file is opened — the zarr analog of
   * parquet partition pruning, and the access pattern that matters when the
-  * store is 100 TB on object storage and the query wants one region.
+  * store is 100 TB on object storage and the query wants one region. All
+  * byte I/O goes through [[StoreIO]] (Hadoop `FileSystem`), so that object
+  * store can actually be addressed: `s3a://bucket/store` works wherever a
+  * local path does.
   *
   * Supported dtypes: `|u1`, `<u2`, `<i4`, `<i8` (the reference's uint8/16
   * inputs and int32/64 label spaces, SURVEY.md §1.2). Compressors: zarr's
@@ -51,7 +54,8 @@ object ZarrIO {
 
   def readMeta(dir: String): Meta = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.readTree(Files.readAllBytes(Paths.get(dir, ".zarray")))
+    val root = om.readTree(StoreIO.readAllBytes(StoreIO.hadoopConf,
+      new Path(dir, ".zarray").toString))
     require(root.path("zarr_format").asInt() == 2,
       s"unsupported zarr_format ${root.path("zarr_format")}")
     require(root.path("order").asText("C") == "C", "only C-order zarr supported")
@@ -96,7 +100,8 @@ object ZarrIO {
          |  "filters": null,
          |  "dimension_separator": "${meta.separator}"
          |}""".stripMargin
-    Files.write(Paths.get(dir, ".zarray"), json.getBytes(StandardCharsets.UTF_8))
+    StoreIO.write(StoreIO.hadoopConf, new Path(dir, ".zarray").toString,
+      json.getBytes(StandardCharsets.UTF_8))
   }
 
   // ---------------------------------------------------------- chunk codec
@@ -232,6 +237,7 @@ object ZarrIO {
     val sep = meta.separator
     val shape = meta.shape
     val chunks = meta.chunks
+    val sconf = StoreIO.ser(StoreIO.hadoopConf)
     spark.createDataset(locs.map(_.toSeq))
       .repartition(math.max(1, math.min(locs.size,
         spark.sparkContext.defaultParallelism)))
@@ -240,36 +246,39 @@ object ZarrIO {
         val tileShape = Array.tabulate(dims) { a =>
           math.min(chunks(a).toLong, shape(a) - loc(a).toLong * chunks(a)).toInt
         }
-        val path = new File(dir, loc.mkString(sep)).getPath
-        val raw = Files.readAllBytes(Paths.get(path))
+        val raw = StoreIO.readAllBytes(sconf.value,
+          new Path(dir, loc.mkString(sep)).toString)
         Tile(loc, grid.clone(), tileShape,
           decodeChunk(raw, meta, loc, tileShape))
       }
   }
 
   private[sources] def listChunkLocs(dir: String, meta: Meta): Seq[Array[Int]] = {
+    val conf = StoreIO.hadoopConf
     val grid = meta.spec.gridShape
     def valid(loc: Array[Int]): Boolean =
       loc.length == meta.dims && loc.indices.forall(a => loc(a) >= 0 && loc(a) < grid(a))
     if (meta.separator == "/") {
-      def walk(f: File, depth: Int, prefix: List[Int]): Seq[Array[Int]] =
+      def walk(path: String, isFile: Boolean, depth: Int,
+          prefix: List[Int]): Seq[Array[Int]] =
         if (depth == meta.dims) {
           val loc = prefix.reverse.toArray
-          if (f.isFile && valid(loc)) Seq(loc) else Seq.empty
-        } else if (f.isDirectory) {
-          Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap { c =>
-            c.getName.toIntOption match {
-              case Some(i) => walk(c, depth + 1, i :: prefix)
+          if (isFile && valid(loc)) Seq(loc) else Seq.empty
+        } else if (!isFile) {
+          StoreIO.list(conf, path).flatMap { c =>
+            c.getPath.getName.toIntOption match {
+              case Some(i) => walk(c.getPath.toString, c.isFile, depth + 1, i :: prefix)
               case None    => Seq.empty
             }
           }
         } else Seq.empty
-      walk(new File(dir), 0, Nil)
+      walk(dir, isFile = false, 0, Nil)
     } else {
-      Option(new File(dir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("."))
+      StoreIO.list(conf, dir)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
         .flatMap { f =>
-          val parts = f.getName.split(java.util.regex.Pattern.quote(meta.separator))
+          val parts = f.getPath.getName
+            .split(java.util.regex.Pattern.quote(meta.separator))
           val loc = parts.flatMap(_.toIntOption)
           if (loc.length == parts.length && valid(loc)) Seq(loc) else Seq.empty
         }
@@ -288,16 +297,15 @@ object ZarrIO {
       fillValue: Long = 0L): Unit = {
     val meta = Meta(spec.imageShape.clone(), spec.chunk.clone(), dtype,
       compressor, fillValue, ".")
-    val d = new File(dir)
-    d.mkdirs()
-    require(d.isDirectory, s"cannot create $dir")
+    val conf = StoreIO.hadoopConf
+    StoreIO.mkdirs(conf, dir)
     writeMeta(dir, meta)
+    val sconf = StoreIO.ser(conf)
     tiles.foreachPartition { (it: Iterator[Tile]) =>
       it.foreach { t =>
         val bytes = encodeChunk(t.data, meta, t.shape)
-        val f = new File(dir, t.loc.mkString(meta.separator))
-        val out = new FileOutputStream(f)
-        try out.write(bytes) finally out.close()
+        StoreIO.write(sconf.value,
+          new Path(dir, t.loc.mkString(meta.separator)).toString, bytes)
       }
     }
   }

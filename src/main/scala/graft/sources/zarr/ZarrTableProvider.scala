@@ -14,7 +14,10 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.{Zarr3IO, ZarrIO}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.{StoreIO, Zarr3IO, ZarrIO}
 
 /** DataSource V2 for zarr v2 stores: `spark.read.format("zarr").load(dir)`.
   *
@@ -47,8 +50,7 @@ class ZarrTableProvider extends TableProvider with DataSourceRegister {
   }
 
   private def dimsOf(p: String, options: util.Map[String, String]): Int =
-    if (new java.io.File(p, ".zarray").exists() ||
-      new java.io.File(p, "zarr.json").exists())
+    if (ZarrTableProvider.hasMeta(p))
       ZarrTableProvider.metaOf(p).dims
     else {
       // a write to a fresh store: dims come from the mandatory option
@@ -76,7 +78,12 @@ object ZarrTableProvider {
     * the supported dtype/codec subset).
     */
   def isV3(dir: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "zarr.json"))
+    StoreIO.exists(StoreIO.hadoopConf, new Path(dir, "zarr.json").toString)
+
+  /** True when the path already holds a store (either format). */
+  def hasMeta(dir: String): Boolean =
+    isV3(dir) ||
+      StoreIO.exists(StoreIO.hadoopConf, new Path(dir, ".zarray").toString)
 
   def metaOf(dir: String): ZarrIO.Meta =
     if (isV3(dir)) Zarr3IO.readMeta(dir).v2 else ZarrIO.readMeta(dir)
@@ -274,7 +281,7 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrReaderFactory(dir, meta, required.fieldNames,
-      ZarrTableProvider.isV3(dir))
+      ZarrTableProvider.isV3(dir), StoreIO.ser(StoreIO.hadoopConf))
 }
 
 /** Shared axis/literal matching for static and runtime filter pushdown. */
@@ -296,7 +303,8 @@ private[zarr] object GAxis {
 final case class ZarrInputPartition(loc: Array[Int]) extends InputPartition
 
 final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
-    columns: Array[String], isV3: Boolean) extends PartitionReaderFactory {
+    columns: Array[String], isV3: Boolean,
+    sconf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val loc = partition.asInstanceOf[ZarrInputPartition].loc
@@ -313,9 +321,9 @@ final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
         val key =
           if (isV3) Zarr3IO.chunkKey(loc, meta.separator)
           else loc.mkString(meta.separator)
-        val path = new java.io.File(dir, key).getPath
-        ZarrIO.decodeChunk(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), meta, loc, tileShape)
+        ZarrIO.decodeChunk(
+          StoreIO.readAllBytes(sconf.value, new Path(dir, key).toString),
+          meta, loc, tileShape)
       }
     val total = tileShape.product
     // per-column emitters resolved once, not per row
@@ -377,11 +385,41 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = {
     val o = info.options
-    val shape = o.get("shape").split(",").map(_.trim.toLong)
-    val chunks = o.get("chunks").split(",").map(_.trim.toInt)
+    // layout options are mandatory for a fresh store; a write into an
+    // EXISTING store may omit them and inherit the store's own metadata
+    val existing =
+      if (ZarrTableProvider.hasMeta(dir)) Some(ZarrTableProvider.metaOf(dir))
+      else None
+    def layout(name: String, fromMeta: ZarrIO.Meta => String): String =
+      Option(o.get(name)).orElse(existing.map(fromMeta)).getOrElse(
+        throw new IllegalArgumentException(
+          s"zarr write to $dir needs the '$name' option " +
+            "(no existing store metadata to inherit it from)"))
+    val shape = layout("shape", _.shape.mkString(","))
+      .split(",").map(_.trim.toLong)
+    val chunks = layout("chunks", _.chunks.mkString(","))
+      .split(",").map(_.trim.toInt)
     val meta = ZarrIO.Meta(shape, chunks,
-      Option(o.get("dtype")).getOrElse("<i8"),
-      Option(o.get("compressor")).getOrElse("zlib"), 0L, ".")
+      Option(o.get("dtype")).orElse(existing.map(_.dtype)).getOrElse("<i8"),
+      Option(o.get("compressor")).orElse(existing.map(_.compressor))
+        .getOrElse("zlib"), 0L, ".")
+    // append-mode into a non-empty store: stale chunks from a prior write
+    // survive commit, so they must decode identically under the NEW
+    // metadata — reject any layout/codec mismatch up front
+    if (!doTruncate) existing.foreach { old =>
+      require(java.util.Arrays.equals(old.shape, meta.shape) &&
+        java.util.Arrays.equals(old.chunks, meta.chunks) &&
+        old.dtype == meta.dtype && old.compressor == meta.compressor &&
+        old.fillValue == meta.fillValue && old.separator == meta.separator,
+        s"append-mode zarr write to $dir changes the store layout " +
+          s"(existing: shape=${old.shape.mkString(",")} " +
+          s"chunks=${old.chunks.mkString(",")} dtype=${old.dtype} " +
+          s"compressor=${old.compressor}; " +
+          s"write: shape=${meta.shape.mkString(",")} " +
+          s"chunks=${meta.chunks.mkString(",")} dtype=${meta.dtype} " +
+          s"compressor=${meta.compressor}) — prior chunks would decode as " +
+          "garbage; use mode(\"overwrite\") to replace the store")
+    }
     new ZarrWrite(dir, meta, info.schema(), doTruncate)
   }
 }
@@ -402,7 +440,7 @@ final class ZarrWrite(dir: String, meta: ZarrIO.Meta, schema: StructType,
         SortDirection.ASCENDING): SortOrder).toArray
 
   override def toBatch: BatchWrite = {
-    new java.io.File(dir).mkdirs()
+    StoreIO.mkdirs(StoreIO.hadoopConf, dir)
     val staging = ".staging-" + java.util.UUID.randomUUID().toString
     new ZarrBatchWrite(dir, staging, meta, schema, doTruncate)
   }
@@ -411,47 +449,44 @@ final class ZarrWrite(dir: String, meta: ZarrIO.Meta, schema: StructType,
 final class ZarrBatchWrite(dir: String, staging: String, meta: ZarrIO.Meta,
     schema: StructType, doTruncate: Boolean) extends BatchWrite {
 
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-  }
-
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ZarrWriterFactory(new java.io.File(dir, staging).getPath, meta,
-      schema.fieldNames)
+    ZarrWriterFactory(new Path(dir, staging).toString, meta,
+      schema.fieldNames, StoreIO.ser(StoreIO.hadoopConf))
 
   /** Swap the staged files in: clear the old store (overwrite mode) only
     * now that every task has succeeded, then move chunks, then metadata
     * LAST. The pre-commit store is never touched by a failing write.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val root = new java.io.File(dir)
-    val stage = new java.io.File(dir, staging)
+    val conf = StoreIO.hadoopConf
+    val root = new Path(dir)
+    val stage = new Path(dir, staging)
     if (doTruncate)
-      Option(root.listFiles()).foreach(_.filterNot(_.getName == staging)
-        .foreach(rm))
-    def move(f: java.io.File, rel: String): Unit =
-      if (f.isDirectory)
-        Option(f.listFiles()).foreach(_.foreach(c =>
-          move(c, if (rel.isEmpty) c.getName else rel + "/" + c.getName)))
-      else {
-        val target = new java.io.File(root, rel)
-        Option(target.getParentFile).foreach(_.mkdirs())
-        java.nio.file.Files.move(f.toPath, target.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    move(stage, "")
-    rm(stage)
+      StoreIO.list(conf, dir)
+        .filterNot(_.getPath.getName == staging)
+        .foreach(f => StoreIO.deleteRecursive(conf, f.getPath.toString))
+    def move(p: Path, isFile: Boolean, rel: String): Unit =
+      if (!isFile)
+        StoreIO.list(conf, p.toString).foreach { c =>
+          val name = c.getPath.getName
+          move(c.getPath, c.isFile, if (rel.isEmpty) name else rel + "/" + name)
+        }
+      else StoreIO.moveInto(conf, p, root, rel)
+    move(stage, isFile = false, "")
+    StoreIO.deleteRecursive(conf, stage.toString)
     ZarrIO.writeMeta(dir, meta)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    rm(new java.io.File(dir, staging)) // old store untouched
+    StoreIO.deleteRecursive(StoreIO.hadoopConf,
+      new Path(dir, staging).toString) // old store untouched
 }
 
 final case class ZarrChunksWritten(n: Int) extends WriterCommitMessage
 
 final case class ZarrWriterFactory(stageDir: String, meta: ZarrIO.Meta,
-    columns: Array[String]) extends DataWriterFactory {
+    columns: Array[String],
+    sconf: SerializableConfiguration) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val dims = meta.dims
@@ -478,9 +513,8 @@ final case class ZarrWriterFactory(stageDir: String, meta: ZarrIO.Meta,
         }
 
       private def flush(): Unit = if (curLoc != null) {
-        val f = new java.io.File(stageDir, curLoc.mkString(meta.separator))
-        Option(f.getParentFile).foreach(_.mkdirs())
-        java.nio.file.Files.write(f.toPath,
+        StoreIO.write(sconf.value,
+          new Path(stageDir, curLoc.mkString(meta.separator)).toString,
           ZarrIO.encodeChunk(curData, meta, curShape))
         written += 1
         curLoc = null; curShape = null; curData = null
