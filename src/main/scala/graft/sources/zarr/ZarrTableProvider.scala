@@ -111,13 +111,13 @@ final class ZarrTable(dir: String, dims: Int) extends Table with SupportsRead
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(dir, meta)
+    new ZarrScanBuilder(dir, meta, options.getBoolean("vectorized", true))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ZarrWriteBuilder(dir, info)
 }
 
-final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
-    extends ScanBuilder with SupportsPushDownFilters
+final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
+    vectorized: Boolean) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
   private val dims = meta.dims
@@ -197,11 +197,13 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta)
     required = requiredSchema
 
   override def build(): Scan =
-    new ZarrScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(), required)
+    new ZarrScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(), required,
+      vectorized)
 }
 
 final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
-    hi: Array[Long], allowed: Array[Set[Long]], required: StructType)
+    hi: Array[Long], allowed: Array[Set[Long]], required: StructType,
+    vectorized: Boolean)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -281,7 +283,7 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrReaderFactory(dir, meta, required.fieldNames,
-      ZarrTableProvider.isV3(dir), StoreIO.ser(StoreIO.hadoopConf))
+      ZarrTableProvider.isV3(dir), StoreIO.ser(StoreIO.hadoopConf), vectorized)
 }
 
 /** Shared axis/literal matching for static and runtime filter pushdown. */
@@ -304,18 +306,22 @@ final case class ZarrInputPartition(loc: Array[Int]) extends InputPartition
 
 final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
     columns: Array[String], isV3: Boolean,
-    sconf: SerializableConfiguration) extends PartitionReaderFactory {
+    sconf: SerializableConfiguration,
+    vectorized: Boolean = true) extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  /** Shared per-partition setup for both read paths: chunk location, the
+    * (edge-clipped) tile shape, and the decoded payload — or null when
+    * `value` was pruned away, in which case no chunk file is opened at all.
+    */
+  private def openChunk(partition: InputPartition): (Array[Int], Array[Int], Array[Long]) = {
     val loc = partition.asInstanceOf[ZarrInputPartition].loc
     val dims = meta.dims
     val tileShape = Array.tabulate(dims) { a =>
       math.min(meta.chunks(a).toLong,
         meta.shape(a) - loc(a).toLong * meta.chunks(a)).toInt
     }
-    val needValue = columns.contains("value")
     val data: Array[Long] =
-      if (!needValue) null
+      if (!columns.contains("value")) null
       else {
         ZarrTableProvider.payloadReads.incrementAndGet()
         val key =
@@ -325,6 +331,82 @@ final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
           StoreIO.readAllBytes(sconf.value, new Path(dir, key).toString),
           meta, loc, tileShape)
       }
+    (loc, tileShape, data)
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    vectorized
+
+  /** Columnar read path: fills reused [[OnHeapColumnVector]]s in 4K-row
+    * batches instead of allocating a [[GenericInternalRow]] (+ boxed Longs)
+    * per cell. Grid coordinates are a constant fill, the payload is a
+    * single `putLongs` array copy (chunk cells are already in row-major
+    * order), and in-chunk coordinates come from a stride/modulus fill —
+    * the scan-bound 100 TB workload reads straight into vectors and hands
+    * Spark a [[ColumnarBatch]], so the per-row iterator overhead that
+    * dominated the row path disappears.
+    */
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val (loc, tileShape, data) = openChunk(partition)
+    val dims = meta.dims
+    val total = tileShape.product
+    val batchSize = math.min(4096, math.max(total, 1))
+    val vectors = columns.map(_ => new OnHeapColumnVector(batchSize, LongType))
+    val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+    // per-axis strides: p_a(flat) = (flat / stride(a)) % tileShape(a)
+    val strides = new Array[Long](dims)
+    if (dims > 0) {
+      strides(dims - 1) = 1L
+      var a = dims - 2
+      while (a >= 0) { strides(a) = strides(a + 1) * tileShape(a + 1); a -= 1 }
+    }
+    // per-column batch fillers resolved once: (vector, startFlat, n)
+    val fill: Array[(OnHeapColumnVector, Int, Int) => Unit] = columns.map {
+      case c if c.startsWith("g") =>
+        val const = loc(c.drop(1).toInt).toLong
+        (v: OnHeapColumnVector, _: Int, n: Int) => v.putLongs(0, n, const)
+      case c if c.startsWith("p") =>
+        val a = c.drop(1).toInt
+        val stride = strides(a); val size = tileShape(a)
+        (v: OnHeapColumnVector, start: Int, n: Int) => {
+          var i = 0
+          while (i < n) { v.putLong(i, ((start + i) / stride) % size); i += 1 }
+        }
+      case "value" =>
+        (v: OnHeapColumnVector, start: Int, n: Int) =>
+          v.putLongs(0, n, data, start)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+    new PartitionReader[ColumnarBatch] {
+      private var start = 0
+
+      override def next(): Boolean = {
+        if (start >= total) false
+        else {
+          val n = math.min(batchSize, total - start)
+          var c = 0
+          while (c < vectors.length) {
+            vectors(c).reset()
+            fill(c)(vectors(c), start, n)
+            c += 1
+          }
+          batch.setNumRows(n)
+          start += n
+          true
+        }
+      }
+
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val (loc, tileShape, data) = openChunk(partition)
+    val dims = meta.dims
     val total = tileShape.product
     // per-column emitters resolved once, not per row
     val emit: Array[(Array[Int], Int) => Long] = columns.map {

@@ -286,7 +286,62 @@ object StreamingOps {
     s.read.parquet(current).select("user_id", "us", "event_type", "value")
   }
 
+  /** Streaming ingest into the DSv2 zarr sink: the synthetic pixel
+    * relation arrives in micro-batches (staged files + maxFilesPerTrigger),
+    * and foreachBatch appends each batch into ONE growing zarr store
+    * through `df.write.format("zarr")`. The staging repartitions by grid
+    * row, so each micro-batch owns a DISJOINT chunk set — zarr's own
+    * concurrency contract (independent writers must write disjoint chunks,
+    * reference relabeling.py:319-322's store model) mapped onto streaming:
+    * batch boundaries are region boundaries. Each micro-batch commit is the
+    * sink's atomic stage-and-swap with metadata written last, so a crash
+    * between batches leaves a readable store holding exactly the committed
+    * regions (spec'd in StreamingZarrSpec), and redelivery of a batch
+    * rewrites the same chunk files byte-identically — idempotent, hence
+    * effectively exactly-once. The gate reads the finished store back
+    * through the DSv2 scan under the same oracle as px_zarr_dsv2_write.
+    */
+  def zarrStreamWrite(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.rel.RelabelRel
+    val inv = sinkCounter.incrementAndGet()
+    val stageDir = graft.TempDirs.create(s"graft_stzarr_stage_$inv")
+    val storeDir = graft.TempDirs.create(s"graft_stzarr_store_$inv")
+    val gyL = RelabelRel.GY.toLong * RelabelRel.L
+    val gxL = RelabelRel.GX.toLong * RelabelRel.L
+    val px = RelabelRel.pixelsRaw(s, d)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+    // hash-partition by grid row: every chunk (g0, g1) lands whole in
+    // exactly one staged file, so no two micro-batches touch the same chunk
+    px.repartition(4, col("g0")).write.mode("overwrite").parquet(stageDir)
+
+    val stream = s.readStream.schema(px.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val query = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format("zarr")
+          .option("shape", s"$gyL,$gxL")
+          .option("chunks", s"${RelabelRel.L},${RelabelRel.L}")
+          .option("dtype", "<u2").option("compressor", "zlib")
+          .mode("append").save(storeDir)
+        ()
+      }
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.read.format("zarr").load(storeDir)
+      .filter(col("value") =!= 0)
+      .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
+      .groupBy("gy", "gx")
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_px_zarr_write", zarrStreamWrite,
+      Some(graft.rel.RelabelRel.PIXELS_SQL + """
+      SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
+      FROM lab GROUP BY gy, gx""")),
     graft.rel.Q("st_upsert_snapshot", upsertSnapshot, Some("""
       SELECT user_id, us, event_type, value FROM (
         SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type,
