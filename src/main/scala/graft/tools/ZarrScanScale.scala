@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.tiles.{GridSpec, Tile}
+
+/** Scan-rate probe for the DSv2 zarr source: writes one synthetic store,
+  * then times a full-payload aggregate and a coordinate-only count through
+  * BOTH read paths (vectorized ColumnarBatch vs row-at-a-time), reporting
+  * cells/s. `sbt "runMain graft.tools.ZarrScanScale 8192"` -> 8192x8192
+  * cells in 512x512 chunks (256 chunk files, 64M cells).
+  */
+object ZarrScanScale {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 8192
+    val chunk = 512
+    val g = n / chunk
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = graft.TempDirs.create("graft_zarr_scanscale")
+    val spec = GridSpec(Array(n.toLong, n.toLong), Array(chunk, chunk))
+    val tiles = spark.range(g.toLong * g).map { i =>
+      val gy = (i / g).toInt; val gx = (i % g).toInt
+      Tile(Array(gy, gx), Array(g, g), Array(chunk, chunk),
+        Array.tabulate(chunk * chunk)(j => (i * 31 + j) % 251))
+    }
+    graft.sources.ZarrIO.write(tiles, spec, dir, "<i8", "")
+    val cells = n.toLong * n
+
+    def probe(label: String, vectorized: Boolean): Unit = {
+      val reader = spark.read.format("zarr")
+        .option("vectorized", vectorized.toString)
+      // warm once (JIT + codegen), then time
+      reader.load(dir).agg(sum("value")).collect()
+      var t0 = System.nanoTime()
+      val s = reader.load(dir).agg(sum("value")).collect()(0).getLong(0)
+      val aggSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val c = reader.load(dir).select("g0", "p0").count()
+      val cntSec = (System.nanoTime() - t0) / 1e9
+      assert(c == cells)
+      println(f"[zarrscan] $label%-10s sum=$s aggregate: $aggSec%6.2f s " +
+        f"(${cells / aggSec / 1e6}%8.1f Mcells/s)  coord-count: $cntSec%6.2f s " +
+        f"(${cells / cntSec / 1e6}%8.1f Mcells/s)")
+    }
+
+    // optional second arg isolates one mode in its own JVM (GC garbage from
+    // the row path otherwise contaminates the interleaved measurement)
+    val modes: Seq[(String, Boolean)] = args.drop(1).headOption match {
+      case Some("row") => Seq("row" -> false, "row" -> false)
+      case Some("vec") => Seq("vectorized" -> true, "vectorized" -> true)
+      case _ => Seq("row" -> false, "vectorized" -> true,
+        "row" -> false, "vectorized" -> true)
+    }
+    modes.foreach { case (label, v) => probe(label, v) }
+    spark.stop()
+  }
+}
