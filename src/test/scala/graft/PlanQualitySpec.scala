@@ -203,4 +203,58 @@ class PlanQualitySpec extends AnyFunSuite {
       s"dedup shape grew extra shuffles:\n$p")
     assert(!p.contains("Join"), s"reassembly must not self-join:\n$p")
   }
+
+  test("vec_rp_project is one scan + one generator: no join, no shuffle") {
+    val p = plan("vec_rp_project")
+    assert(!p.contains("Exchange"), s"projection grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"projection grew a join:\n$p")
+    assert(p.contains("Generate"), s"expected the 8-way posexplode:\n$p")
+  }
+
+  test("tx_decontam_bloom prefilters before the broadcast verify join") {
+    val p = plan("tx_decontam_bloom")
+    assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"verify join shuffled:\n$p")
+    // the bloom prefilter must sit below the join, on the training side
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("UDF")),
+      s"bloom prefilter missing from the plan:\n$p")
+  }
+
+  test("sk_cms_heavy shuffles only the sketch-surviving instances") {
+    val p = plan("sk_cms_heavy")
+    // one exchange: the exact count of CMS candidates (plus AQE reads);
+    // the full word stream must not reach an exchange unfiltered
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"heavy-hitter shape grew extra shuffles:\n$p")
+    val filterBelowAgg = p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("UDF"))
+    assert(filterBelowAgg, s"CMS prefilter missing:\n$p")
+  }
+
+  test("aj_interp plans BOTH as-of brackets through the custom operator") {
+    val p = plan("aj_interp")
+    assert("AsOfJoin".r.findAllIn(p).size >= 2,
+      s"expected two AsOfJoin operators (prev + next bracket):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of bracket degenerated to a loop join:\n$p")
+  }
+
+  test("gr_pagerank iterations stay equi-join + hash aggregate") {
+    val p = plan("gr_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank degenerated to a loop join:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"contribution sum is not a hash aggregate:\n$p")
+  }
+
+  test("st_px_zarr_write reads back through a pruned DSv2 scan") {
+    // plan the READ side the gate aggregates over (the stream itself runs
+    // in StreamingZarrSpec); value filter stays a row filter, scan is zarr
+    val df = SparkEntry.queries("px_zarr_dsv2_write")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ZarrScan"), s"DSv2 scan not planned:\n$p")
+  }
 }
