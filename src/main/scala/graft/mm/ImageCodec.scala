@@ -175,6 +175,21 @@ object ImageCodec {
     hist
   }
 
+  /** Integer luma mass of the raster: sum of (299r + 587g + 114b) / 1000
+    * per pixel — the per-frame scalar the keyframe detector thresholds on.
+    */
+  def lumaSum(d: Decoded): Long = {
+    var s = 0L
+    var i = 0
+    while (i < d.argb.length) {
+      val p = d.argb(i)
+      s += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+        (p & 0xff) * 114) / 1000
+      i += 1
+    }
+    s
+  }
+
   // ---- "video": a container of length-prefixed PNG frames -----------------
 
   def nFrames(seed: Long): Int = 1 + (seed % 7).toInt

@@ -293,6 +293,60 @@ object PipelineOps {
            CAST(sum((x * 7 + y * 3 + fs) % 256) AS BIGINT) AS sum_r
     FROM fpx GROUP BY doc_id, frame_idx"""
 
+  /** Keyframe detection over the video container — the scene-cut signal a
+    * frame-dedup/sampling pipeline computes before choosing which frames to
+    * keep: EVERY frame is demuxed and ImageIO-decoded, reduced to its
+    * integer luma mass, and flagged as a keyframe when it moved more than
+    * 5% relative to the previous frame (integer cross-multiply, no
+    * division; frame 0 always keys). The lag runs in a window PARTITIONED
+    * by document — no global ordering anywhere. The oracle re-derives luma
+    * from the pixel formula, so the hash proves the real per-frame decode.
+    */
+  def keyframes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.mm.ImageCodec
+    val perFrame = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val video = ImageCodec.synthVideo(id)
+        ImageCodec.sampleFrames(video, 1).map { case (idx, dec) =>
+          (id, idx.toLong, ImageCodec.lumaSum(dec))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "lsum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    perFrame.withColumn("prev", lag(col("lsum"), 1).over(w))
+      .select(col("doc_id"), col("frame_idx"), col("lsum"),
+        expr("""CAST(CASE WHEN prev IS NULL
+                          OR abs(lsum - prev) * 20 > prev
+                     THEN 1 ELSE 0 END AS BIGINT)""").as("is_key"))
+  }
+
+  private val MM_KEYFRAMES_SQL = """
+    WITH fr AS (
+      SELECT d.doc_id, tf.f AS frame_idx, d.doc_id + 997 * tf.f AS fs
+      FROM documents d, range(0, 7) tf(f)
+      WHERE tf.f < 1 + d.doc_id % 7),
+    fpx AS (
+      SELECT doc_id, frame_idx, fs, tx.x AS x, ty.y AS y
+      FROM fr, range(0, 32) tx(x), range(0, 28) ty(y)
+      WHERE tx.x < 16 + fs % 17 AND ty.y < 16 + fs % 13),
+    ls AS (
+      SELECT doc_id, frame_idx,
+             CAST(sum(((x * 7 + y * 3 + fs) % 256 * 299
+                     + (x * 5 + y * 11 + fs * 2) % 256 * 587
+                     + (x * 13 + y * 7 + fs * 3) % 256 * 114) // 1000)
+                  AS BIGINT) AS lsum
+      FROM fpx GROUP BY doc_id, frame_idx),
+    lg AS (
+      SELECT doc_id, frame_idx, lsum,
+             lag(lsum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+      FROM ls)
+    SELECT doc_id, frame_idx, lsum,
+           CAST(CASE WHEN prev IS NULL OR abs(lsum - prev) * 20 > prev
+                THEN 1 ELSE 0 END AS BIGINT) AS is_key
+    FROM lg"""
+
   /** Real resize: ImageIO decode, integer box-average downsample by 4
     * (edge blocks clipped), channel sums over the RESIZED raster.
     */
@@ -378,6 +432,7 @@ object PipelineOps {
 
   def all: Seq[Q] = Seq(
     Q("mm_frame_sample", frameSample, Some(MM_FRAME_SAMPLE_SQL)),
+    Q("mm_keyframes", keyframes, Some(MM_KEYFRAMES_SQL)),
     Q("mm_resize", resize, Some(MM_RESIZE_SQL)),
     Q("mm_features", features, Some(MM_FEATURES_SQL)),
     Q("mm_augment", augment, Some(MM_AUGMENT_SQL)),
