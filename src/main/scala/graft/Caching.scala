@@ -54,34 +54,4 @@ object Caching {
     spark.listenerManager.register(listener)
     result
   }
-
-  /** RDD-deps variant for the fixpoint operators whose round state lives
-    * below the Dataset layer: deps must already be persisted; they are
-    * unpersisted when any action whose plan contains `result` completes.
-    */
-  def releaseAfterActionRdd[T](result: Dataset[T],
-      deps: Seq[org.apache.spark.rdd.RDD[_]]): Dataset[T] = {
-    val spark = result.sparkSession
-    val target = result.queryExecution.analyzed
-    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
-    object listener extends QueryExecutionListener {
-      private def maybeRelease(qe: QueryExecution): Unit = {
-        val alreadyDropped = deps.forall(
-          _.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        val hit = alreadyDropped ||
-          (try qe.analyzed.exists(_.sameResult(target))
-           catch { case _: Throwable => true })
-        if (hit && released.compareAndSet(false, true)) {
-          deps.foreach(_.unpersist(blocking = false))
-          spark.listenerManager.unregister(listener)
-        }
-      }
-      override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = maybeRelease(qe)
-    }
-    spark.listenerManager.register(listener)
-    result
-  }
 }

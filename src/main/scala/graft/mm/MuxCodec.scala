@@ -54,7 +54,9 @@ object MuxCodec {
         val kind = c(off)
         val len = ((c(off + 1) & 0xff) << 24) | ((c(off + 2) & 0xff) << 16) |
           ((c(off + 3) & 0xff) << 8) | (c(off + 4) & 0xff)
-        require(len >= 0 && off + 5 + len <= c.length,
+        // Long arithmetic: off + 5 + len overflows Int for a corrupt len
+        // near Int.MaxValue, which would slip past the bound check
+        require(len >= 0 && off + 5 + len.toLong <= c.length,
           s"mux container segment $idx at offset $off declares $len payload " +
             s"bytes but only ${c.length - off - 5} remain")
         val payload = java.util.Arrays.copyOfRange(c, off + 5, off + 5 + len)

@@ -39,7 +39,11 @@ object SketchOps {
     val docs = tbl(s, d, "documents")
     val ev = grams8(docs.filter(col("doc_id") % 100 === 0), "eval_id")
     // one action over the SMALL side; at corpus scale you would size
-    // expectedNumItems from the eval-set count — here a fixed generous cap
+    // expectedNumItems from the eval-set count — here a fixed generous cap.
+    // persist FIRST so the bloom build materializes the cache the broadcast
+    // join reuses (releaseAfterAction's own persist is then a no-op, and it
+    // still releases after the gate action)
+    ev.persist()
     val bf = ev.stat.bloomFilter("g", 1 << 20, 0.03)
     val mightContain = udf((g: String) => g != null && bf.mightContain(g))
     val tr = grams8(docs.filter(col("doc_id") % 100 =!= 0), "doc_id")

@@ -468,8 +468,10 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
   override def build(): Write = {
     val o = info.options
     // layout options are mandatory for a fresh store; a write into an
-    // EXISTING store may omit them and inherit the store's own metadata
-    val existing =
+    // EXISTING store may omit them and inherit the store's own metadata.
+    // lazy: an overwrite with full options never touches the store's
+    // metadata (extra reads per write — RTTs on an object store)
+    lazy val existing =
       if (ZarrTableProvider.hasMeta(dir)) Some(ZarrTableProvider.metaOf(dir))
       else None
     def layout(name: String, fromMeta: ZarrIO.Meta => String): String =
