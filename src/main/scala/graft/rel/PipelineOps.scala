@@ -322,6 +322,40 @@ object PipelineOps {
                      THEN 1 ELSE 0 END AS BIGINT)""").as("is_key"))
   }
 
+  /** Streaming twin of mm_keyframes: the same every-frame decode + 5%
+    * keyframe rule per micro-batch, append mode. A lag WINDOW is not
+    * streamable, but it is also not needed: a video's frames all expand
+    * from its one input row, so the previous-frame comparison is plain
+    * sequential state inside the flatMap closure — the streaming-native
+    * reformulation of a within-group lag. Same oracle as the batch twin.
+    */
+  def keyframesStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.mm.ImageCodec
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val qn = "st_mm_keyframes_sink_" + sinkCounter.incrementAndGet()
+    val out = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val video = ImageCodec.synthVideo(id)
+        var prev = -1L
+        ImageCodec.sampleFrames(video, 1).map { case (idx, dec) =>
+          val lsum = ImageCodec.lumaSum(dec)
+          val isKey =
+            if (prev < 0 || math.abs(lsum - prev) * 20 > prev) 1L else 0L
+          prev = lsum
+          (id, idx.toLong, lsum, isKey)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "lsum", "is_key")
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   private val MM_KEYFRAMES_SQL = """
     WITH fr AS (
       SELECT d.doc_id, tf.f AS frame_idx, d.doc_id + 997 * tf.f AS fs
@@ -433,6 +467,7 @@ object PipelineOps {
   def all: Seq[Q] = Seq(
     Q("mm_frame_sample", frameSample, Some(MM_FRAME_SAMPLE_SQL)),
     Q("mm_keyframes", keyframes, Some(MM_KEYFRAMES_SQL)),
+    Q("st_mm_keyframes", keyframesStream, Some(MM_KEYFRAMES_SQL)),
     Q("mm_resize", resize, Some(MM_RESIZE_SQL)),
     Q("mm_features", features, Some(MM_FEATURES_SQL)),
     Q("mm_augment", augment, Some(MM_AUGMENT_SQL)),
