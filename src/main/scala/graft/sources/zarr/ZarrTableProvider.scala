@@ -118,7 +118,8 @@ final class ZarrTable(dir: String, dims: Int) extends Table with SupportsRead
 
 final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
     vectorized: Boolean) extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val dims = meta.dims
   private val grid: Array[Int] = meta.spec.gridShape
@@ -196,16 +197,179 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // ------------------------------------------------- aggregate pushdown
+  //
+  // count/min/max over coordinates are pure CHUNK-LIST math: count(*) is
+  // the sum of (edge-clipped) tile volumes of the surviving chunk box,
+  // min/max of a grid coordinate come from the surviving locations, and
+  // min/max of an in-chunk coordinate from the clipped tile shapes. A
+  // `SELECT count(*)` over a 100 TB store — pruned or not — therefore
+  // never opens a chunk file, never emits a row, and runs as one
+  // metadata-only task. `value` aggregates need payload and are refused
+  // (Spark falls back to the normal scan). Complete pushdown only: Spark
+  // invokes it exactly when every filter was consumed by pushFilters, so
+  // the chunk box IS the full predicate.
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+
+  private var pushedAggSpecs: Seq[ZarrAgg] = null
+
+  private def aggSpec(f: AggregateFunc): Option[ZarrAgg] = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    def pAxis(n: String): Option[Int] = n match {
+      case _ if n.length > 1 && n.head == 'p' && n.tail.forall(_.isDigit) &&
+        n.tail.toInt < dims => Some(n.tail.toInt)
+      case _ => None
+    }
+    f match {
+      case _: CountStar => Some(ZarrAgg.CountAll)
+      // count of any of this source's columns: all are non-nullable, so
+      // count(col) == count(*); distinct counts are not chunk-list math
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).filter(n =>
+          GAxis.unapply(n, dims).isDefined || pAxis(n).isDefined ||
+            n == "value").map(_ => ZarrAgg.CountAll)
+      case m: Min => colOf(m.column).flatMap { n =>
+        GAxis.unapply(n, dims).map(a => ZarrAgg.MinG(a): ZarrAgg)
+          .orElse(pAxis(n).map(a => ZarrAgg.MinP(a): ZarrAgg))
+      } // min(value) needs payload -> None -> no pushdown
+      case m: Max => colOf(m.column).flatMap { n =>
+        GAxis.unapply(n, dims).map(a => ZarrAgg.MaxG(a): ZarrAgg)
+          .orElse(pAxis(n).map(a => ZarrAgg.MaxP(a): ZarrAgg))
+      }
+      case _ => None
+    }
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().forall(aggSpec(_).isDefined)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    if (!supportCompletePushDown(aggregation)) false
+    else {
+      pushedAggSpecs =
+        aggregation.aggregateExpressions().toSeq.map(aggSpec(_).get)
+      true
+    }
+
   override def build(): Scan =
-    new ZarrScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(), required,
-      vectorized)
+    if (pushedAggSpecs != null)
+      new ZarrAggScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(),
+        pushedAggSpecs)
+    else
+      new ZarrScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(), required,
+        vectorized)
+}
+
+/** The chunk-list aggregates the source can answer without payload I/O. */
+private[zarr] sealed trait ZarrAgg extends Serializable
+private[zarr] object ZarrAgg {
+  case object CountAll extends ZarrAgg
+  final case class MinG(a: Int) extends ZarrAgg
+  final case class MaxG(a: Int) extends ZarrAgg
+  final case class MinP(a: Int) extends ZarrAgg
+  final case class MaxP(a: Int) extends ZarrAgg
+}
+
+/** Completely-pushed aggregate scan: the single result row is computed at
+  * PLAN time from the (pruned) chunk listing — the same listing the row
+  * scan performs to plan partitions — and the one task just emits it. An
+  * empty surviving box yields count 0 and null extrema, matching the
+  * semantics of aggregating zero rows.
+  */
+final class ZarrAggScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
+    hi: Array[Long], allowed: Array[Set[Long]], aggs: Seq[ZarrAgg])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (ZarrAgg.CountAll, i) => StructField(s"agg$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg$i", LongType, nullable = true)
+  })
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"ZarrAggScan pushed=[${aggs.mkString(", ")}] bounds=" +
+      lo.indices.map(a => s"g$a in [${lo(a)}, ${hi(a)}]").mkString(", ")
+
+  private def survivors: Seq[Array[Int]] = {
+    val locs =
+      if (ZarrTableProvider.isV3(dir)) Zarr3IO.listChunkLocs(dir, Zarr3IO.readMeta(dir))
+      else ZarrIO.listChunkLocs(dir, meta)
+    locs.filter(loc => loc.indices.forall(a =>
+      loc(a) >= lo(a) && loc(a) <= hi(a) &&
+        (allowed(a) == null || allowed(a).contains(loc(a).toLong))))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val locs = survivors
+    def tileShape(loc: Array[Int], a: Int): Long =
+      math.min(meta.chunks(a).toLong,
+        meta.shape(a) - loc(a).toLong * meta.chunks(a))
+    val values: Array[Any] = aggs.map {
+      case ZarrAgg.CountAll =>
+        locs.map(loc => loc.indices.map(tileShape(loc, _)).product).sum: Any
+      case ZarrAgg.MinG(a) =>
+        if (locs.isEmpty) null else (locs.map(_(a)).min.toLong: Any)
+      case ZarrAgg.MaxG(a) =>
+        if (locs.isEmpty) null else (locs.map(_(a)).max.toLong: Any)
+      case ZarrAgg.MinP(_) => if (locs.isEmpty) null else (0L: Any)
+      case ZarrAgg.MaxP(a) =>
+        if (locs.isEmpty) null
+        else (locs.map(loc => tileShape(loc, a) - 1).max: Any)
+    }.toArray
+    Array(ZarrAggResultPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZarrAggReaderFactory()
+}
+
+final case class ZarrAggResultPartition(values: Array[Any]) extends InputPartition
+
+final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val values = partition.asInstanceOf[ZarrAggResultPartition].values
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     hi: Array[Long], allowed: Array[Set[Long]], required: StructType,
     vectorized: Boolean)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+
+  /** Storage-partitioned read: the store is clustered by grid coordinates
+    * (each chunk file holds exactly one (g0..gd-1) key — the write path's
+    * clustered distribution guarantees it), so the scan reports
+    * KeyGroupedPartitioning over the g columns whenever they all survive
+    * column pruning. With `spark.sql.sources.v2.bucketing.enabled`, a
+    * groupBy on the grid key (the per-tile aggregate every pipeline stage
+    * starts with) and storage-partitioned joins between two stores run
+    * WITHOUT an exchange — at 100 TB that deletes the biggest shuffle in
+    * the tile workload.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val gCols = (0 until meta.dims).map(a => s"g$a")
+    if (gCols.forall(required.fieldNames.contains))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        gCols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c):
+          org.apache.spark.sql.connector.expressions.Expression).toArray,
+        planInputPartitions().length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
 
   /** Dynamic pruning: at execution time Spark can derive IN/= filters on
     * the grid columns from the other side of a join (the DSv2 analogue of
@@ -302,7 +466,15 @@ private[zarr] object GAxis {
   }
 }
 
+/** One chunk, one partition — and the chunk's grid location IS the
+  * partition key ([[HasPartitionKey]]), which is what lets Spark treat the
+  * store as storage-partitioned: grouped by (g0..gd-1) on disk.
+  */
 final case class ZarrInputPartition(loc: Array[Int]) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(loc.map(_.toLong: Any))
+}
 
 final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
     columns: Array[String], isV3: Boolean,

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.ZarrIO
+import graft.sources.zarr.ZarrTableProvider
+import graft.tiles.{GridSpec, Tile}
+
+/** Complete aggregate pushdown on the zarr DSv2 source: count/min/max over
+  * coordinates answered from the chunk listing alone — no payload I/O, no
+  * per-cell row stream, one metadata task.
+  */
+class ZarrAggPushdownSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  // 4x3 grid of 7x7 chunks over a 26x19 image (ragged edges), with chunk
+  // (3, 2) ABSENT (all-fill chunks are not materialized) — aggregates must
+  // reflect the listing, not the nominal grid
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = TempDirs.create("graft_aggpush")
+    val spec = GridSpec(Array(26L, 19L), Array(7, 7))
+    val tiles = for {
+      gy <- 0 until 4; gx <- 0 until 3
+      if !(gy == 3 && gx == 2)
+    } yield {
+      val h = math.min(7, 26 - gy * 7); val w = math.min(7, 19 - gx * 7)
+      Tile(Array(gy, gx), Array(4, 3), Array(h, w),
+        Array.tabulate(h * w)(i => (i % 5).toLong + 1))
+    }
+    ZarrIO.write(spark.createDataset(tiles), spec, d, "<i8", "zlib")
+    d
+  }
+
+  private def zarr = spark.read.format("zarr").load(dir)
+
+  test("count(*) is a one-partition metadata scan with zero payload I/O") {
+    ZarrTableProvider.payloadReads.set(0)
+    val df = zarr.agg(count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrAggScan"), s"aggregate not pushed:\n$plan")
+    // full chunks: 7x7; edge rows/cols clipped; chunk (3,2) missing
+    val cells = (for {
+      gy <- 0 until 4; gx <- 0 until 3
+      if !(gy == 3 && gx == 2)
+    } yield math.min(7, 26 - gy * 7).toLong * math.min(7, 19 - gx * 7)).sum
+    assert(df.collect()(0).getLong(0) == cells)
+    assert(df.rdd.getNumPartitions == 1)
+    assert(ZarrTableProvider.payloadReads.get() == 0,
+      "pushed count opened chunk files")
+  }
+
+  test("count/min/max over coordinates push together; pruning applies") {
+    ZarrTableProvider.payloadReads.set(0)
+    val df = zarr.filter(col("g0") >= 1 && col("g0") <= 2)
+      .agg(count(lit(1)).as("n"), min("g0").as("mng"), max("g0").as("mxg"),
+        min("p1").as("mnp"), max("p1").as("mxp"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrAggScan"), s"aggregate not pushed:\n$plan")
+    val r = df.collect()(0)
+    // rows 1..2: all chunks full-height 7; widths 7,7,5 per row
+    assert(r.getLong(0) == 2L * 7 * (7 + 7 + 5))
+    assert(r.getLong(1) == 1L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 6L)
+    assert(ZarrTableProvider.payloadReads.get() == 0)
+  }
+
+  test("min/max over value refuses pushdown and still answers correctly") {
+    val df = zarr.agg(max("value"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ZarrAggScan"), s"value agg wrongly pushed:\n$plan")
+    assert(df.collect()(0).getLong(0) == 5L)
+  }
+
+  test("an emptied chunk box yields count 0 and null extrema") {
+    val df = zarr.filter(col("g0") === 9)
+      .agg(count(lit(1)), min("g1"), max("p0"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("count(value) pushes as count(*): the column is non-nullable") {
+    ZarrTableProvider.payloadReads.set(0)
+    val df = zarr.agg(count(col("value")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrAggScan"), s"count(value) not pushed:\n$plan")
+    df.collect()
+    assert(ZarrTableProvider.payloadReads.get() == 0)
+  }
+
+  test("grouped aggregates fall back to the row/columnar scan") {
+    val df = zarr.groupBy("g0").agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ZarrAggScan"), s"grouped agg wrongly pushed:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(0L -> (7L * 19), 1L -> (7L * 19), 2L -> (7L * 19),
+        3L -> (5L * 14)))
+  }
+}
