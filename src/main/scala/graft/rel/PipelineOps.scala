@@ -151,6 +151,40 @@ object PipelineOps {
     SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
     FROM lab GROUP BY gy, gx"""
 
+  /** The storage-partitioned read path under the driver gate: the same
+    * store and oracle as px_zarr_dsv2_write, but the per-tile aggregate
+    * runs with `spark.sql.sources.v2.bucketing.enabled` — the scan reports
+    * KeyGroupedPartitioning from the chunk keys, so the groupBy on the
+    * grid coordinates plans NO exchange (asserted here, not just in the
+    * spec: a silent report/key mismatch would surface as either a wrong
+    * hash or a reappearing shuffle).
+    */
+  def zarrGrouped(s: SparkSession, d: String): DataFrame = {
+    RelabelRel.pixelsRaw(s, d)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+      .write.format("zarr")
+      .option("shape", s"${GY * L},${GX * L}").option("chunks", s"$L,$L")
+      .option("dtype", "<u2").option("compressor", "zlib")
+      .mode("overwrite").save(zarrWriteDir)
+    val prior = s.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val grouped = s.read.format("zarr").load(zarrWriteDir)
+        .filter(col("value") =!= 0)
+        .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
+        .groupBy("gy", "gx")
+        .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+      require(!grouped.queryExecution.executedPlan.toString.contains("Exchange"),
+        "storage-partitioned aggregate planned a shuffle")
+      // materialize INSIDE the conf window: the plan is what we pinned
+      val rows = grouped.collect()
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.toDF("gy", "gx", "n_px", "sum_label")
+    } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", prior)
+  }
+
   /** Tile-engine remove only, exploded (oracle: relational remove join). */
   def removePixels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -482,6 +516,7 @@ object PipelineOps {
       FROM events GROUP BY 1, 2""")),
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
     Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL)),
-    Q("px_zarr_dsv2_write", zarrDsv2Write, Some(ZARR_DSV2_WRITE_SQL))
+    Q("px_zarr_dsv2_write", zarrDsv2Write, Some(ZARR_DSV2_WRITE_SQL)),
+    Q("px_zarr_grouped", zarrGrouped, Some(ZARR_DSV2_WRITE_SQL))
   )
 }
