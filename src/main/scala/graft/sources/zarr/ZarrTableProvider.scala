@@ -499,9 +499,16 @@ final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
         val key =
           if (isV3) Zarr3IO.chunkKey(loc, meta.separator)
           else loc.mkString(meta.separator)
-        ZarrIO.decodeChunk(
+        try ZarrIO.decodeChunk(
           StoreIO.readAllBytes(sconf.value, new Path(dir, key).toString),
           meta, loc, tileShape)
+        catch { case e: Exception =>
+          // surface the CHUNK, not a codec stack frame: at 100 TB a single
+          // corrupt object must be identifiable from the task failure alone
+          throw new java.io.IOException(
+            s"zarr chunk '$key' (grid ${loc.mkString(",")}) in $dir " +
+              s"failed to decode: ${e.getMessage}", e)
+        }
       }
     (loc, tileShape, data)
   }

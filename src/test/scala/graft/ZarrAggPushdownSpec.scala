@@ -90,6 +90,48 @@ class ZarrAggPushdownSpec extends AnyFunSuite {
     assert(ZarrTableProvider.payloadReads.get() == 0)
   }
 
+  test("3D store: pushed count/extrema honor the third axis") {
+    import spark.implicits._
+    val d3 = TempDirs.create("graft_aggpush3d")
+    val spec = GridSpec(Array(5L, 6L, 7L), Array(3, 3, 3))
+    val tiles = for (gz <- 0 until 2; gy <- 0 until 2; gx <- 0 until 3)
+      yield {
+        val dz = math.min(3, 5 - gz * 3); val dy = math.min(3, 6 - gy * 3)
+        val dx = math.min(3, 7 - gx * 3)
+        Tile(Array(gz, gy, gx), Array(2, 2, 3), Array(dz, dy, dx),
+          Array.fill(dz * dy * dx)(1L))
+      }
+    ZarrIO.write(spark.createDataset(tiles), spec, d3, "<i8", "zlib")
+    ZarrTableProvider.payloadReads.set(0)
+    val df = spark.read.format("zarr").load(d3)
+      .agg(count(lit(1)), max("g2"), max("p0"), max("p2"))
+    assert(df.queryExecution.executedPlan.toString.contains("ZarrAggScan"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 5L * 6 * 7)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(ZarrTableProvider.payloadReads.get() == 0)
+  }
+
+  test("a corrupt chunk file fails naming the chunk, not the codec frame") {
+    import spark.implicits._
+    val dc = TempDirs.create("graft_aggpush_corrupt")
+    val spec = GridSpec(Array(6L, 6L), Array(3, 3))
+    val tiles = for (gy <- 0 until 2; gx <- 0 until 2) yield
+      Tile(Array(gy, gx), Array(2, 2), Array(3, 3),
+        Array.tabulate(9)(_.toLong))
+    ZarrIO.write(spark.createDataset(tiles), spec, dc, "<i8", "zlib")
+    // truncate one chunk mid-payload
+    val f = new java.io.File(dc, "1.0")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, bytes.take(bytes.length / 2))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("zarr").load(dc).agg(sum("value")).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("zarr chunk '1.0'") && msg.contains("grid 1,0"),
+      s"corrupt chunk not identified: $msg")
+  }
+
   test("grouped aggregates fall back to the row/columnar scan") {
     val df = zarr.groupBy("g0").agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString
