@@ -151,6 +151,29 @@ object PipelineOps {
     SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
     FROM lab GROUP BY gy, gx"""
 
+  /** zarrDsv2Write's v3 twin: the SAME pixel relation written through
+    * `zarrFormat=3` (zarr.json, c/-keys, bytes+gzip codec chain), read back
+    * through the autodetecting DSv2 scan, under the same oracle — proving
+    * the second store format's WRITE path end-to-end, not just its reader.
+    */
+  private lazy val zarr3WriteDir: String = graft.TempDirs.create("graft_zarr3_w")
+
+  def zarr3Dsv2Write(s: SparkSession, d: String): DataFrame = {
+    RelabelRel.pixelsRaw(s, d)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+      .write.format("zarr")
+      .option("shape", s"${GY * L},${GX * L}").option("chunks", s"$L,$L")
+      .option("dtype", "uint16").option("compressor", "gzip")
+      .option("zarrFormat", "3")
+      .mode("overwrite").save(zarr3WriteDir)
+    s.read.format("zarr").load(zarr3WriteDir)
+      .filter(col("value") =!= 0)
+      .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
+      .groupBy("gy", "gx")
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+  }
+
   /** The storage-partitioned read path under the driver gate: the same
     * store and oracle as px_zarr_dsv2_write, but the per-tile aggregate
     * runs with `spark.sql.sources.v2.bucketing.enabled` — the scan reports
@@ -517,6 +540,7 @@ object PipelineOps {
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
     Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL)),
     Q("px_zarr_dsv2_write", zarrDsv2Write, Some(ZARR_DSV2_WRITE_SQL)),
-    Q("px_zarr_grouped", zarrGrouped, Some(ZARR_DSV2_WRITE_SQL))
+    Q("px_zarr_grouped", zarrGrouped, Some(ZARR_DSV2_WRITE_SQL)),
+    Q("px_zarr3_dsv2_write", zarr3Dsv2Write, Some(ZARR_DSV2_WRITE_SQL))
   )
 }

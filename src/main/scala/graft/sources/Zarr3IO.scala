@@ -27,6 +27,14 @@ object Zarr3IO {
   private val DTYPES = Map(
     "uint8" -> "|u1", "uint16" -> "<u2", "int32" -> "<i4", "int64" -> "<i8")
 
+  /** Reverse mapping for layout inheritance in the DSv2 write path. */
+  private[sources] def v3NameOf(v2dtype: String): String =
+    DTYPES.collectFirst { case (n, d) if d == v2dtype => n }.getOrElse(
+      throw new IllegalArgumentException(
+        s"v2 dtype $v2dtype has no zarr v3 data_type equivalent"))
+
+  private[sources] def isV3Name(n: String): Boolean = DTYPES.contains(n)
+
   final case class Meta3(
       shape: Array[Long],
       chunks: Array[Int],
@@ -81,7 +89,7 @@ object Zarr3IO {
     Meta3(shape, chunks, dataType, names.contains("gzip"), fill, sep)
   }
 
-  private def writeMeta(dir: String, meta: Meta3): Unit = {
+  private[sources] def writeMeta(dir: String, meta: Meta3): Unit = {
     val codecs =
       if (meta.gzip)
         """[{"name": "bytes", "configuration": {"endian": "little"}},

@@ -662,7 +662,40 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
       .split(",").map(_.trim.toLong)
     val chunks = layout("chunks", _.chunks.mkString(","))
       .split(",").map(_.trim.toInt)
-    val meta = ZarrIO.Meta(shape, chunks,
+    // format selection: "2" (default, .zarray + dot keys) or "3"
+    // (zarr.json + c/ keys + bytes[+gzip] codec chain). An existing store
+    // pins its own format — mixing layouts in one dir is always an error.
+    val v3 = Option(o.get("zarrFormat")).map(_.trim)
+      .orElse(existing.map(_ => if (ZarrTableProvider.isV3(dir)) "3" else "2"))
+      .getOrElse("2") match {
+        case "3" => true
+        case "2" => false
+        case other => throw new IllegalArgumentException(
+          s"zarrFormat must be '2' or '3', got '$other'")
+      }
+    if (existing.isDefined && v3 != ZarrTableProvider.isV3(dir))
+      throw new IllegalArgumentException(
+        s"zarr write to $dir requests format ${if (v3) 3 else 2} but the " +
+          s"existing store is format ${if (ZarrTableProvider.isV3(dir)) 3 else 2}")
+    var v3Meta: Option[Zarr3IO.Meta3] = None
+    val meta: ZarrIO.Meta = if (v3) {
+      val dataType = Option(o.get("dtype"))
+        .orElse(existing.map(m => Zarr3IO.v3NameOf(m.dtype)))
+        .getOrElse("int64")
+      require(Zarr3IO.isV3Name(dataType),
+        s"zarr v3 write needs a v3 data_type (uint8/uint16/int32/int64), " +
+          s"got '$dataType'")
+      val gz = Option(o.get("compressor"))
+        .orElse(existing.map(_.compressor)).getOrElse("gzip") match {
+          case "gzip" => true
+          case "" | "none" => false
+          case other => throw new IllegalArgumentException(
+            s"zarr v3 supports compressor 'gzip' or '' (none), got '$other'")
+        }
+      val m3 = Zarr3IO.Meta3(shape, chunks, dataType, gz, 0L, "/")
+      v3Meta = Some(m3)
+      m3.v2
+    } else ZarrIO.Meta(shape, chunks,
       Option(o.get("dtype")).orElse(existing.map(_.dtype)).getOrElse("<i8"),
       Option(o.get("compressor")).orElse(existing.map(_.compressor))
         .getOrElse("zlib"), 0L, ".")
@@ -683,12 +716,13 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
           s"compressor=${meta.compressor}) — prior chunks would decode as " +
           "garbage; use mode(\"overwrite\") to replace the store")
     }
-    new ZarrWrite(dir, meta, info.schema(), doTruncate)
+    new ZarrWrite(dir, meta, info.schema(), doTruncate, v3Meta)
   }
 }
 
 final class ZarrWrite(dir: String, meta: ZarrIO.Meta, schema: StructType,
-    doTruncate: Boolean) extends Write with RequiresDistributionAndOrdering {
+    doTruncate: Boolean, v3Meta: Option[Zarr3IO.Meta3])
+    extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
@@ -705,16 +739,17 @@ final class ZarrWrite(dir: String, meta: ZarrIO.Meta, schema: StructType,
   override def toBatch: BatchWrite = {
     StoreIO.mkdirs(StoreIO.hadoopConf, dir)
     val staging = ".staging-" + java.util.UUID.randomUUID().toString
-    new ZarrBatchWrite(dir, staging, meta, schema, doTruncate)
+    new ZarrBatchWrite(dir, staging, meta, schema, doTruncate, v3Meta)
   }
 }
 
 final class ZarrBatchWrite(dir: String, staging: String, meta: ZarrIO.Meta,
-    schema: StructType, doTruncate: Boolean) extends BatchWrite {
+    schema: StructType, doTruncate: Boolean,
+    v3Meta: Option[Zarr3IO.Meta3]) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ZarrWriterFactory(new Path(dir, staging).toString, meta,
-      schema.fieldNames, StoreIO.ser(StoreIO.hadoopConf))
+      schema.fieldNames, StoreIO.ser(StoreIO.hadoopConf), v3Meta.isDefined)
 
   /** Swap the staged files in: clear the old store (overwrite mode) only
     * now that every task has succeeded, then move chunks, then metadata
@@ -737,7 +772,10 @@ final class ZarrBatchWrite(dir: String, staging: String, meta: ZarrIO.Meta,
       else StoreIO.moveInto(conf, p, root, rel)
     move(stage, isFile = false, "")
     StoreIO.deleteRecursive(conf, stage.toString)
-    ZarrIO.writeMeta(dir, meta)
+    v3Meta match {
+      case Some(m3) => Zarr3IO.writeMeta(dir, m3)
+      case None => ZarrIO.writeMeta(dir, meta)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -749,7 +787,8 @@ final case class ZarrChunksWritten(n: Int) extends WriterCommitMessage
 
 final case class ZarrWriterFactory(stageDir: String, meta: ZarrIO.Meta,
     columns: Array[String],
-    sconf: SerializableConfiguration) extends DataWriterFactory {
+    sconf: SerializableConfiguration,
+    v3: Boolean = false) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val dims = meta.dims
@@ -776,8 +815,10 @@ final case class ZarrWriterFactory(stageDir: String, meta: ZarrIO.Meta,
         }
 
       private def flush(): Unit = if (curLoc != null) {
-        StoreIO.write(sconf.value,
-          new Path(stageDir, curLoc.mkString(meta.separator)).toString,
+        val key =
+          if (v3) Zarr3IO.chunkKey(curLoc, meta.separator)
+          else curLoc.mkString(meta.separator)
+        StoreIO.write(sconf.value, new Path(stageDir, key).toString,
           ZarrIO.encodeChunk(curData, meta, curShape))
         written += 1
         curLoc = null; curShape = null; curData = null
