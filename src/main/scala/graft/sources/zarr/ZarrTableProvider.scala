@@ -245,13 +245,39 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
     }
   }
 
+  private var pushedGroupBy: Seq[Int] = null
+
+  /** Grouping is pushable when every group key is a grid column (distinct):
+    * chunks sharing the keyed coordinates aggregate in plan-time metadata
+    * math, any SUBSET of the grid axes included — `groupBy(g0).count()`
+    * over a 100 TB store is still zero-I/O. In-chunk coordinates vary
+    * within a chunk, so grouping on them falls back to the row scan.
+    */
+  private def groupAxes(aggregation: Aggregation): Option[Seq[Int]] = {
+    val names = aggregation.groupByExpressions().toSeq.map {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    if (names.exists(_.isEmpty)) None
+    else {
+      val axes = names.map(n => GAxis.unapply(n.get, dims))
+      if (axes.exists(_.isEmpty)) None
+      else {
+        val as = axes.map(_.get)
+        if (as.distinct.length == as.length) Some(as) else None
+      }
+    }
+  }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    aggregation.groupByExpressions().isEmpty &&
+    groupAxes(aggregation).isDefined &&
       aggregation.aggregateExpressions().forall(aggSpec(_).isDefined)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     if (!supportCompletePushDown(aggregation)) false
     else {
+      pushedGroupBy = groupAxes(aggregation).get
       pushedAggSpecs =
         aggregation.aggregateExpressions().toSeq.map(aggSpec(_).get)
       true
@@ -260,7 +286,7 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
   override def build(): Scan =
     if (pushedAggSpecs != null)
       new ZarrAggScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(),
-        pushedAggSpecs)
+        pushedGroupBy, pushedAggSpecs)
     else
       new ZarrScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(), required,
         vectorized)
@@ -283,18 +309,22 @@ private[zarr] object ZarrAgg {
   * semantics of aggregating zero rows.
   */
 final class ZarrAggScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
-    hi: Array[Long], allowed: Array[Set[Long]], aggs: Seq[ZarrAgg])
-    extends Scan with Batch {
+    hi: Array[Long], allowed: Array[Set[Long]], groupBy: Seq[Int],
+    aggs: Seq[ZarrAgg]) extends Scan with Batch {
 
-  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
-    case (ZarrAgg.CountAll, i) => StructField(s"agg$i", LongType, nullable = false)
-    case (_, i) => StructField(s"agg$i", LongType, nullable = true)
-  })
+  override def readSchema(): StructType = StructType(
+    groupBy.map(a => StructField(s"g$a", LongType, nullable = false)) ++
+      aggs.zipWithIndex.map {
+        case (ZarrAgg.CountAll, i) =>
+          StructField(s"agg$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg$i", LongType, nullable = true)
+      })
 
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"ZarrAggScan pushed=[${aggs.mkString(", ")}] bounds=" +
+    s"ZarrAggScan groupBy=[${groupBy.map(a => s"g$a").mkString(", ")}] " +
+      s"pushed=[${aggs.mkString(", ")}] bounds=" +
       lo.indices.map(a => s"g$a in [${lo(a)}, ${hi(a)}]").mkString(", ")
 
   private def survivors: Seq[Array[Int]] = {
@@ -307,11 +337,10 @@ final class ZarrAggScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val locs = survivors
     def tileShape(loc: Array[Int], a: Int): Long =
       math.min(meta.chunks(a).toLong,
         meta.shape(a) - loc(a).toLong * meta.chunks(a))
-    val values: Array[Any] = aggs.map {
+    def aggValues(locs: Seq[Array[Int]]): Seq[Any] = aggs.map {
       case ZarrAgg.CountAll =>
         locs.map(loc => loc.indices.map(tileShape(loc, _)).product).sum: Any
       case ZarrAgg.MinG(a) =>
@@ -322,23 +351,30 @@ final class ZarrAggScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
       case ZarrAgg.MaxP(a) =>
         if (locs.isEmpty) null
         else (locs.map(loc => tileShape(loc, a) - 1).max: Any)
-    }.toArray
-    Array(ZarrAggResultPartition(values))
+    }
+    val rows: Seq[Array[Any]] =
+      if (groupBy.isEmpty) Seq(aggValues(survivors).toArray)
+      else survivors.groupBy(loc => groupBy.map(loc(_)))
+        .toSeq.map { case (key, locs) =>
+          (key.map(_.toLong: Any) ++ aggValues(locs)).toArray
+        }
+    Array(ZarrAggResultPartition(rows))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrAggReaderFactory()
 }
 
-final case class ZarrAggResultPartition(values: Array[Any]) extends InputPartition
+final case class ZarrAggResultPartition(rows: Seq[Array[Any]]) extends InputPartition
 
 final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val values = partition.asInstanceOf[ZarrAggResultPartition].values
+    val rows = partition.asInstanceOf[ZarrAggResultPartition].rows
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = !emitted && { emitted = true; true }
-      override def get(): InternalRow = new GenericInternalRow(values.clone())
+      private val it = rows.iterator
+      private var cur: Array[Any] = null
+      override def next(): Boolean = it.hasNext && { cur = it.next(); true }
+      override def get(): InternalRow = new GenericInternalRow(cur.clone())
       override def close(): Unit = ()
     }
   }

@@ -132,12 +132,41 @@ class ZarrAggPushdownSpec extends AnyFunSuite {
       s"corrupt chunk not identified: $msg")
   }
 
-  test("grouped aggregates fall back to the row/columnar scan") {
+  test("grid-grouped count pushes: one metadata row per group") {
+    ZarrTableProvider.payloadReads.set(0)
     val df = zarr.groupBy("g0").agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("ZarrAggScan"), s"grouped agg wrongly pushed:\n$plan")
+    assert(plan.contains("ZarrAggScan"), s"grouped agg not pushed:\n$plan")
+    // row 3 is 5 cells tall and missing chunk (3,2): 5 * (7 + 7) cells
     assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
       Map(0L -> (7L * 19), 1L -> (7L * 19), 2L -> (7L * 19),
         3L -> (5L * 14)))
+    assert(ZarrTableProvider.payloadReads.get() == 0)
+  }
+
+  test("full grid-key grouping pushes with extrema, pruning composes") {
+    ZarrTableProvider.payloadReads.set(0)
+    val df = zarr.filter(col("g1") >= 1)
+      .groupBy("g0", "g1")
+      .agg(count(lit(1)).as("n"), max("p1").as("mxp"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrAggScan"), s"grouped agg not pushed:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 7) // 4x2 minus absent (3,2)
+    assert(rows((0L, 1L)) == (49L, 6L))
+    assert(rows((3L, 1L)) == (35L, 6L)) // 5-tall edge row
+    assert(rows((2L, 2L)) == (35L, 4L)) // 5-wide edge col: p1 max 4
+    assert(ZarrTableProvider.payloadReads.get() == 0)
+  }
+
+  test("grouping on in-chunk coordinates falls back to the scan") {
+    val df = zarr.groupBy("p0").agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ZarrAggScan"), s"p-grouped agg wrongly pushed:\n$plan")
+    // p0 in 0..6; rows 0..2 contribute 19 cells each at every p0, the
+    // 5-tall edge row contributes 14 cells only for p0 in 0..4
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) == 3L * 19 + 14 && got(6L) == 3L * 19)
   }
 }
