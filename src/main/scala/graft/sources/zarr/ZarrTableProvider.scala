@@ -119,7 +119,16 @@ final class ZarrTable(dir: String, dims: Int) extends Table with SupportsRead
 final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
     vectorized: Boolean) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
+
+  /** Limit pushdown: a LIMIT n scan plans only enough chunks to cover n
+    * rows (cells-per-chunk is metadata) — `df.limit(10)` on a 100 TB
+    * store opens at most one chunk file. Partial: Spark still applies the
+    * exact limit on top; the scan just stops planning partitions early.
+    */
+  private var limit: Int = -1
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed: Boolean = true
 
   private val dims = meta.dims
   private val grid: Array[Int] = meta.spec.gridShape
@@ -289,7 +298,7 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
         pushedGroupBy, pushedAggSpecs)
     else
       new ZarrScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(), required,
-        vectorized)
+        vectorized, limit)
 }
 
 /** The chunk-list aggregates the source can answer without payload I/O. */
@@ -382,7 +391,7 @@ final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
 
 final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     hi: Array[Long], allowed: Array[Set[Long]], required: StructType,
-    vectorized: Boolean)
+    vectorized: Boolean, limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -473,12 +482,25 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     val locs =
       if (ZarrTableProvider.isV3(dir)) Zarr3IO.listChunkLocs(dir, Zarr3IO.readMeta(dir))
       else ZarrIO.listChunkLocs(dir, meta)
-    locs
+    val surviving = locs
       .filter(loc => loc.indices.forall(a =>
         loc(a) >= lo(a) && loc(a) <= hi(a) &&
           (allowed(a) == null || allowed(a).contains(loc(a).toLong))))
-      .map(loc => ZarrInputPartition(loc): InputPartition)
-      .toArray
+    // partial limit: stop planning chunks once their combined cell count
+    // covers the limit (Spark applies the exact limit on top)
+    val chosen =
+      if (limit < 0) surviving
+      else {
+        var covered = 0L
+        surviving.takeWhile { loc =>
+          val take = covered < limit
+          if (take) covered += loc.indices.map(a =>
+            math.min(meta.chunks(a).toLong,
+              meta.shape(a) - loc(a).toLong * meta.chunks(a))).product
+          take
+        }
+      }
+    chosen.map(loc => ZarrInputPartition(loc): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -160,6 +160,22 @@ class ZarrAggPushdownSpec extends AnyFunSuite {
     assert(ZarrTableProvider.payloadReads.get() == 0)
   }
 
+  test("limit pushdown plans only enough chunks to cover the limit") {
+    // aggregate on top so every planned partition executes exactly once
+    // (CollectLimit's incremental execution would re-open chunks)
+    ZarrTableProvider.payloadReads.set(0)
+    val r10 = zarr.limit(10).agg(count(lit(1)), sum("value")).collect()(0)
+    assert(r10.getLong(0) == 10 && r10.getLong(1) > 0)
+    assert(ZarrTableProvider.payloadReads.get() == 1,
+      s"limit(10) opened ${ZarrTableProvider.payloadReads.get()} chunks")
+    // a limit spanning chunks plans just the chunks it needs (49+49 >= 60)
+    ZarrTableProvider.payloadReads.set(0)
+    val r60 = zarr.limit(60).agg(count(lit(1)), sum("value")).collect()(0)
+    assert(r60.getLong(0) == 60)
+    assert(ZarrTableProvider.payloadReads.get() == 2,
+      s"limit(60) opened ${ZarrTableProvider.payloadReads.get()} chunks")
+  }
+
   test("grouping on in-chunk coordinates falls back to the scan") {
     val df = zarr.groupBy("p0").agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString
