@@ -80,6 +80,25 @@ object DriveDemo {
     println("PROBE dsv2: partitions=" + zdf.rdd.getNumPartitions +
       " rows=" + zdf.count() +
       " nonzero=" + zdf.filter("value != 0").count())
+    // round-5 DSv2 surface: metadata-only aggregates (complete + grouped
+    // pushdown), limit pushdown, and the vectorized-vs-row agreement
+    import org.apache.spark.sql.functions._
+    val all = spark.read.format("zarr").load(zdir)
+    graft.sources.zarr.ZarrTableProvider.payloadReads.set(0)
+    val metaCount = all.agg(count(lit(1))).collect()(0).getLong(0)
+    val grouped = all.groupBy("g0").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println("PROBE dsv2-agg: count=" + metaCount +
+      " groups=" + grouped.toSeq.sorted.mkString(",") +
+      " payloadReads=" +
+      graft.sources.zarr.ZarrTableProvider.payloadReads.get())
+    val limited = all.limit(3).agg(count(lit(1)), sum("value")).collect()(0)
+    val vecSum = all.agg(sum("value")).collect()(0).getLong(0)
+    val rowSum = spark.read.format("zarr").option("vectorized", "false")
+      .load(zdir).agg(sum("value")).collect()(0).getLong(0)
+    println("PROBE dsv2-limit/vec: limit3=" + limited.getLong(0) +
+      " vecSum=" + vecSum + " rowSum=" + rowSum +
+      " agree=" + (vecSum == rowSum))
     spark.stop()
   }
 }
