@@ -316,6 +316,45 @@ object PipelineOps {
            CAST(sum(b) AS BIGINT) AS sum_b
     FROM mm_rgb GROUP BY doc_id"""
 
+  /** Ingestion through Spark's built-in `binaryFile` source — THE standard
+    * shape for a multimodal corpus landed as loose files on an object
+    * store: executors write one real PNG per document into a staging dir,
+    * `spark.read.format("binaryFile")` lists and reads them back with a
+    * glob pushdown, doc identity parses from the path, and the decode +
+    * channel sums run on the `content` byte column under mm_decode_meta's
+    * oracle. A listing, glob, path-parse, or content-mapping defect breaks
+    * the hash.
+    */
+  def binaryImages(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.mm.ImageCodec
+    val inv = sinkCounter.incrementAndGet()
+    val dir = graft.TempDirs.create(s"graft_binimg_$inv")
+    tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      .foreachPartition { (it: Iterator[Long]) =>
+        it.foreach { id =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"doc_$id%06d.png"),
+            ImageCodec.synthPng(id))
+        }
+      }
+    // a decoy non-matching file the glob must skip
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "manifest.txt"), "not a png".getBytes)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val dec = ImageCodec.decode(png)
+        val (sr, sg, sb) = ImageCodec.channelSums(dec)
+        (id, dec.w.toLong, dec.h.toLong, sr, sg, sb)
+      })
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Frame sampling over a real container: each doc's payload is a sequence
     * of length-prefixed PNG frames; every 2nd frame is parsed out, ImageIO-
     * decoded, and summarized from its decoded raster.
@@ -538,6 +577,7 @@ object PipelineOps {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""")),
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
+    Q("src_binary_images", binaryImages, Some(MM_DECODE_META_SQL)),
     Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL)),
     Q("px_zarr_dsv2_write", zarrDsv2Write, Some(ZARR_DSV2_WRITE_SQL)),
     Q("px_zarr_grouped", zarrGrouped, Some(ZARR_DSV2_WRITE_SQL)),
