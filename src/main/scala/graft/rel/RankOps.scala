@@ -84,6 +84,59 @@ object RankOps {
               FROM pr2 p LEFT JOIN c3 c ON p.node = c.node2)
       SELECT node, pr FROM pr3"""
 
+  /** Domain-mixture allocation — the per-source sampling weights a
+    * training run derives from corpus statistics: each source's share of a
+    * 1,000,000-sample budget, proportional to its whitespace-token mass,
+    * rounded to integers by the largest-remainder (Hamilton) method so the
+    * allocations sum EXACTLY to the budget. All arithmetic is integer
+    * (floor quota + remainder rank), so both engines agree bit-for-bit;
+    * ties rank by source name. The windows run over the per-source
+    * aggregate — a relation with one row per corpus source, metadata-sized
+    * at any corpus scale.
+    */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000000L
+    val perSource = tbl(s, d, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source").agg(sum("toks").as("tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    perSource
+      .withColumn("total", sum("tokens").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("floor_alloc", expr(s"$budget * tokens div total"))
+      .withColumn("rem", expr(s"$budget * tokens % total"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("extra", expr(s"$budget - sum(floor_alloc) OVER ()"))
+      .select(col("source"), col("tokens"),
+        (col("floor_alloc") +
+          when(col("rk") <= col("extra"), 1L).otherwise(0L)).as("alloc"))
+  }
+
+  private val MIX_WEIGHTS_SQL = """
+      WITH ps AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+      q AS (
+        SELECT source, tokens,
+               CAST(sum(tokens) OVER () AS BIGINT) AS total
+        FROM ps),
+      fl AS (
+        SELECT source, tokens,
+               1000000 * tokens // total AS floor_alloc,
+               1000000 * tokens % total AS rem
+        FROM q),
+      rk AS (
+        SELECT source, tokens, floor_alloc,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk,
+               1000000 - CAST(sum(floor_alloc) OVER () AS BIGINT) AS extra
+        FROM fl)
+      SELECT source, tokens,
+             CAST(floor_alloc + (CASE WHEN rk <= extra THEN 1 ELSE 0 END)
+                  AS BIGINT) AS alloc
+      FROM rk"""
+
   def all: Seq[Q] = Seq(
-    Q("gr_pagerank", pagerank, Some(PAGERANK_SQL)))
+    Q("gr_pagerank", pagerank, Some(PAGERANK_SQL)),
+    Q("tx_mix_weights", mixWeights, Some(MIX_WEIGHTS_SQL)))
 }
