@@ -661,7 +661,73 @@ object VectorOps {
                   * (127 * qv[i] - q8[i] * maxabs))) AS BIGINT) AS err2
     FROM q8t"""
 
+  /** RP-bucket ANN: vec_rp_project's deterministic 64->8 JL sign
+    * projection as a SECOND hash family in the ladder — the 8-bit code of
+    * projection signs buckets the corpus, candidate generation is an
+    * equi-join on the code against the (broadcast) query stratum, and the
+    * exact quantized dot picks the best in-bucket neighbor per query
+    * (aggregate-argmax, no window). Queries whose bucket holds no partner
+    * yield no row — identically on both engines.
+    */
+  private val RP_CODE =
+    """aggregate(sequence(0, 7), 0L, (acc, k) -> acc + IF(
+         aggregate(sequence(0, 63), 0L, (a2, j) ->
+           a2 + CAST(round(CAST(element_at(embedding, j + 1) AS DOUBLE) * 1000)
+                AS BIGINT)
+             * CASE WHEN ((j + 1) * 2654435761L + (k + 1) * 40503L) % 97 % 2 = 0
+                    THEN 1L ELSE -1L END) > 0,
+         CAST(pow(2, k) AS BIGINT), 0L))"""
+
+  private def annRpBucket(s: SparkSession, d: String): DataFrame = {
+    val coded = tbl(s, d, "embeddings")
+      .select(col("vec_id"), expr(RP_CODE).as("code"), expr(quant).as("qv"))
+    val qs = coded.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("code"), col("qv").as("q_qv"))
+    val cand = coded.join(broadcast(qs), Seq("code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("id_n"),
+        long_dot(col("q_qv"), col("qv")).as("dot"))
+    cand.groupBy("q_id")
+      .agg(max(struct(col("dot"), (-col("id_n")).as("neg"),
+        col("id_n"))).as("b"))
+      .select(col("q_id"), col("b.id_n").as("id_n"), col("b.dot").as("dot"))
+  }
+
+  private val ANN_RP_BUCKET_SQL = s"""
+      WITH $QVEC_SQL,
+      pj AS (
+        SELECT e.vec_id, k.k AS k,
+               CAST(sum(CAST(round(CAST(e.embedding[j.j + 1] AS DOUBLE) * 1000)
+                        AS BIGINT)
+                    * (CASE WHEN ((j.j + 1) * 2654435761 + (k.k + 1) * 40503)
+                                 % 97 % 2 = 0
+                            THEN 1 ELSE -1 END)) AS BIGINT) AS proj
+        FROM embeddings e, (SELECT unnest(range(0, 64)) AS j) j,
+             (SELECT unnest(range(0, 8)) AS k) k
+        GROUP BY e.vec_id, k.k),
+      code AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, k) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS code
+        FROM pj GROUP BY vec_id),
+      q AS (
+        SELECT c.vec_id AS q_id, c.code, v.qv AS q_qv
+        FROM code c JOIN qv v ON v.vec_id = c.vec_id
+        WHERE c.vec_id % 50 = 0),
+      cand AS (
+        SELECT q.q_id, a.vec_id AS id_n,
+               CAST(list_dot_product(CAST(q.q_qv AS DOUBLE[]),
+                 CAST(av.qv AS DOUBLE[])) AS BIGINT) AS dot
+        FROM q JOIN code a ON a.code = q.code AND a.vec_id != q.q_id
+               JOIN qv av ON av.vec_id = a.vec_id)
+      SELECT q_id, id_n, dot FROM (
+        SELECT q_id, id_n, dot,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dot DESC, id_n ASC) AS rn
+        FROM cand) WHERE rn = 1"""
+
   def all: Seq[Q] = Seq(
+    Q("ann_rp_bucket", annRpBucket, Some(ANN_RP_BUCKET_SQL)),
 
     Q("vec_int8_quant", vecInt8Quant, Some(VEC_INT8_SQL)),
 
