@@ -250,6 +250,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"contribution sum is not a hash aggregate:\n$p")
   }
 
+  test("ann_rp_bucket broadcasts the query stratum; no window, no loop") {
+    val p = plan("ann_rp_bucket")
+    assert(p.contains("BroadcastHashJoin"), s"code join not broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"rp-bucket grew a window or loop:\n$p")
+  }
+
   test("st_px_zarr_write reads back through a pruned DSv2 scan") {
     // plan the READ side the gate aggregates over (the stream itself runs
     // in StreamingZarrSpec); value filter stays a row filter, scan is zarr
