@@ -101,6 +101,23 @@ object PipelineOps {
     explodeMerged(Relabel.mergeOverlappedTiles(removed, Array(OV, OV)))
   }
 
+  /** zarr3Pipeline through a SHARDED store (`sharding_indexed` codec): 2x2
+    * inner chunks per shard object, CRC32C-protected trailing index,
+    * executor-side ranged reads of only the inner chunks each task needs.
+    * Same relabel pipeline, same pixel oracle as every other layout — a
+    * shard-assembly, index, or range-read defect breaks the hash.
+    */
+  def zarr3Sharded(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
+    graft.sources.Zarr3IO.writeSharded(tilesFromPixels(s, d), spec,
+      Array(2 * L, 2 * L), zarr3ShardDir, "uint16", gzip = true)
+    val tiles = graft.sources.Zarr3IO.read(s, zarr3ShardDir)
+    val removed = Relabel.removeOverlappedLabels(tiles, Array(OV, OV), THRESHOLD)
+    explodeMerged(Relabel.mergeOverlappedTiles(removed, Array(OV, OV)))
+  }
+
+  private lazy val zarr3ShardDir: String = graft.TempDirs.create("graft_zarr3s")
+
   private lazy val zarr3Dir: String = graft.TempDirs.create("graft_zarr3")
 
   /** The same store through the DataSource V2 relational surface
@@ -571,6 +588,7 @@ object PipelineOps {
     Q("px_pipeline", pipeline, Some(RelabelRel.MERGE_SQL)),
     Q("px_zarr_pipeline", zarrPipeline, Some(RelabelRel.MERGE_SQL)),
     Q("px_zarr3_pipeline", zarr3Pipeline, Some(RelabelRel.MERGE_SQL)),
+    Q("px_zarr3_sharded", zarr3Sharded, Some(RelabelRel.MERGE_SQL)),
     Q("st_tumbling", tumblingStream, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,

@@ -46,6 +46,28 @@ object StoreIO {
     buf
   }
 
+  def fileLen(conf: Configuration, path: String): Long = {
+    val p = new Path(path)
+    fsOf(p, conf).getFileStatus(p).getLen
+  }
+
+  /** Open for positioned reads; the caller closes. One open stream serves
+    * many [[readRange]] calls — the access pattern of a shard read (index
+    * tail + a few inner-chunk ranges), which on an object store is one
+    * connection issuing ranged GETs instead of a whole-object download.
+    */
+  def open(conf: Configuration, path: String): org.apache.hadoop.fs.FSDataInputStream = {
+    val p = new Path(path)
+    fsOf(p, conf).open(p)
+  }
+
+  def readRange(in: org.apache.hadoop.fs.FSDataInputStream,
+      off: Long, len: Int): Array[Byte] = {
+    val buf = new Array[Byte](len)
+    in.readFully(off, buf)
+    buf
+  }
+
   /** Create (overwriting) with parent directories, like `Files.write` after
     * `mkdirs` on a local path.
     */

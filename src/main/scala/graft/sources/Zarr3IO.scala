@@ -35,19 +35,45 @@ object Zarr3IO {
 
   private[sources] def isV3Name(n: String): Boolean = DTYPES.contains(n)
 
+  /** `sharding_indexed` codec configuration: each outer chunk ("shard") is
+    * one store object packing a grid of `inner`-shaped chunks plus a binary
+    * index of `(offset: uint64 LE, nbytes: uint64 LE)` pairs in C-order of
+    * inner position, `(2^64-1, 2^64-1)` marking an absent inner chunk. The
+    * index sits at the shard's end (default) or start, optionally followed
+    * by a CRC32C of its bytes (the `crc32c` index codec).
+    */
+  final case class Shard3(
+      inner: Array[Int],
+      indexAtEnd: Boolean,
+      indexCrc: Boolean)
+
   final case class Meta3(
       shape: Array[Long],
       chunks: Array[Int],
       dataType: String,  // v3 name, e.g. "uint16"
-      gzip: Boolean,
+      gzip: Boolean,     // element codec chain (the INNER chain when sharded)
       fillValue: Long,
-      separator: String) {
+      separator: String,
+      sharding: Option[Shard3] = None) {
     def dims: Int = shape.length
     def spec: GridSpec = GridSpec(shape, chunks)
     /** The equivalent v2 meta driving the shared element codec. */
     private[sources] def v2: ZarrIO.Meta =
       ZarrIO.Meta(shape, chunks, DTYPES(dataType),
         if (gzip) "gzip" else "", fillValue, separator)
+    /** Element-codec meta at inner-chunk granularity (sharded stores). */
+    private[sources] def innerV2: ZarrIO.Meta = {
+      val sh = sharding.getOrElse(
+        throw new IllegalStateException("innerV2 on an unsharded store"))
+      ZarrIO.Meta(shape, sh.inner, DTYPES(dataType),
+        if (gzip) "gzip" else "", fillValue, separator)
+    }
+    /** Inner chunks per shard, per axis (sharded stores). */
+    private[sources] def innersPerShard: Array[Int] = {
+      val sh = sharding.getOrElse(
+        throw new IllegalStateException("innersPerShard on an unsharded store"))
+      Array.tabulate(dims)(a => chunks(a) / sh.inner(a))
+    }
   }
 
   // ------------------------------------------------------------- metadata
@@ -75,26 +101,82 @@ object Zarr3IO {
     require(cke.isMissingNode || cke.path("name").asText("default") == "default",
       s"unsupported chunk_key_encoding ${cke.path("name")}")
     val sep = cke.path("configuration").path("separator").asText("/")
-    // codec chain: exactly `bytes` (little endian), optionally + `gzip`
+    val fill = if (root.path("fill_value").isNull) 0L
+               else root.path("fill_value").asLong()
+    // codec chain: `bytes` (little endian) optionally + `gzip`, or a single
+    // `sharding_indexed` whose inner chain is bytes(+gzip)
     val codecs = root.path("codecs")
     val names = (0 until codecs.size()).map(i => codecs.get(i).path("name").asText())
+    if (names.headOption.contains("sharding_indexed")) {
+      require(names.size == 1,
+        s"sharding_indexed must be the whole chain, got $names")
+      val cfg = codecs.get(0).path("configuration")
+      val is = cfg.path("chunk_shape")
+      val inner = Array.tabulate(is.size())(i => is.get(i).asInt())
+      require(inner.length == chunks.length &&
+        inner.indices.forall(a => inner(a) > 0 && chunks(a) % inner(a) == 0),
+        s"inner chunk_shape ${inner.mkString(",")} must divide the shard " +
+          s"shape ${chunks.mkString(",")}")
+      requireBytesGzip(cfg.path("codecs"), "inner")
+      val ic = cfg.path("index_codecs")
+      val icNames = (0 until ic.size()).map(i => ic.get(i).path("name").asText())
+      require(icNames.headOption.forall(_ == "bytes") &&
+        icNames.drop(1).forall(_ == "crc32c"),
+        s"unsupported index_codecs $icNames")
+      val atEnd = cfg.path("index_location").asText("end") match {
+        case "end"   => true
+        case "start" => false
+        case other   => throw new IllegalArgumentException(
+          s"unsupported index_location $other")
+      }
+      Meta3(shape, chunks, dataType, gzipOf(cfg.path("codecs")), fill, sep,
+        Some(Shard3(inner, atEnd, icNames.contains("crc32c"))))
+    } else {
+      requireBytesGzip(codecs, "array")
+      Meta3(shape, chunks, dataType, gzipOf(codecs), fill, sep)
+    }
+  }
+
+  /** Validate a bytes(+gzip) element chain (shared by the array-level and
+    * the sharded inner chain).
+    */
+  private def requireBytesGzip(
+      codecs: com.fasterxml.jackson.databind.JsonNode, where: String): Unit = {
+    val names = (0 until codecs.size()).map(i => codecs.get(i).path("name").asText())
     require(names.headOption.contains("bytes"),
-      s"codec chain must start with 'bytes', got $names")
+      s"$where codec chain must start with 'bytes', got $names")
     val endian = codecs.get(0).path("configuration").path("endian").asText("little")
     require(endian == "little", s"unsupported endian $endian")
     require(names.drop(1).forall(_ == "gzip"),
-      s"unsupported codecs beyond bytes(+gzip): $names")
-    val fill = if (root.path("fill_value").isNull) 0L
-               else root.path("fill_value").asLong()
-    Meta3(shape, chunks, dataType, names.contains("gzip"), fill, sep)
+      s"unsupported $where codecs beyond bytes(+gzip): $names")
   }
 
+  private def gzipOf(codecs: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    (0 until codecs.size()).exists(i => codecs.get(i).path("name").asText() == "gzip")
+
   private[sources] def writeMeta(dir: String, meta: Meta3): Unit = {
-    val codecs =
+    val elemChain =
       if (meta.gzip)
         """[{"name": "bytes", "configuration": {"endian": "little"}},
           |    {"name": "gzip", "configuration": {"level": 1}}]""".stripMargin
       else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
+    val codecs = meta.sharding match {
+      case None => elemChain
+      case Some(sh) =>
+        val idxChain =
+          if (sh.indexCrc)
+            """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}]"""
+          else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
+        s"""[{
+           |    "name": "sharding_indexed",
+           |    "configuration": {
+           |      "chunk_shape": [${sh.inner.mkString(", ")}],
+           |      "codecs": $elemChain,
+           |      "index_codecs": $idxChain,
+           |      "index_location": "${if (sh.indexAtEnd) "end" else "start"}"
+           |    }
+           |  }]""".stripMargin
+    }
     val json =
       s"""{
          |  "zarr_format": 3,
@@ -126,12 +208,22 @@ object Zarr3IO {
     read(spark, dir, _ => true)
 
   /** Read chunks whose grid coordinates satisfy `keep` — pruning happens on
-    * the driver's key listing, before any payload file is opened.
+    * the driver's key listing, before any payload file is opened. On a
+    * sharded store, `keep` addresses INNER chunk coordinates (the tile
+    * granularity is the same either way) and pruning happens twice: whole
+    * shards on the driver listing, then per-inner-chunk byte ranges on the
+    * executor via the shard index.
     */
   def read(spark: SparkSession, dir: String,
            keep: Array[Int] => Boolean): Dataset[Tile] = {
+    val meta0 = readMeta(dir)
+    if (meta0.sharding.isDefined) readShardedStore(spark, dir, meta0, keep)
+    else readUnsharded(spark, dir, meta0, keep)
+  }
+
+  private def readUnsharded(spark: SparkSession, dir: String, meta: Meta3,
+           keep: Array[Int] => Boolean): Dataset[Tile] = {
     import spark.implicits._
-    val meta = readMeta(dir)
     val v2 = meta.v2
     val grid = meta.spec.gridShape
     val locs = listChunkLocs(dir, meta).filter(keep)
@@ -153,6 +245,113 @@ object Zarr3IO {
         Tile(loc, grid.clone(), tileShape,
           ZarrIO.decodeChunk(raw, v2, loc, tileShape))
       }
+  }
+
+  /** Sharded read: the driver lists SHARD objects and keeps those holding
+    * at least one kept inner chunk; each executor task opens its shard once
+    * and issues ranged reads — the index tail, then only the kept inner
+    * chunks' byte ranges. On an object store this is one connection per
+    * shard doing a handful of ranged GETs, never a whole-object download:
+    * the access pattern sharding exists for (fewer objects than chunks,
+    * partial reads within an object).
+    */
+  private def readShardedStore(spark: SparkSession, dir: String, meta: Meta3,
+      keep: Array[Int] => Boolean): Dataset[Tile] = {
+    import spark.implicits._
+    val sh = meta.sharding.get
+    val dims = meta.dims
+    val inner = sh.inner
+    val innerGrid = GridSpec(meta.shape, inner).gridShape
+    val ips = meta.innersPerShard
+    val cps = ips.product
+    val innerMeta = meta.innerV2
+    val shape = meta.shape
+    val sep = meta.separator
+    val atEnd = sh.indexAtEnd
+    val crc = sh.indexCrc
+    val work: Seq[(Seq[Int], Seq[Seq[Int]])] = listChunkLocs(dir, meta).flatMap { sl =>
+      val kept = innerLocsOf(sl, ips, innerGrid).filter(keep)
+      if (kept.isEmpty) None else Some((sl.toSeq, kept.map(_.toSeq)))
+    }
+    val sconf = StoreIO.ser(StoreIO.hadoopConf)
+    spark.createDataset(work)
+      .repartition(math.max(1, math.min(work.size,
+        spark.sparkContext.defaultParallelism)))
+      .flatMap { case (slSeq, keptSeq) =>
+        val sl = slSeq.toArray
+        val path = new Path(dir, chunkKey(sl, sep)).toString
+        val idxSize = cps * 16 + (if (crc) 4 else 0)
+        val idxOff =
+          if (atEnd) StoreIO.fileLen(sconf.value, path) - idxSize else 0L
+        require(idxOff >= 0,
+          s"$path: shorter than its own shard index ($idxSize bytes)")
+        val in = StoreIO.open(sconf.value, path)
+        try {
+          val (offs, lens) =
+            decodeShardIndex(StoreIO.readRange(in, idxOff, idxSize), cps, crc, path)
+          keptSeq.flatMap { ilSeq =>
+            val il = ilSeq.toArray
+            val pos = Array.tabulate(dims)(a => il(a) - sl(a) * ips(a))
+            val k = graft.core.Regions.linearIndex(pos, ips).toInt
+            if (offs(k) == ABSENT && lens(k) == ABSENT) Nil
+            else {
+              require(offs(k) >= 0 && lens(k) >= 0 && lens(k) <= Int.MaxValue,
+                s"$path: inner chunk ${il.mkString(",")} has corrupt index " +
+                  s"entry (offset ${offs(k)}, nbytes ${lens(k)})")
+              val raw = StoreIO.readRange(in, offs(k), lens(k).toInt)
+              val tileShape = Array.tabulate(dims) { a =>
+                math.min(inner(a).toLong, shape(a) - il(a).toLong * inner(a)).toInt
+              }
+              Seq(Tile(il, innerGrid.clone(), tileShape,
+                ZarrIO.decodeChunk(raw, innerMeta, il, tileShape)))
+            }
+          }
+        } finally in.close()
+      }
+  }
+
+  /** Global inner-chunk coordinates covered by the shard at `sl`, clipped
+    * to the array's inner grid (edge shards are partially filled).
+    */
+  private def innerLocsOf(sl: Array[Int], ips: Array[Int],
+      innerGrid: Array[Int]): Seq[Array[Int]] = {
+    val dims = sl.length
+    val out = Seq.newBuilder[Array[Int]]
+    val j = new Array[Int](dims)
+    var more = true
+    while (more) {
+      val g = Array.tabulate(dims)(a => sl(a) * ips(a) + j(a))
+      if (g.indices.forall(a => g(a) < innerGrid(a))) out += g
+      var a = dims - 1
+      while (a >= 0 && j(a) == ips(a) - 1) { j(a) = 0; a -= 1 }
+      if (a < 0) more = false else j(a) += 1
+    }
+    out.result()
+  }
+
+  private val ABSENT = -1L // 2^64-1 as a signed long: the spec's missing marker
+
+  /** Parse (and CRC-validate) a shard index: `cps` uint64-LE (offset,
+    * nbytes) pairs in C-order of inner position, optionally + CRC32C.
+    */
+  private def decodeShardIndex(bytes: Array[Byte], cps: Int, crc: Boolean,
+      path: String): (Array[Long], Array[Long]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (crc) {
+      val c = new java.util.zip.CRC32C
+      c.update(bytes, 0, cps * 16)
+      require(c.getValue.toInt == bb.getInt(cps * 16),
+        s"$path: shard index CRC32C mismatch — index or tail corrupt")
+    }
+    val offs = new Array[Long](cps)
+    val lens = new Array[Long](cps)
+    var i = 0
+    while (i < cps) {
+      offs(i) = bb.getLong(i * 16)
+      lens(i) = bb.getLong(i * 16 + 8)
+      i += 1
+    }
+    (offs, lens)
   }
 
   private[sources] def listChunkLocs(dir: String, meta: Meta3): Seq[Array[Int]] = {
@@ -214,5 +413,85 @@ object Zarr3IO {
           new Path(dir, chunkKey(t.loc, sep)).toString, bytes)
       }
     }
+  }
+
+  /** Write a tile table as a SHARDED zarr v3 store: `spec.chunk` is the
+    * inner chunk (= the tile granularity), `shard` the per-axis shard shape
+    * in elements (a multiple of the inner chunk). Tiles shuffle once on
+    * their shard key so each shard object — inner payloads + trailing (or
+    * leading) index, CRC32C-protected by default — is assembled and written
+    * whole by exactly ONE task, the same clustered-write contract as the
+    * DSv2 sink. A shard's working set is bounded by inners-per-shard × the
+    * encoded chunk size, the knob that sizes store objects for the target
+    * filesystem (fewer, larger objects than one-file-per-chunk).
+    */
+  def writeSharded(tiles: Dataset[Tile], spec: GridSpec, shard: Array[Int],
+      dir: String, dataType: String = "int64", gzip: Boolean = true,
+      fillValue: Long = 0L, indexAtEnd: Boolean = true,
+      indexCrc: Boolean = true): Unit = {
+    require(DTYPES.contains(dataType), s"unsupported v3 data_type $dataType")
+    require(shard.length == spec.dims &&
+      shard.indices.forall(a => shard(a) > 0 && shard(a) % spec.chunk(a) == 0),
+      s"shard shape ${shard.mkString(",")} must be a positive multiple of " +
+        s"the inner chunk ${spec.chunk.mkString(",")} on every axis")
+    val meta = Meta3(spec.imageShape.clone(), shard.clone(), dataType, gzip,
+      fillValue, "/", Some(Shard3(spec.chunk.clone(), indexAtEnd, indexCrc)))
+    val innerMeta = meta.innerV2
+    val ips = meta.innersPerShard
+    val cps = ips.product
+    val shardGrid = meta.spec.gridShape
+    val dims = meta.dims
+    val conf = StoreIO.hadoopConf
+    StoreIO.mkdirs(conf, dir)
+    writeMeta(dir, meta)
+    val sep = meta.separator
+    val sconf = StoreIO.ser(conf)
+    val atEnd = indexAtEnd
+    val crc = indexCrc
+    import tiles.sparkSession.implicits._
+    tiles.groupByKey { t =>
+      graft.core.Regions.linearIndex(
+        Array.tabulate(dims)(a => t.loc(a) / ips(a)), shardGrid)
+    }.mapGroups { (_, it) =>
+      val ts = it.toVector
+      val sl = Array.tabulate(dims)(a => ts.head.loc(a) / ips(a))
+      val enc = new Array[Array[Byte]](cps)
+      ts.foreach { t =>
+        val pos = Array.tabulate(dims)(a => t.loc(a) - sl(a) * ips(a))
+        require(pos.indices.forall(a => pos(a) >= 0 && pos(a) < ips(a)),
+          s"tile ${t.loc.mkString(",")} is outside shard ${sl.mkString(",")}")
+        val k = graft.core.Regions.linearIndex(pos, ips).toInt
+        require(enc(k) == null, s"duplicate tile at ${t.loc.mkString(",")}")
+        enc(k) = ZarrIO.encodeChunk(t.data, innerMeta, t.shape)
+      }
+      val idx = new Array[Byte](cps * 16 + (if (crc) 4 else 0))
+      val ibb = java.nio.ByteBuffer.wrap(idx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = if (atEnd) 0L else idx.length.toLong
+      var k = 0
+      while (k < cps) {
+        if (enc(k) == null) {
+          ibb.putLong(k * 16, ABSENT); ibb.putLong(k * 16 + 8, ABSENT)
+        } else {
+          ibb.putLong(k * 16, off)
+          ibb.putLong(k * 16 + 8, enc(k).length.toLong)
+          off += enc(k).length
+        }
+        k += 1
+      }
+      if (crc) {
+        val c = new java.util.zip.CRC32C
+        c.update(idx, 0, cps * 16)
+        ibb.putInt(cps * 16, c.getValue.toInt)
+      }
+      val out = new java.io.ByteArrayOutputStream(
+        idx.length + enc.iterator.filter(_ != null).map(_.length).sum)
+      if (!atEnd) out.write(idx)
+      enc.foreach(e => if (e != null) out.write(e))
+      if (atEnd) out.write(idx)
+      StoreIO.write(sconf.value,
+        new Path(dir, chunkKey(sl, sep)).toString, out.toByteArray)
+      1
+    }.count()
+    ()
   }
 }

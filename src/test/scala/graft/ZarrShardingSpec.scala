@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Zarr3IO
+import graft.tiles.{GridSpec, Tile}
+
+/** zarr v3 `sharding_indexed` codec: shard objects packing a grid of inner
+  * chunks plus a binary (offset, nbytes) index, CRC32C-protected, read back
+  * via ranged I/O. The range-read claim is proven destructively: bytes of a
+  * NON-kept inner chunk inside a kept shard are scrambled in place, and the
+  * pruned read must still succeed (it never touches that range) while the
+  * full read must fail.
+  */
+class ZarrShardingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTest.session
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toAbsolutePath.toString
+
+  /** Tiles over a 5x7 image in 2x2 inner chunks (3x4 inner grid, edges
+    * clipped); shard = 4x4 elements = 2x2 inners (2x2 shard grid, all four
+    * shards partially filled at the array boundary).
+    */
+  private val spec = GridSpec(Array(5L, 7L), Array(2, 2))
+
+  private def allTiles: Seq[Tile] = {
+    val grid = spec.gridShape
+    for (gy <- 0 until grid(0); gx <- 0 until grid(1)) yield {
+      val shape = Array(
+        math.min(2L, spec.imageShape(0) - gy * 2L).toInt,
+        math.min(2L, spec.imageShape(1) - gx * 2L).toInt)
+      Tile(Array(gy, gx), grid.clone(), shape,
+        Array.tabulate(shape.product)(i => (gy * 100 + gx * 10 + i).toLong))
+    }
+  }
+
+  private def roundTrip(dir: String): Unit = {
+    val tiles = allTiles
+    val back = Zarr3IO.read(spark, dir).collect()
+    assert(back.length == tiles.length)
+    back.foreach { t =>
+      val orig = tiles.find(_.loc.toSeq == t.loc.toSeq).get
+      assert(t.shape.toSeq == orig.shape.toSeq, t.loc.toSeq)
+      assert(t.data.toSeq == orig.data.toSeq, t.loc.toSeq)
+    }
+  }
+
+  test("sharded round-trip: edge-clipped inners, trailing CRC32C index") {
+    import spark.implicits._
+    val dir = tmp("zarr3_shard")
+    Zarr3IO.writeSharded(spark.createDataset(allTiles), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    // one object per shard + zarr.json, NOT one per inner chunk (the local
+    // FS also keeps Hadoop .crc sidecars — count only the visible objects)
+    val files = new java.io.File(dir, "c").listFiles()
+    assert(files != null && files.flatMap(d =>
+      Option(d.listFiles()).toSeq.flatten)
+      .count(!_.getName.startsWith(".")) == 4)
+    val meta = Zarr3IO.readMeta(dir)
+    assert(meta.sharding.exists(s => s.inner.toSeq == Seq(2, 2) &&
+      s.indexAtEnd && s.indexCrc))
+    roundTrip(dir)
+  }
+
+  test("index_location=start and no-crc index round-trip") {
+    import spark.implicits._
+    val dir = tmp("zarr3_shard_start")
+    Zarr3IO.writeSharded(spark.createDataset(allTiles), spec, Array(4, 4),
+      dir, "uint16", gzip = false, indexAtEnd = false, indexCrc = false)
+    val meta = Zarr3IO.readMeta(dir)
+    assert(meta.sharding.exists(s => !s.indexAtEnd && !s.indexCrc))
+    roundTrip(dir)
+  }
+
+  test("absent inner chunks are skipped, present ones intact") {
+    import spark.implicits._
+    val dir = tmp("zarr3_shard_hole")
+    val kept = allTiles.filterNot(_.loc.toSeq == Seq(1, 1))
+    Zarr3IO.writeSharded(spark.createDataset(kept), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    val back = Zarr3IO.read(spark, dir).collect()
+    assert(back.length == kept.length)
+    assert(!back.exists(_.loc.toSeq == Seq(1, 1)))
+  }
+
+  test("pruned read never touches a scrambled non-kept inner chunk") {
+    import spark.implicits._
+    val dir = tmp("zarr3_shard_prune")
+    Zarr3IO.writeSharded(spark.createDataset(allTiles), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    // locate inner (0,1)'s byte range inside shard c/0/0 via its own index
+    // (inners per shard = 2x2, C-order position 1) and scramble it
+    val shard = new java.io.File(dir, "c/0/0")
+    val bytes = java.nio.file.Files.readAllBytes(shard.toPath)
+    val idxOff = bytes.length - (4 * 16 + 4)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getLong(idxOff + 16).toInt
+    val len = bb.getLong(idxOff + 24).toInt
+    assert(off >= 0 && len > 0)
+    var i = 0
+    while (i < len) { bytes(off + i) = (~bytes(off + i)).toByte; i += 1 }
+    // rewrite through StoreIO so the local FS's own .crc sidecar stays
+    // consistent — the corruption must be caught by the SHARD layer
+    graft.sources.StoreIO.write(graft.sources.StoreIO.hadoopConf,
+      shard.getAbsolutePath, bytes)
+    // keep = everything except global inner (0,1): succeeds, values intact
+    val pruned = Zarr3IO.read(spark, dir,
+      loc => !(loc(0) == 0 && loc(1) == 1)).collect()
+    assert(pruned.length == allTiles.length - 1)
+    pruned.foreach { t =>
+      val orig = allTiles.find(_.loc.toSeq == t.loc.toSeq).get
+      assert(t.data.toSeq == orig.data.toSeq, t.loc.toSeq)
+    }
+    // the full read decodes the scrambled range and must fail
+    intercept[org.apache.spark.SparkException] {
+      Zarr3IO.read(spark, dir).collect()
+    }
+  }
+
+  test("a corrupted index fails with the CRC32C message naming the shard") {
+    import spark.implicits._
+    val dir = tmp("zarr3_shard_crc")
+    Zarr3IO.writeSharded(spark.createDataset(allTiles), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    val shard = new java.io.File(dir, "c/1/0")
+    val bytes = java.nio.file.Files.readAllBytes(shard.toPath)
+    val idxOff = bytes.length - (4 * 16 + 4)
+    bytes(idxOff + 3) = (bytes(idxOff + 3) ^ 0x40).toByte
+    graft.sources.StoreIO.write(graft.sources.StoreIO.hadoopConf,
+      shard.getAbsolutePath, bytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      Zarr3IO.read(spark, dir).collect()
+    }
+    val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+    assert(msg.contains("CRC32C") && msg.contains("c/1/0"), msg)
+  }
+
+  test("shard shape must be a multiple of the inner chunk") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Zarr3IO.writeSharded(spark.createDataset(allTiles), spec, Array(3, 4),
+        tmp("zarr3_shard_bad"), "uint16")
+    }
+    assert(e.getMessage.contains("multiple"))
+  }
+}

@@ -99,6 +99,22 @@ object DriveDemo {
     println("PROBE dsv2-limit/vec: limit3=" + limited.getLong(0) +
       " vecSum=" + vecSum + " rowSum=" + rowSum +
       " agree=" + (vecSum == rowSum))
+    // probe 6: sharded zarr v3 store — 2x2 inners per shard object, CRC'd
+    // trailing index, pruned ranged read of a single inner chunk
+    val sdir = graft.TempDirs.create("graft_demo_shard")
+    graft.sources.Zarr3IO.writeSharded(labels,
+      GridSpec(Array(16L, 12L), Array(4, 4)), Array(8, 8), sdir, "int64")
+    val shardFiles = new java.io.File(sdir, "c").listFiles()
+      .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .count(!_.getName.startsWith("."))
+    val sAll = graft.sources.Zarr3IO.read(spark, sdir).collect()
+    val sOne = graft.sources.Zarr3IO.read(spark, sdir,
+      loc => loc(0) == 2 && loc(1) == 1).collect()
+    println("PROBE sharded: shardObjects=" + shardFiles +
+      " tiles=" + sAll.length +
+      " sum=" + sAll.map(_.data.sum).sum +
+      " prunedTiles=" + sOne.length +
+      " prunedSum=" + sOne.map(_.data.sum).sum)
     spark.stop()
   }
 }
