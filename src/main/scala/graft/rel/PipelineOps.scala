@@ -141,6 +141,25 @@ object PipelineOps {
     SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
     FROM lab WHERE gy BETWEEN 1 AND 2 GROUP BY gy, gx"""
 
+  /** zarrDsv2 through a SHARDED v3 store: the DSv2 scan plans inner-chunk
+    * partitions from the shard listing, prunes on the same g-coordinate
+    * box, and each task ranged-reads only its inner chunk's bytes via the
+    * shard index. Same oracle as the unsharded scan — sharding must be
+    * invisible to the relational surface.
+    */
+  def zarrShardDsv2(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
+    graft.sources.Zarr3IO.writeSharded(tilesFromPixels(s, d), spec,
+      Array(2 * L, 2 * L), zarrShardDsv2Dir, "uint16", gzip = true)
+    s.read.format("zarr").load(zarrShardDsv2Dir)
+      .filter(col("g0") >= 1 && col("g0") <= 2 && col("value") =!= 0)
+      .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
+      .groupBy("gy", "gx")
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+  }
+
+  private lazy val zarrShardDsv2Dir: String = graft.TempDirs.create("graft_zarr_sd")
+
   /** The full DSv2 write -> read cycle under the driver gate: the synthetic
     * pixel relation is written through `df.write.format("zarr")` (the
     * chunk-aligned clustered-distribution sink), read back through the DSv2
@@ -589,6 +608,7 @@ object PipelineOps {
     Q("px_zarr_pipeline", zarrPipeline, Some(RelabelRel.MERGE_SQL)),
     Q("px_zarr3_pipeline", zarr3Pipeline, Some(RelabelRel.MERGE_SQL)),
     Q("px_zarr3_sharded", zarr3Sharded, Some(RelabelRel.MERGE_SQL)),
+    Q("px_zarr_shard_dsv2", zarrShardDsv2, Some(ZARR_DSV2_SQL)),
     Q("st_tumbling", tumblingStream, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,

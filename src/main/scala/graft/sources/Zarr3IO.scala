@@ -313,7 +313,7 @@ object Zarr3IO {
   /** Global inner-chunk coordinates covered by the shard at `sl`, clipped
     * to the array's inner grid (edge shards are partially filled).
     */
-  private def innerLocsOf(sl: Array[Int], ips: Array[Int],
+  private[sources] def innerLocsOf(sl: Array[Int], ips: Array[Int],
       innerGrid: Array[Int]): Seq[Array[Int]] = {
     val dims = sl.length
     val out = Seq.newBuilder[Array[Int]]
@@ -329,12 +329,12 @@ object Zarr3IO {
     out.result()
   }
 
-  private val ABSENT = -1L // 2^64-1 as a signed long: the spec's missing marker
+  private[sources] val ABSENT = -1L // 2^64-1 as a signed long: the spec's missing marker
 
   /** Parse (and CRC-validate) a shard index: `cps` uint64-LE (offset,
     * nbytes) pairs in C-order of inner position, optionally + CRC32C.
     */
-  private def decodeShardIndex(bytes: Array[Byte], cps: Int, crc: Boolean,
+  private[sources] def decodeShardIndex(bytes: Array[Byte], cps: Int, crc: Boolean,
       path: String): (Array[Long], Array[Long]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     if (crc) {
@@ -444,6 +444,7 @@ object Zarr3IO {
     val conf = StoreIO.hadoopConf
     StoreIO.mkdirs(conf, dir)
     writeMeta(dir, meta)
+    ShardIndexCache.invalidateUnder(dir) // same-JVM rewrite loops
     val sep = meta.separator
     val sconf = StoreIO.ser(conf)
     val atEnd = indexAtEnd
@@ -493,5 +494,47 @@ object Zarr3IO {
       1
     }.count()
     ()
+  }
+}
+
+/** Per-JVM cache of decoded shard indexes, so a scan whose partitions are
+  * the INNER chunks of a sharded store reads each shard's index once per
+  * executor, not once per inner chunk. Bounded LRU; entries are a few
+  * hundred bytes (16 B per inner slot). Safe because shard objects are
+  * written atomically per store write and the DSv2 write path refuses
+  * sharded stores; [[Zarr3IO.writeSharded]] invalidates its target's
+  * entries for same-JVM rewrite loops (tests, local pipelines).
+  */
+private[sources] object ShardIndexCache {
+  private val MAX = 4096
+  private val map =
+    new java.util.LinkedHashMap[String, (Array[Long], Array[Long])](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Array[Long], Array[Long])]): Boolean =
+        size() > MAX
+    }
+
+  def indexOf(conf: org.apache.hadoop.conf.Configuration, path: String,
+      cps: Int, atEnd: Boolean, crc: Boolean): (Array[Long], Array[Long]) = {
+    map.synchronized {
+      val hit = map.get(path)
+      if (hit != null) return hit
+    }
+    val idxSize = cps * 16 + (if (crc) 4 else 0)
+    val idxOff = if (atEnd) StoreIO.fileLen(conf, path) - idxSize else 0L
+    require(idxOff >= 0,
+      s"$path: shorter than its own shard index ($idxSize bytes)")
+    val in = StoreIO.open(conf, path)
+    val parsed =
+      try Zarr3IO.decodeShardIndex(StoreIO.readRange(in, idxOff, idxSize),
+        cps, crc, path)
+      finally in.close()
+    map.synchronized { map.put(path, parsed) }
+    parsed
+  }
+
+  def invalidateUnder(dir: String): Unit = map.synchronized {
+    val it = map.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(dir)) it.remove()
   }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.sources.{StoreIO, Zarr3IO, ZarrIO}
+import graft.sources.{ShardIndexCache, StoreIO, Zarr3IO, ZarrIO}
 
 /** DataSource V2 for zarr v2 stores: `spark.read.format("zarr").load(dir)`.
   *
@@ -85,8 +85,27 @@ object ZarrTableProvider {
     isV3(dir) ||
       StoreIO.exists(StoreIO.hadoopConf, new Path(dir, ".zarray").toString)
 
+  /** The scan-facing meta. For a SHARDED v3 store this is the INNER-chunk
+    * granularity equivalent: the relational surface exposes the same rows
+    * and the same (g*, p*) coordinates whether the store packs its chunks
+    * into shard objects or not — sharding is a storage layout, not a
+    * schema.
+    */
   def metaOf(dir: String): ZarrIO.Meta =
-    if (isV3(dir)) Zarr3IO.readMeta(dir).v2 else ZarrIO.readMeta(dir)
+    if (isV3(dir)) {
+      val m3 = Zarr3IO.readMeta(dir)
+      if (m3.sharding.isDefined) m3.innerV2 else m3.v2
+    } else ZarrIO.readMeta(dir)
+
+  /** Shard layout of a sharded v3 store; None for unsharded (either
+    * format). Drives partition planning and the readers' ranged I/O.
+    */
+  def shardInfoOf(dir: String): Option[ShardInfo] =
+    if (isV3(dir)) {
+      val m3 = Zarr3IO.readMeta(dir)
+      m3.sharding.map(sh =>
+        ShardInfo(m3.innersPerShard, sh.indexAtEnd, sh.indexCrc))
+    } else None
 
   def schemaFor(dims: Int): StructType = StructType(
     (0 until dims).map(a => StructField(s"g$a", LongType, nullable = false)) ++
@@ -279,8 +298,17 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
     }
   }
 
+  /** Sharded stores refuse aggregate pushdown: which INNER chunks exist is
+    * recorded in per-shard indexes, not the object listing, so coordinate
+    * aggregates are no longer chunk-list math — answering them on the
+    * driver would mean reading every shard's index there. The normal scan
+    * (executor-side index reads) handles them instead.
+    */
+  private lazy val sharded: Boolean =
+    ZarrTableProvider.shardInfoOf(dir).isDefined
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    groupAxes(aggregation).isDefined &&
+    !sharded && groupAxes(aggregation).isDefined &&
       aggregation.aggregateExpressions().forall(aggSpec(_).isDefined)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
@@ -480,8 +508,20 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val locs =
-      if (ZarrTableProvider.isV3(dir)) Zarr3IO.listChunkLocs(dir, Zarr3IO.readMeta(dir))
-      else ZarrIO.listChunkLocs(dir, meta)
+      if (ZarrTableProvider.isV3(dir)) {
+        val m3 = Zarr3IO.readMeta(dir)
+        m3.sharding match {
+          case Some(sh) =>
+            // sharded: the listing yields SHARD objects; partitions are the
+            // inner chunks they cover (readers skip index-absent inners —
+            // present-ness lives executor-side, never on the driver)
+            val ips = m3.innersPerShard
+            val innerGrid = graft.tiles.GridSpec(m3.shape, sh.inner).gridShape
+            Zarr3IO.listChunkLocs(dir, m3)
+              .flatMap(sl => Zarr3IO.innerLocsOf(sl, ips, innerGrid))
+          case None => Zarr3IO.listChunkLocs(dir, m3)
+        }
+      } else ZarrIO.listChunkLocs(dir, meta)
     val surviving = locs
       .filter(loc => loc.indices.forall(a =>
         loc(a) >= lo(a) && loc(a) <= hi(a) &&
@@ -505,7 +545,8 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrReaderFactory(dir, meta, required.fieldNames,
-      ZarrTableProvider.isV3(dir), StoreIO.ser(StoreIO.hadoopConf), vectorized)
+      ZarrTableProvider.isV3(dir), StoreIO.ser(StoreIO.hadoopConf), vectorized,
+      ZarrTableProvider.shardInfoOf(dir))
 }
 
 /** Shared axis/literal matching for static and runtime filter pushdown. */
@@ -534,14 +575,27 @@ final case class ZarrInputPartition(loc: Array[Int]) extends InputPartition
     new GenericInternalRow(loc.map(_.toLong: Any))
 }
 
+/** Shard layout facts a reader needs: inner chunks per shard per axis and
+  * where/how the shard index is stored.
+  */
+final case class ShardInfo(ips: Array[Int], atEnd: Boolean, crc: Boolean)
+
 final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
     columns: Array[String], isV3: Boolean,
     sconf: SerializableConfiguration,
-    vectorized: Boolean = true) extends PartitionReaderFactory {
+    vectorized: Boolean = true,
+    shard: Option[ShardInfo] = None) extends PartitionReaderFactory {
 
   /** Shared per-partition setup for both read paths: chunk location, the
     * (edge-clipped) tile shape, and the decoded payload — or null when
     * `value` was pruned away, in which case no chunk file is opened at all.
+    *
+    * Sharded store: the partition is an INNER chunk; its shard's index
+    * (per-JVM cached) says whether it exists and where its bytes live, and
+    * the payload comes from one ranged read — an absent inner chunk
+    * returns a zero-extent tile, so both readers emit no rows for it
+    * (matching the unsharded layout, where a missing chunk file is simply
+    * never planned).
     */
   private def openChunk(partition: InputPartition): (Array[Int], Array[Int], Array[Long]) = {
     val loc = partition.asInstanceOf[ZarrInputPartition].loc
@@ -550,25 +604,56 @@ final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
       math.min(meta.chunks(a).toLong,
         meta.shape(a) - loc(a).toLong * meta.chunks(a)).toInt
     }
-    val data: Array[Long] =
-      if (!columns.contains("value")) null
-      else {
-        ZarrTableProvider.payloadReads.incrementAndGet()
-        val key =
-          if (isV3) Zarr3IO.chunkKey(loc, meta.separator)
-          else loc.mkString(meta.separator)
-        try ZarrIO.decodeChunk(
-          StoreIO.readAllBytes(sconf.value, new Path(dir, key).toString),
-          meta, loc, tileShape)
-        catch { case e: Exception =>
-          // surface the CHUNK, not a codec stack frame: at 100 TB a single
-          // corrupt object must be identifiable from the task failure alone
-          throw new java.io.IOException(
-            s"zarr chunk '$key' (grid ${loc.mkString(",")}) in $dir " +
-              s"failed to decode: ${e.getMessage}", e)
+    shard match {
+      case Some(si) =>
+        val sl = Array.tabulate(dims)(a => loc(a) / si.ips(a))
+        val pos = Array.tabulate(dims)(a => loc(a) - sl(a) * si.ips(a))
+        val k = graft.core.Regions.linearIndex(pos, si.ips).toInt
+        val spath = new Path(dir, Zarr3IO.chunkKey(sl, meta.separator)).toString
+        val (offs, lens) = ShardIndexCache.indexOf(sconf.value, spath,
+          si.ips.product, si.atEnd, si.crc)
+        if (offs(k) == Zarr3IO.ABSENT && lens(k) == Zarr3IO.ABSENT)
+          (loc, Array.fill(dims)(0), null) // absent inner chunk: no rows
+        else if (!columns.contains("value")) (loc, tileShape, null)
+        else {
+          ZarrTableProvider.payloadReads.incrementAndGet()
+          require(offs(k) >= 0 && lens(k) >= 0 && lens(k) <= Int.MaxValue,
+            s"$spath: inner chunk ${loc.mkString(",")} has corrupt index " +
+              s"entry (offset ${offs(k)}, nbytes ${lens(k)})")
+          val in = StoreIO.open(sconf.value, spath)
+          val raw =
+            try StoreIO.readRange(in, offs(k), lens(k).toInt)
+            finally in.close()
+          try (loc, tileShape, ZarrIO.decodeChunk(raw, meta, loc, tileShape))
+          catch { case e: Exception =>
+            throw new java.io.IOException(
+              s"zarr inner chunk ${loc.mkString(",")} (shard " +
+                s"'${Zarr3IO.chunkKey(sl, meta.separator)}', bytes " +
+                s"[${offs(k)}, ${offs(k) + lens(k)})) in $dir failed to " +
+                s"decode: ${e.getMessage}", e)
+          }
         }
-      }
-    (loc, tileShape, data)
+      case None =>
+        val data: Array[Long] =
+          if (!columns.contains("value")) null
+          else {
+            ZarrTableProvider.payloadReads.incrementAndGet()
+            val key =
+              if (isV3) Zarr3IO.chunkKey(loc, meta.separator)
+              else loc.mkString(meta.separator)
+            try ZarrIO.decodeChunk(
+              StoreIO.readAllBytes(sconf.value, new Path(dir, key).toString),
+              meta, loc, tileShape)
+            catch { case e: Exception =>
+              // surface the CHUNK, not a codec stack frame: at 100 TB a single
+              // corrupt object must be identifiable from the task failure alone
+              throw new java.io.IOException(
+                s"zarr chunk '$key' (grid ${loc.mkString(",")}) in $dir " +
+                  s"failed to decode: ${e.getMessage}", e)
+            }
+          }
+        (loc, tileShape, data)
+    }
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -709,8 +794,18 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
     // lazy: an overwrite with full options never touches the store's
     // metadata (extra reads per write — RTTs on an object store)
     lazy val existing =
-      if (ZarrTableProvider.hasMeta(dir)) Some(ZarrTableProvider.metaOf(dir))
-      else None
+      if (ZarrTableProvider.hasMeta(dir)) {
+        // the DSv2 writer emits one object per chunk; layout inheritance
+        // or append into a SHARDED store would corrupt it (chunk keys are
+        // shard keys there). Rewrite sharded stores via
+        // Zarr3IO.writeSharded, or overwrite with explicit layout options.
+        require(ZarrTableProvider.shardInfoOf(dir).isEmpty,
+          s"zarr write to $dir: the existing store is sharded " +
+            "(sharding_indexed); the DSv2 write path produces unsharded " +
+            "layouts — use Zarr3IO.writeSharded, or mode(\"overwrite\") " +
+            "with explicit shape/chunks options to replace it")
+        Some(ZarrTableProvider.metaOf(dir))
+      } else None
     def layout(name: String, fromMeta: ZarrIO.Meta => String): String =
       Option(o.get(name)).orElse(existing.map(fromMeta)).getOrElse(
         throw new IllegalArgumentException(

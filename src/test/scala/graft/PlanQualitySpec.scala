@@ -196,6 +196,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"grid predicate applied post-scan:\n$p")
   }
 
+  test("px_zarr_shard_dsv2 pushes the same grid box through a sharded store") {
+    val p = plan("px_zarr_shard_dsv2")
+    assert(p.contains("ZarrScan"), s"DSv2 scan not planned:\n$p")
+    assert(p.contains("g0 in [1, 2]"), s"grid bounds not pushed:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") && l.contains("g0#")),
+      s"grid predicate applied post-scan:\n$p")
+  }
+
   test("dd_paragraph is bounded: one window shuffle, one doc aggregate") {
     val p = plan("dd_paragraph")
     // sentence-key window exchange + per-doc aggregate exchange, nothing else

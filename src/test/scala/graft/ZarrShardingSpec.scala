@@ -138,6 +138,68 @@ class ZarrShardingSpec extends AnyFunSuite {
     assert(msg.contains("CRC32C") && msg.contains("c/1/0"), msg)
   }
 
+  test("DSv2 scan over a sharded store: inner granularity, absent skipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("zarr3_shard_dsv2")
+    val kept = allTiles.filterNot(_.loc.toSeq == Seq(1, 1))
+    Zarr3IO.writeSharded(spark.createDataset(kept), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    val df = spark.read.format("zarr").load(dir)
+    // rows = present inner cells only; absent inner (1,1) contributes none,
+    // in the payload scan AND the coordinates-only scan
+    val expectCells = kept.map(_.data.length).sum
+    assert(df.count() == expectCells)
+    assert(df.select("g0", "g1").count() == expectCells)
+    assert(df.filter(col("g0") === 1 && col("g1") === 1).count() == 0)
+    // values survive the ranged read bit-exactly
+    val sums = df.groupBy("g0", "g1").agg(sum("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    kept.foreach { t =>
+      assert(sums((t.loc(0).toLong, t.loc(1).toLong)) == t.data.sum, t.loc.toSeq)
+    }
+    // vectorized and row paths agree
+    val rowSum = spark.read.format("zarr").option("vectorized", "false")
+      .load(dir).agg(sum("value")).collect()(0).getLong(0)
+    assert(rowSum == kept.map(_.data.sum).sum)
+  }
+
+  test("DSv2 pruning on a sharded store plans only the box's inner chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("zarr3_shard_dsv2p")
+    Zarr3IO.writeSharded(spark.createDataset(allTiles), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    val pruned = spark.read.format("zarr").load(dir)
+      .filter(col("g0") === 2) // bottom row of the 3x4 inner grid
+    assert(pruned.rdd.getNumPartitions == 4)
+    graft.sources.zarr.ZarrTableProvider.payloadReads.set(0)
+    val n = pruned.count()
+    assert(n == allTiles.filter(_.loc(0) == 2).map(_.data.length).sum)
+    // count() pushes no payload column, and a sharded store refuses the
+    // metadata-aggregate shortcut — but a coordinate-only scan still
+    // never reads payload bytes
+    assert(graft.sources.zarr.ZarrTableProvider.payloadReads.get() == 0)
+  }
+
+  test("DSv2 write into a sharded store is rejected with a clear error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("zarr3_shard_wreject")
+    Zarr3IO.writeSharded(spark.createDataset(allTiles), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    val rows = spark.range(4).select(
+      lit(0L).as("g0"), lit(0L).as("g1"),
+      (col("id") / 2).cast("long").as("p0"), (col("id") % 2).as("p1"),
+      col("id").as("value"))
+    val e = intercept[Exception] {
+      rows.write.format("zarr").mode("append").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("sharded")), msgs(e))
+  }
+
   test("shard shape must be a multiple of the inner chunk") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {

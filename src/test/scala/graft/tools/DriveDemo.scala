@@ -115,6 +115,14 @@ object DriveDemo {
       " sum=" + sAll.map(_.data.sum).sum +
       " prunedTiles=" + sOne.length +
       " prunedSum=" + sOne.map(_.data.sum).sum)
+    // ... and the same sharded store through the DSv2 relational scan:
+    // pruned partitions = inner chunks in the box, sum agrees with probe 5
+    val sdf = spark.read.format("zarr").load(sdir)
+    val sPruned = sdf.filter(org.apache.spark.sql.functions.col("g0") === 2)
+    println("PROBE sharded-dsv2: sum=" +
+      sdf.agg(sum("value")).collect()(0).getLong(0) +
+      " prunedPartitions=" + sPruned.rdd.getNumPartitions +
+      " prunedRows=" + sPruned.count())
     spark.stop()
   }
 }
