@@ -200,6 +200,34 @@ class ZarrShardingSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("sharded")), msgs(e))
   }
 
+  test("3D sharded round-trip: 2x2x2 inners per shard, ragged edges") {
+    import spark.implicits._
+    val spec3 = GridSpec(Array(3L, 5L, 4L), Array(2, 2, 2))
+    val grid = spec3.gridShape // 2x3x2
+    val tiles3 = for (g0 <- 0 until grid(0); g1 <- 0 until grid(1);
+                      g2 <- 0 until grid(2)) yield {
+      val shape = Array.tabulate(3)(a =>
+        math.min(2L, spec3.imageShape(a) - Seq(g0, g1, g2)(a) * 2L).toInt)
+      Tile(Array(g0, g1, g2), grid.clone(), shape,
+        Array.tabulate(shape.product)(i => (g0 * 1000 + g1 * 100 + g2 * 10 + i).toLong))
+    }
+    val dir = tmp("zarr3_shard_3d")
+    Zarr3IO.writeSharded(spark.createDataset(tiles3), spec3, Array(4, 4, 4),
+      dir, "int64", gzip = true)
+    val back = Zarr3IO.read(spark, dir).collect()
+    assert(back.length == tiles3.length)
+    back.foreach { t =>
+      val orig = tiles3.find(_.loc.toSeq == t.loc.toSeq).get
+      assert(t.data.toSeq == orig.data.toSeq, t.loc.toSeq)
+    }
+    // DSv2 over the 3D sharded store agrees cell-for-cell
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("zarr").load(dir)
+    assert(df.count() == tiles3.map(_.data.length).sum)
+    assert(df.agg(sum("value")).collect()(0).getLong(0) ==
+      tiles3.map(_.data.sum).sum)
+  }
+
   test("shard shape must be a multiple of the inner chunk") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {
