@@ -34,19 +34,27 @@ object ZarrScanScale {
       Tile(Array(gy, gx), Array(g, g), Array(chunk, chunk),
         Array.tabulate(chunk * chunk)(j => (i * 31 + j) % 251))
     }
-    graft.sources.ZarrIO.write(tiles, spec, dir, "<i8", "")
+    val mode = args.drop(1).headOption
+    val shardDir = graft.TempDirs.create("graft_zarr_scanscale_sh")
+    if (mode.forall(_ == "shard"))
+      // same cells through the sharded layout: 4x4 inners per shard object
+      // (16 objects instead of 256 files at the default size)
+      graft.sources.Zarr3IO.writeSharded(tiles, spec,
+        Array(4 * chunk, 4 * chunk), shardDir, "int64", gzip = false)
+    if (mode.forall(_ != "shard"))
+      graft.sources.ZarrIO.write(tiles, spec, dir, "<i8", "")
     val cells = n.toLong * n
 
-    def probe(label: String, vectorized: Boolean): Unit = {
+    def probe(label: String, vectorized: Boolean, d: String): Unit = {
       val reader = spark.read.format("zarr")
         .option("vectorized", vectorized.toString)
       // warm once (JIT + codegen), then time
-      reader.load(dir).agg(sum("value")).collect()
+      reader.load(d).agg(sum("value")).collect()
       var t0 = System.nanoTime()
-      val s = reader.load(dir).agg(sum("value")).collect()(0).getLong(0)
+      val s = reader.load(d).agg(sum("value")).collect()(0).getLong(0)
       val aggSec = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
-      val c = reader.load(dir).select("g0", "p0").count()
+      val c = reader.load(d).select("g0", "p0").count()
       val cntSec = (System.nanoTime() - t0) / 1e9
       assert(c == cells)
       println(f"[zarrscan] $label%-10s sum=$s aggregate: $aggSec%6.2f s " +
@@ -56,13 +64,16 @@ object ZarrScanScale {
 
     // optional second arg isolates one mode in its own JVM (GC garbage from
     // the row path otherwise contaminates the interleaved measurement)
-    val modes: Seq[(String, Boolean)] = args.drop(1).headOption match {
-      case Some("row") => Seq("row" -> false, "row" -> false)
-      case Some("vec") => Seq("vectorized" -> true, "vectorized" -> true)
-      case _ => Seq("row" -> false, "vectorized" -> true,
-        "row" -> false, "vectorized" -> true)
+    val modes: Seq[(String, Boolean, String)] = mode match {
+      case Some("row") => Seq(("row", false, dir), ("row", false, dir))
+      case Some("vec") => Seq(("vectorized", true, dir), ("vectorized", true, dir))
+      case Some("shard") => Seq(("sharded", true, shardDir), ("sharded", true, shardDir))
+      case _ => Seq(("row", false, dir), ("vectorized", true, dir),
+        ("sharded", true, shardDir),
+        ("row", false, dir), ("vectorized", true, dir),
+        ("sharded", true, shardDir))
     }
-    modes.foreach { case (label, v) => probe(label, v) }
+    modes.foreach { case (label, v, d) => probe(label, v, d) }
     spark.stop()
   }
 }
