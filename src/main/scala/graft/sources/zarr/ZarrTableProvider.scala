@@ -146,7 +146,12 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
     * exact limit on top; the scan just stops planning partitions early.
     */
   private var limit: Int = -1
-  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  // sharded stores refuse limit pushdown: planning counts cells per PLANNED
+  // inner chunk, but an index-absent inner contributes zero rows, so the
+  // planned prefix could under-cover the limit and silently return fewer
+  // rows than exist. (Unsharded planning only lists chunks that exist.)
+  override def pushLimit(n: Int): Boolean =
+    if (sharded) false else { limit = n; true }
   override def isPartiallyPushed: Boolean = true
 
   private val dims = meta.dims

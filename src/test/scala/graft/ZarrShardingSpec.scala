@@ -182,6 +182,20 @@ class ZarrShardingSpec extends AnyFunSuite {
     assert(graft.sources.zarr.ZarrTableProvider.payloadReads.get() == 0)
   }
 
+  test("limit on a sharded store with absent inners returns exact rows") {
+    import spark.implicits._
+    val dir = tmp("zarr3_shard_limit")
+    // first inner in C-order (0,0) is absent: a planned-prefix limit that
+    // counted its cells would under-deliver (limit pushdown must refuse
+    // sharded stores — presence is in the index, not the planning listing)
+    val kept = allTiles.filterNot(_.loc.toSeq == Seq(0, 0))
+    Zarr3IO.writeSharded(spark.createDataset(kept), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    val df = spark.read.format("zarr").load(dir)
+    assert(df.limit(5).count() == 5)
+    assert(df.limit(1000000).count() == kept.map(_.data.length).sum)
+  }
+
   test("DSv2 write into a sharded store is rejected with a clear error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
