@@ -182,6 +182,31 @@ class ZarrShardingSpec extends AnyFunSuite {
     assert(graft.sources.zarr.ZarrTableProvider.payloadReads.get() == 0)
   }
 
+  test("storage-partitioned groupBy survives sharding: no exchange planned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("zarr3_shard_spj")
+    Zarr3IO.writeSharded(spark.createDataset(allTiles), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    val prior = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val grouped = spark.read.format("zarr").load(dir)
+        .select("g0", "g1", "value")
+        .groupBy("g0", "g1")
+        .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      assert(!grouped.queryExecution.executedPlan.toString.contains("Exchange"),
+        "sharded storage-partitioned aggregate planned a shuffle:\n" +
+          grouped.queryExecution.executedPlan)
+      val rows = grouped.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      allTiles.foreach { t =>
+        assert(rows((t.loc(0).toLong, t.loc(1).toLong)) ==
+          ((t.data.length.toLong, t.data.sum)), t.loc.toSeq)
+      }
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prior)
+  }
+
   test("limit on a sharded store with absent inners returns exact rows") {
     import spark.implicits._
     val dir = tmp("zarr3_shard_limit")
