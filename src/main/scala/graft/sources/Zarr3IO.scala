@@ -500,10 +500,14 @@ object Zarr3IO {
 /** Per-JVM cache of decoded shard indexes, so a scan whose partitions are
   * the INNER chunks of a sharded store reads each shard's index once per
   * executor, not once per inner chunk. Bounded LRU; entries are a few
-  * hundred bytes (16 B per inner slot). Safe because shard objects are
-  * written atomically per store write and the DSv2 write path refuses
-  * sharded stores; [[Zarr3IO.writeSharded]] invalidates its target's
-  * entries for same-JVM rewrite loops (tests, local pipelines).
+  * hundred bytes (16 B per inner slot).
+  *
+  * Keys carry a content fingerprint (file length + mtime from the same
+  * `getFileStatus` the end-located index needs anyway), so a shard
+  * REWRITTEN in place misses the cache on every JVM — executors on a real
+  * cluster can't rely on the writer-side [[invalidateUnder]], which only
+  * clears the writing JVM's map (kept as a same-JVM fast path: it also
+  * covers a rewrite landing within one mtime granule at identical length).
   */
 private[sources] object ShardIndexCache {
   private val MAX = 4096
@@ -516,12 +520,15 @@ private[sources] object ShardIndexCache {
 
   def indexOf(conf: org.apache.hadoop.conf.Configuration, path: String,
       cps: Int, atEnd: Boolean, crc: Boolean): (Array[Long], Array[Long]) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(conf).getFileStatus(p)
+    val key = s"$path#${st.getLen}#${st.getModificationTime}"
     map.synchronized {
-      val hit = map.get(path)
+      val hit = map.get(key)
       if (hit != null) return hit
     }
     val idxSize = cps * 16 + (if (crc) 4 else 0)
-    val idxOff = if (atEnd) StoreIO.fileLen(conf, path) - idxSize else 0L
+    val idxOff = if (atEnd) st.getLen - idxSize else 0L
     require(idxOff >= 0,
       s"$path: shorter than its own shard index ($idxSize bytes)")
     val in = StoreIO.open(conf, path)
@@ -529,12 +536,17 @@ private[sources] object ShardIndexCache {
       try Zarr3IO.decodeShardIndex(StoreIO.readRange(in, idxOff, idxSize),
         cps, crc, path)
       finally in.close()
-    map.synchronized { map.put(path, parsed) }
+    map.synchronized { map.put(key, parsed) }
     parsed
   }
 
+  /** Evict entries of shards under `dir` — path-prefix match on a path
+    * SEGMENT boundary, so invalidating `/a/store` leaves `/a/store2`'s
+    * entries alone.
+    */
   def invalidateUnder(dir: String): Unit = map.synchronized {
+    val prefix = if (dir.endsWith("/")) dir else dir + "/"
     val it = map.keySet().iterator()
-    while (it.hasNext) if (it.next().startsWith(dir)) it.remove()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
   }
 }

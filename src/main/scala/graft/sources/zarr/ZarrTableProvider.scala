@@ -462,20 +462,23 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
 
-  override def filter(filters: Array[Filter]): Unit = filters.foreach {
-    case EqualTo(att, v) => GAxis.unapply(att, meta.dims).foreach { a =>
-      GAxis.long(v).foreach { x =>
-        lo(a) = math.max(lo(a), x); hi(a) = math.min(hi(a), x)
+  override def filter(filters: Array[Filter]): Unit = {
+    filters.foreach {
+      case EqualTo(att, v) => GAxis.unapply(att, meta.dims).foreach { a =>
+        GAxis.long(v).foreach { x =>
+          lo(a) = math.max(lo(a), x); hi(a) = math.min(hi(a), x)
+        }
       }
-    }
-    case In(att, values) => GAxis.unapply(att, meta.dims).foreach { a =>
-      val vs = values.flatMap(GAxis.long)
-      if (vs.length == values.length) {
-        val set = vs.toSet
-        allowed(a) = if (allowed(a) == null) set else allowed(a).intersect(set)
+      case In(att, values) => GAxis.unapply(att, meta.dims).foreach { a =>
+        val vs = values.flatMap(GAxis.long)
+        if (vs.length == values.length) {
+          val set = vs.toSet
+          allowed(a) = if (allowed(a) == null) set else allowed(a).intersect(set)
+        }
       }
+      case _ => () // unsupported runtime filters are simply not pruned on
     }
-    case _ => () // unsupported runtime filters are simply not pruned on
+    planned = null // bounds changed: the cached partition plan is stale
   }
 
   override def readSchema(): StructType = required
@@ -511,7 +514,22 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
 
   override def toBatch: Batch = this
 
+  /** The partition plan is cached: Spark may call [[outputPartitioning]]
+    * and [[planInputPartitions]] several times while planning, and each
+    * uncached call re-lists the whole store (object-store listing RTTs).
+    * Runtime filters invalidate it — [[filter]] resets to null.
+    */
+  @volatile private var planned: Array[InputPartition] = null
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val cached = planned
+    if (cached != null) return cached
+    val fresh = doPlanPartitions()
+    planned = fresh
+    fresh
+  }
+
+  private def doPlanPartitions(): Array[InputPartition] = {
     val locs =
       if (ZarrTableProvider.isV3(dir)) {
         val m3 = Zarr3IO.readMeta(dir)
@@ -794,12 +812,16 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = {
     val o = info.options
+    val storeExists = ZarrTableProvider.hasMeta(dir)
     // layout options are mandatory for a fresh store; a write into an
     // EXISTING store may omit them and inherit the store's own metadata.
-    // lazy: an overwrite with full options never touches the store's
-    // metadata (extra reads per write — RTTs on an object store)
+    // lazy: forced only when inheritance or append validation actually
+    // needs it — an OVERWRITE with full layout options never reads the
+    // store's metadata (extra RTTs on an object store), and in particular
+    // can replace a SHARDED store, which is exactly what the sharded
+    // error message below advertises.
     lazy val existing =
-      if (ZarrTableProvider.hasMeta(dir)) {
+      if (storeExists) {
         // the DSv2 writer emits one object per chunk; layout inheritance
         // or append into a SHARDED store would corrupt it (chunk keys are
         // shard keys there). Rewrite sharded stores via
@@ -808,7 +830,8 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
           s"zarr write to $dir: the existing store is sharded " +
             "(sharding_indexed); the DSv2 write path produces unsharded " +
             "layouts — use Zarr3IO.writeSharded, or mode(\"overwrite\") " +
-            "with explicit shape/chunks options to replace it")
+            "with explicit shape/chunks/dtype/compressor options to " +
+            "replace it")
         Some(ZarrTableProvider.metaOf(dir))
       } else None
     def layout(name: String, fromMeta: ZarrIO.Meta => String): String =
@@ -823,15 +846,18 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
     // format selection: "2" (default, .zarray + dot keys) or "3"
     // (zarr.json + c/ keys + bytes[+gzip] codec chain). An existing store
     // pins its own format — mixing layouts in one dir is always an error.
+    // Resolved from isV3 alone (one existence probe), NOT from `existing`,
+    // so it never forces the metadata read.
     val v3 = Option(o.get("zarrFormat")).map(_.trim)
-      .orElse(existing.map(_ => if (ZarrTableProvider.isV3(dir)) "3" else "2"))
+      .orElse(if (storeExists)
+        Some(if (ZarrTableProvider.isV3(dir)) "3" else "2") else None)
       .getOrElse("2") match {
         case "3" => true
         case "2" => false
         case other => throw new IllegalArgumentException(
           s"zarrFormat must be '2' or '3', got '$other'")
       }
-    if (existing.isDefined && v3 != ZarrTableProvider.isV3(dir))
+    if (storeExists && v3 != ZarrTableProvider.isV3(dir))
       throw new IllegalArgumentException(
         s"zarr write to $dir requests format ${if (v3) 3 else 2} but the " +
           s"existing store is format ${if (ZarrTableProvider.isV3(dir)) 3 else 2}")

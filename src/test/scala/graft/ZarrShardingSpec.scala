@@ -239,6 +239,30 @@ class ZarrShardingSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("sharded")), msgs(e))
   }
 
+  test("overwrite with full layout options replaces a sharded store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("zarr3_shard_owrite")
+    Zarr3IO.writeSharded(spark.createDataset(allTiles), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    // the sharded-store error message advertises exactly this remedy:
+    // mode("overwrite") with explicit shape/chunks/dtype/compressor never
+    // reads the old metadata, so the sharded guard must not fire
+    val rows = spark.range(16).select(
+      (col("id") / 8).cast("long").as("g0"), ((col("id") / 4) % 2).as("g1"),
+      ((col("id") / 2) % 2).as("p0"), (col("id") % 2).as("p1"),
+      col("id").as("value"))
+    rows.write.format("zarr").mode("overwrite")
+      .option("shape", "4,4").option("chunks", "2,2")
+      .option("dtype", "int64").option("compressor", "gzip")
+      .option("zarrFormat", "3")
+      .save(dir)
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.count() == 16)
+    assert(back.agg(sum("value")).collect()(0).getLong(0) == (0 until 16).sum)
+    assert(Zarr3IO.readMeta(dir).sharding.isEmpty)
+  }
+
   test("3D sharded round-trip: 2x2x2 inners per shard, ragged edges") {
     import spark.implicits._
     val spec3 = GridSpec(Array(3L, 5L, 4L), Array(2, 2, 2))

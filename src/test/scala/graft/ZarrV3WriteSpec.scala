@@ -59,6 +59,27 @@ class ZarrV3WriteSpec extends AnyFunSuite {
     assert(ZarrTableProvider.isV3(dir))
   }
 
+  test("append changing the store layout is rejected up front") {
+    val dir = TempDirs.create("graft_v3appendmix")
+    cells(8).write.format("zarr")
+      .option("shape", "8,8").option("chunks", "4,4")
+      .option("dtype", "uint16").option("zarrFormat", "3")
+      .mode("overwrite").save(dir)
+    // same shape, different chunking: surviving chunks would decode as
+    // garbage under the new metadata — must be rejected before any write
+    val e = intercept[Exception] {
+      spark.range(4).selectExpr("0L AS g0", "id AS g1", "0L AS p0",
+          "0L AS p1", "id AS value")
+        .write.format("zarr")
+        .option("shape", "8,8").option("chunks", "2,2")
+        .option("dtype", "uint16").option("zarrFormat", "3")
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("changes the store layout"), e.getMessage)
+    // the store is untouched and still reads back whole
+    assert(spark.read.format("zarr").load(dir).count() == 64)
+  }
+
   test("format mixing is rejected up front") {
     val dir = TempDirs.create("graft_v3mix")
     cells(8).write.format("zarr")
