@@ -144,14 +144,14 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
     * rows (cells-per-chunk is metadata) — `df.limit(10)` on a 100 TB
     * store opens at most one chunk file. Partial: Spark still applies the
     * exact limit on top; the scan just stops planning partitions early.
+    * On a SHARDED store presence lives in the per-shard indexes, so the
+    * planner walks shards in listing order reading each index (one tiny
+    * ranged read, cached) and plans only PRESENT inner chunks until their
+    * exact cells cover the limit — cost bounded by the limit, not the
+    * store.
     */
   private var limit: Int = -1
-  // sharded stores refuse limit pushdown: planning counts cells per PLANNED
-  // inner chunk, but an index-absent inner contributes zero rows, so the
-  // planned prefix could under-cover the limit and silently return fewer
-  // rows than exist. (Unsharded planning only lists chunks that exist.)
-  override def pushLimit(n: Int): Boolean =
-    if (sharded) false else { limit = n; true }
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed: Boolean = true
 
   private val dims = meta.dims
@@ -303,17 +303,8 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
     }
   }
 
-  /** Sharded stores refuse aggregate pushdown: which INNER chunks exist is
-    * recorded in per-shard indexes, not the object listing, so coordinate
-    * aggregates are no longer chunk-list math — answering them on the
-    * driver would mean reading every shard's index there. The normal scan
-    * (executor-side index reads) handles them instead.
-    */
-  private lazy val sharded: Boolean =
-    ZarrTableProvider.shardInfoOf(dir).isDefined
-
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    !sharded && groupAxes(aggregation).isDefined &&
+    groupAxes(aggregation).isDefined &&
       aggregation.aggregateExpressions().forall(aggSpec(_).isDefined)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
@@ -344,15 +335,38 @@ private[zarr] object ZarrAgg {
   final case class MaxP(a: Int) extends ZarrAgg
 }
 
-/** Completely-pushed aggregate scan: the single result row is computed at
-  * PLAN time from the (pruned) chunk listing — the same listing the row
-  * scan performs to plan partitions — and the one task just emits it. An
-  * empty surviving box yields count 0 and null extrema, matching the
-  * semantics of aggregating zero rows.
+/** Per-group running state of the pushed coordinate aggregates: cell
+  * count, per-axis min/max surviving grid coordinate, and per-axis max
+  * in-chunk coordinate (min is always 0 for a non-empty group). One such
+  * partial per group per shard is what the distributed index scan moves —
+  * bytes per group, never per chunk.
+  */
+private[zarr] final case class AggPartial(cells: Long, minLoc: Array[Long],
+    maxLoc: Array[Long], maxP: Array[Long]) {
+  def merge(o: AggPartial): AggPartial = AggPartial(
+    cells + o.cells,
+    Array.tabulate(minLoc.length)(a => math.min(minLoc(a), o.minLoc(a))),
+    Array.tabulate(maxLoc.length)(a => math.max(maxLoc(a), o.maxLoc(a))),
+    Array.tabulate(maxP.length)(a => math.max(maxP(a), o.maxP(a))))
+}
+
+/** Completely-pushed aggregate scan. On an UNSHARDED store the result rows
+  * are computed at PLAN time from the (pruned) chunk listing — the same
+  * listing the row scan performs to plan partitions — and the one task
+  * just emits them. On a SHARDED store inner-chunk presence lives in the
+  * per-shard binary indexes, so the scan runs one distributed metadata
+  * job over the shard listing: each task ranged-reads its shards' indexes
+  * (16 B per inner slot, [[ShardIndexCache]]d), folds the present
+  * surviving inner chunks into per-group [[AggPartial]]s, and only the
+  * combined group rows reach the driver — a coordinate-only `count()`
+  * over a 100 TB sharded store reads indexes, never chunk payloads, and
+  * never funnels per-chunk metadata through the driver. An empty
+  * surviving box yields count 0 and null extrema, matching the semantics
+  * of aggregating zero rows.
   */
 final class ZarrAggScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     hi: Array[Long], allowed: Array[Set[Long]], groupBy: Seq[Int],
-    aggs: Seq[ZarrAgg]) extends Scan with Batch {
+    aggs: Seq[ZarrAgg]) extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = StructType(
     groupBy.map(a => StructField(s"g$a", LongType, nullable = false)) ++
@@ -369,39 +383,135 @@ final class ZarrAggScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
       s"pushed=[${aggs.mkString(", ")}] bounds=" +
       lo.indices.map(a => s"g$a in [${lo(a)}, ${hi(a)}]").mkString(", ")
 
+  private def survives(loc: Array[Int]): Boolean =
+    loc.indices.forall(a =>
+      loc(a) >= lo(a) && loc(a) <= hi(a) &&
+        (allowed(a) == null || allowed(a).contains(loc(a).toLong)))
+
+  /** Unsharded: every listed chunk exists; the listing IS the survivors. */
   private def survivors: Seq[Array[Int]] = {
     val locs =
       if (ZarrTableProvider.isV3(dir)) Zarr3IO.listChunkLocs(dir, Zarr3IO.readMeta(dir))
       else ZarrIO.listChunkLocs(dir, meta)
-    locs.filter(loc => loc.indices.forall(a =>
-      loc(a) >= lo(a) && loc(a) <= hi(a) &&
-        (allowed(a) == null || allowed(a).contains(loc(a).toLong))))
+    locs.filter(survives)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    def tileShape(loc: Array[Int], a: Int): Long =
-      math.min(meta.chunks(a).toLong,
-        meta.shape(a) - loc(a).toLong * meta.chunks(a))
-    def aggValues(locs: Seq[Array[Int]]): Seq[Any] = aggs.map {
-      case ZarrAgg.CountAll =>
-        locs.map(loc => loc.indices.map(tileShape(loc, _)).product).sum: Any
-      case ZarrAgg.MinG(a) =>
-        if (locs.isEmpty) null else (locs.map(_(a)).min.toLong: Any)
-      case ZarrAgg.MaxG(a) =>
-        if (locs.isEmpty) null else (locs.map(_(a)).max.toLong: Any)
-      case ZarrAgg.MinP(_) => if (locs.isEmpty) null else (0L: Any)
-      case ZarrAgg.MaxP(a) =>
-        if (locs.isEmpty) null
-        else (locs.map(loc => tileShape(loc, a) - 1).max: Any)
-    }
-    val rows: Seq[Array[Any]] =
-      if (groupBy.isEmpty) Seq(aggValues(survivors).toArray)
-      else survivors.groupBy(loc => groupBy.map(loc(_)))
-        .toSeq.map { case (key, locs) =>
-          (key.map(_.toLong: Any) ++ aggValues(locs)).toArray
+  /** Driver-side shard threshold: at or below it the indexes are read on
+    * the driver (each read is one tiny ranged GET, cached) instead of
+    * paying a job launch — the right trade for interactive queries over
+    * small stores; above it the reads distribute.
+    */
+  private val DriverShards = 16
+
+  /** Sharded: per-group partials from the present surviving inner chunks
+    * of the given shards — runs on executors (distributed job) or on the
+    * driver (small stores), same code either way.
+    */
+  private def partialsOf(shardLocs: Iterator[Seq[Int]],
+      conf: org.apache.hadoop.conf.Configuration, m3: Zarr3IO.Meta3,
+      ips: Array[Int], innerGrid: Array[Int],
+      gb: Array[Int]): Iterator[(Seq[Long], AggPartial)] = {
+    val sh = m3.sharding.get
+    val cps = ips.product
+    val dims = m3.dims
+    val acc = scala.collection.mutable.HashMap.empty[Seq[Long], AggPartial]
+    shardLocs.foreach { slSeq =>
+      val sl = slSeq.toArray
+      val spath = new Path(dir, Zarr3IO.chunkKey(sl, m3.separator)).toString
+      val (offs, lens) = ShardIndexCache.indexOf(conf, spath, cps,
+        sh.indexAtEnd, sh.indexCrc)
+      Zarr3IO.innerLocsOf(sl, ips, innerGrid).foreach { il =>
+        val pos = Array.tabulate(dims)(a => il(a) - sl(a) * ips(a))
+        val k = graft.core.Regions.linearIndex(pos, ips).toInt
+        if (!(offs(k) == Zarr3IO.ABSENT && lens(k) == Zarr3IO.ABSENT) &&
+            survives(il)) {
+          val tile = Array.tabulate(dims)(a =>
+            math.min(meta.chunks(a).toLong,
+              meta.shape(a) - il(a).toLong * meta.chunks(a)))
+          val p = AggPartial(tile.product, il.map(_.toLong),
+            il.map(_.toLong), tile.map(_ - 1))
+          val key: Seq[Long] = gb.map(il(_).toLong).toSeq
+          acc.updateWith(key) {
+            case Some(prev) => Some(prev.merge(p))
+            case None => Some(p)
+          }
         }
-    Array(ZarrAggResultPartition(rows))
+      }
+    }
+    acc.iterator
   }
+
+  /** Sharded group partials: distributed over the shard listing, combined
+    * by group key, only group rows collected.
+    */
+  private def shardedPartials(m3: Zarr3IO.Meta3): Map[Seq[Long], AggPartial] = {
+    val sh = m3.sharding.get
+    val ips = m3.innersPerShard
+    val innerGrid = graft.tiles.GridSpec(m3.shape, sh.inner).gridShape
+    val shards = Zarr3IO.listChunkLocs(dir, m3).map(_.toSeq)
+    val gb = groupBy.toArray
+    if (shards.size <= DriverShards)
+      partialsOf(shards.iterator, StoreIO.hadoopConf, m3, ips, innerGrid, gb)
+        .toMap
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val sconf = StoreIO.ser(StoreIO.hadoopConf)
+      spark.sparkContext
+        .parallelize(shards, math.max(1, math.min(shards.size,
+          spark.sparkContext.defaultParallelism)))
+        .mapPartitions(it =>
+          partialsOf(it, sconf.value, m3, ips, innerGrid, gb))
+        .reduceByKey(_.merge(_))
+        .collect().toMap
+    }
+  }
+
+  /** The result rows; computed once — planInputPartitions can be invoked
+    * several times while planning, and the sharded path runs a job.
+    */
+  private lazy val resultRows: Seq[Array[Any]] = {
+    def fromPartial(p: Option[AggPartial]): Seq[Any] = aggs.map {
+      case ZarrAgg.CountAll => p.map(_.cells).getOrElse(0L): Any
+      case ZarrAgg.MinG(a) => p.map(_.minLoc(a): Any).orNull
+      case ZarrAgg.MaxG(a) => p.map(_.maxLoc(a): Any).orNull
+      case ZarrAgg.MinP(_) => p.map(_ => 0L: Any).orNull
+      case ZarrAgg.MaxP(a) => p.map(_.maxP(a): Any).orNull
+    }
+    val m3 = if (ZarrTableProvider.isV3(dir)) Some(Zarr3IO.readMeta(dir)) else None
+    m3.filter(_.sharding.isDefined) match {
+      case Some(meta3) =>
+        val partials = shardedPartials(meta3)
+        if (groupBy.isEmpty)
+          Seq(fromPartial(partials.values.reduceOption(_.merge(_))).toArray)
+        else partials.toSeq.map { case (key, p) =>
+          (key.map(x => x: Any) ++ fromPartial(Some(p))).toArray
+        }
+      case None =>
+        def tileShape(loc: Array[Int], a: Int): Long =
+          math.min(meta.chunks(a).toLong,
+            meta.shape(a) - loc(a).toLong * meta.chunks(a))
+        def aggValues(locs: Seq[Array[Int]]): Seq[Any] = aggs.map {
+          case ZarrAgg.CountAll =>
+            locs.map(loc => loc.indices.map(tileShape(loc, _)).product).sum: Any
+          case ZarrAgg.MinG(a) =>
+            if (locs.isEmpty) null else (locs.map(_(a)).min.toLong: Any)
+          case ZarrAgg.MaxG(a) =>
+            if (locs.isEmpty) null else (locs.map(_(a)).max.toLong: Any)
+          case ZarrAgg.MinP(_) => if (locs.isEmpty) null else (0L: Any)
+          case ZarrAgg.MaxP(a) =>
+            if (locs.isEmpty) null
+            else (locs.map(loc => tileShape(loc, a) - 1).max: Any)
+        }
+        if (groupBy.isEmpty) Seq(aggValues(survivors).toArray)
+        else survivors.groupBy(loc => groupBy.map(loc(_)))
+          .toSeq.map { case (key, locs) =>
+            (key.map(_.toLong: Any) ++ aggValues(locs)).toArray
+          }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ZarrAggResultPartition(resultRows))
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrAggReaderFactory()
@@ -530,40 +640,76 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
   }
 
   private def doPlanPartitions(): Array[InputPartition] = {
-    val locs =
-      if (ZarrTableProvider.isV3(dir)) {
-        val m3 = Zarr3IO.readMeta(dir)
-        m3.sharding match {
-          case Some(sh) =>
-            // sharded: the listing yields SHARD objects; partitions are the
-            // inner chunks they cover (readers skip index-absent inners —
-            // present-ness lives executor-side, never on the driver)
-            val ips = m3.innersPerShard
-            val innerGrid = graft.tiles.GridSpec(m3.shape, sh.inner).gridShape
-            Zarr3IO.listChunkLocs(dir, m3)
-              .flatMap(sl => Zarr3IO.innerLocsOf(sl, ips, innerGrid))
-          case None => Zarr3IO.listChunkLocs(dir, m3)
-        }
-      } else ZarrIO.listChunkLocs(dir, meta)
-    val surviving = locs
-      .filter(loc => loc.indices.forall(a =>
+    def survives(loc: Array[Int]): Boolean =
+      loc.indices.forall(a =>
         loc(a) >= lo(a) && loc(a) <= hi(a) &&
-          (allowed(a) == null || allowed(a).contains(loc(a).toLong))))
-    // partial limit: stop planning chunks once their combined cell count
-    // covers the limit (Spark applies the exact limit on top)
-    val chosen =
-      if (limit < 0) surviving
-      else {
-        var covered = 0L
-        surviving.takeWhile { loc =>
-          val take = covered < limit
-          if (take) covered += loc.indices.map(a =>
-            math.min(meta.chunks(a).toLong,
-              meta.shape(a) - loc(a).toLong * meta.chunks(a))).product
-          take
+          (allowed(a) == null || allowed(a).contains(loc(a).toLong)))
+    def cellsOf(loc: Array[Int]): Long =
+      loc.indices.map(a => math.min(meta.chunks(a).toLong,
+        meta.shape(a) - loc(a).toLong * meta.chunks(a))).product
+    val m3 = if (ZarrTableProvider.isV3(dir)) Some(Zarr3IO.readMeta(dir)) else None
+    m3.flatMap(m => m.sharding.map((m, _))) match {
+      case Some((meta3, sh)) =>
+        val ips = meta3.innersPerShard
+        val innerGrid = graft.tiles.GridSpec(meta3.shape, sh.inner).gridShape
+        if (limit < 0)
+          // the listing yields SHARD objects; partitions are the inner
+          // chunks they cover (readers skip index-absent inners —
+          // present-ness lives executor-side, never on the driver)
+          Zarr3IO.listChunkLocs(dir, meta3)
+            .flatMap(sl => Zarr3IO.innerLocsOf(sl, ips, innerGrid))
+            .filter(survives)
+            .map(loc => ZarrInputPartition(loc): InputPartition).toArray
+        else {
+          // partial limit with index-aware presence: walk shards in
+          // listing order, ranged-read each index (driver-side, cached),
+          // and plan only PRESENT surviving inners until their exact cell
+          // count covers the limit — a planned-prefix over the nominal
+          // grid could under-deliver when inners are absent
+          val conf = StoreIO.hadoopConf
+          val cps = ips.product
+          val out = Seq.newBuilder[InputPartition]
+          var covered = 0L
+          val shardIt = Zarr3IO.listChunkLocs(dir, meta3).iterator
+          while (covered < limit && shardIt.hasNext) {
+            val sl = shardIt.next()
+            val spath = new Path(dir, Zarr3IO.chunkKey(sl, meta3.separator)).toString
+            val (offs, lens) = ShardIndexCache.indexOf(conf, spath, cps,
+              sh.indexAtEnd, sh.indexCrc)
+            Zarr3IO.innerLocsOf(sl, ips, innerGrid).foreach { il =>
+              if (covered < limit && survives(il)) {
+                val pos = Array.tabulate(il.length)(a => il(a) - sl(a) * ips(a))
+                val k = graft.core.Regions.linearIndex(pos, ips).toInt
+                if (!(offs(k) == Zarr3IO.ABSENT && lens(k) == Zarr3IO.ABSENT)) {
+                  covered += cellsOf(il)
+                  out += ZarrInputPartition(il)
+                }
+              }
+            }
+          }
+          out.result().toArray
         }
-      }
-    chosen.map(loc => ZarrInputPartition(loc): InputPartition).toArray
+      case None =>
+        val locs = m3 match {
+          case Some(meta3) => Zarr3IO.listChunkLocs(dir, meta3)
+          case None => ZarrIO.listChunkLocs(dir, meta)
+        }
+        val surviving = locs.filter(survives)
+        // partial limit: stop planning chunks once their combined cell
+        // count covers the limit (Spark applies the exact limit on top;
+        // unsharded listings only contain chunks that exist)
+        val chosen =
+          if (limit < 0) surviving
+          else {
+            var covered = 0L
+            surviving.takeWhile { loc =>
+              val take = covered < limit
+              if (take) covered += cellsOf(loc)
+              take
+            }
+          }
+        chosen.map(loc => ZarrInputPartition(loc): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -176,9 +176,9 @@ class ZarrShardingSpec extends AnyFunSuite {
     graft.sources.zarr.ZarrTableProvider.payloadReads.set(0)
     val n = pruned.count()
     assert(n == allTiles.filter(_.loc(0) == 2).map(_.data.length).sum)
-    // count() pushes no payload column, and a sharded store refuses the
-    // metadata-aggregate shortcut — but a coordinate-only scan still
-    // never reads payload bytes
+    // the pruned count() pushes as a metadata aggregate (shard indexes,
+    // no payload), and the row scan itself never reads payload bytes for
+    // a coordinate-only projection either
     assert(graft.sources.zarr.ZarrTableProvider.payloadReads.get() == 0)
   }
 
@@ -209,16 +209,89 @@ class ZarrShardingSpec extends AnyFunSuite {
 
   test("limit on a sharded store with absent inners returns exact rows") {
     import spark.implicits._
+    import org.apache.spark.sql.functions._
     val dir = tmp("zarr3_shard_limit")
-    // first inner in C-order (0,0) is absent: a planned-prefix limit that
-    // counted its cells would under-deliver (limit pushdown must refuse
-    // sharded stores — presence is in the index, not the planning listing)
+    // first inner in C-order (0,0) is absent: a planned-prefix limit over
+    // the NOMINAL grid would count its cells and under-deliver — the
+    // planner must consult the shard indexes for presence
     val kept = allTiles.filterNot(_.loc.toSeq == Seq(0, 0))
     Zarr3IO.writeSharded(spark.createDataset(kept), spec, Array(4, 4),
       dir, "uint16", gzip = true)
     val df = spark.read.format("zarr").load(dir)
     assert(df.limit(5).count() == 5)
     assert(df.limit(1000000).count() == kept.map(_.data.length).sum)
+    // index-aware planning: limit(1) plans exactly one PRESENT inner
+    // chunk (aggregate on top so the planned partitions execute once)
+    graft.sources.zarr.ZarrTableProvider.payloadReads.set(0)
+    val r1 = df.limit(1).agg(count(lit(1)), sum("value")).collect()(0)
+    assert(r1.getLong(0) == 1)
+    assert(graft.sources.zarr.ZarrTableProvider.payloadReads.get() == 1,
+      s"limit(1) opened ${graft.sources.zarr.ZarrTableProvider.payloadReads.get()} chunks")
+  }
+
+  test("sharded metadata aggregates push: shard-index reads, no payload") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("zarr3_shard_agg")
+    // inner (1,1) absent: aggregates must reflect index presence
+    val kept = allTiles.filterNot(_.loc.toSeq == Seq(1, 1))
+    Zarr3IO.writeSharded(spark.createDataset(kept), spec, Array(4, 4),
+      dir, "uint16", gzip = true)
+    val zarr = spark.read.format("zarr").load(dir)
+    graft.sources.zarr.ZarrTableProvider.payloadReads.set(0)
+    val df = zarr.agg(count(lit(1)).as("n"), min("g0").as("mng"),
+      max("g1").as("mxg"), min("p0").as("mnp"), max("p1").as("mxp"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrAggScan"), s"sharded agg not pushed:\n$plan")
+    val r = df.collect()(0)
+    assert(r.getLong(0) == kept.map(_.data.length).sum)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 1L)
+    assert(graft.sources.zarr.ZarrTableProvider.payloadReads.get() == 0,
+      "pushed sharded aggregate opened chunk payloads")
+    // pruning composes: a box missing the absent inner
+    val pruned = zarr.filter(col("g0") >= 1)
+      .agg(count(lit(1)).as("n"), min("g0").as("mng"))
+    assert(pruned.queryExecution.executedPlan.toString.contains("ZarrAggScan"))
+    val pr = pruned.collect()(0)
+    assert(pr.getLong(0) ==
+      kept.filter(_.loc(0) >= 1).map(_.data.length).sum)
+    assert(pr.getLong(1) == 1L)
+    // an emptied box: count 0, null extrema
+    val empty = zarr.filter(col("g0") === 9).agg(count(lit(1)), min("g1"))
+    val er = empty.collect()(0)
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+  }
+
+  test("sharded grouped aggregate distributes over >16 shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 12x12 image, 2x2 inners, 4x4-element shards -> 6x6 inner grid,
+    // 3x3... too few: use 1x1-element... keep 2x2 inners but a 24x24
+    // image: 12x12 inner grid, 6x6 = 36 shards > the 16-shard driver
+    // threshold, so the partials come from the distributed index job
+    val bigSpec = GridSpec(Array(24L, 24L), Array(2, 2))
+    val grid = bigSpec.gridShape
+    val tiles = for {
+      gy <- 0 until grid(0); gx <- 0 until grid(1)
+      if !(gy == 0 && gx == 0) // one absent inner
+    } yield Tile(Array(gy, gx), grid.clone(), Array(2, 2),
+      Array.tabulate(4)(i => (gy * 100 + gx * 10 + i).toLong))
+    val dir = tmp("zarr3_shard_aggbig")
+    Zarr3IO.writeSharded(spark.createDataset(tiles), bigSpec, Array(4, 4),
+      dir, "int64", gzip = true)
+    assert(new java.io.File(dir, "c").listFiles().flatMap(d =>
+      Option(d.listFiles()).toSeq.flatten)
+      .count(!_.getName.startsWith(".")) == 36)
+    val zarr = spark.read.format("zarr").load(dir)
+    graft.sources.zarr.ZarrTableProvider.payloadReads.set(0)
+    val df = zarr.groupBy("g0").agg(count(lit(1)).as("n"), max("p0").as("mxp"))
+    assert(df.queryExecution.executedPlan.toString.contains("ZarrAggScan"))
+    val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == 12)
+    assert(got(0L) == (11L * 4, 1L)) // absent (0,0) excluded
+    (1 until 12).foreach(g => assert(got(g.toLong) == (12L * 4, 1L), g))
+    assert(graft.sources.zarr.ZarrTableProvider.payloadReads.get() == 0)
   }
 
   test("DSv2 write into a sharded store is rejected with a clear error") {
