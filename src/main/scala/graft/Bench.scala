@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR`. Session is local[32]-shaped: shuffle partitions
   * match cores, AQE on (runtime coalescing + skew-join splitting — the
   * local stand-in for the 1000-executor plan).
+  *
+  * Each query is timed TWICE (second pass in reverse order) and reports
+  * the min, with `/proc/loadavg` captured at each measurement start —
+  * per-query `load` and run-wide `load_max` ride along in the JSON, so a
+  * co-tenant contention episode is visible in the artifact itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,8 +41,24 @@ object Bench {
     // measure the co-located join, not the write that happens once per
     // warehouse lifetime
     graft.rel.BucketedRel.warm(spark, sfDir)
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Host-noise protocol: this box has multi-minute co-tenant contention
+    // episodes (round-5 artifact: identical code timed 144 s on a quiet
+    // host and 1275 s under load ~6). Two defenses, so the artifact
+    // SELF-DOCUMENTS contamination instead of requiring forensic re-runs:
+    //  - min-of-2 ROTATED passes (second pass in reverse order, so a
+    //    contention episode can't sit on the same queries both times);
+    //  - /proc/loadavg recorded at the start of every measurement, with
+    //    the per-query load of the winning pass and the run-wide max
+    //    emitted alongside the seconds.
+    def loadavg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    final case class Run(sec: Double, load: Double)
+    def timeOne(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Run = {
+      val load = loadavg()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
@@ -48,19 +69,30 @@ object Bench {
       // cache teardown happens OUTSIDE the timed region: dropping a query's
       // persist()ed intermediates must not bill the next round's comparison
       spark.catalog.clearCache()
-      name -> (if (ok) sec else -1.0)
+      Run(if (ok) sec else -1.0, load)
     }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = named.map { case (n, fn) => n -> timeOne(n, fn) }.toMap
+    val pass2 = named.reverse.map { case (n, fn) => n -> timeOne(n, fn) }.toMap
+    val results: Seq[(String, Run)] = named.map { case (n, _) =>
+      val (a, b) = (pass1(n), pass2(n))
+      n -> (if (a.sec < 0 || b.sec < 0) Run(-1.0, math.max(a.load, b.load))
+            else if (a.sec <= b.sec) a else b)
+    }
+    val loadMax = (results.map(_._2.load) ++ Seq(loadavg())).max
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator would break the driver's JSON parse
     def fmt(v: Double) =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, r) => "\"" + k + "\":" + fmt(r.sec) }
       .mkString("{", ",", "}")
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val loads = results.map { case (k, r) => "\"" + k + "\":" + fmt(r.load) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, r) if r.sec >= 0 => r.sec }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"load":$loads,"load_max":${fmt(loadMax)},"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
     // the full per-query map no longer fits the driver's bounded tail
     // capture (truncated at ~115 queries in round 4), so it goes to a FILE
     // (committed per round) and stdout carries it best-effort…
@@ -73,7 +105,7 @@ object Bench {
     // …while the LAST line is a short, always-complete JSON summary: a tail
     // capture that truncates the map line still ends with one parseable
     // object carrying the headline total
-    println(s"""{"queries_file":"$outFile","failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
+    println(s"""{"queries_file":"$outFile","load_max":${fmt(loadMax)},"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }
 }
