@@ -68,6 +68,35 @@ class AudioCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt mux containers fail diagnosably, naming the segment") {
+    import graft.mm.MuxCodec
+    val good = MuxCodec.synthMux(7L)
+    // truncated mid-header: fewer than 5 bytes remain
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length)
+    val e1 = intercept[IllegalArgumentException] {
+      MuxCodec.demux(java.util.Arrays.copyOfRange(good, 0, 3)).toSeq
+    }
+    assert(e1.getMessage.contains("truncated in segment 0"), e1.getMessage)
+    // over-declaring length: segment 0 claims more payload than remains
+    val overrun = good.clone()
+    overrun(1) = 0x7f.toByte // blow up the big-endian length prefix
+    val e2 = intercept[IllegalArgumentException] {
+      MuxCodec.demux(overrun).toSeq
+    }
+    assert(e2.getMessage.contains("segment 0") &&
+      e2.getMessage.contains("declares"), e2.getMessage)
+    // a length near Int.MaxValue must not slip past the bound check via
+    // Int overflow of off + 5 + len
+    val wrap = good.clone()
+    wrap(1) = 0x7f.toByte; wrap(2) = 0xff.toByte
+    wrap(3) = 0xff.toByte; wrap(4) = 0xf0.toByte
+    val e3 = intercept[IllegalArgumentException] {
+      MuxCodec.demux(wrap).toSeq
+    }
+    assert(e3.getMessage.contains("declares"), e3.getMessage)
+    assert(truncated.sameElements(good)) // inputs never mutated in place
+  }
+
   test("re-encode round-trip is bit-faithful to the decimated samples") {
     for (seed <- Seq(4L, 5L)) {
       val half = AudioCodec.decimate(AudioCodec.decode(AudioCodec.synthWav(seed)), 2)
