@@ -45,9 +45,12 @@ object SketchOps {
     // still releases after the gate action)
     ev.persist()
     val bf = ev.stat.bloomFilter("g", 1 << 20, 0.03)
-    val mightContain = udf((g: String) => g != null && bf.mightContain(g))
+    // codegen'd probe expression, not a ScalaUDF: the prefilter runs over
+    // every training shingle by design, so it must stay in whole-stage
+    // codegen (the probe hashes the incoming UTF8String's bytes — exactly
+    // what the builder inserted)
     val tr = grams8(docs.filter(col("doc_id") % 100 =!= 0), "doc_id")
-      .filter(mightContain(col("g")))
+      .filter(graft.functions.SketchExpressions.bloom_might_contain(bf, col("g")))
     graft.Caching.releaseAfterAction(
       tr.join(broadcast(ev), "g")
         .groupBy("doc_id", "eval_id")
@@ -85,8 +88,9 @@ object SketchOps {
     val thr = math.max(2L, total / 200L)
     // eps 0.0005 -> width 5457 counters x depth 5: ~210 KB, any scale
     val cms = words.stat.countMinSketch("w", 0.0005, 0.99, 42)
-    val est = udf((w: String) => cms.estimateCount(w))
-    words.filter(est(col("w")) >= thr)
+    // codegen'd estimate expression (see bloom_might_contain above)
+    words.filter(
+        graft.functions.SketchExpressions.cms_estimate(cms, col("w")) >= thr)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .filter(col("n") >= thr)
   }

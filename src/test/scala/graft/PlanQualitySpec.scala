@@ -224,10 +224,13 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("tx_decontam_bloom")
     assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"verify join shuffled:\n$p")
-    // the bloom prefilter must sit below the join, on the training side
+    // the bloom prefilter must sit below the join, on the training side —
+    // as the codegen'd probe EXPRESSION, never a ScalaUDF (the prefilter
+    // pass touches every training shingle)
     assert(p.linesIterator.exists(l =>
-      l.contains("Filter") && l.contains("UDF")),
-      s"bloom prefilter missing from the plan:\n$p")
+      l.contains("Filter") && l.toLowerCase.contains("bloommightcontain")),
+      s"bloom prefilter expression missing from the plan:\n$p")
+    assert(!p.contains("UDF"), s"sketch probe fell back to a ScalaUDF:\n$p")
   }
 
   test("sk_cms_heavy shuffles only the sketch-surviving instances") {
@@ -236,9 +239,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // the full word stream must not reach an exchange unfiltered
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"heavy-hitter shape grew extra shuffles:\n$p")
-    val filterBelowAgg = p.linesIterator.exists(l =>
-      l.contains("Filter") && l.contains("UDF"))
-    assert(filterBelowAgg, s"CMS prefilter missing:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.toLowerCase.contains("cmsestimate")),
+      s"CMS prefilter expression missing:\n$p")
+    assert(!p.contains("UDF"), s"sketch probe fell back to a ScalaUDF:\n$p")
   }
 
   test("aj_interp plans BOTH as-of brackets through the custom operator") {
