@@ -55,29 +55,35 @@ object CurationOps {
     // -- transitive dedup compaction with canonical election -----------------
     // The step after dd_components in a real dedup pipeline: per connected
     // near-dup component, elect the canonical document (longest text, ties
-    // to the smallest id) and mark everything else for dropping. Canonical
-    // election is an aggregate argmax (map-side combinable), not a window.
+    // to the smallest id) and mark everything else for dropping. Election
+    // is a comp-PARTITIONED window (never a global order): one shuffle of
+    // the scored relation, against two for the agg-argmax + self-join
+    // alternative.
     Q("dd_canonical", (s, d) => {
       val edges = TextOps.minhashCand(s, d).persist()
       try {
         val corpus = TextOps.nearCorpusDf(s, d)
         val comps = GraphOps.connectedComponents(
           corpus.select(col("doc_id")), edges)
-        // canon derives from scored and joins back to it: cache the tiny
-        // scored relation so the component join runs once, not twice
         val scored = comps.join(
           corpus.select(col("doc_id"),
             length(col("text")).cast("long").as("len")), "doc_id")
-          .persist()
-        val canon = scored.groupBy("comp")
-          .agg(max(struct(col("len"), (-col("doc_id")).as("nd"),
-            col("doc_id"))).as("m"))
-          .select(col("comp").as("ccomp"), col("m.doc_id").as("canonical"))
+        // canonical election as a COMP-PARTITIONED window (first over
+        // len desc, doc_id asc — identical tie-break to an argmax):
+        // one shuffle of scored, one consumer. The former aggregate-argmax
+        // + self-join shape exchanged the full scored relation twice (the
+        // partial-agg exchange was cheap, the join-side re-shuffle was
+        // not), plus a cache materialization to share it; caching couldn't
+        // carry the partitioning either, because a cached AdaptiveSparkPlan
+        // reports unknown partitioning until executed. Not a global-order
+        // window: partitioned by comp, the same key the join shuffled on.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("comp").orderBy(col("len").desc, col("doc_id").asc)
         graft.Caching.releaseAfterAction(
-          scored.join(canon, col("comp") === col("ccomp"))
+          scored.withColumn("canonical", first("doc_id").over(w))
             .select(col("doc_id"), col("comp"), col("len"), col("canonical"),
               (col("doc_id") === col("canonical")).as("kept")),
-          edges, scored)
+          edges)
       } catch {
         case e: Throwable => edges.unpersist(blocking = false); throw e
       }
