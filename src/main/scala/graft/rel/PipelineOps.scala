@@ -160,6 +160,39 @@ object PipelineOps {
 
   private lazy val zarrShardDsv2Dir: String = graft.TempDirs.create("graft_zarr_sd")
 
+  /** The sharded METADATA-aggregate path under the driver gate: the same
+    * sharded store layout as px_zarr_shard_dsv2, but the aggregate is
+    * coordinate-only, so it pushes completely into [[ZarrAggScan]] — the
+    * distributed shard-index scan answers it from ranged index reads with
+    * ZERO payload I/O (asserted in-query: a silent pushdown regression
+    * would resurface as a plan without ZarrAggScan). The oracle derives
+    * tile presence from the same pixel relation: a tile exists iff its
+    * (gy, gx) group is non-empty, and every present tile is a full LxL
+    * inner chunk.
+    */
+  def zarrShardMeta(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
+    graft.sources.Zarr3IO.writeSharded(tilesFromPixels(s, d), spec,
+      Array(2 * L, 2 * L), zarrShardMetaDir, "uint16", gzip = true)
+    val df = s.read.format("zarr").load(zarrShardMetaDir)
+      .filter(col("g0") >= 1) // pruning must compose with the index scan
+      .groupBy("g0")
+      .agg(count(lit(1)).as("n_cells"), max("g1").as("max_g1"),
+        max("p0").as("max_p0"))
+      .select(col("g0").as("gy"), col("n_cells"), col("max_g1"), col("max_p0"))
+    require(df.queryExecution.executedPlan.toString.contains("ZarrAggScan"),
+      "sharded metadata aggregate was not pushed to ZarrAggScan")
+    df
+  }
+
+  private lazy val zarrShardMetaDir: String = graft.TempDirs.create("graft_zarr_sm")
+
+  private val ZARR_SHARD_META_SQL: String = RelabelRel.PIXELS_SQL + s""",
+    tiles AS (SELECT DISTINCT gy, gx FROM lab)
+    SELECT gy, count(*) * ${L * L} AS n_cells, max(gx) AS max_g1,
+           CAST(${L - 1} AS BIGINT) AS max_p0
+    FROM tiles WHERE gy >= 1 GROUP BY gy"""
+
   /** The full DSv2 write -> read cycle under the driver gate: the synthetic
     * pixel relation is written through `df.write.format("zarr")` (the
     * chunk-aligned clustered-distribution sink), read back through the DSv2
@@ -609,6 +642,7 @@ object PipelineOps {
     Q("px_zarr3_pipeline", zarr3Pipeline, Some(RelabelRel.MERGE_SQL)),
     Q("px_zarr3_sharded", zarr3Sharded, Some(RelabelRel.MERGE_SQL)),
     Q("px_zarr_shard_dsv2", zarrShardDsv2, Some(ZARR_DSV2_SQL)),
+    Q("px_zarr_shard_meta", zarrShardMeta, Some(ZARR_SHARD_META_SQL)),
     Q("st_tumbling", tumblingStream, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,
