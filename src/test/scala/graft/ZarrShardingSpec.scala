@@ -266,10 +266,9 @@ class ZarrShardingSpec extends AnyFunSuite {
   test("sharded grouped aggregate distributes over >16 shards") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // 12x12 image, 2x2 inners, 4x4-element shards -> 6x6 inner grid,
-    // 3x3... too few: use 1x1-element... keep 2x2 inners but a 24x24
-    // image: 12x12 inner grid, 6x6 = 36 shards > the 16-shard driver
-    // threshold, so the partials come from the distributed index job
+    // 24x24 image, 2x2 inners, 4x4-element shards -> 12x12 inner grid in
+    // 6x6 = 36 shard objects, above the 16-shard driver threshold, so the
+    // partials come from the distributed index-scan job
     val bigSpec = GridSpec(Array(24L, 24L), Array(2, 2))
     val grid = bigSpec.gridShape
     val tiles = for {
