@@ -158,8 +158,9 @@ object FullChainRel {
         stream, Array(OV, OV), HaloRel.BlockSegmentation(), THRESHOLD),
       Array(OV, OV))
     graft.streaming.StreamingTiles.withChainedStatefulAllowed(s) {
-      val query = merged.writeStream.outputMode("append")
-        .format("memory").queryName(qn).start()
+      val query = graft.streaming.StateSizing.startSized(s)(
+        merged.writeStream.outputMode("append")
+          .format("memory").queryName(qn).start())
       try query.processAllAvailable()
       finally query.stop()
     }

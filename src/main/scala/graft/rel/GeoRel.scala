@@ -105,8 +105,10 @@ object GeoRel {
       stream, Array(OV, OV), graft.ops.IdentitySegmentation(), 0.5)
     val ann = graft.geojson.Annotate.annotateLabeledTiles(removed, Array(OV, OV))
     val qn = "st_geo_sink_" + n
-    val query = ann.filter(_.geojson != null).toDF("loc_key", "geojson")
-      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    val query = graft.streaming.StateSizing.startSized(s)(
+      ann.filter(_.geojson != null).toDF("loc_key", "geojson")
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .start())
     try query.processAllAvailable()
     finally query.stop()
     annotationBboxes(s.table(qn))

@@ -320,8 +320,9 @@ object PipelineOps {
         // (a DECIMAL output renders differently across the driver's readers)
         sum(col("value").cast("decimal(18,6)")).cast("double")
           .as("sum_value"))
-    val query = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(qn).start()
+    val query = graft.streaming.StateSizing.startSized(s)(
+      stream.writeStream.outputMode("complete")
+        .format("memory").queryName(qn).start())
     try query.processAllAvailable()
     finally query.stop()
     s.table(qn)

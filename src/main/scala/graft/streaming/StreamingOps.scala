@@ -57,8 +57,8 @@ object StreamingOps {
         })
       .toDF("user_id", "session_start", "n_events", "sum_micros")
 
-    val query = sessions.writeStream.outputMode("append")
-      .format("memory").queryName(qn).start()
+    val query = StateSizing.startSized(s)(sessions.writeStream
+      .outputMode("append").format("memory").queryName(qn).start())
     try query.processAllAvailable()
     finally query.stop()
     s.table(qn)
@@ -110,8 +110,8 @@ object StreamingOps {
           (user, mx, n)
         })
       .toDF("user_id", "max_micros", "n_events")
-    val query = stream.writeStream.outputMode("update")
-      .format("memory").queryName(qn).start()
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("update").format("memory").queryName(qn).start())
     try query.processAllAvailable()
     finally query.stop()
     s.table(qn)
@@ -171,8 +171,8 @@ object StreamingOps {
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
         .toDF("user_id", "n_types", "n_events")
-      val query = stream.writeStream.outputMode("update")
-        .format("memory").queryName(qn).start()
+      val query = StateSizing.startSized(s)(stream.writeStream
+        .outputMode("update").format("memory").queryName(qn).start())
       try query.processAllAvailable()
       finally query.stop()
     } finally prevProvider match {
@@ -196,8 +196,8 @@ object StreamingOps {
       .dropDuplicates("user_id", "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
-    val query = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(qn).start()
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
     try query.processAllAvailable()
     finally query.stop()
     s.table(qn)
@@ -229,8 +229,8 @@ object StreamingOps {
       .select(col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
-    val query = joined.writeStream.outputMode("append")
-      .format("memory").queryName(qn).start()
+    val query = StateSizing.startSized(s)(joined.writeStream
+      .outputMode("append").format("memory").queryName(qn).start())
     try query.processAllAvailable()
     finally query.stop()
     s.table(qn)
@@ -268,7 +268,11 @@ object StreamingOps {
     var gen = 0
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
-    val query = stream.writeStream.outputMode("append")
+    // foreachBatch runs its fold as batch jobs on the stream's cloned
+    // session, so the sized partition count also right-sizes the 8
+    // per-micro-batch groupBy shuffles over these small snapshots
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val merged =
           if (current == null) latestPerUser(batch)
@@ -280,7 +284,7 @@ object StreamingOps {
         gen += 1
         ()
       }
-      .start()
+      .start())
     try query.processAllAvailable()
     finally query.stop()
     s.read.parquet(current).select("user_id", "us", "event_type", "value")
