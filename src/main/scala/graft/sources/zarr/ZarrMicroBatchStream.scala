@@ -1,0 +1,135 @@
+package graft.sources.zarr
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{StoreIO, Zarr3IO, ZarrIO}
+
+/** Offset = how many discovery entries the source has logged. Batch
+  * (start, end] replays the chunk sets of entries start+1..end.
+  */
+final case class ZarrSourceOffset(seq: Long) extends Offset {
+  override def json: String = seq.toString
+}
+
+/** Micro-batch streaming source over a GROWING zarr store: each trigger
+  * lists the store, and chunk objects not seen before become the next
+  * micro-batch — the streaming twin of the zarr sink's append contract
+  * (writers add whole chunk objects; committed chunks are immutable).
+  * Together they form an end-to-end incremental tile feed: a producer
+  * appends chunk regions per commit, a downstream streaming query picks
+  * each region up exactly once.
+  *
+  * Determinism over retries is carried by a per-batch DISCOVERY LOG under
+  * the query checkpoint (`zarr-chunk-log/<seq>`, one chunk loc per line,
+  * staged + renamed so a crash never leaves a readable partial entry): a
+  * restarted query replays exactly the chunk sets it logged, never the
+  * store's current listing, so chunks landing during downtime batch up
+  * AFTER the replayed prefix. `commit` needs no action: the log is the
+  * durable state, and entries stay replayable until the checkpoint is
+  * retired with the query.
+  *
+  * `maxChunksPerTrigger` (source option) caps each batch's chunk count —
+  * the backfill throttle: pointing the source at a store with a million
+  * existing chunks ingests in bounded slices instead of one giant batch.
+  * At scale the per-trigger cost is one store LISTING (same as the batch
+  * planner; the object count, not the data volume) plus reads of only the
+  * fresh chunks.
+  *
+  * Sharded stores are refused upstream ([[ZarrScan.toMicroBatchStream]]):
+  * sharding packs inner chunks into shard objects that are REWRITTEN in
+  * place as inners land, so "new object since last trigger" no longer
+  * identifies new data — the append-only unit this source consumes is the
+  * one-object-per-chunk layout.
+  */
+final class ZarrMicroBatchStream(dir: String, meta: ZarrIO.Meta,
+    lo: Array[Long], hi: Array[Long], allowed: Array[Set[Long]],
+    required: StructType, checkpointLocation: String,
+    maxChunksPerTrigger: Int) extends MicroBatchStream {
+
+  private val conf = StoreIO.hadoopConf
+  private val logDir = new Path(checkpointLocation, "zarr-chunk-log").toString
+  private val isV3 = ZarrTableProvider.isV3(dir)
+  // unsharded v3 metadata is immutable for the life of the store; read once
+  private val v3Meta = if (isV3) Some(Zarr3IO.readMeta(dir)) else None
+
+  /** Chunk sets by discovery entry, index = seq - 1; rebuilt on restart. */
+  private val entries =
+    scala.collection.mutable.ArrayBuffer.empty[Array[Array[Int]]]
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+
+  StoreIO.mkdirs(conf, logDir)
+  replayLog()
+
+  private def keyOf(loc: Array[Int]): String = loc.mkString(",")
+
+  private def replayLog(): Unit =
+    StoreIO.list(conf, logDir)
+      .flatMap(f => f.getPath.getName.toLongOption.map(_ -> f.getPath))
+      .sortBy(_._1)
+      .foreach { case (seq, p) =>
+        // a gap would silently drop a logged batch's chunks on replay
+        require(seq == entries.length + 1L,
+          s"zarr source log $logDir is not contiguous: expected entry " +
+            s"${entries.length + 1}, found $seq")
+        val locs = new String(StoreIO.readAllBytes(conf, p.toString),
+          StandardCharsets.UTF_8)
+          .split("\n").iterator.filter(_.nonEmpty)
+          .map(_.split(",").map(_.toInt)).toArray
+        entries += locs
+        locs.foreach(l => seen += keyOf(l))
+      }
+
+  /** Same pruning semantics as the batch planner: pushed grid-coordinate
+    * bounds drop chunks at DISCOVERY, before they ever enter the log.
+    */
+  private def survives(loc: Array[Int]): Boolean =
+    loc.indices.forall(a =>
+      loc(a) >= lo(a) && loc(a) <= hi(a) &&
+        (allowed(a) == null || allowed(a).contains(loc(a).toLong)))
+
+  override def initialOffset(): Offset = ZarrSourceOffset(0)
+
+  override def latestOffset(): Offset = synchronized {
+    val fresh = (v3Meta match {
+      case Some(m3) => Zarr3IO.listChunkLocs(dir, m3)
+      case None => ZarrIO.listChunkLocs(dir, meta)
+    }).filter(l => survives(l) && !seen.contains(keyOf(l)))
+      // listing order is filesystem-dependent; a stable order keeps the
+      // capped prefix (and so the whole log) deterministic across hosts
+      .sortBy(keyOf)
+    val batch =
+      if (maxChunksPerTrigger > 0) fresh.take(maxChunksPerTrigger) else fresh
+    if (batch.nonEmpty) {
+      val seq = entries.length + 1L
+      val body = batch.map(keyOf).mkString("\n").getBytes(StandardCharsets.UTF_8)
+      val tmp = new Path(logDir, s"$seq.tmp")
+      StoreIO.write(conf, tmp.toString, body)
+      StoreIO.moveInto(conf, tmp, new Path(logDir), seq.toString)
+      entries += batch.toArray
+      batch.foreach(l => seen += keyOf(l))
+    }
+    ZarrSourceOffset(entries.length.toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[ZarrSourceOffset].seq
+    val e0 = end.asInstanceOf[ZarrSourceOffset].seq
+    (s0 + 1 to e0).flatMap(i => entries((i - 1).toInt))
+      .map(loc => ZarrInputPartition(loc): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZarrReaderFactory(dir, meta, required.fieldNames, isV3,
+      StoreIO.ser(conf), vectorized = false, None)
+
+  override def deserializeOffset(json: String): Offset =
+    ZarrSourceOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

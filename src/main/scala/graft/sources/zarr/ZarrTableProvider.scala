@@ -128,15 +128,17 @@ final class ZarrTable(dir: String, dims: Int) extends Table with SupportsRead
   override def schema(): StructType = ZarrTableProvider.schemaFor(dims)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(dir, meta, options.getBoolean("vectorized", true))
+    new ZarrScanBuilder(dir, meta, options.getBoolean("vectorized", true),
+      options.getInt("maxChunksPerTrigger", 0))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ZarrWriteBuilder(dir, info)
 }
 
 final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
-    vectorized: Boolean) extends ScanBuilder with SupportsPushDownFilters
+    vectorized: Boolean,
+    maxChunksPerTrigger: Int = 0) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -322,7 +324,7 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
         pushedGroupBy, pushedAggSpecs)
     else
       new ZarrScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(), required,
-        vectorized, limit)
+        vectorized, limit, maxChunksPerTrigger)
 }
 
 /** The chunk-list aggregates the source can answer without payload I/O. */
@@ -534,9 +536,23 @@ final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
 
 final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     hi: Array[Long], allowed: Array[Set[Long]], required: StructType,
-    vectorized: Boolean, limit: Int = -1)
+    vectorized: Boolean, limit: Int = -1, maxChunksPerTrigger: Int = 0)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
+
+  /** Streaming read of a growing store ([[ZarrMicroBatchStream]]). Pushed
+    * grid bounds carry over to discovery; sharded stores are refused —
+    * their shard objects get rewritten in place as inner chunks land, so
+    * object-level discovery would miss (or double-serve) data.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(ZarrTableProvider.shardInfoOf(dir).isEmpty,
+      s"zarr streaming read of $dir: sharded (sharding_indexed) stores " +
+        "are not an append-only chunk feed — shard objects are rewritten " +
+        "in place; stream the unsharded layout, or batch-read the store")
+    new ZarrMicroBatchStream(dir, meta, lo, hi, allowed, required,
+      checkpointLocation, maxChunksPerTrigger)
+  }
 
   /** Storage-partitioned read: the store is clustered by grid coordinates
     * (each chunk file holds exactly one (g0..gd-1) key — the write path's

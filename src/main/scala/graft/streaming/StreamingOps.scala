@@ -341,7 +341,48 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
   }
 
+  /** Streaming read of a zarr store through [[graft.sources.zarr
+    * .ZarrMicroBatchStream]]: the synthetic label image is batch-written
+    * through the DSv2 sink, then `readStream.format("zarr")` ingests it
+    * with `maxChunksPerTrigger=5` — 24 chunks arrive over 5 micro-batches
+    * feeding a complete-mode per-tile aggregate, which must converge to
+    * the SAME oracle as the batch scan regardless of how discovery sliced
+    * the store. The incremental-growth face (chunks appended between
+    * triggers) is spec'd separately in ZarrStreamSourceSpec.
+    */
+  def zarrStreamRead(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.rel.RelabelRel
+    val inv = sinkCounter.incrementAndGet()
+    val storeDir = graft.TempDirs.create(s"graft_stzarr_src_$inv")
+    val gyL = RelabelRel.GY.toLong * RelabelRel.L
+    val gxL = RelabelRel.GX.toLong * RelabelRel.L
+    RelabelRel.pixelsRaw(s, d)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+      .write.format("zarr")
+      .option("shape", s"$gyL,$gxL")
+      .option("chunks", s"${RelabelRel.L},${RelabelRel.L}")
+      .option("dtype", "<u2").option("compressor", "zlib")
+      .mode("overwrite").save(storeDir)
+    val qn = "st_zarr_src_sink_" + inv
+    val agg = s.readStream.format("zarr")
+      .option("maxChunksPerTrigger", "5").load(storeDir)
+      .filter(col("value") =!= 0)
+      .groupBy(col("g0").as("gy"), col("g1").as("gx"))
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+    val query = StateSizing.startSized(s)(agg.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_px_zarr_read", zarrStreamRead,
+      Some(graft.rel.RelabelRel.PIXELS_SQL + """
+      SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
+      FROM lab GROUP BY gy, gx""")),
     graft.rel.Q("st_px_zarr_write", zarrStreamWrite,
       Some(graft.rel.RelabelRel.PIXELS_SQL + """
       SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
