@@ -243,6 +243,37 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
   }
 
+  /** zarr3Dsv2Write through the SHARDED layout: the same pixel relation
+    * written with the `shards` option (2x2 inner chunks per shard object),
+    * so the DSv2 sink itself produces the object-per-shard store a 100 TB
+    * object store wants — staged inner chunks packed into indexed shard
+    * objects by the distributed commit. Read back through the sharded DSv2
+    * scan under the same pixel oracle; the query asserts the store really
+    * is sharded so a silently-unsharded write can't pass on row equality.
+    */
+  private lazy val zarr3ShardWriteDir: String =
+    graft.TempDirs.create("graft_zarr3_sw")
+
+  def zarr3ShardDsv2Write(s: SparkSession, d: String): DataFrame = {
+    RelabelRel.pixelsRaw(s, d)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+      .write.format("zarr")
+      .option("shape", s"${GY * L},${GX * L}").option("chunks", s"$L,$L")
+      .option("shards", s"${2 * L},${2 * L}")
+      .option("dtype", "uint16").option("compressor", "gzip")
+      .option("zarrFormat", "3")
+      .mode("overwrite").save(zarr3ShardWriteDir)
+    require(graft.sources.zarr.ZarrTableProvider
+      .shardInfoOf(zarr3ShardWriteDir).isDefined,
+      "the shards option did not produce a sharding_indexed store")
+    s.read.format("zarr").load(zarr3ShardWriteDir)
+      .filter(col("value") =!= 0)
+      .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
+      .groupBy("gy", "gx")
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+  }
+
   /** The storage-partitioned read path under the driver gate: the same
     * store and oracle as px_zarr_dsv2_write, but the per-tile aggregate
     * runs with `spark.sql.sources.v2.bucketing.enabled` — the scan reports
@@ -654,6 +685,7 @@ object PipelineOps {
     Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL)),
     Q("px_zarr_dsv2_write", zarrDsv2Write, Some(ZARR_DSV2_WRITE_SQL)),
     Q("px_zarr_grouped", zarrGrouped, Some(ZARR_DSV2_WRITE_SQL)),
-    Q("px_zarr3_dsv2_write", zarr3Dsv2Write, Some(ZARR_DSV2_WRITE_SQL))
+    Q("px_zarr3_dsv2_write", zarr3Dsv2Write, Some(ZARR_DSV2_WRITE_SQL)),
+    Q("px_zarr3_shard_write", zarr3ShardDsv2Write, Some(ZARR_DSV2_WRITE_SQL))
   )
 }

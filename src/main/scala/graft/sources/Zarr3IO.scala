@@ -465,35 +465,47 @@ object Zarr3IO {
         require(enc(k) == null, s"duplicate tile at ${t.loc.mkString(",")}")
         enc(k) = ZarrIO.encodeChunk(t.data, innerMeta, t.shape)
       }
-      val idx = new Array[Byte](cps * 16 + (if (crc) 4 else 0))
-      val ibb = java.nio.ByteBuffer.wrap(idx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var off = if (atEnd) 0L else idx.length.toLong
-      var k = 0
-      while (k < cps) {
-        if (enc(k) == null) {
-          ibb.putLong(k * 16, ABSENT); ibb.putLong(k * 16 + 8, ABSENT)
-        } else {
-          ibb.putLong(k * 16, off)
-          ibb.putLong(k * 16 + 8, enc(k).length.toLong)
-          off += enc(k).length
-        }
-        k += 1
-      }
-      if (crc) {
-        val c = new java.util.zip.CRC32C
-        c.update(idx, 0, cps * 16)
-        ibb.putInt(cps * 16, c.getValue.toInt)
-      }
-      val out = new java.io.ByteArrayOutputStream(
-        idx.length + enc.iterator.filter(_ != null).map(_.length).sum)
-      if (!atEnd) out.write(idx)
-      enc.foreach(e => if (e != null) out.write(e))
-      if (atEnd) out.write(idx)
       StoreIO.write(sconf.value,
-        new Path(dir, chunkKey(sl, sep)).toString, out.toByteArray)
+        new Path(dir, chunkKey(sl, sep)).toString, packShard(enc, atEnd, crc))
       1
     }.count()
     ()
+  }
+
+  /** Assemble one shard object from its encoded inner chunks (slot k =
+    * C-order inner position, null = absent): payloads in slot order plus
+    * the binary `(offset, nbytes)` index at the configured end, CRC32C-
+    * protected when enabled. Shared by [[writeSharded]] and the DSv2
+    * sharded commit's pack job.
+    */
+  private[sources] def packShard(enc: Array[Array[Byte]], atEnd: Boolean,
+      crc: Boolean): Array[Byte] = {
+    val cps = enc.length
+    val idx = new Array[Byte](cps * 16 + (if (crc) 4 else 0))
+    val ibb = java.nio.ByteBuffer.wrap(idx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = if (atEnd) 0L else idx.length.toLong
+    var k = 0
+    while (k < cps) {
+      if (enc(k) == null) {
+        ibb.putLong(k * 16, ABSENT); ibb.putLong(k * 16 + 8, ABSENT)
+      } else {
+        ibb.putLong(k * 16, off)
+        ibb.putLong(k * 16 + 8, enc(k).length.toLong)
+        off += enc(k).length
+      }
+      k += 1
+    }
+    if (crc) {
+      val c = new java.util.zip.CRC32C
+      c.update(idx, 0, cps * 16)
+      ibb.putInt(cps * 16, c.getValue.toInt)
+    }
+    val out = new java.io.ByteArrayOutputStream(
+      idx.length + enc.iterator.filter(_ != null).map(_.length).sum)
+    if (!atEnd) out.write(idx)
+    enc.foreach(e => if (e != null) out.write(e))
+    if (atEnd) out.write(idx)
+    out.toByteArray
   }
 }
 

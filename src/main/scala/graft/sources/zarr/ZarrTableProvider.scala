@@ -990,10 +990,10 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
         // Zarr3IO.writeSharded, or overwrite with explicit layout options.
         require(ZarrTableProvider.shardInfoOf(dir).isEmpty,
           s"zarr write to $dir: the existing store is sharded " +
-            "(sharding_indexed); the DSv2 write path produces unsharded " +
-            "layouts — use Zarr3IO.writeSharded, or mode(\"overwrite\") " +
-            "with explicit shape/chunks/dtype/compressor options to " +
-            "replace it")
+            "(sharding_indexed); appending or inheriting its layout is " +
+            "unsupported — use mode(\"overwrite\") with explicit " +
+            "shape/chunks/dtype/compressor (and optionally 'shards') " +
+            "options to replace it")
         Some(ZarrTableProvider.metaOf(dir))
       } else None
     def layout(name: String, fromMeta: ZarrIO.Meta => String): String =
@@ -1023,6 +1023,14 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
       throw new IllegalArgumentException(
         s"zarr write to $dir requests format ${if (v3) 3 else 2} but the " +
           s"existing store is format ${if (ZarrTableProvider.isV3(dir)) 3 else 2}")
+    // 'shards' = shard shape (sharding_indexed): writers still stage one
+    // object per INNER chunk; the commit packs them into shard objects
+    val shardsOpt = Option(o.get("shards")).map(_.split(",").map(_.trim.toInt))
+    require(shardsOpt.isEmpty || v3,
+      "the 'shards' option (sharding_indexed layout) needs zarrFormat=3")
+    require(shardsOpt.isEmpty || doTruncate || !storeExists,
+      s"sharded zarr write to $dir needs mode(\"overwrite\"): appending " +
+        "would rewrite committed shard objects in place")
     var v3Meta: Option[Zarr3IO.Meta3] = None
     val meta: ZarrIO.Meta = if (v3) {
       val dataType = Option(o.get("dtype"))
@@ -1038,9 +1046,20 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
           case other => throw new IllegalArgumentException(
             s"zarr v3 supports compressor 'gzip' or '' (none), got '$other'")
         }
-      val m3 = Zarr3IO.Meta3(shape, chunks, dataType, gz, 0L, "/")
+      val m3 = shardsOpt match {
+        case Some(shard) =>
+          require(shard.length == chunks.length && shard.indices.forall(a =>
+            shard(a) > 0 && shard(a) % chunks(a) == 0),
+            s"shard shape ${shard.mkString(",")} must be a positive " +
+              s"multiple of the chunk shape ${chunks.mkString(",")} on " +
+              "every axis")
+          Zarr3IO.Meta3(shape, shard, dataType, gz, 0L, "/",
+            Some(Zarr3IO.Shard3(chunks.clone(), indexAtEnd = true,
+              indexCrc = true)))
+        case None => Zarr3IO.Meta3(shape, chunks, dataType, gz, 0L, "/")
+      }
       v3Meta = Some(m3)
-      m3.v2
+      if (m3.sharding.isDefined) m3.innerV2 else m3.v2
     } else ZarrIO.Meta(shape, chunks,
       Option(o.get("dtype")).orElse(existing.map(_.dtype)).getOrElse("<i8"),
       Option(o.get("compressor")).orElse(existing.map(_.compressor))
@@ -1097,17 +1116,36 @@ final class ZarrBatchWrite(dir: String, staging: String, meta: ZarrIO.Meta,
     ZarrWriterFactory(new Path(dir, staging).toString, meta,
       schema.fieldNames, StoreIO.ser(StoreIO.hadoopConf), v3Meta.isDefined)
 
+  private def packStaging = staging + "-pack"
+
   /** Swap the staged files in: clear the old store (overwrite mode) only
     * now that every task has succeeded, then move chunks, then metadata
     * LAST. The pre-commit store is never touched by a failing write.
+    *
+    * Sharded layout (`shards` option): the staged objects are INNER
+    * chunks, so commit first runs a distributed PACK job — one task per
+    * shard reads its staged (already element-encoded) inner chunks and
+    * concatenates them into the shard object plus binary index — into a
+    * second staging dir, and the swap moves the packed shards instead.
+    * Packing moves only encoded bytes (no decode/re-encode), and the pack
+    * job's parallelism is the shard count, so a 100 TB write pays one
+    * extra pass over the COMPRESSED data in exchange for the
+    * object-per-shard layout that object stores need. The store is still
+    * untouched until every pack task has succeeded.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = StoreIO.hadoopConf
     val root = new Path(dir)
     val stage = new Path(dir, staging)
+    val packed = v3Meta.filter(_.sharding.isDefined).map { m3 =>
+      val pack = new Path(dir, packStaging)
+      packShards(m3, stage, pack)
+      pack
+    }
     if (doTruncate)
       StoreIO.list(conf, dir)
-        .filterNot(_.getPath.getName == staging)
+        .filterNot(f => f.getPath.getName == staging ||
+          f.getPath.getName == packStaging)
         .foreach(f => StoreIO.deleteRecursive(conf, f.getPath.toString))
     def move(p: Path, isFile: Boolean, rel: String): Unit =
       if (!isFile)
@@ -1116,17 +1154,60 @@ final class ZarrBatchWrite(dir: String, staging: String, meta: ZarrIO.Meta,
           move(c.getPath, c.isFile, if (rel.isEmpty) name else rel + "/" + name)
         }
       else StoreIO.moveInto(conf, p, root, rel)
-    move(stage, isFile = false, "")
+    move(packed.getOrElse(stage), isFile = false, "")
     StoreIO.deleteRecursive(conf, stage.toString)
+    packed.foreach(p => StoreIO.deleteRecursive(conf, p.toString))
     v3Meta match {
       case Some(m3) => Zarr3IO.writeMeta(dir, m3)
       case None => ZarrIO.writeMeta(dir, meta)
     }
+    if (packed.isDefined)
+      ShardIndexCache.invalidateUnder(dir) // same-JVM rewrite loops
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  /** One pack task per shard: gather the shard's staged inner-chunk
+    * objects (raw bytes — they are already in the store's element codec)
+    * and write the assembled shard object into `packDir`. Runs as a Spark
+    * job from the driver-side commit; shard count bounds the parallelism.
+    */
+  private def packShards(m3: Zarr3IO.Meta3, stage: Path, packDir: Path): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dims = m3.dims
+    val ips = m3.innersPerShard
+    val cps = ips.product
+    val sep = m3.separator
+    val sh = m3.sharding.get
+    val sconf = StoreIO.ser(StoreIO.hadoopConf)
+    val stageStr = stage.toString
+    val packStr = packDir.toString
+    val innerM3 = m3.copy(chunks = sh.inner, sharding = None)
+    val groups = Zarr3IO.listChunkLocs(stageStr, innerM3)
+      .groupBy(loc => loc.indices.map(a => loc(a) / ips(a)).toVector)
+      .iterator.map { case (sl, locs) => (sl.toArray, locs.toArray) }.toSeq
+    if (groups.nonEmpty)
+      spark.sparkContext
+        .parallelize(groups, math.min(groups.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
+        .foreach { case (sl, locs) =>
+          val enc = new Array[Array[Byte]](cps)
+          locs.foreach { loc =>
+            val pos = Array.tabulate(dims)(a => loc(a) - sl(a) * ips(a))
+            val k = graft.core.Regions.linearIndex(pos, ips).toInt
+            enc(k) = StoreIO.readAllBytes(sconf.value,
+              new Path(stageStr, Zarr3IO.chunkKey(loc, sep)).toString)
+          }
+          StoreIO.write(sconf.value,
+            new Path(packStr, Zarr3IO.chunkKey(sl, sep)).toString,
+            Zarr3IO.packShard(enc, sh.indexAtEnd, sh.indexCrc))
+        }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     StoreIO.deleteRecursive(StoreIO.hadoopConf,
       new Path(dir, staging).toString) // old store untouched
+    StoreIO.deleteRecursive(StoreIO.hadoopConf,
+      new Path(dir, packStaging).toString)
+  }
 }
 
 final case class ZarrChunksWritten(n: Int) extends WriterCommitMessage
