@@ -1234,6 +1234,9 @@ final case class ZarrWriterFactory(stageDir: String, meta: ZarrIO.Meta,
       private var curShape: Array[Int] = null
       private var curData: Array[Long] = null
       private var written = 0
+      // scratch for the per-row grid key: the writer sees every CELL, so
+      // the hot loop must not allocate per row
+      private val gBuf = new Array[Int](dims)
 
       private def tileShapeOf(loc: Array[Int]): Array[Int] =
         Array.tabulate(dims) { a =>
@@ -1252,24 +1255,27 @@ final case class ZarrWriterFactory(stageDir: String, meta: ZarrIO.Meta,
       }
 
       override def write(row: InternalRow): Unit = {
-        val loc = Array.tabulate(dims)(a => row.getLong(gIdx(a)).toInt)
+        var same = curLoc != null
         var a = 0
         while (a < dims) {
-          require(loc(a) >= 0 && loc(a) < grid(a),
-            s"grid coordinate g$a=${loc(a)} outside [0, ${grid(a)})")
+          val g = row.getLong(gIdx(a)).toInt
+          if (g < 0 || g >= grid(a)) throw new IllegalArgumentException(
+            s"grid coordinate g$a=$g outside [0, ${grid(a)})")
+          gBuf(a) = g
+          if (same && g != curLoc(a)) same = false
           a += 1
         }
-        if (curLoc == null || !java.util.Arrays.equals(loc, curLoc)) {
+        if (!same) {
           flush()
-          curLoc = loc
-          curShape = tileShapeOf(loc)
+          curLoc = gBuf.clone()
+          curShape = tileShapeOf(curLoc)
           curData = new Array[Long](curShape.product)
         }
         var flat = 0
         a = 0
         while (a < dims) {
           val pv = row.getLong(pIdx(a)).toInt
-          require(pv >= 0 && pv < curShape(a),
+          if (pv < 0 || pv >= curShape(a)) throw new IllegalArgumentException(
             s"in-chunk coordinate p$a=$pv outside [0, ${curShape(a)}) " +
               s"for chunk ${curLoc.mkString(",")}")
           flat = flat * curShape(a) + pv

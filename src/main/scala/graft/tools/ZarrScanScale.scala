@@ -35,6 +35,7 @@ object ZarrScanScale {
         Array.tabulate(chunk * chunk)(j => (i * 31 + j) % 251))
     }
     val mode = args.drop(1).headOption
+    if (mode.contains("write")) { writeProbe(spark, n, chunk); spark.stop(); return }
     val shardDir = graft.TempDirs.create("graft_zarr_scanscale_sh")
     if (mode.forall(_ == "shard"))
       // same cells through the sharded layout: 4x4 inners per shard object
@@ -75,5 +76,59 @@ object ZarrScanScale {
     }
     modes.foreach { case (label, v, d) => probe(label, v, d) }
     spark.stop()
+  }
+
+  /** Write-rate probe (`... 8192 write`): the same cell relation through
+    * the DSv2 sink unsharded, the DSv2 sink with the `shards` option
+    * (staged inner chunks + distributed pack-at-commit), and the
+    * shuffle-based `writeSharded` — what the pack job's extra encoded-byte
+    * pass actually costs versus the one-object-per-chunk layout.
+    */
+  private def writeProbe(spark: SparkSession, n: Int, chunk: Int): Unit = {
+    import spark.implicits._
+    val cells = n.toLong * n
+    val g = n / chunk
+    val rows = spark.range(cells).selectExpr(
+      s"id div ${n.toLong * chunk} AS g0",
+      s"(id % $n) div $chunk AS g1",
+      s"(id div $n) % $chunk AS p0",
+      s"id % $chunk AS p1",
+      "id % 251 AS value")
+    def time(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[zarrwrite] $label%-14s $sec%6.2f s " +
+        f"(${cells / sec / 1e6}%8.1f Mcells/s)")
+    }
+    def dsv2(dir: String, sharded: Boolean): Unit = {
+      val w = rows.write.format("zarr")
+        .option("shape", s"$n,$n").option("chunks", s"$chunk,$chunk")
+        .option("dtype", "int64").option("compressor", "none")
+        .option("zarrFormat", "3")
+      (if (sharded) w.option("shards", s"${4 * chunk},${4 * chunk}") else w)
+        .mode("overwrite").save(dir)
+    }
+    val plainDir = graft.TempDirs.create("graft_zw_plain")
+    val shardDir = graft.TempDirs.create("graft_zw_shard")
+    val libDir = graft.TempDirs.create("graft_zw_lib")
+    val spec = GridSpec(Array(n.toLong, n.toLong), Array(chunk, chunk))
+    val tiles = spark.range(g.toLong * g).map { i =>
+      val gy = (i / g).toInt; val gx = (i % g).toInt
+      Tile(Array(gy, gx), Array(g, g), Array(chunk, chunk),
+        Array.tabulate(chunk * chunk)(j => (i * 31 + j) % 251))
+    }
+    // two rotated passes: first-pass JIT/codegen warm-up lands on dsv2
+    for (_ <- 1 to 2) {
+      // the clustered-distribution shuffle + sort alone (noop sink):
+      // what Catalyst's machinery costs before the writer sees a row
+      time("shuffle+sort")(rows.repartition(col("g0"), col("g1"))
+        .sortWithinPartitions("g0", "g1") // the sink's requiredOrdering
+        .write.format("noop").mode("overwrite").save())
+      time("dsv2")(dsv2(plainDir, sharded = false))
+      time("dsv2+shards")(dsv2(shardDir, sharded = true))
+      time("writeSharded")(graft.sources.Zarr3IO.writeSharded(tiles, spec,
+        Array(4 * chunk, 4 * chunk), libDir, "int64", gzip = false))
+    }
   }
 }
