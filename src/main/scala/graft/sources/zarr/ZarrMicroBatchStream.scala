@@ -40,22 +40,32 @@ final case class ZarrSourceOffset(seq: Long) extends Offset {
   * planner; the object count, not the data volume) plus reads of only the
   * fresh chunks.
   *
-  * Sharded stores are refused upstream ([[ZarrScan.toMicroBatchStream]]):
-  * sharding packs inner chunks into shard objects that are REWRITTEN in
-  * place as inners land, so "new object since last trigger" no longer
-  * identifies new data — the append-only unit this source consumes is the
-  * one-object-per-chunk layout.
+  * SHARDED stores stream at shard granularity, under the WRITE-ONCE-SHARD
+  * contract: producers append whole shard objects and never rewrite one
+  * (the `writeSharded`/pack-at-commit producers in this library do exactly
+  * that — each shard is assembled once from all of its inner chunks). A
+  * discovered shard object is served as its inner chunks (absent inners
+  * read as nothing, same as the batch scan); an in-place rewrite that adds
+  * inners to an ALREADY-SERVED shard is outside the contract and will not
+  * be re-served, which is why the unit of discovery is the unit of
+  * append-only-ness. `maxChunksPerTrigger` caps discovered SHARDS here —
+  * the per-trigger read volume it bounds is shard-sized either way.
   */
 final class ZarrMicroBatchStream(dir: String, meta: ZarrIO.Meta,
     lo: Array[Long], hi: Array[Long], allowed: Array[Set[Long]],
     required: StructType, checkpointLocation: String,
-    maxChunksPerTrigger: Int) extends MicroBatchStream {
+    maxChunksPerTrigger: Int,
+    shard: Option[ShardInfo] = None) extends MicroBatchStream {
 
   private val conf = StoreIO.hadoopConf
   private val logDir = new Path(checkpointLocation, "zarr-chunk-log").toString
   private val isV3 = ZarrTableProvider.isV3(dir)
-  // unsharded v3 metadata is immutable for the life of the store; read once
+  // v3 metadata (shape/chunks/codec) is immutable for the store's life —
+  // growth adds objects, never re-shapes — so read it once
   private val v3Meta = if (isV3) Some(Zarr3IO.readMeta(dir)) else None
+  // shard-expansion facts, fixed by the metadata
+  private val innerGrid = v3Meta.filter(_.sharding.isDefined)
+    .map(m3 => graft.tiles.GridSpec(m3.shape, m3.sharding.get.inner).gridShape)
 
   /** Chunk sets by discovery entry, index = seq - 1; rebuilt on restart. */
   private val entries =
@@ -92,13 +102,24 @@ final class ZarrMicroBatchStream(dir: String, meta: ZarrIO.Meta,
       loc(a) >= lo(a) && loc(a) <= hi(a) &&
         (allowed(a) == null || allowed(a).contains(loc(a).toLong)))
 
+  /** Inner chunks covered by shard `sl` (sharded stores). */
+  private def innersOf(sl: Array[Int]): Seq[Array[Int]] =
+    Zarr3IO.innerLocsOf(sl, shard.get.ips, innerGrid.get)
+
+  /** Discovery-time pruning: a listed object enters the log only if it can
+    * serve a surviving chunk — for a shard object, if ANY covered inner
+    * survives the pushed bounds.
+    */
+  private def objectSurvives(loc: Array[Int]): Boolean =
+    if (shard.isDefined) innersOf(loc).exists(survives) else survives(loc)
+
   override def initialOffset(): Offset = ZarrSourceOffset(0)
 
   override def latestOffset(): Offset = synchronized {
     val fresh = (v3Meta match {
       case Some(m3) => Zarr3IO.listChunkLocs(dir, m3)
       case None => ZarrIO.listChunkLocs(dir, meta)
-    }).filter(l => survives(l) && !seen.contains(keyOf(l)))
+    }).filter(l => objectSurvives(l) && !seen.contains(keyOf(l)))
       // listing order is filesystem-dependent; a stable order keeps the
       // capped prefix (and so the whole log) deterministic across hosts
       .sortBy(keyOf)
@@ -119,13 +140,18 @@ final class ZarrMicroBatchStream(dir: String, meta: ZarrIO.Meta,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[ZarrSourceOffset].seq
     val e0 = end.asInstanceOf[ZarrSourceOffset].seq
-    (s0 + 1 to e0).flatMap(i => entries((i - 1).toInt))
-      .map(loc => ZarrInputPartition(loc): InputPartition).toArray
+    val objects = (s0 + 1 to e0).flatMap(i => entries((i - 1).toInt))
+    // sharded: the log holds shard locs; partitions are their surviving
+    // inner chunks (expansion is pure, so replay stays deterministic)
+    val chunks =
+      if (shard.isDefined) objects.flatMap(innersOf).filter(survives)
+      else objects
+    chunks.map(loc => ZarrInputPartition(loc): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrReaderFactory(dir, meta, required.fieldNames, isV3,
-      StoreIO.ser(conf), vectorized = false, None)
+      StoreIO.ser(conf), vectorized = false, shard)
 
   override def deserializeOffset(json: String): Offset =
     ZarrSourceOffset(json.trim.toLong)

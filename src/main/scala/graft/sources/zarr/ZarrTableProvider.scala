@@ -541,18 +541,14 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   /** Streaming read of a growing store ([[ZarrMicroBatchStream]]). Pushed
-    * grid bounds carry over to discovery; sharded stores are refused —
-    * their shard objects get rewritten in place as inner chunks land, so
-    * object-level discovery would miss (or double-serve) data.
+    * grid bounds carry over to discovery. Unsharded stores stream at chunk
+    * granularity; sharded stores at SHARD granularity under the
+    * write-once-shard contract documented on the stream class.
     */
-  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(ZarrTableProvider.shardInfoOf(dir).isEmpty,
-      s"zarr streaming read of $dir: sharded (sharding_indexed) stores " +
-        "are not an append-only chunk feed — shard objects are rewritten " +
-        "in place; stream the unsharded layout, or batch-read the store")
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ZarrMicroBatchStream(dir, meta, lo, hi, allowed, required,
-      checkpointLocation, maxChunksPerTrigger)
-  }
+      checkpointLocation, maxChunksPerTrigger,
+      ZarrTableProvider.shardInfoOf(dir))
 
   /** Storage-partitioned read: the store is clustered by grid coordinates
     * (each chunk file holds exactly one (g0..gd-1) key — the write path's

@@ -378,8 +378,49 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** zarrStreamRead through the SHARDED layout: the DSv2 `shards` write
+    * produces the object-per-shard store, and the streaming source ingests
+    * it at SHARD granularity (write-once-shard contract) — one discovered
+    * shard object per micro-batch under `maxChunksPerTrigger=1`. Same
+    * per-tile oracle: shard assembly, index reads, and shard-granular
+    * discovery all sit under the hash gate.
+    */
+  def zarrShardStreamRead(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.rel.RelabelRel
+    val inv = sinkCounter.incrementAndGet()
+    val storeDir = graft.TempDirs.create(s"graft_stzarr_shsrc_$inv")
+    val gyL = RelabelRel.GY.toLong * RelabelRel.L
+    val gxL = RelabelRel.GX.toLong * RelabelRel.L
+    RelabelRel.pixelsRaw(s, d)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+      .write.format("zarr")
+      .option("shape", s"$gyL,$gxL")
+      .option("chunks", s"${RelabelRel.L},${RelabelRel.L}")
+      .option("shards", s"${2 * RelabelRel.L},${2 * RelabelRel.L}")
+      .option("dtype", "uint16").option("compressor", "gzip")
+      .option("zarrFormat", "3")
+      .mode("overwrite").save(storeDir)
+    val qn = "st_zarr_shsrc_sink_" + inv
+    val agg = s.readStream.format("zarr")
+      .option("maxChunksPerTrigger", "1").load(storeDir)
+      .filter(col("value") =!= 0)
+      .groupBy(col("g0").as("gy"), col("g1").as("gx"))
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+    val query = StateSizing.startSized(s)(agg.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
     graft.rel.Q("st_px_zarr_read", zarrStreamRead,
+      Some(graft.rel.RelabelRel.PIXELS_SQL + """
+      SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
+      FROM lab GROUP BY gy, gx""")),
+    graft.rel.Q("st_px_zarr_shard_read", zarrShardStreamRead,
       Some(graft.rel.RelabelRel.PIXELS_SQL + """
       SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
       FROM lab GROUP BY gy, gx""")),

@@ -110,23 +110,39 @@ class ZarrStreamSourceSpec extends AnyFunSuite {
     assert(second.keys.stream().allMatch(k => k._1 >= 4L))
   }
 
-  test("sharded stores are refused with a clear error") {
+  // ---- sharded stores: write-once-shard streaming --------------------------
+
+  /** 8x8 image in 2x2 inner chunks (4x4 inner grid); shard = 4x4 elements
+    * = 2x2 inners (2x2 shard grid). Tile (gy,gx) omitted when `skip`.
+    */
+  private def shardedTiles(gys: Range, skip: (Int, Int) => Boolean = (_, _) => false) = {
     import spark.implicits._
-    val dir = TempDirs.create("graft_zsrc_sharded")
-    val spec = graft.tiles.GridSpec(Array(4L, 4L), Array(2, 2))
-    val tiles = for (gy <- 0 until 2; gx <- 0 until 2) yield
-      graft.tiles.Tile(Array(gy, gx), Array(2, 2), Array(2, 2),
-        Array.tabulate(4)(i => (gy * 100 + gx * 10 + i).toLong))
-    graft.sources.Zarr3IO.writeSharded(spark.createDataset(tiles), spec,
-      Array(4, 4), dir, "uint16")
-    val e = intercept[Exception] {
-      val q = spark.readStream.format("zarr").load(dir)
-        .writeStream.format("memory").queryName("zsrc_sharded_sink").start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("sharding_indexed")))
+    spark.createDataset(for {
+      gy <- gys; gx <- 0 until 4; if !skip(gy, gx)
+    } yield graft.tiles.Tile(Array(gy, gx), Array(4, 4), Array(2, 2),
+      Array.tabulate(4)(i => (gy * 100 + gx * 10 + i).toLong)))
+  }
+  private val shardedSpec = graft.tiles.GridSpec(Array(8L, 8L), Array(2, 2))
+
+  test("sharded stores stream at shard granularity, exactly once") {
+    val dir = TempDirs.create("graft_zsrc_shard")
+    // shard row 0 (inner rows 0..1), one inner ABSENT in the second shard
+    graft.sources.Zarr3IO.writeSharded(
+      shardedTiles(0 until 2, (gy, gx) => gy == 1 && gx == 3),
+      shardedSpec, Array(4, 4), dir, "uint16")
+    val d = new Drain(dir, maxPerTrigger = 1)
+    try {
+      d.drain()
+      // 2 shards, 8 nominal inners, one absent -> 7 x 4 cells; the trigger
+      // cap counts SHARDS, so two data batches
+      assert(d.cells.get() == 28)
+      assert(d.batches.get() == 2)
+      // append shard row 1 as a whole (write-once-shard contract), grow
+      graft.sources.Zarr3IO.writeSharded(shardedTiles(2 until 4),
+        shardedSpec, Array(4, 4), dir, "uint16")
+      d.drain()
+      assert(d.cells.get() == 28 + 32, "new shards served, old not re-served")
+      assert(d.keys.size() == 60)
+    } finally d.stop()
   }
 }
