@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.{StoreIO, Zarr3IO, ZarrIO}
@@ -55,7 +55,8 @@ final class ZarrMicroBatchStream(dir: String, meta: ZarrIO.Meta,
     lo: Array[Long], hi: Array[Long], allowed: Array[Set[Long]],
     required: StructType, checkpointLocation: String,
     maxChunksPerTrigger: Int,
-    shard: Option[ShardInfo] = None) extends MicroBatchStream {
+    shard: Option[ShardInfo] = None) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
 
   private val conf = StoreIO.hadoopConf
   private val logDir = new Path(checkpointLocation, "zarr-chunk-log").toString
@@ -115,14 +116,41 @@ final class ZarrMicroBatchStream(dir: String, meta: ZarrIO.Meta,
 
   override def initialOffset(): Offset = ZarrSourceOffset(0)
 
-  override def latestOffset(): Offset = synchronized {
-    val fresh = (v3Meta match {
+  /** Fresh surviving objects, in the stable discovery order (the listing
+    * order is filesystem-dependent; sorting keeps the capped prefix — and
+    * so the whole log — deterministic across hosts).
+    */
+  private def listFresh(): Seq[Array[Int]] =
+    (v3Meta match {
       case Some(m3) => Zarr3IO.listChunkLocs(dir, m3)
       case None => ZarrIO.listChunkLocs(dir, meta)
     }).filter(l => objectSurvives(l) && !seen.contains(keyOf(l)))
-      // listing order is filesystem-dependent; a stable order keeps the
-      // capped prefix (and so the whole log) deterministic across hosts
       .sortBy(keyOf)
+
+  /** `Trigger.AvailableNow` snapshot: the objects present at query start;
+    * later arrivals are left for the next run. Null outside AvailableNow.
+    */
+  @volatile private var prepared: Seq[Array[Int]] = null
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    prepared = listFresh()
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset = advance()
+
+  /** Admission control: the slice size is governed by the source's own
+    * `maxChunksPerTrigger` option (the caller-facing knob), so the passed
+    * ReadLimit — always allAvailable from getDefaultReadLimit — is not
+    * consulted.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = advance()
+
+  private def advance(): Offset = synchronized {
+    val fresh =
+      if (prepared != null) prepared.filterNot(l => seen.contains(keyOf(l)))
+      else listFresh()
     val batch =
       if (maxChunksPerTrigger > 0) fresh.take(maxChunksPerTrigger) else fresh
     if (batch.nonEmpty) {

@@ -35,7 +35,7 @@ class ZarrStreamSourceSpec extends AnyFunSuite {
     * appends between drains.
     */
   private final class Drain(dir: String, maxPerTrigger: Int = 0,
-      checkpoint: Option[String] = None) {
+      checkpoint: Option[String] = None, availableNow: Boolean = false) {
     val cells = new java.util.concurrent.atomic.AtomicLong(0)
     val keys = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Long, Long)]()
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -55,9 +55,12 @@ class ZarrStreamSourceSpec extends AnyFunSuite {
             (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
           ()
         }
-      checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+      val w2 = if (availableNow)
+        w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w
+      checkpoint.fold(w2)(c => w2.option("checkpointLocation", c))
     }
     val query = writer.start()
+    def awaitDone(ms: Long = 120000): Boolean = query.awaitTermination(ms)
     def drain(): Unit = query.processAllAvailable()
     def stop(): Unit = query.stop()
   }
@@ -107,6 +110,26 @@ class ZarrStreamSourceSpec extends AnyFunSuite {
     assert(second.cells.get() ==
       (RelabelRel.GY - 4).toLong * RelabelRel.GX * RelabelRel.L * RelabelRel.L,
       "only the chunks appended during downtime are served after restart")
+    assert(second.keys.stream().allMatch(k => k._1 >= 4L))
+  }
+
+  test("Trigger.AvailableNow backfills the snapshot in capped slices, then stops") {
+    val dir = TempDirs.create("graft_zsrc_avnow")
+    val ckpt = TempDirs.create("graft_zsrc_avnow_ckpt")
+    write(px.filter(col("g0") <= 3), dir, "append") // 16 of 24 chunks
+    val first = new Drain(dir, maxPerTrigger = 7, checkpoint = Some(ckpt),
+      availableNow = true)
+    assert(first.awaitDone(), "AvailableNow run must terminate on its own")
+    assert(first.cells.get() == 4L * RelabelRel.GX * RelabelRel.L * RelabelRel.L)
+    assert(first.batches.get() == 3) // ceil(16 / 7)
+    // a second AvailableNow run from the same checkpoint serves exactly
+    // what arrived since the first snapshot
+    write(px.filter(col("g0") >= 4), dir, "append")
+    val second = new Drain(dir, maxPerTrigger = 7, checkpoint = Some(ckpt),
+      availableNow = true)
+    assert(second.awaitDone())
+    assert(second.cells.get() ==
+      (RelabelRel.GY - 4).toLong * RelabelRel.GX * RelabelRel.L * RelabelRel.L)
     assert(second.keys.stream().allMatch(k => k._1 >= 4L))
   }
 
