@@ -153,6 +153,59 @@ object CurationOps {
                                      ORDER BY sent_idx), '')) AS fp
       FROM flagged GROUP BY doc_id""")),
 
+    // -- cross-document duplicated-substring filter (RefinedWeb/SlimPajama) --
+    // For every document: the fraction of its token 8-gram occurrences that
+    // also occur in ANOTHER document; documents past the 20% threshold are
+    // flagged for removal (the scaled-integer test 5*n_dup >= n_grams — no
+    // float ratio crosses the gate). Sits between tx_repetition (WITHIN-doc
+    // Gopher rules) and dd_exact (whole-doc): it catches boilerplate and
+    // partially-copied text that neither whole-doc hashing nor within-doc
+    // repetition sees. At scale: one explode, a (doc, gram) pre-aggregate
+    // (map-side combinable — repeats collapse before the exchange), one
+    // gram-keyed aggregate for the document-frequency, one equi-join back,
+    // one per-doc aggregate; swap the gram string for a 64-bit rolling hash
+    // to cut shuffle bytes at corpus scale, shape unchanged. Short docs
+    // (< 8 tokens) carry no grams and are emitted unflagged via the left
+    // join, not dropped.
+    Q("dd_substring", (s, d) => {
+      val docs = tbl(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+      val byDocGram = docs
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(words) >= 8 THEN
+               transform(sequence(1, size(words) - 7),
+                 i -> concat_ws(' ', slice(words, i, 8)))
+             ELSE array() END""")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      val gramDf = byDocGram.groupBy("gram").agg(count(lit(1)).as("ndocs"))
+      val perDoc = byDocGram.join(gramDf, "gram")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_grams"),
+          sum(when(col("ndocs") > 1, col("c")).otherwise(0L)).as("n_dup"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (coalesce(col("n_dup"), lit(0L)) * 5 >=
+            coalesce(col("n_grams"), lit(1L))).cast("long").as("flagged"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words) - 6),
+                 i -> array_to_string(words[i : i + 7], ' '))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      dg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+      gs AS (SELECT gram, count(*) AS ndocs FROM dg GROUP BY gram),
+      pd AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(coalesce(sum(c) FILTER (WHERE ndocs > 1), 0) AS BIGINT) AS n_dup
+        FROM dg JOIN gs USING (gram) GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(pd.n_grams, 0) AS n_grams,
+             coalesce(pd.n_dup, 0) AS n_dup,
+             CAST(coalesce(pd.n_dup, 0) * 5 >= coalesce(pd.n_grams, 1) AS BIGINT) AS flagged
+      FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""")),
+
     // -- corpus-level n-gram statistics --------------------------------------
     // Top-20 bigrams by frequency: the contamination-check / LM-statistics
     // primitive. orderBy+limit plans as TakeOrderedAndProject (bounded

@@ -555,6 +555,78 @@ object VectorOps {
              min(vec_id) AS min_id, max(vec_id) AS max_id
       FROM a2 GROUP BY cluster"""
 
+  /** SemDeDup-shaped semantic dedup (cluster, then prune inside clusters):
+    * every vector is k-means-assigned (one exact integer squared-L2 pass
+    * against the broadcast strided-sample centroids, cf. [[kmCluster]]),
+    * and the cosine near-duplicate test runs only on INTRA-CLUSTER pairs —
+    * the clustering is what bounds pair generation, so the self-join is an
+    * equi-join on the cluster id, never an all-pairs cross. A vector is a
+    * duplicate when some lower-id cluster-mate has cosine >= 0.95 with it
+    * (integer form: dot >= 0 and 400*dot^2 >= 361*|a|^2*|b|^2 — exact in
+    * int64 for the 1/1000-quantized corpus); the kept representative of
+    * each similarity ball is its lowest id. Output: each removed vector
+    * with its cluster, its lowest-id witness, and how many kept-or-removed
+    * mates matched. Corpus is [[nearCorpus]] (planted jittered twins).
+    *
+    * At 100 TB: assignment is broadcast-cross + map-side-combined argmin
+    * (one O(corpus) shuffle), the pair join shuffles on cluster id with
+    * per-cluster fan-in bounded by k sizing, and the final argmin is again
+    * an aggregate, not a window over the corpus.
+    */
+  private def ddSemantic(s: SparkSession, d: String): DataFrame = {
+    val corpus = nearCorpus(s, d)
+    val cents = corpus
+      .filter(col("vec_id") % 100 === 7 && col("vec_id") < 100000)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val assign = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        (long_dot(col("qv"), col("qv"))
+          - lit(2) * long_dot(col("qv"), col("cv"))
+          + long_dot(col("cv"), col("cv"))).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"), col("qv"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.qv").as("qv"))
+    val a = assign.as("a"); val b = assign.as("b")
+    a.join(b, col("a.cluster") === col("b.cluster") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.cluster").as("cluster"),
+        col("a.vec_id").as("id_a"),
+        long_dot(col("a.qv"), col("b.qv")).as("dot"),
+        long_dot(col("a.qv"), col("a.qv")).as("na"),
+        long_dot(col("b.qv"), col("b.qv")).as("nb"))
+      .filter(expr("dot >= 0 AND 400 * dot * dot >= 361 * na * nb"))
+      .groupBy("vec_id", "cluster")
+      .agg(min("id_a").as("witness"), count(lit(1)).as("n_dups"))
+  }
+
+  private val DD_SEMANTIC_SQL = s"""
+      WITH $NEAR_CORPUS_SQL,
+      cents AS (SELECT vec_id AS cid, qv AS cv FROM qv
+                WHERE vec_id % 100 = 7 AND vec_id < 100000),
+      d1 AS (
+        SELECT b.vec_id, b.qv, a.cid,
+               CAST(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(a.cv AS DOUBLE[]))
+                  + list_dot_product(CAST(a.cv AS DOUBLE[]), CAST(a.cv AS DOUBLE[]))
+                 AS BIGINT) AS dist
+        FROM qv b, cents a),
+      asg AS (
+        SELECT vec_id, qv, cid AS cluster FROM (
+          SELECT vec_id, qv, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist ASC, cid ASC) AS rn
+          FROM d1) WHERE rn = 1),
+      pairs AS (
+        SELECT b.vec_id AS vec_id, a.cluster, a.vec_id AS id_a,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[])) AS BIGINT) AS na,
+               CAST(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS nb
+        FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      SELECT vec_id, cluster, min(id_a) AS witness, count(*) AS n_dups
+      FROM pairs
+      WHERE dot >= 0 AND 400 * dot * dot >= 361 * na * nb
+      GROUP BY vec_id, cluster"""
+
   /** Oracle CTE chain shared by ann_ivfpq and ann_ivfpq_rerank: coarse
     * assignment, residual codebook, PQ codes, per-query LUT, base term, and
     * the summed residual-dot scores.
@@ -779,6 +851,8 @@ object VectorOps {
                                   ORDER BY dot DESC, id_n ASC) AS rn
         FROM rer) WHERE rn = 1""")),
     Q("km_cluster", kmCluster, Some(KM_CLUSTER_SQL)),
+
+    Q("dd_semantic", ddSemantic, Some(DD_SEMANTIC_SQL)),
 
     Q("dd_embed_lsh_verify", embedLshVerify, Some(EMBED_LSH_VERIFY_SQL)),
 

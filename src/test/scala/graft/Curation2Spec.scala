@@ -116,4 +116,35 @@ class Curation2Spec extends AnyFunSuite {
     val stream = q("st_mm_audio").collect().toSet
     assert(batch == stream)
   }
+
+  test("dd_semantic removes exactly the planted twins, witnessed by source") {
+    val rows = q("dd_semantic").collect()
+    // every removed vector is a planted jittered twin (id >= 100000) whose
+    // lowest-id witness is its own source vector
+    assert(rows.forall(_.getLong(0) >= 100000), "only twins removed")
+    assert(rows.forall(r => r.getLong(2) == r.getLong(0) - 100000),
+      "witness is the twin's source")
+    val planted = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 20 === 0).count()
+    assert(rows.length == planted, s"all $planted twins caught, got ${rows.length}")
+  }
+
+  test("dd_substring: gram counts match doc lengths, flag is the exact test") {
+    val df = q("dd_substring").cache()
+    try {
+      val want = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"),
+          greatest(size(split(col("text"), " ")) - 7, lit(0))
+            .cast("long").as("want"))
+      assert(df.join(want, "doc_id")
+        .filter(col("n_grams") =!= col("want")).count() == 0,
+        "n_grams = max(words - 7, 0) occurrences per doc")
+      assert(df.filter(col("n_dup") > col("n_grams")).count() == 0)
+      assert(df.filter(
+        col("flagged") =!= (col("n_dup") * 5 >= greatest(col("n_grams"), lit(1L)))
+          .cast("long")).count() == 0, "flag is the scaled-integer threshold")
+      // the corpus has real cross-doc boilerplate: some dup grams exist
+      assert(df.agg(sum("n_dup")).collect()(0).getLong(0) > 0)
+    } finally df.unpersist()
+  }
 }
