@@ -163,10 +163,11 @@ object CurationOps {
     // repetition sees. At scale: one explode, a (doc, gram) pre-aggregate
     // (map-side combinable — repeats collapse before the exchange), one
     // gram-keyed aggregate for the document-frequency, one equi-join back,
-    // one per-doc aggregate; swap the gram string for a 64-bit rolling hash
-    // to cut shuffle bytes at corpus scale, shape unchanged. Short docs
-    // (< 8 tokens) carry no grams and are emitted unflagged via the left
-    // join, not dropped.
+    // one per-doc aggregate. The gram string dies map-side: every exchange
+    // carries only its xxhash64 (8 bytes vs ~50–100 for a text 8-gram —
+    // the counts are hash-identities, so the output is unchanged short of
+    // a 64-bit collision inside the corpus). Short docs (< 8 tokens) carry
+    // no grams and are emitted unflagged via the left join, not dropped.
     Q("dd_substring", (s, d) => {
       val docs = tbl(s, d, "documents")
         .withColumn("words", split(col("text"), " "))
@@ -174,7 +175,7 @@ object CurationOps {
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(words) >= 8 THEN
                transform(sequence(1, size(words) - 7),
-                 i -> concat_ws(' ', slice(words, i, 8)))
+                 i -> xxhash64(concat_ws(' ', slice(words, i, 8))))
              ELSE array() END""")).as("gram"))
         .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       val gramDf = byDocGram.groupBy("gram").agg(count(lit(1)).as("ndocs"))
