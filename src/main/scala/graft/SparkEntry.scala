@@ -19,7 +19,8 @@ object SparkEntry {
       VectorOps.all ++ PipelineOps.all ++ FullChainRel.all ++ ChainExtras.all ++
       Relabel3Rel.all ++ StreamingOps.all ++ AsOfRel.all ++ SketchRel.all ++
       GeoRel.all ++ AnnotateRel.all ++ BucketedRel.all ++ CurationOps.all ++
-      AudioOps.all ++ SourceOps.all ++ SketchOps.all ++ RankOps.all
+      AudioOps.all ++ SourceOps.all ++ SketchOps.all ++ RankOps.all ++
+      TokenizerOps.all
 
   /** Flagship: the full image2labels pipeline on a synthetic tile grid
     * derived from sf0.001 lineitem (driver smoke-checks rows > 0).
