@@ -136,7 +136,76 @@ object RankOps {
                   AS BIGINT) AS alloc
       FROM rk"""
 
+  /** Label-propagation community detection — the domain-clustering signal a
+    * corpus pipeline uses to group near-identical sources before mixture
+    * weighting. Three SYNCHRONOUS rounds over the same customer-supplier
+    * graph as [[pagerank]]: every node adopts its neighbors' most frequent
+    * label, ties to the smallest label, starting from self-labels. The
+    * per-round argmax is an aggregate (`max(struct(cnt, -lbl))`), never a
+    * window over the corpus; the edge relation is cached across the three
+    * contribution joins. Output is community-aggregated (label, size,
+    * member id sum/min) so the gate is stable at any node count.
+    *
+    * Scale shape: each round is one equi-join on src + two map-side-
+    * combinable aggregates keyed by (dst, lbl) then dst — the same skew
+    * and shuffle profile as a pagerank iteration; label relations stay
+    * node-sized.
+    */
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    // sparsify to the rare low-quantity trades: the dense bipartite graph
+    // collapses to one giant community, the sparse one has real structure
+    val ed = tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem").filter(col("l_quantity") <= 2),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + lit(1000000L)).as("b"))
+      .distinct()
+    val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ed.select(col("b").as("src"), col("a").as("dst")))
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 3) {
+      lbl = edges.join(lbl, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+    }
+    val out = lbl.groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"), sum("node").cast("long").as("id_sum"),
+        min("node").as("id_min"))
+    graft.Caching.releaseAfterAction(out, edges)
+  }
+
+  private def lpRoundSql(prev: String, out: String): String = s"""
+      $out AS (
+        SELECT dst AS node, lbl FROM (
+          SELECT e.dst, l.lbl, count(*) AS c,
+                 row_number() OVER (PARTITION BY e.dst
+                                    ORDER BY count(*) DESC, l.lbl) AS rn
+          FROM edges e JOIN $prev l ON e.src = l.node
+          GROUP BY e.dst, l.lbl)
+        WHERE rn = 1)"""
+
+  private val LABELPROP_SQL = s"""
+      WITH ed AS (
+        SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_quantity <= 2),
+      edges AS (
+        SELECT a AS src, b AS dst FROM ed
+        UNION ALL SELECT b, a FROM ed),
+      l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      ${lpRoundSql("l0", "l1")},
+      ${lpRoundSql("l1", "l2")},
+      ${lpRoundSql("l2", "l3")}
+      SELECT lbl, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(node) AS BIGINT) AS id_sum,
+             CAST(min(node) AS BIGINT) AS id_min
+      FROM l3 GROUP BY lbl"""
+
   def all: Seq[Q] = Seq(
     Q("gr_pagerank", pagerank, Some(PAGERANK_SQL)),
+    Q("gr_labelprop", labelProp, Some(LABELPROP_SQL)),
     Q("tx_mix_weights", mixWeights, Some(MIX_WEIGHTS_SQL)))
 }

@@ -62,4 +62,25 @@ class GraphOpsSpec extends AnyFunSuite {
   test("edgeless graph: every vertex is its own component") {
     check(25, Seq.empty)
   }
+
+  test("gr_labelprop communities partition the sparsified node set") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("gr_labelprop")(spark, sf).cache()
+    try {
+      val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+        .filter(col("l_quantity") <= 2)
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      val ed = orders.join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("a"),
+          (col("l_suppkey") + lit(1000000L)).as("b")).distinct()
+      val nNodes = ed.select(col("a").as("n"))
+        .unionByName(ed.select(col("b").as("n"))).distinct().count()
+      val total = rows.agg(sum("n_members")).collect()(0).getLong(0)
+      assert(total == nNodes, s"members=$total nodes=$nNodes")
+      // every community label is itself a node id of the graph
+      assert(rows.filter(col("id_min") > col("id_sum")).count() == 0)
+      assert(rows.filter(col("n_members") < 1).count() == 0)
+    } finally rows.unpersist()
+  }
 }
