@@ -74,6 +74,96 @@ object VectorOps {
         col("m.id_n").as("id_n"), col("m.dot").as("dot"))
   }
 
+  /** Recall@10 of the IVF route against exact brute force, as ONE query —
+    * the evaluation loop an ANN deployment runs before trusting its index.
+    * Exact top-10 comes from the broadcast-query brute-force pass (the
+    * ground truth a 100 TB job computes on a sampled query stratum); IVF
+    * top-10 ranks only same-cluster candidates, so its cost stays the
+    * partition-pruned equi-join. Output per query: how many of the 10 true
+    * neighbors the index surfaced, and how many candidates it ranked —
+    * both integers, so the gate is exact. The assignment relation feeds
+    * queries, candidates, AND the ground-truth probe; it is cached for the
+    * action's lifetime. Windows partition by query id only.
+    */
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = qvec(s, d).filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val assign = qvec(s, d).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        long_dot(col("qv"), col("cv")).as("cdot"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cdot"), (-col("cid")).as("nc"),
+        col("cid"), col("qv"))).as("m"))
+      .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"))
+    val queries = assign.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id_q"), col("qv").as("query_qv"), col("cid"))
+    val w = Window.partitionBy("id_q").orderBy(col("dot").desc, col("id_n").asc)
+    val ivfTop = assign.withColumnRenamed("vec_id", "id_n")
+      .join(broadcast(queries), Seq("cid"))
+      .filter(col("id_q") =!= col("id_n"))
+      .select(col("id_q"), col("id_n"),
+        long_dot(col("query_qv"), col("qv")).as("dot"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("id_q"), col("id_n"))
+    val exactTop = assign.withColumnRenamed("vec_id", "id_n")
+      .crossJoin(broadcast(queries.select(col("id_q"), col("query_qv"))))
+      .filter(col("id_q") =!= col("id_n"))
+      .select(col("id_q"), col("id_n"),
+        long_dot(col("query_qv"), col("qv")).as("dot"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("id_q"), col("id_n"))
+    val hits = exactTop.join(ivfTop, Seq("id_q", "id_n"), "left_semi")
+      .groupBy("id_q").agg(count(lit(1)).as("h"))
+    val nivf = ivfTop.groupBy("id_q").agg(count(lit(1)).as("ni"))
+    val out = queries.select(col("id_q"))
+      .join(hits, Seq("id_q"), "left").join(nivf, Seq("id_q"), "left")
+      .select(col("id_q"), coalesce(col("h"), lit(0L)).as("hits"),
+        coalesce(col("ni"), lit(0L)).as("n_ivf"))
+    graft.Caching.releaseAfterAction(out, assign)
+  }
+
+  private val ANN_RECALL_SQL = s"""
+      WITH $QVEC_SQL,
+      cents AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id % 100 = 7),
+      cdots AS (
+        SELECT b.vec_id, b.qv, a.cid,
+               CAST(list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(a.cv AS DOUBLE[])) AS BIGINT) AS cdot
+        FROM qv b, cents a),
+      assign AS (
+        SELECT vec_id, qv, cid FROM (
+          SELECT vec_id, qv, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cdot DESC, cid ASC) AS rn
+          FROM cdots) WHERE rn = 1),
+      queries AS (SELECT vec_id AS id_q, qv AS query_qv, cid
+                  FROM assign WHERE vec_id % 50 = 0),
+      ivf AS (
+        SELECT id_q, id_n FROM (
+          SELECT q.id_q, n.vec_id AS id_n,
+                 row_number() OVER (PARTITION BY q.id_q ORDER BY
+                   CAST(list_dot_product(CAST(q.query_qv AS DOUBLE[]), CAST(n.qv AS DOUBLE[])) AS BIGINT) DESC,
+                   n.vec_id ASC) AS rn
+          FROM queries q JOIN assign n ON q.cid = n.cid AND q.id_q != n.vec_id)
+        WHERE rn <= 10),
+      exact AS (
+        SELECT id_q, id_n FROM (
+          SELECT q.id_q, n.vec_id AS id_n,
+                 row_number() OVER (PARTITION BY q.id_q ORDER BY
+                   CAST(list_dot_product(CAST(q.query_qv AS DOUBLE[]), CAST(n.qv AS DOUBLE[])) AS BIGINT) DESC,
+                   n.vec_id ASC) AS rn
+          FROM queries q JOIN assign n ON q.id_q != n.vec_id)
+        WHERE rn <= 10),
+      hits AS (SELECT e.id_q, CAST(count(*) AS BIGINT) AS h
+               FROM exact e JOIN ivf i ON e.id_q = i.id_q AND e.id_n = i.id_n
+               GROUP BY e.id_q),
+      nivf AS (SELECT id_q, CAST(count(*) AS BIGINT) AS ni
+               FROM ivf GROUP BY id_q)
+      SELECT q.id_q, coalesce(h.h, 0) AS hits, coalesce(n.ni, 0) AS n_ivf
+      FROM queries q
+      LEFT JOIN hits h ON q.id_q = h.id_q
+      LEFT JOIN nivf n ON q.id_q = n.id_q"""
+
   private val ANN_IVF_SQL = s"""
       WITH $QVEC_SQL,
       cents AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id % 100 = 7),
@@ -816,6 +906,8 @@ object VectorOps {
       FROM a, b WHERE id_a < id_b""")),
 
     Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
+
+    Q("ann_recall", annRecall, Some(ANN_RECALL_SQL)),
 
     Q("ann_pq", annPq, Some(ANN_PQ_SQL)),
 

@@ -89,4 +89,18 @@ class VectorFunctionsSpec extends AnyFunSuite {
       df.select(float_dot(col("a"), lit(1.0))).collect()
     }
   }
+
+  test("ann_recall is bounded by its own candidate count and by k") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
+      .cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(col("hits") > col("n_ivf")).count() == 0)
+      assert(df.filter(col("hits") > 10 || col("n_ivf") > 10).count() == 0)
+      assert(df.filter(col("hits") < 0).count() == 0)
+      // the index finds SOMETHING across the stratum (recall > 0 overall)
+      assert(df.agg(sum("hits")).collect()(0).getLong(0) > 0)
+    } finally df.unpersist()
+  }
 }
