@@ -700,5 +700,62 @@ object CurationOps {
              CASE WHEN b < 230 THEN 'train'
                   WHEN b < 243 THEN 'val' ELSE 'test' END AS split,
              count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
-      FROM b GROUP BY 1, 2, 3""")))
+      FROM b GROUP BY 1, 2, 3""")),
+
+    // -- DSIR-style importance weights (data selection for language models)
+    // Every document is scored by how target-like its hashed-n-gram profile
+    // is: per bigram g, the importance ratio nt(g)/ns(g) between the target
+    // distribution (here lang='en' — the domain being up-sampled) and the
+    // full-corpus distribution, doc score = sum over the doc's bigram
+    // occurrences of the scaled-integer ratio (nt*1e6 div ns). Shape at
+    // 100 TB: one explode, per-(doc,gram) pre-aggregate (map-side
+    // combinable), two gram-keyed stat aggregates off the CACHED per-doc
+    // relation, one gram equi-join back, one per-doc sum. Production DSIR
+    // hashes grams into 2^20 buckets to bound the stat tables —
+    // pmod(xxhash64(g), 1048576) swaps in for `g` with the shape unchanged;
+    // the un-hashed key keeps the oracle engine-exact (cf. dd_substring).
+    // Docs with <2 tokens carry no grams and score 0 via the left join.
+    Q("tx_dsir", (s, d) => {
+      val dg = tbl(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """CASE WHEN size(words) >= 2 THEN
+               transform(sequence(1, size(words) - 1),
+                 i -> concat_ws(' ', element_at(words, i),
+                                element_at(words, i + 1)))
+             ELSE array() END""")).as("g"))
+        .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("c"))
+      val tgt = dg.filter(col("lang") === "en")
+        .groupBy("g").agg(sum("c").as("nt"))
+      val alls = dg.groupBy("g").agg(sum("c").as("ns"))
+      val ratio = alls.join(tgt, Seq("g"), "left")
+        .select(col("g"),
+          expr("(coalesce(nt, 0) * 1000000) div ns").as("r"))
+      val scored = dg.join(ratio, "g").groupBy("doc_id")
+        .agg(sum(expr("c * r")).cast("long").as("score"),
+          sum("c").cast("long").as("n_grams"))
+      val out = tbl(s, d, "documents").select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("score"), lit(0L)).as("score"))
+      graft.Caching.releaseAfterAction(out, dg)
+    }, Some("""
+      WITH bg AS (
+        SELECT doc_id, lang, x.toks[i] || ' ' || x.toks[i + 1] AS g
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents) x,
+             UNNEST(generate_series(1, len(x.toks) - 1)) AS u(i)),
+      dg AS (SELECT doc_id, lang, g, CAST(count(*) AS BIGINT) AS c
+             FROM bg GROUP BY 1, 2, 3),
+      tgt AS (SELECT g, CAST(sum(c) AS BIGINT) AS nt
+              FROM dg WHERE lang = 'en' GROUP BY g),
+      alls AS (SELECT g, CAST(sum(c) AS BIGINT) AS ns FROM dg GROUP BY g),
+      ratio AS (SELECT a.g, (coalesce(t.nt, 0) * 1000000) // a.ns AS r
+                FROM alls a LEFT JOIN tgt t ON a.g = t.g),
+      sc AS (SELECT dg.doc_id, CAST(sum(dg.c * ratio.r) AS BIGINT) AS score,
+                    CAST(sum(dg.c) AS BIGINT) AS n_grams
+             FROM dg JOIN ratio ON dg.g = ratio.g GROUP BY 1)
+      SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+             coalesce(sc.score, 0) AS score
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")))
 }

@@ -147,4 +147,22 @@ class Curation2Spec extends AnyFunSuite {
       assert(df.agg(sum("n_dup")).collect()(0).getLong(0) > 0)
     } finally df.unpersist()
   }
+
+  test("tx_dsir up-weights the target domain") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val df = q("tx_dsir").join(docs, "doc_id").cache()
+    try {
+      // per-gram-occurrence importance: target-language docs must average
+      // strictly higher than the rest (that is the point of DSIR)
+      def meanRate(f: org.apache.spark.sql.Column) = df.filter(f)
+        .agg((sum("score") / sum("n_grams")).as("r"))
+        .collect()(0).getDouble(0)
+      val en = meanRate(col("lang") === "en")
+      val rest = meanRate(col("lang") =!= "en")
+      assert(en > rest, s"en=$en rest=$rest")
+      // every doc with >= 2 tokens carries grams; scores are non-negative
+      assert(df.filter(col("score") < 0).count() == 0)
+    } finally df.unpersist()
+  }
 }
