@@ -90,14 +90,18 @@ object TextOps {
     * hold the distinct shingle relation (dd_jaccard) pass it directly and
     * the shingle explode + md5 pass is computed once, not twice.
     */
-  private def minhashCandFrom(shingles: DataFrame): DataFrame = {
+  /** (band signature, cached mins relation) from a (doc_id, shingle)
+    * relation — the 8-slice minima in one hash-aggregate pass, exploded to
+    * 4 two-slice band values.
+    */
+  private def bandSig(shingles: DataFrame): (DataFrame, DataFrame) = {
     val sh = shingles
       .withColumn("h", md5(col("shingle")))
     val aggs = (0 until 8).map(j =>
       min(expr(s"substr(h, ${4 * j + 1}, 4)")).as(s"mh$j"))
-    // the band self-join reads this twice; materialize once (no DataFrame
-    // CSE). Tiny: one 8-slot row per document. Released by the listener
-    // Caching attaches below once the candidate join's action completes.
+    // the band join reads this more than once; materialize once (no
+    // DataFrame CSE). Tiny: one 8-slot row per document. Callers release
+    // it via Caching once their action completes.
     val mins = sh.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
     val sig = mins.select(col("doc_id"),
@@ -107,6 +111,11 @@ object TextOps {
                  struct(2 AS band, concat(mh4, mh5) AS bandval),
                  struct(3 AS band, concat(mh6, mh7) AS bandval))""")).as("bv"))
       .select(col("doc_id"), col("bv.band").as("band"), col("bv.bandval").as("bandval"))
+    (sig, mins)
+  }
+
+  private def minhashCandFrom(shingles: DataFrame): DataFrame = {
+    val (sig, mins) = bandSig(shingles)
     val a = sig.as("a"); val b = sig.as("b")
     Caching.releaseAfterAction(
       a.join(b, expr("a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id"))
@@ -511,6 +520,73 @@ object TextOps {
           md5(regexp_replace(lower(col("text")), " ", "")).as("fp"))
     }, Some("""
       SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fp
-      FROM documents"""))
+      FROM documents""")),
+
+    // -- fuzzy benchmark decontamination (MinHash-LSH across strata) ----------
+    // The NEAR-duplicate complement to tx_decontam's exact n-gram pass: a
+    // train document is contaminated when its 3-gram shingle SET has
+    // Jaccard >= 0.5 with some benchmark document, found without any
+    // all-pairs comparison — LSH band equi-join RESTRICTED train x eval for
+    // candidates, exact set intersection only on those pairs. Strata: eval
+    // is the original doc_id % 100 == 0 slice, train is the planted
+    // near-twin corpus (the +1000000 ids), so true contamination exists and
+    // is recoverable. At 100 TB the band join fans in by band value, the
+    // verify join ships only candidate docs' shingles, and both stat
+    // relations are map-side-combinable aggregates off the cached distinct
+    // shingle relation.
+    Q("tx_decontam_fuzzy", (s, d) => {
+      val shd = shinglesDf(nearCorpusDf(s, d)).distinct()
+      val (sig, mins) = bandSig(shd)
+      val cand = sig.as("a").join(sig.as("b"),
+          expr("""a.band = b.band AND a.bandval = b.bandval
+                  AND a.doc_id >= 1000000
+                  AND b.doc_id < 1000000 AND b.doc_id % 100 = 0"""))
+        .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("eval_id"))
+        .distinct()
+      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(shd.select(col("doc_id").as("train_id"), col("shingle")), "train_id")
+        .join(shd.select(col("doc_id").as("eval_id"), col("shingle")),
+          Seq("eval_id", "shingle"))
+        .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
+      val out = inter
+        .join(sizes.select(col("doc_id").as("train_id"), col("n").as("nt")), "train_id")
+        .join(sizes.select(col("doc_id").as("eval_id"), col("n").as("ne")), "eval_id")
+        .select(col("train_id"), col("eval_id"), col("inter"),
+          (col("nt") + col("ne") - col("inter")).as("uni"))
+        .filter(col("inter") * 2 >= col("uni"))
+      Caching.releaseAfterAction(out, mins, shd)
+    }, Some(s"""
+      WITH $NEAR_SQL, $SHINGLES_SQL,
+      shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      mins AS (
+        SELECT doc_id,
+               min(substr(md5(shingle), 1, 4)) AS mh0, min(substr(md5(shingle), 5, 4)) AS mh1,
+               min(substr(md5(shingle), 9, 4)) AS mh2, min(substr(md5(shingle), 13, 4)) AS mh3,
+               min(substr(md5(shingle), 17, 4)) AS mh4, min(substr(md5(shingle), 21, 4)) AS mh5,
+               min(substr(md5(shingle), 25, 4)) AS mh6, min(substr(md5(shingle), 29, 4)) AS mh7
+        FROM shd GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, 0 AS band, mh0 || mh1 AS bandval FROM mins
+        UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM mins
+        UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM mins
+        UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM mins),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+        FROM sig a JOIN sig b ON a.band = b.band AND a.bandval = b.bandval
+        WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+          AND b.doc_id % 100 = 0),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM shd GROUP BY doc_id),
+      i AS (SELECT c.train_id, c.eval_id, CAST(count(*) AS BIGINT) AS inter
+            FROM cand c JOIN shd t ON t.doc_id = c.train_id
+                        JOIN shd e ON e.doc_id = c.eval_id
+                                  AND e.shingle = t.shingle
+            GROUP BY 1, 2)
+      SELECT i.train_id, i.eval_id, i.inter,
+             CAST(st.n + se.n - i.inter AS BIGINT) AS uni
+      FROM i JOIN sizes st ON st.doc_id = i.train_id
+             JOIN sizes se ON se.doc_id = i.eval_id
+      WHERE i.inter * 2 >= st.n + se.n - i.inter"""))
   )
 }

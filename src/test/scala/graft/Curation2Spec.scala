@@ -148,6 +148,25 @@ class Curation2Spec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("tx_decontam_fuzzy recovers exactly the planted near-twin contamination") {
+    val rows = q("tx_decontam_fuzzy").collect()
+    // every flagged pair passes the Jaccard >= 0.5 threshold it claims
+    assert(rows.forall(r => r.getLong(2) * 2 >= r.getLong(3)))
+    // the planted contamination: each eval doc (id % 100 == 0) has a mutated
+    // twin at id + 1000000 in the train stratum; at threshold 0.5 those are
+    // exactly the pairs that survive
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val evalIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 100 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = evalIds.map(id => (id + 1000000L, id))
+    assert(want.subsetOf(got), s"got=$got want=$want")
+    // any further pair is still train x eval (organic near-dups in the
+    // synthetic corpus are legitimate hits, e.g. two short docs colliding)
+    assert(got.forall { case (t, e) =>
+      t >= 1000000L && e < 1000000L && e % 100 == 0 })
+  }
+
   test("tx_dsir up-weights the target domain") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("lang"))
