@@ -82,17 +82,39 @@ object TextOps {
     * hash-function explosion. Bands pair adjacent slices (32-bit band
     * values) and candidates come from a band equi-join.
     */
-  private[rel] def minhashCand(s: SparkSession, d: String): DataFrame =
-    minhashCandFrom(shinglesDf(nearCorpusDf(s, d)))
-
-  /** Candidate pairs from a (doc_id, shingle) relation. MinHash minima are
-    * identical over a shingle SET and multiset, so callers that already
-    * hold the distinct shingle relation (dd_jaccard) pass it directly and
-    * the shingle explode + md5 pass is computed once, not twice.
+  /** Candidate pairs over the near-dup corpus. The signature pass uses the
+    * fused [[graft.functions.MinHashSlices]] expression — one narrow map in
+    * the scan stage instead of a shingle explode + corpus-wide 8-min
+    * aggregate, so the only exchange left before the band join is none at
+    * all (the signature relation is born document-sized). Parity with the
+    * relational form is pinned by `MinHashSlicesSpec`.
     */
+  private[rel] def minhashCand(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHashSlices.minhash_slices
+    val mins = nearCorpusDf(s, d)
+      .select(col("doc_id"), minhash_slices(col("text")).as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 8).map(j => col("mh").getItem(j).as(s"mh$j")): _*)
+    candFromMins(mins)
+  }
+
+  /** Band values from an 8-slice minima relation (doc_id, mh0..mh7). */
+  private def sigOf(mins: DataFrame): DataFrame =
+    mins.select(col("doc_id"),
+      explode(expr(
+        """array(struct(0 AS band, concat(mh0, mh1) AS bandval),
+                 struct(1 AS band, concat(mh2, mh3) AS bandval),
+                 struct(2 AS band, concat(mh4, mh5) AS bandval),
+                 struct(3 AS band, concat(mh6, mh7) AS bandval))""")).as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"),
+        col("bv.bandval").as("bandval"))
+
   /** (band signature, cached mins relation) from a (doc_id, shingle)
     * relation — the 8-slice minima in one hash-aggregate pass, exploded to
-    * 4 two-slice band values.
+    * 4 two-slice band values. Callers that already hold (and verify
+    * against) the shingle relation use this path; signature-only callers
+    * go through [[minhashCand]]'s fused expression instead.
     */
   private def bandSig(shingles: DataFrame): (DataFrame, DataFrame) = {
     val sh = shingles
@@ -104,18 +126,14 @@ object TextOps {
     // it via Caching once their action completes.
     val mins = sh.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
-    val sig = mins.select(col("doc_id"),
-      explode(expr(
-        """array(struct(0 AS band, concat(mh0, mh1) AS bandval),
-                 struct(1 AS band, concat(mh2, mh3) AS bandval),
-                 struct(2 AS band, concat(mh4, mh5) AS bandval),
-                 struct(3 AS band, concat(mh6, mh7) AS bandval))""")).as("bv"))
-      .select(col("doc_id"), col("bv.band").as("band"), col("bv.bandval").as("bandval"))
-    (sig, mins)
+    (sigOf(mins), mins)
   }
 
-  private def minhashCandFrom(shingles: DataFrame): DataFrame = {
-    val (sig, mins) = bandSig(shingles)
+  /** The band self-join over a minima relation; caches `mins` (read by all
+    * four band values on both join sides) for the action's lifetime.
+    */
+  private def candFromMins(mins: DataFrame): DataFrame = {
+    val sig = sigOf(mins)
     val a = sig.as("a"); val b = sig.as("b")
     Caching.releaseAfterAction(
       a.join(b, expr("a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id"))
@@ -123,6 +141,9 @@ object TextOps {
         .distinct(),
       mins)
   }
+
+  private def minhashCandFrom(shingles: DataFrame): DataFrame =
+    candFromMins(bandSig(shingles)._2)
 
   /** Nibble value expression shared by both engines' simhash: position k
     * (1-based) of the md5 hex digest as 0..15.
