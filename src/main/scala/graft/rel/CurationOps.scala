@@ -757,5 +757,67 @@ object CurationOps {
              FROM dg JOIN ratio ON dg.g = ratio.g GROUP BY 1)
       SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
              coalesce(sc.score, 0) AS score
-      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")))
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""")),
+
+    // -- perplexity-bucket sampling (n-gram LM scoring) -----------------------
+    // The KenLM-shaped quality signal: a bigram language model is trained on
+    // the corpus itself (conditional probability c(w1 w2)/c(w1) in scaled-
+    // integer ppm), every document is scored by its mean per-bigram
+    // probability, and docs land in perplexity buckets — the
+    // sample-by-perplexity-band selection a pretraining pipeline runs.
+    // Thresholds bracket the corpus median (~33.9k ppm). Shape at 100 TB:
+    // the LM relations (unigram + bigram counts) are vocab-sized map-side-
+    // combined aggregates off the cached per-(doc,bigram) relation; scoring
+    // is one bigram-keyed equi-join back plus a per-doc sum. A larger-order
+    // LM swaps the key width, not the shape.
+    Q("tx_perplexity", (s, d) => {
+      val dg = tbl(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(words) >= 2 THEN
+               transform(sequence(1, size(words) - 1),
+                 i -> struct(element_at(words, i) AS w1,
+                             element_at(words, i + 1) AS w2))
+             ELSE array() END""")).as("b"))
+        .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+      val uni = tbl(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cu"))
+      val bgc = dg.groupBy("w1", "w2").agg(sum("c").as("cb"))
+      val ratio = bgc.join(uni, col("w1") === col("word"))
+        .select(col("w1"), col("w2"), expr("(cb * 1000000) div cu").as("r"))
+      val out = dg.join(ratio, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(expr("sum(c * r) div sum(c)").as("mean_ppm"),
+          sum("c").cast("long").as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"), col("mean_ppm"),
+          when(col("mean_ppm") > 34500, "low_ppl")
+            .when(col("mean_ppm") >= 33000, "mid_ppl")
+            .otherwise("high_ppl").as("bucket"))
+      graft.Caching.releaseAfterAction(out, dg)
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      bg AS (SELECT doc_id, x.toks[i] AS w1, x.toks[i + 1] AS w2
+             FROM w x, UNNEST(generate_series(1, len(x.toks) - 1)) AS u(i)),
+      dg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+             FROM bg GROUP BY 1, 2, 3),
+      uni AS (SELECT word, CAST(count(*) AS BIGINT) AS cu
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents) GROUP BY 1),
+      bgc AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cb
+              FROM dg GROUP BY 1, 2),
+      ratio AS (SELECT b.w1, b.w2, (b.cb * 1000000) // u.cu AS r
+                FROM bgc b JOIN uni u ON b.w1 = u.word),
+      pd AS (SELECT dg.doc_id,
+                    CAST(sum(dg.c * ratio.r) // sum(dg.c) AS BIGINT) AS mean_ppm,
+                    CAST(sum(dg.c) AS BIGINT) AS n_bigrams
+             FROM dg JOIN ratio ON dg.w1 = ratio.w1 AND dg.w2 = ratio.w2
+             GROUP BY 1)
+      SELECT doc_id, n_bigrams, mean_ppm,
+             CASE WHEN mean_ppm > 34500 THEN 'low_ppl'
+                  WHEN mean_ppm >= 33000 THEN 'mid_ppl'
+                  ELSE 'high_ppl' END AS bucket
+      FROM pd""")))
 }
