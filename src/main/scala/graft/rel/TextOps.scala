@@ -271,10 +271,15 @@ object TextOps {
       val ds = shinglesDf(nearCorpusDf(s, d)).distinct()
       val cand = minhashCandFrom(ds)
       val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // the intersection joins only test shingle EQUALITY, so the exchanges
+      // ship the 8-byte xxhash64 identity instead of the shingle text (cf.
+      // dd_substring) — counts are unchanged short of a 64-bit collision
+      // between two distinct shingles of a candidate pair
+      val dsh = ds.select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
       val inter = cand
-        .join(ds.as("x"), col("id_a") === col("x.doc_id"))
-        .join(ds.as("y"),
-          col("id_b") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+        .join(dsh.as("x"), col("id_a") === col("x.doc_id"))
+        .join(dsh.as("y"),
+          col("id_b") === col("y.doc_id") && col("x.hs") === col("y.hs"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       Caching.releaseAfterAction(
         inter
@@ -565,10 +570,12 @@ object TextOps {
         .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("eval_id"))
         .distinct()
       val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // ship 8-byte shingle identities through the verify joins, not text
       val inter = cand
-        .join(shd.select(col("doc_id").as("train_id"), col("shingle")), "train_id")
-        .join(shd.select(col("doc_id").as("eval_id"), col("shingle")),
-          Seq("eval_id", "shingle"))
+        .join(shd.select(col("doc_id").as("train_id"),
+          xxhash64(col("shingle")).as("hs")), "train_id")
+        .join(shd.select(col("doc_id").as("eval_id"),
+          xxhash64(col("shingle")).as("hs")), Seq("eval_id", "hs"))
         .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
       val out = inter
         .join(sizes.select(col("doc_id").as("train_id"), col("n").as("nt")), "train_id")
