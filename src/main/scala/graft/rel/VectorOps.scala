@@ -85,7 +85,17 @@ object VectorOps {
     * queries, candidates, AND the ground-truth probe; it is cached for the
     * action's lifetime. Windows partition by query id only.
     */
-  private def annRecall(s: SparkSession, d: String): DataFrame = {
+  private def annRecall(s: SparkSession, d: String): DataFrame =
+    annRecallProbes(s, d, probes = 1)
+
+  /** Multi-probe generalization: a query searches its `probes` nearest
+    * coarse clusters (probe lists are disjoint — every corpus vector lives
+    * in exactly one cluster), trading candidate volume for recall; the
+    * probe ranking runs only over the tiny query stratum. probes=1 is the
+    * classic single-probe IVF.
+    */
+  private def annRecallProbes(s: SparkSession, d: String, probes: Int)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = qvec(s, d).filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
@@ -96,7 +106,13 @@ object VectorOps {
       .agg(max(struct(col("cdot"), (-col("cid")).as("nc"),
         col("cid"), col("qv"))).as("m"))
       .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"))
-    val queries = assign.filter(col("vec_id") % 50 === 0)
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val queries = qvec(s, d).filter(col("vec_id") % 50 === 0)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        long_dot(col("qv"), col("cv")).as("cdot"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= probes)
       .select(col("vec_id").as("id_q"), col("qv").as("query_qv"), col("cid"))
     val w = Window.partitionBy("id_q").orderBy(col("dot").desc, col("id_n").asc)
     val ivfTop = assign.withColumnRenamed("vec_id", "id_n")
@@ -107,7 +123,8 @@ object VectorOps {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select(col("id_q"), col("id_n"))
     val exactTop = assign.withColumnRenamed("vec_id", "id_n")
-      .crossJoin(broadcast(queries.select(col("id_q"), col("query_qv"))))
+      .crossJoin(broadcast(
+        queries.select(col("id_q"), col("query_qv")).distinct()))
       .filter(col("id_q") =!= col("id_n"))
       .select(col("id_q"), col("id_n"),
         long_dot(col("query_qv"), col("qv")).as("dot"))
@@ -116,14 +133,14 @@ object VectorOps {
     val hits = exactTop.join(ivfTop, Seq("id_q", "id_n"), "left_semi")
       .groupBy("id_q").agg(count(lit(1)).as("h"))
     val nivf = ivfTop.groupBy("id_q").agg(count(lit(1)).as("ni"))
-    val out = queries.select(col("id_q"))
+    val out = queries.select(col("id_q")).distinct()
       .join(hits, Seq("id_q"), "left").join(nivf, Seq("id_q"), "left")
       .select(col("id_q"), coalesce(col("h"), lit(0L)).as("hits"),
         coalesce(col("ni"), lit(0L)).as("n_ivf"))
     graft.Caching.releaseAfterAction(out, assign)
   }
 
-  private val ANN_RECALL_SQL = s"""
+  private def annRecallSql(probes: Int) = s"""
       WITH $QVEC_SQL,
       cents AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id % 100 = 7),
       cdots AS (
@@ -136,8 +153,14 @@ object VectorOps {
                  row_number() OVER (PARTITION BY vec_id
                                     ORDER BY cdot DESC, cid ASC) AS rn
           FROM cdots) WHERE rn = 1),
-      queries AS (SELECT vec_id AS id_q, qv AS query_qv, cid
-                  FROM assign WHERE vec_id % 50 = 0),
+      queries AS (
+        SELECT id_q, query_qv, cid FROM (
+          SELECT vec_id AS id_q, qv AS query_qv, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cdot DESC, cid ASC) AS rn
+          FROM cdots WHERE vec_id % 50 = 0)
+        WHERE rn <= $probes),
+      qd AS (SELECT DISTINCT id_q, query_qv FROM queries),
       ivf AS (
         SELECT id_q, id_n FROM (
           SELECT q.id_q, n.vec_id AS id_n,
@@ -152,7 +175,7 @@ object VectorOps {
                  row_number() OVER (PARTITION BY q.id_q ORDER BY
                    CAST(list_dot_product(CAST(q.query_qv AS DOUBLE[]), CAST(n.qv AS DOUBLE[])) AS BIGINT) DESC,
                    n.vec_id ASC) AS rn
-          FROM queries q JOIN assign n ON q.id_q != n.vec_id)
+          FROM qd q JOIN assign n ON q.id_q != n.vec_id)
         WHERE rn <= 10),
       hits AS (SELECT e.id_q, CAST(count(*) AS BIGINT) AS h
                FROM exact e JOIN ivf i ON e.id_q = i.id_q AND e.id_n = i.id_n
@@ -160,7 +183,7 @@ object VectorOps {
       nivf AS (SELECT id_q, CAST(count(*) AS BIGINT) AS ni
                FROM ivf GROUP BY id_q)
       SELECT q.id_q, coalesce(h.h, 0) AS hits, coalesce(n.ni, 0) AS n_ivf
-      FROM queries q
+      FROM (SELECT DISTINCT id_q FROM queries) q
       LEFT JOIN hits h ON q.id_q = h.id_q
       LEFT JOIN nivf n ON q.id_q = n.id_q"""
 
@@ -907,7 +930,10 @@ object VectorOps {
 
     Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
 
-    Q("ann_recall", annRecall, Some(ANN_RECALL_SQL)),
+    Q("ann_recall", annRecall, Some(annRecallSql(1))),
+
+    Q("ann_recall_probe2", (s, d) => annRecallProbes(s, d, probes = 2),
+      Some(annRecallSql(2))),
 
     Q("ann_pq", annPq, Some(ANN_PQ_SQL)),
 

@@ -103,4 +103,17 @@ class VectorFunctionsSpec extends AnyFunSuite {
       assert(df.agg(sum("hits")).collect()(0).getLong(0) > 0)
     } finally df.unpersist()
   }
+
+  test("multi-probe IVF dominates single-probe recall") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    def total(q: String) = SparkEntry.queries(q)(spark, sf)
+      .agg(sum("hits"), sum("n_ivf")).collect()(0)
+    val p1 = total("ann_recall"); val p2 = total("ann_recall_probe2")
+    // probe-2 candidate lists are supersets per query, so both hits and
+    // candidate counts can only grow
+    assert(p2.getLong(0) >= p1.getLong(0),
+      s"probe2 hits ${p2.getLong(0)} < probe1 ${p1.getLong(0)}")
+    assert(p2.getLong(1) >= p1.getLong(1))
+  }
 }
