@@ -415,7 +415,59 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Streaming benchmark decontamination — the stream-STATIC join surface:
+    * documents arrive as a stream, the eval-set 4-gram fingerprints are a
+    * static broadcast relation, so every micro-batch flags its
+    * contaminated docs map-side with zero stream-side shuffle before the
+    * per-(doc, eval) aggregate. Mirrors `tx_decontam` exactly (same grams,
+    * same strata), so the batch SQL is the oracle. The in-stream distinct
+    * runs BEFORE the join (state keyed by the doc's own grams), and the
+    * complete-mode aggregate snapshots the running contamination table —
+    * at scale this is the shape of a continuous ingest gate: new corpus
+    * slices stream in, the benchmark set stays pinned on the executors.
+    */
+  def streamDecontam(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gram = """CASE WHEN size(words) >= 4
+           THEN transform(sequence(1, size(words) - 3),
+                i -> concat_ws(' ', slice(words, i, 4)))
+           ELSE array() END"""
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val qn = "st_decontam_sink_" + sinkCounter.incrementAndGet()
+    val ev = s.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") % 100 === 0)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id").as("eval_id"), explode(expr(gram)).as("g"))
+      .distinct()
+    val tr = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter(col("doc_id") % 100 =!= 0)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(gram)).as("g"))
+      .dropDuplicates("doc_id", "g")
+    val flagged = tr.join(broadcast(ev), "g")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+    val query = StateSizing.startSized(s)(flagged.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_tx_decontam", streamDecontam, Some("""
+      WITH g8 AS (
+        SELECT doc_id, unnest(list_transform(
+                 range(1, greatest(len(words) - 3, 0) + 1),
+                 i -> array_to_string(words[i : i + 3], ' '))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      gd AS (SELECT DISTINCT doc_id, g FROM g8),
+      ev AS (SELECT doc_id AS eval_id, g FROM gd WHERE eval_id % 100 = 0),
+      tr AS (SELECT doc_id, g FROM gd WHERE doc_id % 100 != 0)
+      SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+      FROM tr t JOIN ev e ON t.g = e.g
+      GROUP BY t.doc_id, e.eval_id""")),
     graft.rel.Q("st_px_zarr_read", zarrStreamRead,
       Some(graft.rel.RelabelRel.PIXELS_SQL + """
       SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
