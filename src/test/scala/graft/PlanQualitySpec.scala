@@ -277,4 +277,44 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ZarrScan"), s"DSv2 scan not planned:\n$p")
   }
+
+  test("tx_dsir / tx_perplexity stay equi-join + hash aggregate, no window") {
+    for (q <- Seq("tx_dsir", "tx_perplexity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a loop join:\n$p")
+      assert(!p.contains("Window"), s"$q grew a corpus window:\n$p")
+      assert(p.contains("HashAggregate"), s"$q lost hash aggregation:\n$p")
+    }
+  }
+
+  test("gr_labelprop rounds are equi-join + hash aggregate") {
+    val p = plan("gr_labelprop")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"label propagation degenerated to a loop join:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"argmax is not an aggregate:\n$p")
+    assert(!p.contains("Window"), s"labelprop grew a window:\n$p")
+  }
+
+  test("tx_decontam_fuzzy verify joins are hash equi-joins on 8-byte keys") {
+    val p = plan("tx_decontam_fuzzy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy decontam degenerated to a loop join:\n$p")
+    assert(p.contains("xxhash64"), s"verify join keys are not hashed:\n$p")
+  }
+
+  test("minhash signature path carries no shingle explode before the band join") {
+    val p = plan("dd_minhash_lsh")
+    assert(p.contains("minhashslices") || p.contains("MinHashSlices"),
+      s"fused signature expression not planned:\n$p")
+    // the only Generate is the document-sized 4-band explode; a shingle
+    // explode would show a Generate over transform(sequence(...))
+    val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.nonEmpty && gens.forall(_.contains("explode(array(struct(")),
+      s"signature pass still explodes shingles:\n$p")
+  }
 }
