@@ -819,5 +819,149 @@ object CurationOps {
              CASE WHEN mean_ppm > 34500 THEN 'low_ppl'
                   WHEN mean_ppm >= 33000 THEN 'mid_ppl'
                   ELSE 'high_ppl' END AS bucket
-      FROM pd""")))
+      FROM pd""")),
+
+    // -- the whole curation pipeline in one query ----------------------------
+    // What a user actually runs: language gate -> quality gate (Gopher-style
+    // length + top-word mass) -> exact dedup (min-id keep) -> fuzzy dedup
+    // (LSH candidates + Jaccard >= 0.5, higher id drops) -> benchmark
+    // decontamination (any shared distinct 4-gram with the eval stratum).
+    // Every stage's predicate is computed independently over the full train
+    // stratum (deterministic — no order dependence between stages); the
+    // verdict is the FIRST failing stage in pipeline order. Output: one row
+    // per train doc with its token count and verdict — the corpus data
+    // card. Fuzzy signatures ride the fused MinHashSlices scan-stage
+    // expression; verify joins ship 8-byte shingle hashes; every stage is
+    // scan + hash-aggregate + bounded-key equi-join, so the one-query
+    // pipeline is exactly as 100 TB-shaped as its pieces.
+    Q("tx_curate_full", (s, d) => {
+      import graft.functions.MinHashSlices.minhash_slices
+      val docs = tbl(s, d, "documents").filter(col("doc_id") % 100 =!= 0)
+      val evd = tbl(s, d, "documents").filter(col("doc_id") % 100 === 0)
+      val st = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("nw"), max("c").as("mtf"))
+      val hx = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val dupx = hx.join(hx.groupBy("h").agg(min("doc_id").as("k")), "h")
+        .filter(col("doc_id") =!= col("k"))
+        .select(col("doc_id")).distinct().withColumn("fx", lit(1))
+      val mins = docs
+        .select(col("doc_id"), minhash_slices(col("text")).as("mh"))
+        .filter(col("mh").isNotNull)
+        .select(col("doc_id") +:
+          (0 until 8).map(j => col("mh").getItem(j).as(s"mh$j")): _*)
+      val cand = TextOps.candFromMins(mins)
+      val shd = docs.withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(words) - 2),
+             i -> concat_ws(' ', element_at(words, i),
+                            element_at(words, i + 1), element_at(words, i + 2)))"""))
+          .as("shingle")).distinct()
+      val dsh = shd.select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dupf = cand
+        .join(dsh.select(col("doc_id").as("id_a"), col("hs")), "id_a")
+        .join(dsh.select(col("doc_id").as("id_b"), col("hs")), Seq("id_b", "hs"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+        .select(col("id_b").as("doc_id")).distinct().withColumn("ff", lit(1))
+      def g4(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(words) >= 4
+             THEN transform(sequence(1, size(words) - 3),
+                  i -> concat_ws(' ', slice(words, i, 4)))
+             ELSE array() END""")).as("g"))
+        .distinct()
+      val cont = g4(docs)
+        .join(g4(evd).select(col("g")).distinct(), "g")
+        .select(col("doc_id")).distinct().withColumn("fc", lit(1))
+      val out = docs.select(col("doc_id"), col("lang")).join(st, "doc_id")
+        .join(dupx, Seq("doc_id"), "left")
+        .join(dupf, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nw").cast("long").as("n_words"),
+          when(!col("lang").isin("en", "es", "de", "fr"), "lang")
+            .when(col("nw") < 20 || col("mtf") * 5 >= col("nw"), "quality")
+            .when(col("fx").isNotNull, "dup_exact")
+            .when(col("ff").isNotNull, "dup_fuzzy")
+            .when(col("fc").isNotNull, "contaminated")
+            .otherwise("kept").as("verdict"))
+      graft.Caching.releaseAfterAction(out, shd)
+    }, Some("""
+      WITH tc AS (SELECT doc_id, lang, text FROM documents
+                  WHERE doc_id % 100 != 0),
+      st AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+               CAST(max(c) AS BIGINT) AS mtf
+        FROM (SELECT doc_id, w, count(*) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM tc) GROUP BY 1, 2)
+        GROUP BY doc_id),
+      hx AS (SELECT doc_id, md5(text) AS h FROM tc),
+      dupx AS (
+        SELECT DISTINCT hx.doc_id FROM hx
+        JOIN (SELECT h, min(doc_id) AS k FROM hx GROUP BY h) m ON hx.h = m.h
+        WHERE hx.doc_id != m.k),
+      sh AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM tc)),
+      shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      mins AS (
+        SELECT doc_id,
+               min(substr(md5(shingle), 1, 4)) AS mh0, min(substr(md5(shingle), 5, 4)) AS mh1,
+               min(substr(md5(shingle), 9, 4)) AS mh2, min(substr(md5(shingle), 13, 4)) AS mh3,
+               min(substr(md5(shingle), 17, 4)) AS mh4, min(substr(md5(shingle), 21, 4)) AS mh5,
+               min(substr(md5(shingle), 25, 4)) AS mh6, min(substr(md5(shingle), 29, 4)) AS mh7
+        FROM shd GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, 0 AS band, mh0 || mh1 AS bandval FROM mins
+        UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM mins
+        UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM mins
+        UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM mins),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.band = b.band AND a.bandval = b.bandval
+                             AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM shd GROUP BY doc_id),
+      iv AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+             FROM cand c JOIN shd x ON x.doc_id = c.id_a
+                         JOIN shd y ON y.doc_id = c.id_b
+                                   AND y.shingle = x.shingle
+             GROUP BY 1, 2),
+      dupf AS (
+        SELECT DISTINCT iv.id_b AS doc_id
+        FROM iv JOIN sizes na ON na.doc_id = iv.id_a
+                JOIN sizes nb ON nb.doc_id = iv.id_b
+        WHERE iv.inter * 2 >= na.n + nb.n - iv.inter),
+      g4t AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(words) - 3, 0) + 1),
+                   i -> array_to_string(words[i : i + 3], ' '))) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM tc))),
+      g4e AS (
+        SELECT DISTINCT g FROM (
+          SELECT unnest(list_transform(
+                   range(1, greatest(len(words) - 3, 0) + 1),
+                   i -> array_to_string(words[i : i + 3], ' '))) AS g
+          FROM (SELECT string_split(text, ' ') AS words FROM documents
+                WHERE doc_id % 100 = 0))),
+      cont AS (SELECT DISTINCT g4t.doc_id FROM g4t JOIN g4e ON g4t.g = g4e.g)
+      SELECT t.doc_id, st.nw AS n_words,
+             CASE WHEN t.lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang'
+                  WHEN st.nw < 20 OR st.mtf * 5 >= st.nw THEN 'quality'
+                  WHEN dx.doc_id IS NOT NULL THEN 'dup_exact'
+                  WHEN df.doc_id IS NOT NULL THEN 'dup_fuzzy'
+                  WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                  ELSE 'kept' END AS verdict
+      FROM tc t JOIN st ON t.doc_id = st.doc_id
+      LEFT JOIN dupx dx ON t.doc_id = dx.doc_id
+      LEFT JOIN dupf df ON t.doc_id = df.doc_id
+      LEFT JOIN cont ct ON t.doc_id = ct.doc_id""")))
 }

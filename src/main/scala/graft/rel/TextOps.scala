@@ -100,7 +100,7 @@ object TextOps {
   }
 
   /** Band values from an 8-slice minima relation (doc_id, mh0..mh7). */
-  private def sigOf(mins: DataFrame): DataFrame =
+  private[rel] def sigOf(mins: DataFrame): DataFrame =
     mins.select(col("doc_id"),
       explode(expr(
         """array(struct(0 AS band, concat(mh0, mh1) AS bandval),
@@ -132,7 +132,7 @@ object TextOps {
   /** The band self-join over a minima relation; caches `mins` (read by all
     * four band values on both join sides) for the action's lifetime.
     */
-  private def candFromMins(mins: DataFrame): DataFrame = {
+  private[rel] def candFromMins(mins: DataFrame): DataFrame = {
     val sig = sigOf(mins)
     val a = sig.as("a"); val b = sig.as("b")
     Caching.releaseAfterAction(

@@ -167,6 +167,29 @@ class Curation2Spec extends AnyFunSuite {
       t >= 1000000L && e < 1000000L && e % 100 == 0 })
   }
 
+  test("tx_curate_full verdicts partition the train stratum") {
+    val df = q("tx_curate_full").cache()
+    try {
+      val train = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") % 100 =!= 0)
+      assert(df.count() == train.count(), "one verdict per train doc")
+      assert(df.select("doc_id").distinct().count() == df.count())
+      val verdicts = df.groupBy("verdict").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(verdicts.keySet.subsetOf(Set(
+        "kept", "lang", "quality", "dup_exact", "dup_fuzzy", "contaminated")))
+      assert(verdicts.getOrElse("kept", 0L) > 0)
+      assert(verdicts.getOrElse("lang", 0L) > 0, "zh docs must fail the gate")
+      // stage precedence: every non-en/es/de/fr doc is labeled lang, never
+      // a later stage
+      val langs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "lang")
+      assert(df.join(langs, "doc_id")
+        .filter(!col("lang").isin("en", "es", "de", "fr") &&
+          col("verdict") =!= "lang").count() == 0)
+    } finally df.unpersist()
+  }
+
   test("tx_dsir up-weights the target domain") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("lang"))
