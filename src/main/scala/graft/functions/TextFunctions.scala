@@ -102,3 +102,70 @@ object MinHashSlices {
   def minhash_slices(text: Column): Column =
     Bridge.column(MinHashSlices(Bridge.expression(text)))
 }
+
+/** Fused 32-bit term-frequency-weighted SimHash (Charikar) — the narrow-map
+  * replacement for the word explode + 32-vote hash aggregate in the SimHash
+  * dedup family. Per word OCCURRENCE: the first 32 bits of md5 (big-endian,
+  * = the first 8 hex nibbles weighted 16^(8-k), exactly the relational
+  * form's `v`) votes +1/-1 per bit; the hash is the positive-vote mask.
+  * Same scale argument as [[MinHashSlices]]: the signature relation is born
+  * document-sized in the scan stage instead of shuffling O(word
+  * occurrences) rows into a corpus-wide aggregate. Parity pinned by
+  * `MinHashSlicesSpec`.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash32.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash32.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash32 = copy(child = newChild)
+}
+
+object SimHash32 {
+
+  def compute(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    val votes = new Array[Int](32)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < words.length) {
+      val digest = md.digest(words(i).getBytes(StandardCharsets.UTF_8))
+      md.reset()
+      val v = ((digest(0) & 0xff) << 24) | ((digest(1) & 0xff) << 16) |
+        ((digest(2) & 0xff) << 8) | (digest(3) & 0xff)
+      var j = 0
+      while (j < 32) {
+        votes(j) += (if (((v >>> j) & 1) == 1) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var mask = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) mask |= 1L << j
+      j += 1
+    }
+    mask
+  }
+
+  def simhash32(text: Column): Column =
+    Bridge.column(SimHash32(Bridge.expression(text)))
+}

@@ -157,26 +157,15 @@ object TextOps {
     * voting matters on this corpus: the synthetic docs draw from a ~35-word
     * vocabulary, so distinct-word sets (and a set-based simhash) collide
     * corpus-wide, while the frequency profile separates everything but true
-    * near-duplicates. One hash-aggregate pass per document.
+    * near-duplicates. Computed by the fused
+    * [[graft.functions.SimHash32]] expression — one narrow map in the scan
+    * stage instead of an O(word occurrences) explode into a corpus-wide
+    * 32-vote aggregate (that relational form survives as the parity
+    * reference in `MinHashSlicesSpec` and as the DuckDB CTEs below).
     */
-  private def simhashDf(s: SparkSession, corpus: DataFrame): DataFrame = {
-    val words = corpus
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .withColumn("h", md5(col("word")))
-      .withColumn("v", expr(
-        (1 to 8).map(k => s"${nib("h", k)} * ${1L << (4 * (8 - k))}L")
-          .mkString(" + ")))
-    // 32 vote counters in ONE hash-aggregate pass (like the minhash 8-agg
-    // trick) — a per-bit explode here would put 32x the occurrence count
-    // through the aggregate and was measured 8x slower at sf0.1
-    val aggs = (0 until 32).map(j =>
-      sum(expr(s"IF((v div ${1L << j}L) % 2 = 1, 1, -1)")).as(s"b$j"))
-    words.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), expr(
-        (0 until 32).map(j => s"IF(b$j > 0, ${1L << j}L, 0L)")
-          .mkString(" + ")).as("simhash"))
-  }
+  private def simhashDf(s: SparkSession, corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
 
   /** CTEs yielding `sh(doc_id, simhash)` over relation `src(doc_id, text)`;
     * must mirror [[simhashDf]].

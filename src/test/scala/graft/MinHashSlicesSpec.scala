@@ -69,6 +69,30 @@ class MinHashSlicesSpec extends AnyFunSuite {
     assert(df.filter(col("mh").isNotNull).count() == 1)
   }
 
+  test("fused SimHash32 equals the relational 32-vote aggregate") {
+    import graft.functions.SimHash32.simhash32
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    def nib(h: String, k: Int) =
+      s"(instr('0123456789abcdef', substr($h, $k, 1)) - 1)"
+    val words = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("h", md5(col("word")))
+      .withColumn("v", expr(
+        (1 to 8).map(k => s"${nib("h", k)} * ${1L << (4 * (8 - k))}L")
+          .mkString(" + ")))
+    val aggs = (0 until 32).map(j =>
+      sum(expr(s"IF((v div ${1L << j}L) % 2 = 1, 1, -1)")).as(s"b$j"))
+    val rel = words.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), expr(
+        (0 until 32).map(j => s"IF(b$j > 0, ${1L << j}L, 0L)")
+          .mkString(" + ")).as("simhash"))
+    val fused = corpus.select(col("doc_id"), simhash32(col("text")).as("simhash"))
+    assert(rel.exceptAll(fused).count() == 0)
+    assert(fused.exceptAll(rel).count() == 0)
+  }
+
   test("dd_minhash_lsh candidates are unchanged by the fused path") {
     // the gate itself re-verifies against DuckDB; this pins the Scala-side
     // refactor produced the same candidate set as the relational build
