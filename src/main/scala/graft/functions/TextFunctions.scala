@@ -65,11 +65,18 @@ case class MinHashSlices(child: Expression) extends UnaryExpression {
 
 object MinHashSlices {
 
+  /** One digest per thread, reset between uses — the expression runs once
+    * per ROW, so a per-call `getInstance` would be the hot loop's largest
+    * allocation.
+    */
+  private[functions] val MD5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   /** Static entry shared by interpreted and generated code paths. */
   def compute(text: UTF8String): GenericArrayData = {
     val words = text.toString.split(" ", -1)
     if (words.length < 3) return null
-    val md = MessageDigest.getInstance("MD5")
+    val md = MD5.get()
     val mins = Array.fill(8)(0x10000) // sentinel above any 16-bit slice
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -143,7 +150,7 @@ object SimHash32 {
   def compute(text: UTF8String): Long = {
     val words = text.toString.split(" ", -1)
     val votes = new Array[Int](32)
-    val md = MessageDigest.getInstance("MD5")
+    val md = MinHashSlices.MD5.get()
     var i = 0
     while (i < words.length) {
       val digest = md.digest(words(i).getBytes(StandardCharsets.UTF_8))
