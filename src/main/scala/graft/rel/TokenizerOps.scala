@@ -70,7 +70,10 @@ object TokenizerOps {
       // step); everything feeding it stayed distributed
       val Row(wp1: String, wp2: String) = pairs
         .orderBy(col("cnt").desc, col("p1"), col("p2"))
-        .limit(1).select(col("p1"), col("p2")).head()
+        .limit(1).select(col("p1"), col("p2")).collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          s"BPE round $r: corpus has no adjacent symbol pairs left " +
+            "(all words are single symbols) — fewer merges than requested"))
       rows :+= pairs.filter(col("p1") === wp1 && col("p2") === wp2)
         .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
           sum("cnt").cast("long").as("occ")))
