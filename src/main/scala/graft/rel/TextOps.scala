@@ -537,6 +537,72 @@ object TextOps {
       SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fp
       FROM documents""")),
 
+    // -- LSH index evaluation: candidate recall vs exact ground truth --------
+    // The band-tuning loop of a dedup deployment: ground truth is every
+    // true near-dup pair (Jaccard >= 0.5 over 3-gram shingle sets — found
+    // exactly via the co-shingle equi-join, since any pair with J > 0
+    // shares a shingle; no all-pairs product), candidates are what the
+    // 4x2 MinHash bands surface. One row: truth size, caught count, and
+    // the candidate volume paid. At 100 TB this runs on a sampled slice —
+    // the query shape (hash equi-joins + aggregates) is already the
+    // sample-sized one.
+    Q("dd_lsh_recall", (s, d) => {
+      val shd = shinglesDf(nearCorpusDf(s, d)).distinct()
+      val dsh = shd.select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val truth = dsh.as("x").join(dsh.as("y"),
+          expr("x.hs = y.hs AND x.doc_id < y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+        .select("id_a", "id_b")
+      val cand = minhashCand(s, d)
+      val caught = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      Caching.releaseAfterAction(
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand"))),
+        shd)
+    }, Some(s"""
+      WITH $NEAR_SQL, $SHINGLES_SQL,
+      shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM shd GROUP BY doc_id),
+      tr AS (
+        SELECT id_a, id_b FROM (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM shd x JOIN shd y ON x.shingle = y.shingle
+                               AND x.doc_id < y.doc_id
+          GROUP BY 1, 2) i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+        WHERE i.inter * 2 >= na.n + nb.n - i.inter),
+      mins AS (
+        SELECT doc_id,
+               min(substr(md5(shingle), 1, 4)) AS mh0, min(substr(md5(shingle), 5, 4)) AS mh1,
+               min(substr(md5(shingle), 9, 4)) AS mh2, min(substr(md5(shingle), 13, 4)) AS mh3,
+               min(substr(md5(shingle), 17, 4)) AS mh4, min(substr(md5(shingle), 21, 4)) AS mh5,
+               min(substr(md5(shingle), 25, 4)) AS mh6, min(substr(md5(shingle), 29, 4)) AS mh7
+        FROM shd GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, 0 AS band, mh0 || mh1 AS bandval FROM mins
+        UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM mins
+        UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM mins
+        UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM mins),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.band = b.band AND a.bandval = b.bandval
+                             AND a.doc_id < b.doc_id)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM tr WHERE EXISTS (SELECT 1 FROM cand c
+                                    WHERE c.id_a = tr.id_a
+                                      AND c.id_b = tr.id_b)) AS n_caught,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand""")),
+
     // -- fuzzy benchmark decontamination (MinHash-LSH across strata) ----------
     // The NEAR-duplicate complement to tx_decontam's exact n-gram pass: a
     // train document is contaminated when its 3-gram shingle SET has

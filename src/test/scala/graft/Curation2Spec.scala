@@ -167,6 +167,18 @@ class Curation2Spec extends AnyFunSuite {
       t >= 1000000L && e < 1000000L && e % 100 == 0 })
   }
 
+  test("dd_lsh_recall: bands catch nearly all true pairs without all-pairs") {
+    val r = q("dd_lsh_recall").collect()(0)
+    val (truth, caught, cand) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(caught <= truth, "caught pairs are a subset of truth")
+    assert(caught <= cand, "caught pairs are a subset of the candidates")
+    assert(truth > 0, "the near corpus has planted true pairs")
+    // 4x2 bands at J>=0.5: expected candidate probability 1-(1-0.5^2)^4
+    // ~ 0.68 per band-independent model, much higher on the planted twins;
+    // anything under half caught would mean the banding broke
+    assert(caught * 2 >= truth, s"recall collapsed: $caught/$truth")
+  }
+
   test("tx_curate_full verdicts partition the train stratum") {
     val df = q("tx_curate_full").cache()
     try {
