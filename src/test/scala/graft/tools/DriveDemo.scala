@@ -123,6 +123,25 @@ object DriveDemo {
       sdf.agg(sum("value")).collect()(0).getLong(0) +
       " prunedPartitions=" + sPruned.rdd.getNumPartitions +
       " prunedRows=" + sPruned.count())
+
+    // probe 7: the LLM-pipeline surface end-to-end on real testdata —
+    // tokenizer training, the one-query curation pipeline, and both index
+    // evaluations (what a user of the curation side actually runs)
+    val sf = "/root/testdata/sf0.001"
+    val merges = graft.SparkEntry.queries("tx_bpe_train")(spark, sf)
+      .orderBy("round").collect()
+    println("BPE merges: " + merges.map(r =>
+      s"${r.getString(1)}+${r.getString(2)}(${r.getLong(3)})").mkString(" "))
+    val verdicts = graft.SparkEntry.queries("tx_curate_full")(spark, sf)
+      .groupBy("verdict").count().orderBy("verdict").collect()
+    println("curation verdicts: " + verdicts.map(r =>
+      s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
+    val lsh = graft.SparkEntry.queries("dd_lsh_recall")(spark, sf).collect()(0)
+    println(s"LSH recall: ${lsh.getLong(1)}/${lsh.getLong(0)} caught, " +
+      s"${lsh.getLong(2)} candidates")
+    val rec = graft.SparkEntry.queries("ann_recall_probe2")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("hits")).collect()(0).getLong(0)
+    println(s"ANN probe-2 total hits: $rec")
     spark.stop()
   }
 }
