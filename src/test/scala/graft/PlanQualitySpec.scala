@@ -307,6 +307,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), s"verify join keys are not hashed:\n$p")
   }
 
+  test("tx_curate_full: five stages, no cartesian, no corpus window") {
+    val p = plan("tx_curate_full")
+    assert(!p.contains("CartesianProduct"),
+      s"curation pipeline grew a cartesian:\n$p")
+    assert(!p.contains("Window"), s"curation pipeline grew a window:\n$p")
+    assert(p.contains("minhashslices"),
+      s"fuzzy stage lost the fused signature:\n$p")
+    assert(p.contains("xxhash64"),
+      s"fuzzy verify lost the hashed join keys:\n$p")
+  }
+
   test("minhash signature path carries no shingle explode before the band join") {
     val p = plan("dd_minhash_lsh")
     assert(p.contains("minhashslices") || p.contains("MinHashSlices"),
