@@ -84,18 +84,15 @@ object RankOps {
               FROM pr2 p LEFT JOIN c3 c ON p.node = c.node2)
       SELECT node, pr FROM pr3"""
 
-  /** Domain-mixture allocation — the per-source sampling weights a
-    * training run derives from corpus statistics: each source's share of a
-    * 1,000,000-sample budget, proportional to its whitespace-token mass,
-    * rounded to integers by the largest-remainder (Hamilton) method so the
-    * allocations sum EXACTLY to the budget. All arithmetic is integer
-    * (floor quota + remainder rank), so both engines agree bit-for-bit;
-    * ties rank by source name. The windows run over the per-source
-    * aggregate — a relation with one row per corpus source, metadata-sized
-    * at any corpus scale.
+  /** Hamilton (largest-remainder) allocation of `budget` units across
+    * sources proportional to whitespace-token mass: floor quota plus
+    * remainder rank, so the allocations sum EXACTLY to the budget and all
+    * arithmetic is integer (bit-identical across engines; ties rank by
+    * source name). The windows run over the per-source aggregate — one row
+    * per corpus source, metadata-sized at any corpus scale. `mixWeights`
+    * publishes the allocation; `mixApply` spends it.
     */
-  def mixWeights(s: SparkSession, d: String): DataFrame = {
-    val budget = 1000000L
+  private def hamilton(s: SparkSession, d: String, budget: Long): DataFrame = {
     val perSource = tbl(s, d, "documents")
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
       .groupBy("source").agg(sum("toks").as("tokens"))
@@ -112,6 +109,76 @@ object RankOps {
         (col("floor_alloc") +
           when(col("rk") <= col("extra"), 1L).otherwise(0L)).as("alloc"))
   }
+
+  def mixWeights(s: SparkSession, d: String): DataFrame =
+    hamilton(s, d, 1000000L)
+
+  /** Apply the mixture: per source, documents are taken in stream order
+    * until that source's Hamilton token budget is exhausted (whole docs,
+    * no splitting) — the sampling step that turns mixture weights into an
+    * actual sub-corpus. The cumulative-sum window partitions by source
+    * (bounded partitions); the allocation side is metadata-sized. Output
+    * is the per-source composition: how many docs and tokens the budget
+    * admitted.
+    */
+  def mixApply(s: SparkSession, d: String): DataFrame = {
+    val budget = 10000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val toks = tbl(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    toks.withColumn("cum", sum("nt").over(w))
+      .join(hamilton(s, d, budget).select(col("source"), col("alloc")), "source")
+      .withColumn("taken", (col("cum") <= col("alloc")).cast("long"))
+      .groupBy("source", "alloc")
+      .agg(count(lit(1)).as("n_docs"), sum("taken").as("n_taken"),
+        sum(when(col("taken") === 1, col("nt")).otherwise(0L)).as("tokens_taken"))
+      .select(col("source"), col("alloc"), col("n_docs"), col("n_taken"),
+        col("tokens_taken"))
+  }
+
+  private val MIX_APPLY_SQL = """
+      WITH ps AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+      q AS (
+        SELECT source, tokens,
+               CAST(sum(tokens) OVER () AS BIGINT) AS total
+        FROM ps),
+      fl AS (
+        SELECT source, tokens,
+               10000 * tokens // total AS floor_alloc,
+               10000 * tokens % total AS rem
+        FROM q),
+      rk AS (
+        SELECT source, floor_alloc,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk,
+               10000 - CAST(sum(floor_alloc) OVER () AS BIGINT) AS extra
+        FROM fl),
+      al AS (
+        SELECT source,
+               CAST(floor_alloc + (CASE WHEN rk <= extra THEN 1 ELSE 0 END)
+                    AS BIGINT) AS alloc
+        FROM rk),
+      tk AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+               CAST(sum(len(string_split(text, ' ')))
+                 OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM documents)
+      SELECT tk.source, al.alloc,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN tk.cum <= al.alloc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_taken,
+             CAST(sum(CASE WHEN tk.cum <= al.alloc THEN tk.nt ELSE 0 END)
+                  AS BIGINT) AS tokens_taken
+      FROM tk JOIN al ON tk.source = al.source
+      GROUP BY tk.source, al.alloc"""
 
   private val MIX_WEIGHTS_SQL = """
       WITH ps AS (
@@ -207,5 +274,6 @@ object RankOps {
   def all: Seq[Q] = Seq(
     Q("gr_pagerank", pagerank, Some(PAGERANK_SQL)),
     Q("gr_labelprop", labelProp, Some(LABELPROP_SQL)),
-    Q("tx_mix_weights", mixWeights, Some(MIX_WEIGHTS_SQL)))
+    Q("tx_mix_weights", mixWeights, Some(MIX_WEIGHTS_SQL)),
+    Q("tx_mix_apply", mixApply, Some(MIX_APPLY_SQL)))
 }

@@ -63,6 +63,22 @@ class GraphOpsSpec extends AnyFunSuite {
     check(25, Seq.empty)
   }
 
+  test("tx_mix_apply spends each source's budget without overshooting") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("tx_mix_apply")(spark, "/root/testdata/sf0.001")
+      .cache()
+    try {
+      // never exceed the per-source allocation; always take at least the
+      // docs that fit, so the leftover is smaller than the next doc
+      assert(df.filter(col("tokens_taken") > col("alloc")).count() == 0)
+      assert(df.filter(col("n_taken") > col("n_docs")).count() == 0)
+      val total = df.agg(sum("alloc"), sum("tokens_taken")).collect()(0)
+      assert(total.getLong(0) == 10000L, "Hamilton allocations sum to budget")
+      assert(total.getLong(1) <= 10000L && total.getLong(1) > 5000L,
+        s"budget utilization out of range: ${total.getLong(1)}")
+    } finally df.unpersist()
+  }
+
   test("gr_labelprop communities partition the sparsified node set") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
