@@ -271,9 +271,74 @@ object RankOps {
              CAST(min(node) AS BIGINT) AS id_min
       FROM l3 GROUP BY lbl"""
 
+  /** HITS hubs/authorities on the directed customer -> supplier purchase
+    * graph (two full mutual-reinforcement rounds): auth(b) = sum of hub
+    * scores over in-edges, hub(a) = sum of auth scores over out-edges, each
+    * side re-normalized after every half-step by its MAX — scaled-integer
+    * throughout ((x * 1e6) div max, all positive, so DuckDB's floor `//`
+    * and Spark's truncating `div` agree) in place of the float L2 norm, the
+    * same determinism trade PageRank above makes with its damping term.
+    *
+    * At 100 TB: per round, two edge-keyed equi-join + hash-aggregate passes
+    * (map-side combinable) over the CACHED distinct edge relation, plus a
+    * 1-row max aggregate broadcast back — no windows, no driver loops over
+    * data, node relations stay node-sized. Round count is fixed (2), the
+    * standard budget-bounded form for relational HITS.
+    */
+  def hits(s: SparkSession, d: String): DataFrame = {
+    val ed = tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    var hub = ed.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to 2) {
+      val a = ed.join(hub, col("src") === col("node"))
+        .groupBy("dst").agg(sum("h").as("a"))
+      auth = a.crossJoin(broadcast(a.agg(max("a").as("amax"))))
+        .select(col("dst"), expr("(a * 1000000) div amax").as("a"))
+      val h = ed.join(auth.withColumnRenamed("dst", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy("src").agg(sum("a").as("h"))
+      hub = h.crossJoin(broadcast(h.agg(max("h").as("hmax"))))
+        .select(col("src").as("node"), expr("(h * 1000000) div hmax").as("h"))
+    }
+    val out = hub.select(col("node"), lit("hub").as("side"),
+        col("h").as("score"))
+      .unionByName(auth.select(col("dst").as("node"), lit("auth").as("side"),
+        col("a").as("score")))
+    graft.Caching.releaseAfterAction(out, ed)
+  }
+
+  private val HITS_SQL = """
+      WITH ed AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM ed),
+      a1 AS (SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a
+             FROM ed e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+      a1n AS (SELECT dst, (a * 1000000) // (SELECT max(a) FROM a1) AS a FROM a1),
+      h1 AS (SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h
+             FROM ed e JOIN a1n a ON e.dst = a.dst GROUP BY e.src),
+      h1n AS (SELECT src AS node, (h * 1000000) // (SELECT max(h) FROM h1) AS h
+              FROM h1),
+      a2 AS (SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a
+             FROM ed e JOIN h1n h ON e.src = h.node GROUP BY e.dst),
+      a2n AS (SELECT dst, (a * 1000000) // (SELECT max(a) FROM a2) AS a FROM a2),
+      h2 AS (SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h
+             FROM ed e JOIN a2n a ON e.dst = a.dst GROUP BY e.src),
+      h2n AS (SELECT src AS node, (h * 1000000) // (SELECT max(h) FROM h2) AS h
+              FROM h2)
+      SELECT node, 'hub' AS side, h AS score FROM h2n
+      UNION ALL
+      SELECT dst, 'auth', a FROM a2n"""
+
   def all: Seq[Q] = Seq(
     Q("gr_pagerank", pagerank, Some(PAGERANK_SQL)),
     Q("gr_labelprop", labelProp, Some(LABELPROP_SQL)),
+    Q("gr_hits", hits, Some(HITS_SQL)),
     Q("tx_mix_weights", mixWeights, Some(MIX_WEIGHTS_SQL)),
     Q("tx_mix_apply", mixApply, Some(MIX_APPLY_SQL)))
 }

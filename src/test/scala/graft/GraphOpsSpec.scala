@@ -99,4 +99,33 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(rows.filter(col("n_members") < 1).count() == 0)
     } finally rows.unpersist()
   }
+
+  test("gr_hits: both sides max-normalized over exactly the graph's nodes") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("gr_hits")(spark, sf).cache()
+    try {
+      // scores live in (0, 1e6] and each side attains its max
+      assert(rows.filter(col("score") <= 0 || col("score") > 1000000L)
+        .count() == 0)
+      val mx = rows.groupBy("side").agg(max("score").as("m"))
+      assert(mx.filter(col("m") =!= 1000000L).count() == 0,
+        "per-side max must be the scale unit")
+      // hub rows = distinct customers with orders+lineitems, auth rows =
+      // distinct suppliers (offset), nothing else
+      val ed = spark.read.parquet(s"$sf/orders.parquet")
+        .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst")).distinct()
+      val hubs = rows.filter(col("side") === "hub")
+      val auths = rows.filter(col("side") === "auth")
+      assert(hubs.count() == ed.select("src").distinct().count())
+      assert(auths.count() == ed.select("dst").distinct().count())
+      assert(hubs.join(ed.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti").count() == 0)
+      assert(auths.join(ed.select(col("dst").as("node")).distinct(),
+        Seq("node"), "left_anti").count() == 0)
+    } finally rows.unpersist()
+  }
 }
