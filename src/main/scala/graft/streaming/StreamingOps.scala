@@ -426,6 +426,72 @@ object StreamingOps {
     * at scale this is the shape of a continuous ingest gate: new corpus
     * slices stream in, the benchmark set stays pinned on the executors.
     */
+  /** Streaming near-dup admission: incoming documents (odd doc_ids stream
+    * in) are checked against the STATIC LSH band index of the existing
+    * corpus (even doc_ids). Both sides use the fused
+    * [[graft.functions.MinHashSlices]] signature — a narrow per-row map, so
+    * the stream side adds NO stateful operator before the join; the static
+    * band index is document-sized and broadcast, so each micro-batch flags
+    * its near-dups map-side. Output: (doc_id, idx_id, n_bands agreeing).
+    * This is the online half of dd_minhash_lsh — the batch twin (identical
+    * md5-slice minhash in plain SQL over the parity split) is the oracle.
+    *
+    * At 100 TB: the index side is signatures, not text — 4 band rows per
+    * indexed doc; a trillion-doc index moves to an equi-join on (band,
+    * bandval) against a compacted signature store, same shape minus the
+    * broadcast hint.
+    */
+  def streamMinhash(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MinHashSlices.minhash_slices
+    def sig(df: DataFrame) = df
+      .select(col("doc_id"), minhash_slices(col("text")).as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id"), posexplode(expr(
+        """array(concat(mh[0], mh[1]), concat(mh[2], mh[3]),
+                 concat(mh[4], mh[5]), concat(mh[6], mh[7]))""")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandval")
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val qn = "st_minhash_sink_" + sinkCounter.incrementAndGet()
+    val idx = sig(s.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") % 2 === 0))
+      .withColumnRenamed("doc_id", "idx_id")
+    val stream = sig(s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter(col("doc_id") % 2 =!= 0))
+    val flagged = stream.join(broadcast(idx), Seq("band", "bandval"))
+      .groupBy("doc_id", "idx_id")
+      .agg(count(lit(1)).as("n_bands"))
+    val query = StateSizing.startSized(s)(flagged.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
+  private val MINHASH_STREAM_SQL = """
+      WITH sh AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      mins AS (
+        SELECT doc_id,
+               min(substr(md5(shingle), 1, 4)) AS mh0, min(substr(md5(shingle), 5, 4)) AS mh1,
+               min(substr(md5(shingle), 9, 4)) AS mh2, min(substr(md5(shingle), 13, 4)) AS mh3,
+               min(substr(md5(shingle), 17, 4)) AS mh4, min(substr(md5(shingle), 21, 4)) AS mh5,
+               min(substr(md5(shingle), 25, 4)) AS mh6, min(substr(md5(shingle), 29, 4)) AS mh7
+        FROM sh GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, 0 AS band, mh0 || mh1 AS bandval FROM mins
+        UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM mins
+        UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM mins
+        UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM mins)
+      SELECT s.doc_id, i.doc_id AS idx_id, count(*) AS n_bands
+      FROM sig s JOIN sig i ON s.band = i.band AND s.bandval = i.bandval
+      WHERE s.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+      GROUP BY 1, 2"""
+
   def streamDecontam(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val gram = """CASE WHEN size(words) >= 4
@@ -456,6 +522,7 @@ object StreamingOps {
   }
 
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_dd_minhash", streamMinhash, Some(MINHASH_STREAM_SQL)),
     graft.rel.Q("st_tx_decontam", streamDecontam, Some("""
       WITH g8 AS (
         SELECT doc_id, unnest(list_transform(
