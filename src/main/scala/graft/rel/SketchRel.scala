@@ -168,5 +168,76 @@ object SketchRel {
                   ELSE CAST(${K - 1} AS DOUBLE) * CAST($SCALE AS DOUBLE) /
                        CAST(${duckNibbleSum("kth_hash")} AS DOUBLE)
              END AS est_users
+      FROM x""")),
+    Q("sk_kmv_overlap", kmvOverlap, Some(s"""
+      WITH h AS (
+        SELECT DISTINCT event_type,
+               CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS period,
+               md5(CAST(user_id AS VARCHAR)) AS hh
+        FROM events),
+      sk AS (
+        SELECT event_type, period,
+               (list(hh ORDER BY hh))[1 : $K] AS kmin
+        FROM h GROUP BY event_type, period),
+      ab AS (
+        SELECT event_type,
+               max(CASE WHEN period = 'a' THEN kmin END) AS ka,
+               max(CASE WHEN period = 'b' THEN kmin END) AS kb
+        FROM sk GROUP BY event_type),
+      u AS (
+        SELECT event_type, ka, kb,
+               list_sort(list_distinct(ka || kb))[1 : $K] AS ku
+        FROM ab),
+      x AS (
+        SELECT event_type,
+               CAST(len(ka) AS BIGINT) AS na_kept,
+               CAST(len(kb) AS BIGINT) AS nb_kept,
+               CASE WHEN len(ku) >= $K THEN ku[$K] END AS union_kth,
+               CAST(len(list_filter(ku, x -> list_contains(ka, x)
+                                           AND list_contains(kb, x)))
+                    AS BIGINT) AS k_shared
+        FROM u)
+      SELECT event_type, na_kept, nb_kept, union_kth, k_shared,
+             CASE WHEN union_kth IS NULL THEN NULL
+                  ELSE CAST(${K - 1} AS DOUBLE) * CAST($SCALE AS DOUBLE) /
+                       CAST(${duckNibbleSum("union_kth")} AS DOUBLE)
+             END AS est_union
       FROM x""")))
+
+  /** KMV set operations across two event periods (even/odd event_id — the
+    * "this crawl vs last crawl" split; a timestamp boundary is the same
+    * shape). Per event type, each period keeps its k=8 smallest md5 user
+    * hashes; the UNION sketch is the k smallest of the merged k-min sets
+    * (exact: kth-min(union) <= each side's kth-min, so every union k-min
+    * that belongs to a side is inside that side's kept set) — which also
+    * makes `k_shared`, the union k-mins present in BOTH sketches, the exact
+    * numerator of the KMV Jaccard estimator J = k_shared/k, and
+    * est_inter = J * est_union recoverable downstream without touching raw
+    * data. One pass, O(k) state per (type, period), deterministic under any
+    * partitioning — both engines rebuild the identical sketch bits.
+    */
+  def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    tbl(s, d, "events")
+      .select(col("event_type"),
+        when(col("event_id") % 2 === 0, "a").otherwise("b").as("period"),
+        md5(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type", "period")
+      .agg(KMinStrings(col("h"), K).as("kmin"))
+      .groupBy("event_type")
+      .agg(max(when(col("period") === "a", col("kmin"))).as("ka"),
+        max(when(col("period") === "b", col("kmin"))).as("kb"))
+      .withColumn("ku", expr(s"slice(array_sort(array_union(ka, kb)), 1, $K)"))
+      .select(col("event_type"),
+        size(col("ka")).cast("bigint").as("na_kept"),
+        size(col("kb")).cast("bigint").as("nb_kept"),
+        when(size(col("ku")) >= K, element_at(col("ku"), K)).as("union_kth"),
+        expr("""CAST(size(filter(ku, x -> array_contains(ka, x)
+                                      AND array_contains(kb, x))) AS BIGINT)""")
+          .as("k_shared"))
+      .withColumn("est_union",
+        when(col("union_kth").isNull, lit(null).cast("double"))
+          .otherwise(lit((K - 1).toDouble) * lit(SCALE).cast("double") /
+            expr("CAST(conv(substr(union_kth, 1, 15), 16, 10) AS BIGINT)")
+              .cast("double")))
+  }
 }

@@ -58,4 +58,24 @@ class KMinStringsSpec extends AnyFunSuite {
       .collect().head.getSeq[String](1)
     assert(got.toSeq == Seq("p", "q"))
   }
+
+  test("sk_kmv_overlap: sketch-union == sketch-of-union, estimator ordered") {
+    val sf = "/root/testdata/sf0.001"
+    val ov = SparkEntry.queries("sk_kmv_overlap")(spark, sf).cache()
+    try {
+      // the KMV closure property end-to-end: merging the two period
+      // sketches and re-truncating to k must land on exactly the kth hash
+      // the unsplit corpus sketch (sk_kmv_users) computes
+      val users = SparkEntry.queries("sk_kmv_users")(spark, sf)
+        .select(col("event_type"), col("kth_hash"))
+      assert(ov.join(users, "event_type")
+        .filter(col("union_kth") =!= col("kth_hash")).count() == 0,
+        "union sketch must equal the sketch of the union")
+      assert(ov.filter(col("k_shared") < 0 || col("k_shared") > 8).count() == 0)
+      // est_union >= the exact distinct count can't be pinned (it's an
+      // estimate), but it must be positive whenever the kth hash exists
+      assert(ov.filter(col("union_kth").isNotNull && col("est_union") <= 0)
+        .count() == 0)
+    } finally ov.unpersist()
+  }
 }

@@ -78,6 +78,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected a partial (map-side) sketch phase:\n$p")
   }
 
+  test("sk_kmv_overlap keeps both sketch passes map-side partial") {
+    val p = plan("sk_kmv_overlap")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_kmin_strings"),
+      s"expected a partial (map-side) sketch phase:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"set-operation stage must stay aggregate-only:\n$p")
+  }
+
   test("rj_windows is an equi-join on bins, not a nested loop") {
     val p = plan("rj_windows")
     assert(!p.contains("BroadcastNestedLoop"),
