@@ -117,6 +117,38 @@ object ZarrTableProvider {
     * (meaningful in local mode, where executors share the JVM).
     */
   val payloadReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Every grid location inside the pushed [lo, hi] ∩ allowed box — the
+    * nominal-grid enumeration behind `assumeComplete` planning: pure
+    * arithmetic from metadata, zero listing RTTs. Pruned axes enumerate
+    * only their surviving values, so the cost is the SURVIVING box, not
+    * the grid.
+    */
+  private[zarr] def boxLocs(grid: Array[Int], lo: Array[Long],
+      hi: Array[Long], allowed: Array[Set[Long]]): Seq[Array[Int]] = {
+    val axes: Array[Array[Int]] = Array.tabulate(grid.length) { a =>
+      val l = math.max(0L, lo(a)).toInt
+      val h = math.min(grid(a) - 1L, hi(a)).toInt
+      (l to h).filter(v =>
+        allowed(a) == null || allowed(a).contains(v.toLong)).toArray
+    }
+    axes.foldLeft(Seq(Array.empty[Int]))((acc, vals) =>
+      acc.flatMap(prefix => vals.map(v => prefix :+ v)))
+  }
+
+  /** Inner-chunk bounds mapped to SHARD-grid bounds (floor division by
+    * inners-per-shard): a shard survives iff it could hold a surviving
+    * inner chunk. Conservative on `allowed` (membership of any covered
+    * inner), exact on the box.
+    */
+  private[zarr] def shardBox(ips: Array[Int], lo: Array[Long],
+      hi: Array[Long], allowed: Array[Set[Long]])
+      : (Array[Long], Array[Long], Array[Set[Long]]) = (
+    Array.tabulate(ips.length)(a => if (lo(a) < 0) 0L else lo(a) / ips(a)),
+    Array.tabulate(ips.length)(a => if (hi(a) < 0) -1L else hi(a) / ips(a)),
+    Array.tabulate(ips.length)(a =>
+      if (allowed(a) == null) null else allowed(a).map(_ / ips(a)))
+  )
 }
 
 final class ZarrTable(dir: String, dims: Int) extends Table with SupportsRead
@@ -131,14 +163,16 @@ final class ZarrTable(dir: String, dims: Int) extends Table with SupportsRead
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(dir, meta, options.getBoolean("vectorized", true),
-      options.getInt("maxChunksPerTrigger", 0))
+      options.getInt("maxChunksPerTrigger", 0),
+      options.getBoolean("assumeComplete", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ZarrWriteBuilder(dir, info)
 }
 
 final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
     vectorized: Boolean,
-    maxChunksPerTrigger: Int = 0) extends ScanBuilder with SupportsPushDownFilters
+    maxChunksPerTrigger: Int = 0,
+    assumeComplete: Boolean = false) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -321,10 +355,10 @@ final class ZarrScanBuilder(dir: String, meta: ZarrIO.Meta,
   override def build(): Scan =
     if (pushedAggSpecs != null)
       new ZarrAggScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(),
-        pushedGroupBy, pushedAggSpecs)
+        pushedGroupBy, pushedAggSpecs, assumeComplete)
     else
       new ZarrScan(dir, meta, lo.clone(), hi.clone(), allowed.clone(), required,
-        vectorized, limit, maxChunksPerTrigger)
+        vectorized, limit, maxChunksPerTrigger, assumeComplete)
 }
 
 /** The chunk-list aggregates the source can answer without payload I/O. */
@@ -368,7 +402,8 @@ private[zarr] final case class AggPartial(cells: Long, minLoc: Array[Long],
   */
 final class ZarrAggScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     hi: Array[Long], allowed: Array[Set[Long]], groupBy: Seq[Int],
-    aggs: Seq[ZarrAgg]) extends Scan with Batch with Serializable {
+    aggs: Seq[ZarrAgg], assumeComplete: Boolean = false)
+    extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = StructType(
     groupBy.map(a => StructField(s"g$a", LongType, nullable = false)) ++
@@ -390,13 +425,21 @@ final class ZarrAggScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
       loc(a) >= lo(a) && loc(a) <= hi(a) &&
         (allowed(a) == null || allowed(a).contains(loc(a).toLong)))
 
-  /** Unsharded: every listed chunk exists; the listing IS the survivors. */
-  private def survivors: Seq[Array[Int]] = {
-    val locs =
-      if (ZarrTableProvider.isV3(dir)) Zarr3IO.listChunkLocs(dir, Zarr3IO.readMeta(dir))
-      else ZarrIO.listChunkLocs(dir, meta)
-    locs.filter(survives)
-  }
+  /** Unsharded: every listed chunk exists; the listing IS the survivors.
+    * Under `assumeComplete` the caller asserts the nominal grid is fully
+    * present, so the survivors come from pure box arithmetic — a
+    * `count()` over a 100 TB dense store is zero-I/O INCLUDING the
+    * listing.
+    */
+  private def survivors: Seq[Array[Int]] =
+    if (assumeComplete)
+      ZarrTableProvider.boxLocs(meta.spec.gridShape, lo, hi, allowed)
+    else {
+      val locs =
+        if (ZarrTableProvider.isV3(dir)) Zarr3IO.listChunkLocs(dir, Zarr3IO.readMeta(dir))
+        else ZarrIO.listChunkLocs(dir, meta)
+      locs.filter(survives)
+    }
 
   /** Driver-side shard threshold: at or below it the indexes are read on
     * the driver (each read is one tiny ranged GET, cached) instead of
@@ -450,7 +493,11 @@ final class ZarrAggScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     val sh = m3.sharding.get
     val ips = m3.innersPerShard
     val innerGrid = graft.tiles.GridSpec(m3.shape, sh.inner).gridShape
-    val shards = Zarr3IO.listChunkLocs(dir, m3).map(_.toSeq)
+    val shards = (
+      if (assumeComplete) {
+        val (sl, sh2, sa) = ZarrTableProvider.shardBox(ips, lo, hi, allowed)
+        ZarrTableProvider.boxLocs(m3.spec.gridShape, sl, sh2, sa)
+      } else Zarr3IO.listChunkLocs(dir, m3)).map(_.toSeq)
     val gb = groupBy.toArray
     if (shards.size <= DriverShards)
       partialsOf(shards.iterator, StoreIO.hadoopConf, m3, ips, innerGrid, gb)
@@ -536,7 +583,8 @@ final case class ZarrAggReaderFactory() extends PartitionReaderFactory {
 
 final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
     hi: Array[Long], allowed: Array[Set[Long]], required: StructType,
-    vectorized: Boolean, limit: Int = -1, maxChunksPerTrigger: Int = 0)
+    vectorized: Boolean, limit: Int = -1, maxChunksPerTrigger: Int = 0,
+    assumeComplete: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -664,11 +712,19 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
       case Some((meta3, sh)) =>
         val ips = meta3.innersPerShard
         val innerGrid = graft.tiles.GridSpec(meta3.shape, sh.inner).gridShape
+        // assumeComplete: the caller asserts every shard object of the
+        // nominal grid exists, so the shard list is box arithmetic (inner
+        // presence STILL comes from the shard indexes, executor-side)
+        def shardLocs: Seq[Array[Int]] =
+          if (assumeComplete) {
+            val (sl, sh2, sa) = ZarrTableProvider.shardBox(ips, lo, hi, allowed)
+            ZarrTableProvider.boxLocs(meta3.spec.gridShape, sl, sh2, sa)
+          } else Zarr3IO.listChunkLocs(dir, meta3)
         if (limit < 0)
           // the listing yields SHARD objects; partitions are the inner
           // chunks they cover (readers skip index-absent inners —
           // present-ness lives executor-side, never on the driver)
-          Zarr3IO.listChunkLocs(dir, meta3)
+          shardLocs
             .flatMap(sl => Zarr3IO.innerLocsOf(sl, ips, innerGrid))
             .filter(survives)
             .map(loc => ZarrInputPartition(loc): InputPartition).toArray
@@ -682,7 +738,7 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
           val cps = ips.product
           val out = Seq.newBuilder[InputPartition]
           var covered = 0L
-          val shardIt = Zarr3IO.listChunkLocs(dir, meta3).iterator
+          val shardIt = shardLocs.iterator
           while (covered < limit && shardIt.hasNext) {
             val sl = shardIt.next()
             val spath = new Path(dir, Zarr3IO.chunkKey(sl, meta3.separator)).toString
@@ -702,10 +758,13 @@ final class ZarrScan(dir: String, meta: ZarrIO.Meta, lo: Array[Long],
           out.result().toArray
         }
       case None =>
-        val locs = m3 match {
-          case Some(meta3) => Zarr3IO.listChunkLocs(dir, meta3)
-          case None => ZarrIO.listChunkLocs(dir, meta)
-        }
+        val locs =
+          if (assumeComplete)
+            ZarrTableProvider.boxLocs(meta.spec.gridShape, lo, hi, allowed)
+          else m3 match {
+            case Some(meta3) => Zarr3IO.listChunkLocs(dir, meta3)
+            case None => ZarrIO.listChunkLocs(dir, meta)
+          }
         val surviving = locs.filter(survives)
         // partial limit: stop planning chunks once their combined cell
         // count covers the limit (Spark applies the exact limit on top;
@@ -825,12 +884,23 @@ final case class ZarrReaderFactory(dir: String, meta: ZarrIO.Meta,
             try ZarrIO.decodeChunk(
               StoreIO.readAllBytes(sconf.value, new Path(dir, key).toString),
               meta, loc, tileShape)
-            catch { case e: Exception =>
-              // surface the CHUNK, not a codec stack frame: at 100 TB a single
-              // corrupt object must be identifiable from the task failure alone
-              throw new java.io.IOException(
-                s"zarr chunk '$key' (grid ${loc.mkString(",")}) in $dir " +
-                  s"failed to decode: ${e.getMessage}", e)
+            catch {
+              case e: java.io.FileNotFoundException =>
+                // only an enumerated (assumeComplete) plan can reach a
+                // missing chunk — fail loudly instead of silently dropping
+                // the region's rows
+                throw new java.io.IOException(
+                  s"zarr chunk '$key' (grid ${loc.mkString(",")}) in $dir " +
+                    "is absent but was planned: the store was declared " +
+                    "complete (assumeComplete=true) or mutated concurrently",
+                  e)
+              case e: Exception =>
+                // surface the CHUNK, not a codec stack frame: at 100 TB a
+                // single corrupt object must be identifiable from the task
+                // failure alone
+                throw new java.io.IOException(
+                  s"zarr chunk '$key' (grid ${loc.mkString(",")}) in $dir " +
+                    s"failed to decode: ${e.getMessage}", e)
             }
           }
         (loc, tileShape, data)

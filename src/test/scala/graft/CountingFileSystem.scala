@@ -26,16 +26,24 @@ class CountingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
     new FSDataInputStream(
       new CountingFileSystem.CountingStream(in, f.toUri.getPath))
   }
+
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingFileSystem.lists.incrementAndGet()
+    super.listStatus(f)
+  }
 }
 
 object CountingFileSystem {
   val opens = new java.util.concurrent.atomic.AtomicLong(0)
+  val lists = new java.util.concurrent.atomic.AtomicLong(0)
   private val readsByFile =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val bytesByFile =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
-  def reset(): Unit = { opens.set(0); readsByFile.clear(); bytesByFile.clear() }
+  def reset(): Unit = {
+    opens.set(0); lists.set(0); readsByFile.clear(); bytesByFile.clear()
+  }
 
   private def bump(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
       path: String, n: Long): Unit =
