@@ -141,6 +141,24 @@ object PipelineOps {
     SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
     FROM lab WHERE gy BETWEEN 1 AND 2 GROUP BY gy, gx"""
 
+  /** zarrDsv2 with LISTING-FREE planning: `assumeComplete` asserts the
+    * nominal grid is dense (true for this pipeline store), so the pruned
+    * chunk box is enumerated from metadata — zero listing round-trips, the
+    * plan an object store wants. Same oracle: the assertion must be
+    * invisible in the rows.
+    */
+  def zarrDsv2Complete(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
+    graft.sources.ZarrIO.write(tilesFromPixels(s, d), spec, zarrCompleteDir, "<u2", "zlib")
+    s.read.format("zarr").option("assumeComplete", true).load(zarrCompleteDir)
+      .filter(col("g0") >= 1 && col("g0") <= 2 && col("value") =!= 0)
+      .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
+      .groupBy("gy", "gx")
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+  }
+
+  private lazy val zarrCompleteDir: String = graft.TempDirs.create("graft_zarr_ac")
+
   /** zarrDsv2 through a SHARDED v3 store: the DSv2 scan plans inner-chunk
     * partitions from the shard listing, prunes on the same g-coordinate
     * box, and each task ranged-reads only its inner chunk's bytes via the
@@ -683,6 +701,7 @@ object PipelineOps {
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
     Q("src_binary_images", binaryImages, Some(MM_DECODE_META_SQL)),
     Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL)),
+    Q("px_zarr_complete", zarrDsv2Complete, Some(ZARR_DSV2_SQL)),
     Q("px_zarr_dsv2_write", zarrDsv2Write, Some(ZARR_DSV2_WRITE_SQL)),
     Q("px_zarr_grouped", zarrGrouped, Some(ZARR_DSV2_WRITE_SQL)),
     Q("px_zarr3_dsv2_write", zarr3Dsv2Write, Some(ZARR_DSV2_WRITE_SQL)),
