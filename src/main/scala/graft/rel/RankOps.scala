@@ -294,14 +294,21 @@ object RankOps {
     var hub = ed.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1000000L))
     var auth: DataFrame = null
+    // every per-round relation feeds TWO consumers (its max aggregate and
+    // the next half-step) — without a persist the reuse compounds into a
+    // 2^rounds lineage re-execution, so each one is cached and released
+    // after the action
+    val deps = scala.collection.mutable.ArrayBuffer[DataFrame](ed)
     for (_ <- 1 to 2) {
       val a = ed.join(hub, col("src") === col("node"))
         .groupBy("dst").agg(sum("h").as("a"))
+      deps += a
       auth = a.crossJoin(broadcast(a.agg(max("a").as("amax"))))
         .select(col("dst"), expr("(a * 1000000) div amax").as("a"))
       val h = ed.join(auth.withColumnRenamed("dst", "dst2"),
           col("dst") === col("dst2"))
         .groupBy("src").agg(sum("a").as("h"))
+      deps += h
       hub = h.crossJoin(broadcast(h.agg(max("h").as("hmax"))))
         .select(col("src").as("node"), expr("(h * 1000000) div hmax").as("h"))
     }
@@ -309,7 +316,7 @@ object RankOps {
         col("h").as("score"))
       .unionByName(auth.select(col("dst").as("node"), lit("auth").as("side"),
         col("a").as("score")))
-    graft.Caching.releaseAfterAction(out, ed)
+    graft.Caching.releaseAfterAction(out, deps.toSeq: _*)
   }
 
   private val HITS_SQL = """
@@ -335,10 +342,75 @@ object RankOps {
       UNION ALL
       SELECT dst, 'auth', a FROM a2n"""
 
+  /** Bounded k-core peeling (k=4, 4 rounds) on the SPARSIFIED purchase
+    * graph (l_quantity <= 2, the gr_labelprop sparsification — the dense
+    * graph degenerates to a plain degree filter). Each round drops nodes
+    * whose degree among SURVIVORS is < k; fixed round count keeps the
+    * DuckDB oracle unrollable and bounds the job (the full k-core is the
+    * fixpoint; bounded peeling is the standard budgeted form and already
+    * a valid upper-bound filter for web-graph spam/quality pruning).
+    * Output: surviving nodes with their round-4 residual degree.
+    *
+    * At 100 TB: per round two equi-joins of the CACHED edge relation
+    * against the shrinking survivor set plus one count aggregate — no
+    * windows, no driver-side data; the survivor relation is node-sized.
+    */
+  def kcore(s: SparkSession, d: String): DataFrame = {
+    val K = 4
+    val ed = tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem").filter(col("l_quantity") <= 2),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + lit(1000000L)).as("b"))
+      .distinct()
+    val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ed.select(col("b").as("src"), col("a").as("dst")))
+    var alive = edges.select(col("src").as("node")).distinct()
+    var out: DataFrame = null
+    // each survivor set feeds BOTH endpoint joins of the next round —
+    // persist per round or the reuse compounds into 2^rounds re-execution
+    val deps = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
+    for (_ <- 1 to 4) {
+      out = edges
+        .join(alive, col("src") === col("node")).drop("node")
+        .join(alive.withColumnRenamed("node", "node2"),
+          col("dst") === col("node2"))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= K)
+        .select(col("src").as("node"), col("deg"))
+      deps += out
+      alive = out.select("node")
+    }
+    graft.Caching.releaseAfterAction(out, deps.toSeq: _*)
+  }
+
+  private val KCORE_SQL = {
+    val sb = new StringBuilder(
+      """
+      WITH ed AS (
+        SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_quantity <= 2),
+      edges AS (
+        SELECT a AS src, b AS dst FROM ed
+        UNION ALL SELECT b, a FROM ed),
+      a0 AS (SELECT DISTINCT src AS node FROM edges)""")
+    for (r <- 1 to 4) {
+      sb.append(s""",
+      d$r AS (SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM edges e JOIN a${r - 1} x ON e.src = x.node
+                           JOIN a${r - 1} y ON e.dst = y.node
+              GROUP BY e.src),
+      a$r AS (SELECT node, deg FROM d$r WHERE deg >= 4)""")
+    }
+    sb.append(" SELECT node, deg FROM a4").toString
+  }
+
   def all: Seq[Q] = Seq(
     Q("gr_pagerank", pagerank, Some(PAGERANK_SQL)),
     Q("gr_labelprop", labelProp, Some(LABELPROP_SQL)),
     Q("gr_hits", hits, Some(HITS_SQL)),
+    Q("gr_kcore", kcore, Some(KCORE_SQL)),
     Q("tx_mix_weights", mixWeights, Some(MIX_WEIGHTS_SQL)),
     Q("tx_mix_apply", mixApply, Some(MIX_APPLY_SQL)))
 }

@@ -72,6 +72,33 @@ object SketchRel {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
   }
 
+  /** Interval-concurrency sweep line: every event opens a 10-minute
+    * session interval; per user, the peak number of simultaneously-open
+    * intervals (max concurrent sessions — the room-scheduling primitive).
+    * Endpoints become +-1 deltas, a user-PARTITIONED running sum walks
+    * them in (t, delta) order (closes before opens at a shared instant —
+    * half-open intervals), and the peak is the max prefix. Equal-key
+    * permutations can reorder INTERMEDIATE prefix values but never the
+    * max, so the result is deterministic under any partitioning. At
+    * 100 TB: one union, one partitioned window (bounded per-user
+    * partitions), one hash aggregate — no self-join, no range join.
+    */
+  def concurrencyPeak(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val SPAN = 600000000000L
+    val iv = tbl(s, d, "events")
+      .select(col("user_id"), expr("ts div 1000 * 1000").as("t"))
+    val pts = iv.select(col("user_id"), col("t"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("user_id"), (col("t") + SPAN).as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("open", sum("delta").over(w))
+      .groupBy("user_id")
+      .agg(expr("count(1) div 2").as("n_intervals"),
+        max("open").as("peak"))
+  }
+
   /** Salted skew join: events' 5 hot event_type keys would funnel the whole
     * fact table through 5 reducers in a plain shuffled join. Salting
     * replicates the per-type stats SALT times and keys the join on
@@ -150,6 +177,19 @@ object SketchRel {
              CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM w JOIN e ON e.user_id = w.user_id AND e.t >= w.lo AND e.t <= w.hi
       GROUP BY w.user_id, w.lo""")),
+    Q("rj_concurrency", concurrencyPeak, Some("""
+      WITH iv AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
+      pts AS (
+        SELECT user_id, t, 1 AS delta FROM iv
+        UNION ALL SELECT user_id, t + 600000000000, -1 FROM iv),
+      r AS (
+        SELECT user_id,
+               sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS open
+        FROM pts)
+      SELECT user_id, CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+             CAST(max(open) AS BIGINT) AS peak
+      FROM r GROUP BY user_id""")),
     Q("sk_kmv_users", kmvUsers, Some(s"""
       WITH h AS (
         SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hh

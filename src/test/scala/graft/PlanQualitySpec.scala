@@ -88,6 +88,38 @@ class PlanQualitySpec extends AnyFunSuite {
       s"set-operation stage must stay aggregate-only:\n$p")
   }
 
+  test("selection ops broadcast their vocabulary-sized join-back sides") {
+    val bp = plan("tx_boilerplate")
+    assert(bp.contains("BroadcastHashJoin") && !bp.contains("CartesianProduct"),
+      s"boilerplate set should broadcast:\n$bp")
+    val clf = plan("tx_quality_clf")
+    assert(clf.contains("BroadcastHashJoin") && !clf.contains("Window"),
+      s"weight table should broadcast, no windows:\n$clf")
+    val ws = plan("tx_weighted_sample")
+    assert(ws.contains("Window") && !ws.contains("Exchange SinglePartition"),
+      s"sampling window must stay source-partitioned:\n$ws")
+  }
+
+  test("rj_concurrency is a partitioned sweep, no self-join") {
+    val p = plan("rj_concurrency")
+    assert(p.contains("Window") && !p.contains("Exchange SinglePartition"),
+      s"sweep window must stay user-partitioned:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"sweep line degenerated to a pairwise plan:\n$p")
+  }
+
+  test("iterative graph ops stay equi-join + aggregate shaped") {
+    // (gr_hits' per-side max IS a 1-row global aggregate — a scalar
+    // SinglePartition exchange is its correct plan, so only pairwise
+    // shapes are banned here)
+    for (q <- Seq("gr_hits", "gr_kcore")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q grew a cartesian stage:\n$p")
+      assert(!p.contains("Window"), s"$q should not need windows:\n$p")
+    }
+  }
+
   test("rj_windows is an equi-join on bins, not a nested loop") {
     val p = plan("rj_windows")
     assert(!p.contains("BroadcastNestedLoop"),
