@@ -545,6 +545,45 @@ object CurationOps {
              n_events
       FROM runs""")),
 
+    // -- ordered conversion funnel ------------------------------------------
+    // Per user, how far through signup -> view -> click -> purchase the
+    // user progressed, where each stage counts only if its FIRST occurrence
+    // follows the previous stage's first occurrence (the product-analytics
+    // funnel). One user-keyed conditional aggregate — map-side combinable,
+    // no windows, no self-joins — versus the naive 4-way time-ordered
+    // self-join; at 100 TB this is one shuffle of 4 longs per user.
+    Q("q26_funnel", (s, d) => {
+      tbl(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000 * 1000").as("t"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("t"))).as("t_signup"),
+          min(when(col("event_type") === "view", col("t"))).as("t_view"),
+          min(when(col("event_type") === "click", col("t"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("t"))).as("t_purchase"))
+        .withColumn("reached", expr("""
+          CASE WHEN t_signup IS NULL THEN 0
+               WHEN t_view IS NULL OR t_view < t_signup THEN 1
+               WHEN t_click IS NULL OR t_click < t_view THEN 2
+               WHEN t_purchase IS NULL OR t_purchase < t_click THEN 3
+               ELSE 4 END"""))
+        .select(col("user_id"), col("reached"))
+    }, Some("""
+      WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS t_signup,
+               min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+        FROM events GROUP BY user_id)
+      SELECT user_id,
+             CASE WHEN t_signup IS NULL THEN 0
+                  WHEN t_view IS NULL OR t_view < t_signup THEN 1
+                  WHEN t_click IS NULL OR t_click < t_view THEN 2
+                  WHEN t_purchase IS NULL OR t_purchase < t_click THEN 3
+                  ELSE 4 END AS reached
+      FROM f""")),
+
     // -- triangle counting on the near-dup graph -----------------------------
     // Cluster-cohesion analytics over the minhash candidate graph: every
     // triangle (a < b < c, all three edges present). Two equi-joins over the

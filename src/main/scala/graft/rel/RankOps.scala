@@ -406,11 +406,70 @@ object RankOps {
     sb.append(" SELECT node, deg FROM a4").toString
   }
 
+  /** Bounded multi-source BFS (3 rounds) on the sparsified purchase graph:
+    * seeds are customers with custkey % 100 == 0 at hop 0; each round the
+    * frontier's neighbors join at hop r and a min-hop aggregate folds them
+    * in. Output: every node within 3 hops of a seed with its hop distance
+    * (9 / 15 / 330 / 85 nodes at hops 0-3, sf0.01).
+    *
+    * At 100 TB: per round one equi-join of the CACHED edge relation
+    * against the hop relation plus one node-keyed min aggregate
+    * (map-side combinable); the hop relation is node-sized and its
+    * per-round persist truncates the growing lineage. Fixed rounds keep
+    * the oracle unrollable (full BFS = iterate to fixpoint, the
+    * dd_components driver-loop pattern).
+    */
+  def bfs(s: SparkSession, d: String): DataFrame = {
+    val ed = tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem").filter(col("l_quantity") <= 2),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + lit(1000000L)).as("b"))
+      .distinct()
+    val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ed.select(col("b").as("src"), col("a").as("dst")))
+    var hops = edges.filter(col("src") < 1000000L && col("src") % 100 === 0)
+      .select(col("src").as("node")).distinct()
+      .withColumn("hop", lit(0L))
+    val deps = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
+    for (r <- 1 to 3) {
+      val nxt = edges.join(hops, col("src") === col("node"))
+        .select(col("dst").as("node"), lit(r.toLong).as("hop"))
+      hops = hops.unionByName(nxt).groupBy("node").agg(min("hop").as("hop"))
+      deps += hops
+    }
+    graft.Caching.releaseAfterAction(hops, deps.toSeq: _*)
+  }
+
+  private val BFS_SQL = {
+    val sb = new StringBuilder(
+      """
+      WITH ed AS (
+        SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_quantity <= 2),
+      edges AS (
+        SELECT a AS src, b AS dst FROM ed
+        UNION ALL SELECT b, a FROM ed),
+      h0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hop
+             FROM edges WHERE src < 1000000 AND src % 100 = 0)""")
+    for (r <- 1 to 3) {
+      sb.append(s""",
+      n$r AS (SELECT e.dst AS node, CAST($r AS BIGINT) AS hop
+              FROM edges e JOIN h${r - 1} h ON e.src = h.node),
+      h$r AS (SELECT node, min(hop) AS hop
+              FROM (SELECT * FROM h${r - 1} UNION ALL SELECT * FROM n$r)
+              GROUP BY node)""")
+    }
+    sb.append(" SELECT node, hop FROM h3").toString
+  }
+
   def all: Seq[Q] = Seq(
     Q("gr_pagerank", pagerank, Some(PAGERANK_SQL)),
     Q("gr_labelprop", labelProp, Some(LABELPROP_SQL)),
     Q("gr_hits", hits, Some(HITS_SQL)),
     Q("gr_kcore", kcore, Some(KCORE_SQL)),
+    Q("gr_bfs", bfs, Some(BFS_SQL)),
     Q("tx_mix_weights", mixWeights, Some(MIX_WEIGHTS_SQL)),
     Q("tx_mix_apply", mixApply, Some(MIX_APPLY_SQL)))
 }

@@ -100,6 +100,31 @@ class GraphOpsSpec extends AnyFunSuite {
     } finally rows.unpersist()
   }
 
+  test("gr_bfs matches an in-memory BFS truncated at 3 hops") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("gr_bfs")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ed = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet")
+        .filter(col("l_quantity") <= 2),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + lit(1000000L)).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (ed.map(e => e._1 -> e._2) ++ ed.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keySet.filter(n => n < 1000000L && n % 100 == 0)
+    var want = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (r <- 1 to 3) {
+      val nxt = frontier.flatMap(adj(_)).diff(want.keySet)
+      want = want ++ nxt.map(_ -> r.toLong)
+      frontier = nxt
+    }
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+  }
+
   test("gr_hits: both sides max-normalized over exactly the graph's nodes") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -27,6 +27,29 @@ class SweepKcoreSpec extends AnyFunSuite {
     }
   }
 
+  test("q26_funnel matches a brute-force per-user stage walk") {
+    val got = SparkEntry.queries("q26_funnel")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byUser = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_type", "ts div 1000 * 1000 AS t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    for ((u, evs) <- byUser) {
+      def first(tp: String): Option[Long] =
+        evs.filter(_._2 == tp).map(_._3).sorted.headOption
+      val stages = Seq("signup", "view", "click", "purchase").map(first)
+      var reached = 0
+      var prev = Long.MinValue
+      var going = true
+      for (t <- stages if going) t match {
+        case Some(x) if x >= prev => reached += 1; prev = x
+        case _ => going = false
+      }
+      assert(got(u) == reached, s"user $u: got ${got(u)}, want $reached")
+    }
+  }
+
   test("gr_kcore: survivors keep degree >= k measured among survivors' round") {
     val out = SparkEntry.queries("gr_kcore")(spark, sf).cache()
     try {
