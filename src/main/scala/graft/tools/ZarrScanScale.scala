@@ -49,6 +49,7 @@ object ZarrScanScale {
     def probe(label: String, vectorized: Boolean, d: String): Unit = {
       val reader = spark.read.format("zarr")
         .option("vectorized", vectorized.toString)
+        .option("assumeComplete", (label == "enumerated").toString)
       // warm once (JIT + codegen), then time
       reader.load(d).agg(sum("value")).collect()
       var t0 = System.nanoTime()
@@ -68,6 +69,7 @@ object ZarrScanScale {
     val modes: Seq[(String, Boolean, String)] = mode match {
       case Some("row") => Seq(("row", false, dir), ("row", false, dir))
       case Some("vec") => Seq(("vectorized", true, dir), ("vectorized", true, dir))
+      case Some("enum") => Seq(("enumerated", true, dir), ("enumerated", true, dir))
       case Some("shard") => Seq(("sharded", true, shardDir), ("sharded", true, shardDir))
       case _ => Seq(("row", false, dir), ("vectorized", true, dir),
         ("sharded", true, shardDir),

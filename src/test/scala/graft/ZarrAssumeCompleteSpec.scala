@@ -114,6 +114,24 @@ class ZarrAssumeCompleteSpec extends AnyFunSuite {
       .select("g0", "g1", "p0", "p1").count() == 16L)
   }
 
+  test("v3 unsharded store: enumerated plan equals the listed plan") {
+    import spark.implicits._
+    val dir = tmpUri("zarr_ac_v3")
+    val spec = GridSpec(Array(4L, 4L), Array(2, 2))
+    val tiles = for (gy <- 0 until 2; gx <- 0 until 2) yield
+      Tile(Array(gy, gx), Array(2, 2), Array(2, 2),
+        Array.tabulate(4)(i => (gy * 100 + gx * 10 + i + 1).toLong))
+    Zarr3IO.write(spark.createDataset(tiles), spec, dir, "int64", gzip = true)
+    val listed = spark.read.format("zarr").load(dir)
+      .collect().map(_.toSeq).toSet
+    CountingFileSystem.reset()
+    val enumerated = spark.read.format("zarr")
+      .option("assumeComplete", true).load(dir)
+      .collect().map(_.toSeq).toSet
+    assert(CountingFileSystem.lists.get() == 0)
+    assert(enumerated == listed && enumerated.size == 16)
+  }
+
   test("sharded store: enumerated shard plan equals the listed plan") {
     import spark.implicits._
     val dir = tmpUri("zarr_ac_shard")

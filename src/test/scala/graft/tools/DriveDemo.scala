@@ -12,6 +12,8 @@ object DriveDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // probe 8 reads events.parquet (nanosecond timestamps)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -142,6 +144,26 @@ object DriveDemo {
     val rec = graft.SparkEntry.queries("ann_recall_probe2")(spark, sf)
       .agg(org.apache.spark.sql.functions.sum("hits")).collect()(0).getLong(0)
     println(s"ANN probe-2 total hits: $rec")
+
+    // probe 8: the analytics/selection surface added in session 3 —
+    // funnel stages, peak concurrency, graph hops/cores, weighted sample
+    val funnel = graft.SparkEntry.queries("q26_funnel")(spark, sf)
+      .groupBy("reached").count().orderBy("reached").collect()
+    println("funnel stages: " + funnel.map(r =>
+      s"${r.getInt(0)}=${r.getLong(1)}").mkString(" "))
+    val conc = graft.SparkEntry.queries("rj_concurrency")(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("peak"),
+        org.apache.spark.sql.functions.avg("peak")).collect()(0)
+    println(f"concurrency: maxPeak=${conc.getLong(0)} avgPeak=${conc.getDouble(1)}%.2f")
+    val hops = graft.SparkEntry.queries("gr_bfs")(spark, sf)
+      .groupBy("hop").count().orderBy("hop").collect()
+    println("bfs hops: " + hops.map(r =>
+      s"${r.getLong(0)}=${r.getLong(1)}").mkString(" "))
+    println("kcore survivors: " +
+      graft.SparkEntry.queries("gr_kcore")(spark, sf).count())
+    val samp = graft.SparkEntry.queries("tx_weighted_sample")(spark, sf)
+    println("weighted sample: " + samp.count() + " docs over " +
+      samp.select("source").distinct().count() + " sources")
     spark.stop()
   }
 }
