@@ -76,6 +76,44 @@ object ImageCodec {
     (sr, sg, sb)
   }
 
+  /** Perceptual average-hash (aHash): integer luma (299r+587g+114b)/1000,
+    * an 8x8 block partition via the floor mapping by = y*8/h (exactly 8
+    * bins for any h >= 8), per-block mean luma, and one bit per block —
+    * set when the block beats the global block mean. Pure positive-integer
+    * arithmetic end-to-end, so the DuckDB oracle reproduces the hash
+    * bit-for-bit from the synthetic raster definition. Returned as two
+    * 32-bit halves in longs (bit 63 would collide with the sign) plus the
+    * popcount.
+    */
+  def aHash(d: Decoded): (Long, Long, Long) = {
+    val bsum = new Array[Long](64); val bcnt = new Array[Long](64)
+    var y = 0
+    while (y < d.h) {
+      val by = y * 8 / d.h
+      var x = 0
+      while (x < d.w) {
+        val p = d.argb(y * d.w + x)
+        val k = by * 8 + x * 8 / d.w
+        bsum(k) += (299 * rOf(p) + 587 * gOf(p) + 114 * bOf(p)) / 1000
+        bcnt(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val bv = Array.tabulate(64)(k => bsum(k) / bcnt(k))
+    val mean = bv.sum / 64
+    var hi = 0L; var lo = 0L; var n = 0L
+    var k = 0
+    while (k < 64) {
+      if (bv(k) > mean) {
+        n += 1
+        if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+      }
+      k += 1
+    }
+    (hi, lo, n)
+  }
+
   /** Integer box-average downsample by factor `f`; edge blocks are clipped
     * (smaller divisor), division floors — matches SQL `sum(c) // count(*)`.
     */

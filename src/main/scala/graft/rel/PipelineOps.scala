@@ -435,6 +435,51 @@ object PipelineOps {
            CAST(sum(b) AS BIGINT) AS sum_b
     FROM mm_rgb GROUP BY doc_id"""
 
+  /** Perceptual near-dup fingerprint over the REAL decoded rasters: the
+    * average-hash (aHash) every image-dedup pipeline computes before
+    * Hamming-banding — decode the PNG, 8x8 block-mean luma, one
+    * above-global-mean bit per block. All arithmetic is positive-integer
+    * (luma (299r+587g+114b)/1000, floor block mapping, floor means), so
+    * the DuckDB oracle rebuilds the identical 64 bits from the synthetic
+    * raster definition — a decode, blocking, or bit-packing defect breaks
+    * the hash. Hamming pairing downstream is `bit_count(xor)` on the two
+    * halves (both engines), banded exactly like SimHash byte-bands.
+    */
+  def phash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.mm.ImageCodec
+    pngPayloads(s, d)
+      .mapPartitions(_.map { case (id, png) =>
+        val (hi, lo, n) = ImageCodec.aHash(ImageCodec.decode(png))
+        (id, hi, lo, n)
+      })
+      .toDF("doc_id", "hash_hi", "hash_lo", "n_bits")
+  }
+
+  private val MM_PHASH_SQL = s"""
+    WITH $MM_RGB_CTES,
+    lum AS (
+      SELECT doc_id,
+             (299 * r + 587 * g + 114 * b) // 1000 AS gray,
+             ((y * 8) // h) * 8 + (x * 8) // w AS k
+      FROM mm_rgb),
+    blocks AS (
+      SELECT doc_id, k,
+             CAST(sum(gray) AS BIGINT) // count(*) AS bv
+      FROM lum GROUP BY doc_id, k),
+    m AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) // 64 AS mean
+          FROM blocks GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(sum(CASE WHEN bv > mean AND k >= 32
+                         THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+                AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN bv > mean AND k < 32
+                         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+                AS BIGINT) AS hash_lo,
+           CAST(count(*) FILTER (WHERE bv > mean) AS BIGINT) AS n_bits
+    FROM blocks b JOIN m ON b.doc_id = m.doc_id
+    GROUP BY b.doc_id"""
+
   /** Ingestion through Spark's built-in `binaryFile` source — THE standard
     * shape for a multimodal corpus landed as loose files on an object
     * store: executors write one real PNG per document into a staging dir,
@@ -699,6 +744,7 @@ object PipelineOps {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""")),
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
+    Q("mm_phash", phash, Some(MM_PHASH_SQL)),
     Q("src_binary_images", binaryImages, Some(MM_DECODE_META_SQL)),
     Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL)),
     Q("px_zarr_complete", zarrDsv2Complete, Some(ZARR_DSV2_SQL)),

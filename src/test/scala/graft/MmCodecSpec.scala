@@ -98,4 +98,28 @@ class MmCodecSpec extends AnyFunSuite {
     }
     assert(hist.sameElements(expected))
   }
+
+  test("aHash: stable under PNG re-encode, discriminative across seeds") {
+    import graft.mm.ImageCodec
+    val hashes = (0L until 64L).map { seed =>
+      val dec = ImageCodec.decode(ImageCodec.synthPng(seed))
+      val h1 = ImageCodec.aHash(dec)
+      // re-encode the decoded raster and hash again: PNG is lossless, so
+      // the perceptual hash must be bit-identical
+      val bos = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(dec.w, dec.h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, dec.w, dec.h, dec.argb, 0, dec.w)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val h2 = ImageCodec.aHash(ImageCodec.decode(bos.toByteArray))
+      assert(h1 == h2, s"seed $seed: re-encode changed the hash")
+      val (hi, lo, n) = h1
+      assert(n >= 0 && n <= 64 &&
+        n == java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo))
+      assert((hi >>> 32) == 0 && (lo >>> 32) == 0, "halves must be 32-bit")
+      (hi, lo)
+    }
+    // different gradients should nearly always hash apart
+    assert(hashes.distinct.size > 56, s"only ${hashes.distinct.size}/64 distinct")
+  }
 }
