@@ -480,6 +480,77 @@ object PipelineOps {
     FROM blocks b JOIN m ON b.doc_id = m.doc_id
     GROUP BY b.doc_id"""
 
+  /** Near-duplicate image pairs by banded Hamming search over the aHash:
+    * 8 one-byte bands per 64-bit hash — two hashes within Hamming
+    * distance 7 MUST agree on at least one whole byte (pigeonhole), so
+    * the byte-band equi-join is a COMPLETE candidate generator for d<=7
+    * and the exact `bit_count(xor)` check prunes it to true pairs. The
+    * image twin of dd_simhash_pairs: candidates never leave equi-join
+    * land, no all-pairs product at any corpus size. The hash relation is
+    * persisted across its self-join sides.
+    */
+  def phashPairs(s: SparkSession, d: String): DataFrame = {
+    val ph = phash(s, d).select(col("doc_id"),
+      col("hash_hi").as("hi"), col("hash_lo").as("lo"))
+    val bands = ph.select(col("doc_id"), col("hi"), col("lo"),
+        explode(expr("""transform(sequence(0, 7),
+          i -> struct(i AS band,
+            CASE WHEN i < 4 THEN shiftright(lo, i * 8) & 255
+                 ELSE shiftright(hi, (i - 4) * 8) & 255 END AS bv))""")).as("b"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        expr("a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.hi").as("ha"), col("a.lo").as("la"),
+        col("b.hi").as("hb"), col("b.lo").as("lb"))
+      .distinct()
+    graft.Caching.releaseAfterAction(
+      cand.select(col("id_a"), col("id_b"),
+          expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)")
+            .as("dist"))
+        .filter(col("dist") <= 7),
+      ph)
+  }
+
+  private val MM_PHASH_PAIRS_SQL = s"""
+    WITH $MM_RGB_CTES,
+    lum AS (
+      SELECT doc_id,
+             (299 * r + 587 * g + 114 * b) // 1000 AS gray,
+             ((y * 8) // h) * 8 + (x * 8) // w AS k
+      FROM mm_rgb),
+    blocks AS (
+      SELECT doc_id, k, CAST(sum(gray) AS BIGINT) // count(*) AS bv
+      FROM lum GROUP BY doc_id, k),
+    m AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) // 64 AS mean
+          FROM blocks GROUP BY doc_id),
+    ph AS (
+      SELECT b.doc_id,
+             CAST(sum(CASE WHEN bv > mean AND k >= 32
+                           THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+                  AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN bv > mean AND k < 32
+                           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+                  AS BIGINT) AS lo
+      FROM blocks b JOIN m ON b.doc_id = m.doc_id GROUP BY b.doc_id),
+    bands AS (
+      SELECT doc_id, hi, lo, bb.i AS band,
+             (CASE WHEN bb.i < 4 THEN lo ELSE hi END >> ((bb.i % 4) * 8))
+               & 255 AS bv
+      FROM ph, range(0, 8) bb(i)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                               AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(CAST(xor(ha, hb) AS BIGINT))
+                + bit_count(CAST(xor(la, lb) AS BIGINT)) AS BIGINT) AS dist
+    FROM cand
+    WHERE bit_count(CAST(xor(ha, hb) AS BIGINT))
+          + bit_count(CAST(xor(la, lb) AS BIGINT)) <= 7"""
+
   /** Ingestion through Spark's built-in `binaryFile` source — THE standard
     * shape for a multimodal corpus landed as loose files on an object
     * store: executors write one real PNG per document into a staging dir,
@@ -745,6 +816,7 @@ object PipelineOps {
       FROM events GROUP BY 1, 2""")),
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
     Q("mm_phash", phash, Some(MM_PHASH_SQL)),
+    Q("mm_phash_pairs", phashPairs, Some(MM_PHASH_PAIRS_SQL)),
     Q("src_binary_images", binaryImages, Some(MM_DECODE_META_SQL)),
     Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL)),
     Q("px_zarr_complete", zarrDsv2Complete, Some(ZARR_DSV2_SQL)),

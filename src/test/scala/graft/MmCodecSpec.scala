@@ -122,4 +122,25 @@ class MmCodecSpec extends AnyFunSuite {
     // different gradients should nearly always hash apart
     assert(hashes.distinct.size > 56, s"only ${hashes.distinct.size}/64 distinct")
   }
+
+  test("mm_phash_pairs finds EXACTLY the brute-force Hamming<=7 pairs") {
+    import graft.mm.ImageCodec
+    val spark = SparkTest.session
+    val sf = "/root/testdata/sf0.001"
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val hs = ids.map(id =>
+      id -> ImageCodec.aHash(ImageCodec.decode(ImageCodec.synthPng(id)))).toMap
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (ha, la, _) = hs(ids(i)); (hb, lb, _) = hs(ids(j))
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 7
+    } yield (ids(i), ids(j), d.toLong)).toSet
+    val got = SparkEntry.queries("mm_phash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"got ${got.size} pairs, brute force says ${want.size}")
+    assert(want.nonEmpty, "fixture should contain near-dup gradients")
+  }
 }
