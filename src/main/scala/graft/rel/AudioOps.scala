@@ -119,6 +119,57 @@ object AudioOps {
            CAST(count(*) FILTER (WHERE i % 160 <> 0 AND pv * v < 0) AS BIGINT) AS zc
     FROM lagd GROUP BY doc_id, c, win"""
 
+  /** Acoustic fingerprint from the decoded samples — the energy-delta bit
+    * string (the simplest Chromaprint/Shazam family member): 20-sample
+    * (2.5 ms) window energies per channel, one bit per window boundary
+    * (set when energy rose), packed LSB-first into a long. Up to 31
+    * windows per clip here, so the fingerprint fits one positive BIGINT;
+    * pure integer arithmetic, so the oracle rebuilds the identical bits
+    * from the formula while Spark computes them from the REAL WAV decode.
+    * Pairing downstream is bit_count(xor) banding (mm_phash_pairs).
+    */
+  def audioFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val win = 20
+    wavPayloads(s, d)
+      .mapPartitions(_.flatMap { case (id, wav) =>
+        val p = AudioCodec.decode(wav)
+        val nWin = (p.frames + win - 1) / win
+        (0 until p.channels).iterator.map { c =>
+          val e = new Array[Long](nWin)
+          var i = 0
+          while (i < p.frames) {
+            val v = p.data(i * p.channels + c).toLong
+            e(i / win) += v * v
+            i += 1
+          }
+          var fp = 0L
+          var w = 1
+          while (w < nWin) {
+            if (e(w) > e(w - 1)) fp |= 1L << (w - 1)
+            w += 1
+          }
+          (id, c.toLong, nWin.toLong, fp)
+        }
+      })
+      .toDF("doc_id", "chan", "n_wins", "fp")
+  }
+
+  private val MM_AUDIO_FP_SQL = s"""
+    WITH $MM_SIG_CTES,
+    we AS (
+      SELECT doc_id, c, i // 20 AS win, CAST(sum(v * v) AS BIGINT) AS e
+      FROM mm_sig GROUP BY doc_id, c, i // 20),
+    ld AS (
+      SELECT doc_id, c, win, e,
+             lag(e) OVER (PARTITION BY doc_id, c ORDER BY win) AS pe
+      FROM we)
+    SELECT doc_id, c AS chan, CAST(count(*) AS BIGINT) AS n_wins,
+           CAST(coalesce(sum(CASE WHEN pe IS NOT NULL AND e > pe
+                                  THEN (CAST(1 AS BIGINT) << CAST(win - 1 AS INTEGER))
+                             END), 0) AS BIGINT) AS fp
+    FROM ld GROUP BY doc_id, c"""
+
   /** Real resample: decode, decimate by 2, RE-ENCODE to WAV (the write-back
     * a resampling job performs), decode the re-encoded bytes, and summarize
     * from the second decode — a frame-alignment mistake in either codec pass
@@ -283,6 +334,7 @@ object AudioOps {
     Q("mm_audio_meta", audioMeta, Some(MM_AUDIO_META_SQL)),
     Q("st_mm_audio", audioMetaStream, Some(MM_AUDIO_META_SQL)),
     Q("mm_audio_features", audioFeatures, Some(MM_AUDIO_FEATURES_SQL)),
+    Q("mm_audio_fp", audioFingerprint, Some(MM_AUDIO_FP_SQL)),
     Q("mm_audio_resample", audioResample, Some(MM_AUDIO_RESAMPLE_SQL))
   )
 }
