@@ -551,6 +551,33 @@ object PipelineOps {
     WHERE bit_count(CAST(xor(ha, hb) AS BIGINT))
           + bit_count(CAST(xor(la, lb) AS BIGINT)) <= 7"""
 
+  /** Streaming image fingerprinting: documents stream in, each micro-batch
+    * synthesizes + decodes its PNGs and emits aHash rows append-mode — the
+    * admission-time variant of mm_phash (pair flagging downstream is
+    * st_dd_minhash's broadcast-band shape on the hash bytes). Decode and
+    * hash are a narrow mapPartitions; no state before the sink.
+    */
+  def phashStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.mm.ImageCodec
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val qn = "st_mm_phash_sink_" + sinkCounter.incrementAndGet()
+    val out = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (hi, lo, n) = ImageCodec.aHash(
+          ImageCodec.decode(ImageCodec.synthPng(id)))
+        (id, hi, lo, n)
+      })
+      .toDF("doc_id", "hash_hi", "hash_lo", "n_bits")
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   /** Ingestion through Spark's built-in `binaryFile` source — THE standard
     * shape for a multimodal corpus landed as loose files on an object
     * store: executors write one real PNG per document into a staging dir,
@@ -817,6 +844,7 @@ object PipelineOps {
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
     Q("mm_phash", phash, Some(MM_PHASH_SQL)),
     Q("mm_phash_pairs", phashPairs, Some(MM_PHASH_PAIRS_SQL)),
+    Q("st_mm_phash", phashStream, Some(MM_PHASH_SQL)),
     Q("src_binary_images", binaryImages, Some(MM_DECODE_META_SQL)),
     Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL)),
     Q("px_zarr_complete", zarrDsv2Complete, Some(ZARR_DSV2_SQL)),
