@@ -551,6 +551,55 @@ object PipelineOps {
     WHERE bit_count(CAST(xor(ha, hb) AS BIGINT))
           + bit_count(CAST(xor(la, lb) AS BIGINT)) <= 7"""
 
+  /** Image near-dup CLUSTERS: connected components over the banded-Hamming
+    * pair graph (mm_phash_pairs) — the image-corpus twin of dd_components,
+    * labeling every document with the minimum doc_id of its visual cluster
+    * so a canonical-election pass can dedup per cluster. The fixpoint
+    * (pointer doubling, per-round lineage truncation) is the shared
+    * GraphOps.connectedComponents; the oracle is the recursive-CTE
+    * min-reach over the same pair definition.
+    */
+  def phashClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = phashPairs(s, d).select(col("id_a"), col("id_b")).persist()
+    try
+      graft.Caching.releaseAfterAction(
+        graft.rel.GraphOps.connectedComponents(
+          tbl(s, d, "documents").select(col("doc_id")), edges),
+        edges)
+    catch {
+      case e: Throwable =>
+        edges.unpersist(blocking = false)
+        throw e
+    }
+  }
+
+  private val MM_PHASH_CLUSTERS_SQL =
+    MM_PHASH_PAIRS_SQL.replaceFirst("WITH ", "WITH RECURSIVE ")
+      .replace(
+        """SELECT id_a, id_b,
+           CAST(bit_count(CAST(xor(ha, hb) AS BIGINT))
+                + bit_count(CAST(xor(la, lb) AS BIGINT)) AS BIGINT) AS dist
+    FROM cand
+    WHERE bit_count(CAST(xor(ha, hb) AS BIGINT))
+          + bit_count(CAST(xor(la, lb) AS BIGINT)) <= 7""",
+        "") + """,
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE bit_count(CAST(xor(ha, hb) AS BIGINT))
+            + bit_count(CAST(xor(la, lb) AS BIGINT)) <= 7),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src)
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS comp
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id"""
+
   /** Streaming image fingerprinting: documents stream in, each micro-batch
     * synthesizes + decodes its PNGs and emits aHash rows append-mode — the
     * admission-time variant of mm_phash (pair flagging downstream is
@@ -845,6 +894,7 @@ object PipelineOps {
     Q("mm_phash", phash, Some(MM_PHASH_SQL)),
     Q("mm_phash_pairs", phashPairs, Some(MM_PHASH_PAIRS_SQL)),
     Q("st_mm_phash", phashStream, Some(MM_PHASH_SQL)),
+    Q("dd_phash_clusters", phashClusters, Some(MM_PHASH_CLUSTERS_SQL)),
     Q("src_binary_images", binaryImages, Some(MM_DECODE_META_SQL)),
     Q("px_zarr_dsv2", zarrDsv2, Some(ZARR_DSV2_SQL)),
     Q("px_zarr_complete", zarrDsv2Complete, Some(ZARR_DSV2_SQL)),
