@@ -120,6 +120,12 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("mm_phash_pairs candidates come from the band equi-join only") {
+    val p = plan("mm_phash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"banded Hamming search degenerated to all-pairs:\n$p")
+  }
+
   test("rj_windows is an equi-join on bins, not a nested loop") {
     val p = plan("rj_windows")
     assert(!p.contains("BroadcastNestedLoop"),
