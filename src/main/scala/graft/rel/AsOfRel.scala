@@ -76,7 +76,80 @@ object AsOfRel {
         .as("interp"))
   }
 
+  /** Regular-grid resample with gap fill — the downsampling pass a metrics
+    * or feature store runs over raw events: an hourly grid per user
+    * (spanning the corpus' hour-truncated min..max event time), each grid
+    * point carrying the user's last observed value at-or-before it
+    * (carry-forward fill) and the count of events in the trailing hour.
+    *
+    * Spark-first shape: NO join — the grid rows are unioned with the
+    * events and a single partitioned window pass computes both outputs:
+    * `last(v) ignoreNulls` over (t, is_grid) rows-frame for the fill
+    * (events order before grid markers at the same instant, so
+    * at-or-before is inclusive), and `count(v)` over a RANGE frame of
+    * (HOUR-1) ns for the trailing-hour count (grid markers carry null v,
+    * so they never count themselves). One shuffle on user_id, both
+    * windows share it; the grid is |users| x |hours| rows, never a
+    * per-event blowup. DuckDB's generate_series + the same two windows is
+    * the oracle.
+    */
+  def resample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HOUR = 3600L * 1000000000L
+    val ev = tbl(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr("ts div 1000 * 1000").as("t"),
+        col("value"))
+      .groupBy("user_id", "t").agg(max("value").as("v"))
+    val bounds = ev.agg(
+      expr(s"(min(t) div $HOUR) * $HOUR").as("h0"),
+      expr(s"(max(t) div $HOUR) * $HOUR").as("h1"))
+    val grid = ev.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(expr(s"sequence(h0, h1, $HOUR)")).as("t"))
+    val unioned = ev.select(col("user_id"), col("t"), col("v"),
+        lit(0).as("is_grid"))
+      .unionByName(grid.select(col("user_id"), col("t"),
+        lit(null).cast("double").as("v"), lit(1).as("is_grid")))
+    val wFill = Window.partitionBy("user_id").orderBy(col("t"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wHour = Window.partitionBy("user_id").orderBy(col("t"))
+      .rangeBetween(-(HOUR - 1), 0)
+    unioned
+      .withColumn("fill_v", last(col("v"), ignoreNulls = true).over(wFill))
+      .withColumn("n_1h", count(col("v")).over(wHour))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("t").as("gt"), col("fill_v"), col("n_1h"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("aj_resample", resample, Some("""
+      WITH e AS (
+        SELECT user_id, t, max(value) AS v
+        FROM (SELECT user_id, epoch_ns(ts) AS t, value FROM events
+              WHERE user_id IS NOT NULL)
+        GROUP BY user_id, t),
+      b AS (
+        SELECT (min(t) // 3600000000000) * 3600000000000 AS h0,
+               (max(t) // 3600000000000) * 3600000000000 AS h1 FROM e),
+      g AS (
+        SELECT u.user_id, unnest(generate_series(b.h0, b.h1, 3600000000000)) AS t
+        FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN b),
+      allr AS (
+        SELECT user_id, t, v, 0 AS is_grid FROM e
+        UNION ALL
+        SELECT user_id, t, NULL AS v, 1 AS is_grid FROM g),
+      w AS (
+        SELECT user_id, t, is_grid,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, is_grid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_v,
+               count(v) OVER (
+                 PARTITION BY user_id ORDER BY t
+                 RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW) AS n_1h
+        FROM allr)
+      SELECT user_id, t AS gt, fill_v, n_1h FROM w WHERE is_grid = 1""")),
     Q("aj_interp", asofInterp, Some("""
       WITH e AS (
         SELECT user_id, epoch_ns(ts) AS t, event_type,

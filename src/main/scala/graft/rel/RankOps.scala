@@ -464,8 +464,68 @@ object RankOps {
     sb.append(" SELECT node, hop FROM h3").toString
   }
 
+  /** Link prediction on the sparsified purchase graph (`l_quantity <= 2`,
+    * the gr_labelprop/gr_kcore sparsification): for every customer pair
+    * sharing >= 2 suppliers, the three classic common-neighbor scores —
+    * raw common-neighbor count, Jaccard (scaled-integer ratio over the
+    * degree union), and the Resource-Allocation index (Zhou et al. 2009:
+    * sum of 1/deg(shared neighbor) — the log-free member of the
+    * Adamic-Adar family, so it stays EXACT in scaled integers; a `div`
+    * per shared neighbor, both engines floor identically on positives).
+    *
+    * At 100 TB: candidate pairs come ONLY from the equi-self-join on the
+    * shared-neighbor key, whose fan-out the sparsification bounds (the
+    * standard drop-super-hubs discipline for neighborhood self-joins —
+    * same reason dd_minhash_lsh bands and dd_simhash byte-blocks exist);
+    * the pair aggregate is map-side combinable, and the two degree joins
+    * are node-sized. No windows, no cartesian.
+    */
+  def linkpred(s: SparkSession, d: String): DataFrame = {
+    val ed = tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem").filter(col("l_quantity") <= 2),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val cdeg = ed.groupBy("c").agg(count(lit(1)).as("dc"))
+    val sdeg = ed.groupBy("sk").agg(count(lit(1)).as("ds"))
+    val withS = ed.join(sdeg, "sk")
+    val pairs = withS.alias("e1")
+      .join(withS.alias("e2"),
+        col("e1.sk") === col("e2.sk") && col("e1.c") < col("e2.c"))
+      .select(col("e1.c").as("a"), col("e2.c").as("b"),
+        expr("1000000 div e1.ds").as("inv"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum("inv").cast("long").as("ra_scaled"))
+      .filter(col("cn") >= 2)
+    pairs
+      .join(cdeg.select(col("c").as("a"), col("dc").as("da")), "a")
+      .join(cdeg.select(col("c").as("b"), col("dc").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+        expr("(cn * 1000000) div (da + db - cn)").as("jaccard_scaled"),
+        col("ra_scaled"))
+  }
+
+  private val LINKPRED_SQL = """
+      WITH ed AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_quantity <= 2),
+      cdeg AS (SELECT c, count(*) AS dc FROM ed GROUP BY c),
+      sdeg AS (SELECT sk, count(*) AS ds FROM ed GROUP BY sk),
+      pairs AS (
+        SELECT e1.c AS a, e2.c AS b, count(*) AS cn,
+               CAST(sum(1000000 // s.ds) AS BIGINT) AS ra_scaled
+        FROM ed e1 JOIN ed e2 ON e1.sk = e2.sk AND e1.c < e2.c
+             JOIN sdeg s ON e1.sk = s.sk
+        GROUP BY e1.c, e2.c HAVING count(*) >= 2)
+      SELECT p.a, p.b, p.cn, da.dc AS da, db.dc AS db,
+             (p.cn * 1000000) // (da.dc + db.dc - p.cn) AS jaccard_scaled,
+             p.ra_scaled
+      FROM pairs p JOIN cdeg da ON p.a = da.c JOIN cdeg db ON p.b = db.c"""
+
   def all: Seq[Q] = Seq(
     Q("gr_pagerank", pagerank, Some(PAGERANK_SQL)),
+    Q("gr_linkpred", linkpred, Some(LINKPRED_SQL)),
     Q("gr_labelprop", labelProp, Some(LABELPROP_SQL)),
     Q("gr_hits", hits, Some(HITS_SQL)),
     Q("gr_kcore", kcore, Some(KCORE_SQL)),

@@ -120,6 +120,23 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("aj_resample: both windows share one exchange and one sort") {
+    val p = plan("aj_resample")
+    // one shuffle on user_id feeds the fill window AND the range-frame
+    // count window — the (t) ordering is a prefix of (t, is_grid), so the
+    // second window must not re-sort or re-exchange
+    val windows = "(?m)^\\s*(?:\\+- |:- )?Window ".r.findAllIn(p).size
+    val sorts = "(?m)^\\s*(?:\\+- |:- )?\\*?\\(?\\d*\\)?\\s*Sort ".r.findAllIn(p).size
+    assert(windows == 2, s"expected 2 Window nodes, got $windows:\n$p")
+    assert(sorts == 1, s"windows re-sorted ($sorts sorts):\n$p")
+  }
+
+  test("gr_linkpred candidate pairs come from the equi-self-join only") {
+    val p = plan("gr_linkpred")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"link-prediction degenerated to all-pairs:\n$p")
+  }
+
   test("mm_phash_pairs candidates come from the band equi-join only") {
     val p = plan("mm_phash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
