@@ -281,9 +281,10 @@ object RankOps {
     *
     * At 100 TB: per round, two edge-keyed equi-join + hash-aggregate passes
     * (map-side combinable) over the CACHED distinct edge relation, plus a
-    * 1-row max aggregate broadcast back — no windows, no driver loops over
-    * data, node relations stay node-sized. Round count is fixed (2), the
-    * standard budget-bounded form for relational HITS.
+    * 1-row max scalar per half-step collected from the cached node-sized
+    * relation — no windows, no driver loops over data, node relations stay
+    * node-sized. Round count is fixed (2), the standard budget-bounded
+    * form for relational HITS.
     */
   def hits(s: SparkSession, d: String): DataFrame = {
     val ed = tbl(s, d, "orders")
@@ -295,22 +296,32 @@ object RankOps {
       .withColumn("h", lit(1000000L))
     var auth: DataFrame = null
     // every per-round relation feeds TWO consumers (its max aggregate and
-    // the next half-step) — without a persist the reuse compounds into a
-    // 2^rounds lineage re-execution, so each one is cached and released
-    // after the action
-    val deps = scala.collection.mutable.ArrayBuffer[DataFrame](ed)
-    for (_ <- 1 to 2) {
-      val a = ed.join(hub, col("src") === col("node"))
-        .groupBy("dst").agg(sum("h").as("a"))
-      deps += a
-      auth = a.crossJoin(broadcast(a.agg(max("a").as("amax"))))
-        .select(col("dst"), expr("(a * 1000000) div amax").as("a"))
-      val h = ed.join(auth.withColumnRenamed("dst", "dst2"),
-          col("dst") === col("dst2"))
-        .groupBy("src").agg(sum("a").as("h"))
-      deps += h
-      hub = h.crossJoin(broadcast(h.agg(max("h").as("hmax"))))
-        .select(col("src").as("node"), expr("(h * 1000000) div hmax").as("h"))
+    // the next half-step) — each is persisted EAGERLY because the max is
+    // collected as a 1-row scalar and folded into the next half-step as a
+    // LITERAL divisor (what any engine does with an uncorrelated scalar
+    // subquery). The previous crossJoin(broadcast(agg(max))) form kept the
+    // query lazy but doubled the lineage under every half-step — by round
+    // 2 the composed plan carried ~127 duplicated cache scans and planning
+    // dwarfed the actual node-sized work (3.1 s warm vs pagerank's 1.2 s).
+    val deps = scala.collection.mutable.ArrayBuffer[DataFrame](ed.persist())
+    try {
+      for (_ <- 1 to 2) {
+        val a = ed.join(hub, col("src") === col("node"))
+          .groupBy("dst").agg(sum("h").as("a")).persist()
+        deps += a
+        val amax = a.agg(max("a")).collect()(0).getLong(0)
+        auth = a.select(col("dst"), expr(s"(a * 1000000) div $amax").as("a"))
+        val h = ed.join(auth.withColumnRenamed("dst", "dst2"),
+            col("dst") === col("dst2"))
+          .groupBy("src").agg(sum("a").as("h")).persist()
+        deps += h
+        val hmax = h.agg(max("h")).collect()(0).getLong(0)
+        hub = h.select(col("src").as("node"),
+          expr(s"(h * 1000000) div $hmax").as("h"))
+      }
+    } catch {
+      case e: Throwable =>
+        deps.foreach(_.unpersist(blocking = false)); throw e
     }
     val out = hub.select(col("node"), lit("hub").as("side"),
         col("h").as("score"))
