@@ -377,6 +377,36 @@ object PipelineOps {
     s.table(qn)
   }
 
+  /** Sliding-window streaming aggregate — the surface st_tumbling does NOT
+    * cover: Spark's `window(ts, '20 minutes', '5 minutes')` assigns every
+    * event to its 4 overlapping windows (state fan-out W/S per row, the
+    * cost model a 100 TB metrics stream sizes state for), complete-mode
+    * memory sink. The oracle replays the same fan-out relationally: each
+    * event joined to `range(0, 4)` window offsets — window starts are
+    * epoch-aligned multiples of the slide, so start = (ns-bucket − k) · S
+    * for k in 0..W/S−1, exactly Spark's assignment rule.
+    */
+  def slidingStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_sliding_sink_" + sinkCounter.incrementAndGet()
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("tts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("tts"), "20 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .select(expr("CAST(window.start AS LONG)").as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
+    val query = graft.streaming.StateSizing.startSized(s)(
+      stream.writeStream.outputMode("complete")
+        .format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   // ---- multimodal: REAL PNG payloads decoded with javax.imageio -----------
   //
   // Each doc carries a real PNG (encoded executor-side from the closed-form
@@ -890,6 +920,12 @@ object PipelineOps {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2""")),
+    Q("st_sliding", slidingStream, Some("""
+      SELECT (epoch_ns(ts) // 300000000000 - k.k) * 300 AS ws, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events, range(0, 4) k(k)
+      GROUP BY 1, 2""")),
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
     Q("mm_phash", phash, Some(MM_PHASH_SQL)),
     Q("mm_phash_pairs", phashPairs, Some(MM_PHASH_PAIRS_SQL)),

@@ -48,7 +48,52 @@ object SourceOps {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2"""
 
+  /** The five magic-mask spread steps as chained CTEs over (ok, pk) —
+    * the relational twin of [[graft.functions.InterleaveBits]]'s generated
+    * code, shared by the lo_zorder oracle.
+    */
+  private def zorderSql(mask: Long, shift: Int, from: String): String =
+    s"""
+      SELECT ok, pk, ((x | (x << $shift)) & $mask) AS x,
+                     ((y | (y << $shift)) & $mask) AS y FROM $from"""
+
+  private val ZORDER_SQL = s"""
+      WITH s0 AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk,
+               l_orderkey & 2147483647 AS x, l_partkey & 2147483647 AS y
+        FROM lineitem),
+      s1 AS (${zorderSql(281470681808895L, 16, "s0")}),
+      s2 AS (${zorderSql(71777214294589695L, 8, "s1")}),
+      s3 AS (${zorderSql(1085102592571150095L, 4, "s2")}),
+      s4 AS (${zorderSql(3689348814741910323L, 2, "s3")}),
+      s5 AS (${zorderSql(6148914691236517205L, 1, "s4")}),
+      z AS (SELECT ok, pk, (x | (y << 1)) AS morton FROM s5)
+      SELECT morton >> 20 AS zbucket, count(*) AS n,
+             min(ok) AS ok_lo, max(ok) AS ok_hi,
+             min(pk) AS pk_lo, max(pk) AS pk_hi,
+             min(morton) AS m_lo, max(morton) AS m_hi
+      FROM z GROUP BY 1"""
+
   def all: Seq[Q] = Seq(
+
+    // Z-order layout: Morton-interleave (l_orderkey, l_partkey) with the
+    // codegen'd InterleaveBits expression and report per-z-range key
+    // envelopes — exactly the min/max file statistics a lakehouse gets
+    // after OPTIMIZE ZORDER BY (ok, pk): both dimensions' envelopes
+    // tighten together, so a predicate on EITHER key prunes z-ranges.
+    // The min/max morton per bucket pins every interleaved bit through
+    // the hash gate.
+    Q("lo_zorder", (s, d) => {
+      tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .withColumn("morton",
+          graft.functions.InterleaveBits.zorder(col("ok"), col("pk")))
+        .groupBy(expr("shiftright(morton, 20)").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("ok").as("ok_lo"), max("ok").as("ok_hi"),
+          min("pk").as("pk_lo"), max("pk").as("pk_hi"),
+          min("morton").as("m_lo"), max("morton").as("m_hi"))
+    }, Some(ZORDER_SQL)),
 
     // ORC: Spark's second built-in columnar format, with its own codec and
     // type mapping; predicate pushdown and column pruning apply to the
