@@ -79,3 +79,58 @@ object InterleaveBits {
   def zorder(x: Column, y: Column): Column =
     Bridge.column(InterleaveBits(Bridge.expression(x), Bridge.expression(y)))
 }
+
+/** Z-interval decomposition of a 2-D box query — the READ side of the
+  * Z-order layout: a rectangle `[xlo,xhi] x [ylo,yhi]` becomes a small OR
+  * of contiguous morton ranges (every aligned quadtree cell's codes are
+  * contiguous), which a morton-sorted store answers with min/max
+  * statistics alone — file/row-group skipping on a 2-D predicate, the
+  * whole point of writing z-ordered. Driver-side pure math on the query
+  * literals (no data touched); the residual exact box filter stays on the
+  * scan, so the intervals only ever need to be a COVER, never exact.
+  */
+object ZInterval {
+
+  /** Cover of the box by aligned quadtree cells, descending until a cell
+    * is fully inside/outside or smaller than 1/8 of the box's short side —
+    * so the cell count is O(perimeter / cell size) and the covered slop
+    * beyond the box stays a small fraction of its area (the residual
+    * filter absorbs it). Adjacent/overlapping intervals are merged.
+    * Inclusive morton ranges.
+    */
+  def cover(xlo: Long, xhi: Long, ylo: Long, yhi: Long): Seq[(Long, Long)] = {
+    require(0 <= xlo && xlo <= xhi && xhi <= 0x7FFFFFFFL &&
+      0 <= ylo && ylo <= yhi && yhi <= 0x7FFFFFFFL, "box out of key domain")
+    val short = math.min(xhi - xlo + 1, yhi - ylo + 1) >> 3
+    val minBits =
+      if (short <= 1L) 0
+      else 63 - java.lang.Long.numberOfLeadingZeros(short)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def go(x0: Long, y0: Long, bits: Int): Unit = {
+      val size = 1L << bits
+      val x1 = x0 + size - 1
+      val y1 = y0 + size - 1
+      if (x1 < xlo || x0 > xhi || y1 < ylo || y0 > yhi) return
+      if ((x0 >= xlo && x1 <= xhi && y0 >= ylo && y1 <= yhi) ||
+          bits <= minBits) {
+        val base = InterleaveBits.spread(x0) | (InterleaveBits.spread(y0) << 1)
+        out += ((base, base + (1L << (2 * bits)) - 1))
+      } else {
+        val h = 1L << (bits - 1)
+        go(x0, y0, bits - 1)
+        go(x0 + h, y0, bits - 1)
+        go(x0, y0 + h, bits - 1)
+        go(x0 + h, y0 + h, bits - 1)
+      }
+    }
+    go(0L, 0L, 31)
+    // quadtree emission order IS morton order; merge touching neighbors
+    val merged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for (iv <- out) {
+      if (merged.nonEmpty && iv._1 <= merged.last._2 + 1)
+        merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, iv._2))
+      else merged += iv
+    }
+    merged.toSeq
+  }
+}

@@ -57,7 +57,7 @@ object SourceOps {
       SELECT ok, pk, ((x | (x << $shift)) & $mask) AS x,
                      ((y | (y << $shift)) & $mask) AS y FROM $from"""
 
-  private val ZORDER_SQL = s"""
+  private val ZORDER_CTES = s"""
       WITH s0 AS (
         SELECT l_orderkey AS ok, l_partkey AS pk,
                l_orderkey & 2147483647 AS x, l_partkey & 2147483647 AS y
@@ -67,7 +67,9 @@ object SourceOps {
       s3 AS (${zorderSql(1085102592571150095L, 4, "s2")}),
       s4 AS (${zorderSql(3689348814741910323L, 2, "s3")}),
       s5 AS (${zorderSql(6148914691236517205L, 1, "s4")}),
-      z AS (SELECT ok, pk, (x | (y << 1)) AS morton FROM s5)
+      z AS (SELECT ok, pk, (x | (y << 1)) AS morton FROM s5)"""
+
+  private val ZORDER_SQL = ZORDER_CTES + s"""
       SELECT morton >> 20 AS zbucket, count(*) AS n,
              min(ok) AS ok_lo, max(ok) AS ok_hi,
              min(pk) AS pk_lo, max(pk) AS pk_hi,
@@ -94,6 +96,34 @@ object SourceOps {
           min("pk").as("pk_lo"), max("pk").as("pk_hi"),
           min("morton").as("m_lo"), max("morton").as("m_hi"))
     }, Some(ZORDER_SQL)),
+
+    // Z-range scan: the read side of the z-order layout. The lineitem keys
+    // are morton-coded and written range-partitioned AND sorted by morton
+    // (so every file carries a tight min/max envelope); a 2-D box query is
+    // then answered through ZInterval.cover — a driver-side quadtree
+    // decomposition of the box into contiguous morton ranges, OR'd into
+    // the scan as pushable range predicates (file/row-group skipping from
+    // min/max stats alone), with the exact box filter as residual. The
+    // oracle answers the same box straight off the raw table, so the hash
+    // proves cover + residual lose and invent nothing.
+    Q("lo_zscan", (s, d) => {
+      val dir = stage("zsort")
+      tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .withColumn("morton",
+          graft.functions.InterleaveBits.zorder(col("ok"), col("pk")))
+        .repartitionByRange(8, col("morton"))
+        .sortWithinPartitions("morton")
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      val ivs = graft.functions.ZInterval.cover(1000L, 3000L, 20L, 150L)
+      val zpred = ivs.map { case (a, b) => col("morton").between(a, b) }
+        .reduce(_ || _)
+      s.read.parquet(dir)
+        .filter(zpred &&
+          col("ok").between(1000L, 3000L) && col("pk").between(20L, 150L))
+    }, Some(ZORDER_CTES + """
+      SELECT ok, pk, morton FROM z
+      WHERE ok BETWEEN 1000 AND 3000 AND pk BETWEEN 20 AND 150""")),
 
     // ORC: Spark's second built-in columnar format, with its own codec and
     // type mapping; predicate pushdown and column pruning apply to the

@@ -64,6 +64,56 @@ class ZOrderSpec extends AnyFunSuite {
     assert(rowMajorSpread == 63L, s"row-major spread $rowMajorSpread")
   }
 
+  test("ZInterval.cover: sound, sorted, merged, and tight on random boxes") {
+    import graft.functions.ZInterval
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 30) {
+      val xlo = rnd.nextInt(200).toLong; val xhi = xlo + rnd.nextInt(120)
+      val ylo = rnd.nextInt(200).toLong; val yhi = ylo + rnd.nextInt(120)
+      val ivs = ZInterval.cover(xlo, xhi, ylo, yhi)
+      // disjoint, sorted, non-touching after the merge
+      for (Seq((_, e1), (s2, _)) <- ivs.sliding(2).toSeq if ivs.size > 1)
+        assert(e1 + 1 < s2)
+      // sound: every box point's morton code is covered
+      for (x <- xlo to xhi; y <- ylo to yhi) {
+        val m = reference(x, y)
+        assert(ivs.exists(iv => iv._1 <= m && m <= iv._2), s"($x,$y) uncovered")
+      }
+      // tight: the cover's total length stays within a small factor of the
+      // box area (quadtree covers of a box are O(perimeter) cells)
+      val area = (xhi - xlo + 1) * (yhi - ylo + 1)
+      val len = ivs.map(iv => iv._2 - iv._1 + 1).sum
+      assert(len <= 4 * area + 64, s"cover len $len vs area $area")
+    }
+  }
+
+  test("z-range scan reads a small fraction of a morton-sorted store") {
+    import graft.functions.{InterleaveBits, ZInterval}
+    val dir = graft.TempDirs.create("zscan_spec")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .withColumn("morton", InterleaveBits.zorder(col("ok"), col("pk")))
+      .repartitionByRange(8, col("morton")).sortWithinPartitions("morton")
+      .write.mode("overwrite").parquet(dir.toString)
+    val store = spark.read.parquet(dir.toString)
+    val total = store.count()
+    val ivs = ZInterval.cover(1000L, 3000L, 20L, 150L)
+    val zpred = ivs.map { case (a, b) => col("morton").between(a, b) }
+      .reduce(_ || _)
+    val scanned = store.filter(zpred).count()
+    val exact = store.filter(col("ok").between(1000L, 3000L) &&
+      col("pk").between(20L, 150L)).count()
+    assert(exact > 0 && scanned < total / 4,
+      s"z-cover selects $scanned of $total rows (exact box: $exact)")
+    // the z-predicate alone loses nothing vs the exact box
+    assert(store.filter(zpred && col("ok").between(1000L, 3000L) &&
+      col("pk").between(20L, 150L)).count() == exact)
+    // and it is pushed to the parquet scan as range filters on morton
+    val plan = store.filter(zpred).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("morton"),
+      s"morton ranges not pushed:\n$plan")
+  }
+
   test("z-order is monotone on each key within the other's fixed value") {
     for (y <- Seq(0L, 5L, 1000L); a <- Seq(1L, 100L, 65535L))
       assert(reference(a, y) < reference(a + 1, y))
