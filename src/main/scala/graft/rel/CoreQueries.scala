@@ -217,7 +217,7 @@ object CoreQueries {
     //    StreamingOps) ---------------------------------------------------------
     Q("q14_tumbling", (s, d) => {
       tbl(s, d, "events")
-        .withColumn("bucket", expr("ts div 300000000000"))
+        .withColumn("bucket", expr("unix_micros(cast(ts AS timestamp)) div 300000000"))
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))

@@ -362,7 +362,7 @@ object PipelineOps {
     val qn = "st_tumbling_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("bucket", expr("ts div 300000000000"))
+      .withColumn("bucket", expr("unix_micros(cast(ts AS timestamp)) div 300000000"))
       .groupBy("bucket", "event_type")
       .agg(count(lit(1)).as("n"),
         // exact decimal sum, final DOUBLE: identical float64 on both engines
@@ -391,13 +391,14 @@ object PipelineOps {
     val qn = "st_sliding_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("tts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("tts", col("ts"))
       .groupBy(window(col("tts"), "20 minutes", "5 minutes"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double")
           .as("sum_value"))
-      .select(expr("CAST(window.start AS LONG)").as("ws"),
+      .select(expr("unix_micros(cast(window.start AS timestamp)) div 1000000")
+        .as("ws"),
         col("event_type"), col("n"), col("sum_value"))
     val query = graft.streaming.StateSizing.startSized(s)(
       stream.writeStream.outputMode("complete")

@@ -26,18 +26,26 @@ object SourceOps {
     s"$stageRoot/${kind}_${invocation.incrementAndGet()}"
 
   /** Events projected to the columns whose text/binary round-trip is
-    * format-exact: longs, strings, and the raw double (Java's shortest
-    * round-trip rendering re-parses bit-identically).
+    * format-exact: longs, strings, the micro-precision timestamp (written
+    * with an explicit 6-digit fraction pattern on the text formats), and
+    * the raw double (Java's shortest round-trip rendering re-parses
+    * bit-identically).
     */
   private def ev(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "events").select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
 
+  /** Explicit micro-precision pattern for the text formats: the default
+    * CSV/JSON timestampFormat renders milliseconds only, which would
+    * silently truncate the event times on write.
+    */
+  private val TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
   /** The shared gate aggregate: per (5-minute bucket, type) counts and an
     * exact decimal sum emitted as double.
     */
   private def gateAgg(df: DataFrame): DataFrame = df
-    .withColumn("bucket", expr("ts div 300000000000"))
+    .withColumn("bucket", expr("unix_micros(cast(ts AS timestamp)) div 300000000"))
     .groupBy("bucket", "event_type")
     .agg(count(lit(1)).as("n"),
       sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
@@ -135,14 +143,16 @@ object SourceOps {
     }, Some(GATE_SQL)),
 
     // CSV: the text interchange path. Schema is supplied on read (CSV has
-    // none); ts survives as the raw nanosecond long, value as the shortest
-    // round-trip double rendering.
+    // none); ts survives micro-exact under the explicit fraction pattern,
+    // value as the shortest round-trip double rendering.
     Q("src_csv_roundtrip", (s, d) => {
       val csvDir = stage("csv")
       ev(s, d).write.mode(SaveMode.Overwrite)
-        .option("header", "true").csv(csvDir)
+        .option("header", "true").option("timestampFormat", TS_FMT)
+        .csv(csvDir)
       gateAgg(s.read.option("header", "true")
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        .option("timestampFormat", TS_FMT)
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
           "event_type STRING, value DOUBLE")
         .csv(csvDir))
     }, Some(GATE_SQL)),
@@ -150,9 +160,11 @@ object SourceOps {
     // JSON lines: the log-interchange path, schema on read.
     Q("src_jsonl_roundtrip", (s, d) => {
       val jsonDir = stage("json")
-      ev(s, d).write.mode(SaveMode.Overwrite).json(jsonDir)
+      ev(s, d).write.mode(SaveMode.Overwrite)
+        .option("timestampFormat", TS_FMT).json(jsonDir)
       gateAgg(s.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        .option("timestampFormat", TS_FMT)
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
           "event_type STRING, value DOUBLE")
         .json(jsonDir))
     }, Some(GATE_SQL)),

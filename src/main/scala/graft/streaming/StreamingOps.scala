@@ -25,9 +25,9 @@ object StreamingOps {
     val qn = "st_sessionize_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      // ts div 1000 * 1000: truncate nanos to micros — DuckDB TIMESTAMP is
-      // micro-precision, so epoch_ns() of the same parquet is pre-truncated
-      .selectExpr("user_id", "ts div 1000 * 1000 AS ts",
+      // unix_micros * 1000: the micro-precision timestamp as a nano-epoch
+      // long, bit-identical to DuckDB's epoch_ns() over the same parquet
+      .selectExpr("user_id", "unix_micros(cast(ts AS timestamp)) * 1000 AS ts",
         "CAST(round(value * 1000000) AS BIGINT) AS qv")
       .as[Ev]
 
@@ -218,8 +218,10 @@ object StreamingOps {
       s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .filter(col("event_type") === et)
+        // watermarks require TIMESTAMP; the parquet column is NTZ and the
+        // session zone is UTC, so the cast is instant-exact
         .select(col("user_id").as(user),
-          expr("timestamp_micros(ts div 1000)").as(tsCol))
+          col("ts").cast("timestamp").as(tsCol))
         .withWatermark(tsCol, "1 hour")
     val clicks = side("click", "user_id", "click_ts")
     val purchases = side("purchase", "p_user", "purchase_ts")
@@ -227,8 +229,8 @@ object StreamingOps {
         """user_id = p_user AND purchase_ts >= click_ts
            AND purchase_ts <= click_ts + interval 10 minutes"""))
       .select(col("user_id"),
-        unix_micros(col("click_ts")).as("click_us"),
-        unix_micros(col("purchase_ts")).as("purchase_us"))
+        expr("unix_micros(cast(click_ts AS timestamp))").as("click_us"),
+        expr("unix_micros(cast(purchase_ts AS timestamp))").as("purchase_us"))
     val query = StateSizing.startSized(s)(joined.writeStream
       .outputMode("append").format("memory").queryName(qn).start())
     try query.processAllAvailable()
@@ -252,7 +254,7 @@ object StreamingOps {
     val stageDir = graft.TempDirs.create(s"graft_upsert_stage_$inv")
     val snapBase = graft.TempDirs.create(s"graft_upsert_snap_$inv")
     val ev = s.read.parquet(s"$d/events.parquet")
-      .selectExpr("user_id", "ts div 1000 AS us", "event_id",
+      .selectExpr("user_id", "unix_micros(cast(ts AS timestamp)) AS us", "event_id",
         "event_type", "value")
     ev.repartition(8).write.mode("overwrite").parquet(stageDir)
 

@@ -15,7 +15,7 @@ class ResampleLinkpredSpec extends AnyFunSuite {
     val HOUR = 3600L * 1000000000L
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .filter("user_id IS NOT NULL")
-      .selectExpr("user_id", "ts div 1000 * 1000 AS t", "value")
+      .selectExpr("user_id", "unix_micros(cast(ts AS timestamp)) * 1000 AS t", "value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // per (user, instant): max value, mirroring the query's instant dedup
     val byInstant = ev.groupBy(t => (t._1, t._2))

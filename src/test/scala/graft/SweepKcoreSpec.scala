@@ -15,7 +15,7 @@ class SweepKcoreSpec extends AnyFunSuite {
     val got = SparkEntry.queries("rj_concurrency")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val events = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("user_id", "ts div 1000 * 1000 AS t")
+      .selectExpr("user_id", "unix_micros(cast(ts AS timestamp)) * 1000 AS t")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     assert(got.keySet == events.keySet)
@@ -31,7 +31,7 @@ class SweepKcoreSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q26_funnel")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val byUser = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("user_id", "event_type", "ts div 1000 * 1000 AS t")
+      .selectExpr("user_id", "event_type", "unix_micros(cast(ts AS timestamp)) * 1000 AS t")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .groupBy(_._1)
     assert(got.keySet == byUser.keySet)
