@@ -12,7 +12,7 @@ import Q.tbl
   * `ASOF LEFT JOIN` is the oracle.
   *
   * Times are nano-epoch longs derived from the micro-precision event
-  * timestamps (`unix_micros(cast(ts AS timestamp)) * 1000`) for parity with DuckDB's
+  * timestamps (via [[graft.rel.Q.tsNanos]]) for parity with DuckDB's
   * `epoch_ns` over the same column — same rule as st_sessionize. The state side is grouped to one row per
   * (user, instant) because as-of is only well-defined with unique
   * key-instants.
@@ -24,7 +24,7 @@ object AsOfRel {
     // oracle's `e.user_id = s.user_id` is not — drop null keys up front
     val e = tbl(s, d, "events")
       .filter(col("user_id").isNotNull)
-      .select(col("user_id"), expr("unix_micros(cast(ts AS timestamp)) * 1000").as("t"),
+      .select(col("user_id"), Q.tsNanos(col("ts")).as("t"),
         col("event_type"), col("value"))
     val states = e.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("t").as("s_t"))
@@ -48,7 +48,7 @@ object AsOfRel {
   def asofInterp(s: SparkSession, d: String): DataFrame = {
     val ev = tbl(s, d, "events")
       .filter(col("user_id").isNotNull)
-      .select(col("user_id"), expr("unix_micros(cast(ts AS timestamp)) * 1000").as("t"),
+      .select(col("user_id"), Q.tsNanos(col("ts")).as("t"),
         col("event_type"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
     val states = ev.filter(col("event_type") === "purchase")
@@ -98,7 +98,7 @@ object AsOfRel {
     val HOUR = 3600L * 1000000000L
     val ev = tbl(s, d, "events")
       .filter(col("user_id").isNotNull)
-      .select(col("user_id"), expr("unix_micros(cast(ts AS timestamp)) * 1000").as("t"),
+      .select(col("user_id"), Q.tsNanos(col("ts")).as("t"),
         col("value"))
       .groupBy("user_id", "t").agg(max("value").as("v"))
     val bounds = ev.agg(

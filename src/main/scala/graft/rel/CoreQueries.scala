@@ -217,7 +217,7 @@ object CoreQueries {
     //    StreamingOps) ---------------------------------------------------------
     Q("q14_tumbling", (s, d) => {
       tbl(s, d, "events")
-        .withColumn("bucket", expr("unix_micros(cast(ts AS timestamp)) div 300000000"))
+        .withColumn("bucket", Q.tsBucket(col("ts"), 300000000L))
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))

@@ -498,7 +498,7 @@ object CurationOps {
     Q("q22_scd2", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ev = tbl(s, d, "events").select(col("user_id"), col("event_type"),
-        expr("unix_micros(cast(ts AS timestamp)) div 1000").as("ts_ms"), col("event_id"))
+        Q.tsMillis(col("ts")).as("ts_ms"), col("event_id"))
       val wOrd = Window.partitionBy("user_id")
         .orderBy(col("ts_ms"), col("event_id"))
       val versioned = ev
@@ -555,7 +555,7 @@ object CurationOps {
     Q("q26_funnel", (s, d) => {
       tbl(s, d, "events")
         .select(col("user_id"), col("event_type"),
-          expr("unix_micros(cast(ts AS timestamp)) * 1000").as("t"))
+          Q.tsNanos(col("ts")).as("t"))
         .groupBy("user_id")
         .agg(min(when(col("event_type") === "signup", col("t"))).as("t_signup"),
           min(when(col("event_type") === "view", col("t"))).as("t_view"),

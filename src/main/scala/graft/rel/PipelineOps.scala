@@ -362,7 +362,7 @@ object PipelineOps {
     val qn = "st_tumbling_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("bucket", expr("unix_micros(cast(ts AS timestamp)) div 300000000"))
+      .withColumn("bucket", Q.tsBucket(col("ts"), 300000000L))
       .groupBy("bucket", "event_type")
       .agg(count(lit(1)).as("n"),
         // exact decimal sum, final DOUBLE: identical float64 on both engines

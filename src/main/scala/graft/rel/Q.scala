@@ -1,6 +1,7 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{call_function, lit, unix_micros}
 
 /** One harness query: a Spark DataFrame implementation plus (when
   * SQL-expressible) the equivalent ANSI SQL the driver runs in DuckDB over
@@ -21,4 +22,27 @@ final case class Q(
 object Q {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** THE timestamp contract, in one place. The harness writes `events.ts`
+    * as parquet `timestamp[us]` with no timezone, which Spark reads as
+    * TIMESTAMP_NTZ; the DuckDB oracles compute `epoch(ts)` treating the
+    * same naive value as UTC. The NTZ-to-LTZ cast below is
+    * timezone-dependent, so it reproduces the oracle's epoch ONLY under
+    * `spark.sql.session.timeZone=UTC` (pinned in every session builder and
+    * asserted by TsContractSpec). Every timestamp-derived column in the
+    * query surface goes through these helpers — a future testdata schema or
+    * session-zone drift is then a one-line fix, not a 15-gate outage.
+    */
+  def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Nano-second epoch — parity with DuckDB `epoch_ns` / `* 1e9` oracles. */
+  def tsNanos(c: Column): Column = tsMicros(c) * 1000L
+
+  /** Milli-second epoch (integral `div`, as the oracles compute it). */
+  def tsMillis(c: Column): Column =
+    call_function("div", tsMicros(c), lit(1000L))
+
+  /** Fixed-width epoch bucket of `width` micros (5-min gate buckets etc). */
+  def tsBucket(c: Column, widthMicros: Long): Column =
+    call_function("div", tsMicros(c), lit(widthMicros))
 }

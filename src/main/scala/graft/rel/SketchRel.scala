@@ -60,7 +60,7 @@ object SketchRel {
   def rangeWindows(s: SparkSession, d: String): DataFrame = {
     val SPAN = 600000000000L // 10 min in nanos
     val e = tbl(s, d, "events")
-      .select(col("user_id"), expr("unix_micros(cast(ts AS timestamp)) * 1000").as("t"),
+      .select(col("user_id"), Q.tsNanos(col("ts")).as("t"),
         col("event_type"), col("value"))
     val w = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("t").as("lo"), (col("t") + SPAN).as("hi"))
@@ -87,7 +87,7 @@ object SketchRel {
     import org.apache.spark.sql.expressions.Window
     val SPAN = 600000000000L
     val iv = tbl(s, d, "events")
-      .select(col("user_id"), expr("unix_micros(cast(ts AS timestamp)) * 1000").as("t"))
+      .select(col("user_id"), Q.tsNanos(col("ts")).as("t"))
     val pts = iv.select(col("user_id"), col("t"), lit(1L).as("delta"))
       .unionByName(iv.select(col("user_id"), (col("t") + SPAN).as("t"),
         lit(-1L).as("delta")))

@@ -35,17 +35,21 @@ object SourceOps {
     tbl(s, d, "events").select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
 
-  /** Explicit micro-precision pattern for the text formats: the default
-    * CSV/JSON timestampFormat renders milliseconds only, which would
-    * silently truncate the event times on write.
+  /** Explicit micro-precision pattern for the text formats. `events.ts` is
+    * parquet `timestamp[us]` with no timezone, so Spark reads it as
+    * TIMESTAMP_NTZ — and for NTZ columns the CSV/JSON writers and readers
+    * consult `timestampNTZFormat` (whose default `yyyy-MM-dd'T'HH:mm:ss[.SSS]`
+    * would silently truncate micros to millis), NOT `timestampFormat`. Both
+    * options are set to this pattern on every write and read below, so the
+    * round-trip is micro-exact whichever timestamp type the column carries.
     */
-  private val TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private[graft] val TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** The shared gate aggregate: per (5-minute bucket, type) counts and an
     * exact decimal sum emitted as double.
     */
   private def gateAgg(df: DataFrame): DataFrame = df
-    .withColumn("bucket", expr("unix_micros(cast(ts AS timestamp)) div 300000000"))
+    .withColumn("bucket", Q.tsBucket(col("ts"), 300000000L))
     .groupBy("bucket", "event_type")
     .agg(count(lit(1)).as("n"),
       sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
@@ -143,31 +147,75 @@ object SourceOps {
     }, Some(GATE_SQL)),
 
     // CSV: the text interchange path. Schema is supplied on read (CSV has
-    // none); ts survives micro-exact under the explicit fraction pattern,
-    // value as the shortest round-trip double rendering.
+    // none) and declares ts TIMESTAMP_NTZ — the same type the parquet scan
+    // yields — so the round-trip is type-faithful; ts survives micro-exact
+    // under the explicit fraction pattern, value as the shortest round-trip
+    // double rendering.
     Q("src_csv_roundtrip", (s, d) => {
       val csvDir = stage("csv")
       ev(s, d).write.mode(SaveMode.Overwrite)
-        .option("header", "true").option("timestampFormat", TS_FMT)
+        .option("header", "true")
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
         .csv(csvDir)
       gateAgg(s.read.option("header", "true")
         .option("timestampFormat", TS_FMT)
-        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        .option("timestampNTZFormat", TS_FMT)
+        .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
           "event_type STRING, value DOUBLE")
         .csv(csvDir))
     }, Some(GATE_SQL)),
 
-    // JSON lines: the log-interchange path, schema on read.
+    // JSON lines: the log-interchange path, schema on read (same NTZ type
+    // fidelity and micro-exact fraction pattern as the CSV path).
     Q("src_jsonl_roundtrip", (s, d) => {
       val jsonDir = stage("json")
       ev(s, d).write.mode(SaveMode.Overwrite)
-        .option("timestampFormat", TS_FMT).json(jsonDir)
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .json(jsonDir)
       gateAgg(s.read
         .option("timestampFormat", TS_FMT)
-        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        .option("timestampNTZFormat", TS_FMT)
+        .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
           "event_type STRING, value DOUBLE")
         .json(jsonDir))
     }, Some(GATE_SQL)),
+
+    // Text-format timestamp-type matrix: the SAME instant carried as
+    // TIMESTAMP_NTZ (as read off parquet) and as TIMESTAMP_LTZ (cast under
+    // the UTC session) side by side through one CSV round-trip. Each type
+    // consults its own format option (timestampNTZFormat vs
+    // timestampFormat) on write AND read — exactly the type-mapping seam
+    // where text interchange silently corrupts — and the gate proves both
+    // columns re-read micro-identical to the source instants.
+    Q("src_text_ts_types", (s, d) => {
+      val dir = stage("tstypes")
+      tbl(s, d, "events")
+        .select(col("event_id"), col("ts").as("ts_ntz"),
+          col("ts").cast("timestamp").as("ts_ltz"), col("event_type"))
+        .write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .csv(dir)
+      s.read.option("header", "true")
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .schema("event_id BIGINT, ts_ntz TIMESTAMP_NTZ, ts_ltz TIMESTAMP, " +
+          "event_type STRING")
+        .csv(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(Q.tsMicros(col("ts_ntz"))).as("lo_ntz"),
+          max(Q.tsMicros(col("ts_ntz"))).as("hi_ntz"),
+          min(unix_micros(col("ts_ltz"))).as("lo_ltz"),
+          max(unix_micros(col("ts_ltz"))).as("hi_ltz"))
+    }, Some("""
+      SELECT event_type, count(*) AS n,
+             min(epoch_us(ts)) AS lo_ntz, max(epoch_us(ts)) AS hi_ntz,
+             min(epoch_us(ts)) AS lo_ltz, max(epoch_us(ts)) AS hi_ltz
+      FROM events GROUP BY 1""")),
 
     // Hive-partitioned parquet: partitionBy on the filter column, then a
     // filtered read — the filter must become a PartitionFilter (directory

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful Structured Streaming surface: gap-based sessionization via
@@ -25,10 +26,10 @@ object StreamingOps {
     val qn = "st_sessionize_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      // unix_micros * 1000: the micro-precision timestamp as a nano-epoch
-      // long, bit-identical to DuckDB's epoch_ns() over the same parquet
-      .selectExpr("user_id", "unix_micros(cast(ts AS timestamp)) * 1000 AS ts",
-        "CAST(round(value * 1000000) AS BIGINT) AS qv")
+      // tsNanos: the micro-precision timestamp as a nano-epoch long,
+      // bit-identical to DuckDB's epoch_ns() over the same parquet
+      .select(col("user_id"), graft.rel.Q.tsNanos(col("ts")).as("ts"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
       .as[Ev]
 
     val sessions = stream
@@ -254,8 +255,8 @@ object StreamingOps {
     val stageDir = graft.TempDirs.create(s"graft_upsert_stage_$inv")
     val snapBase = graft.TempDirs.create(s"graft_upsert_snap_$inv")
     val ev = s.read.parquet(s"$d/events.parquet")
-      .selectExpr("user_id", "unix_micros(cast(ts AS timestamp)) AS us", "event_id",
-        "event_type", "value")
+      .select(col("user_id"), graft.rel.Q.tsMicros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
     ev.repartition(8).write.mode("overwrite").parquet(stageDir)
 
     def latestPerUser(df: DataFrame): DataFrame = df
