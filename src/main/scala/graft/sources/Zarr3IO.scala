@@ -529,6 +529,12 @@ private[sources] object ShardIndexCache {
           e: java.util.Map.Entry[String, (Array[Long], Array[Long])]): Boolean =
         size() > MAX
     }
+  // Single-flight: concurrent misses on one key (the inner chunks of a
+  // freshly-planned shard run as parallel tasks) coalesce into ONE ranged
+  // read; the losers await the winner's future instead of each re-reading
+  // the same index tail from the store.
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[(Array[Long], Array[Long])]]()
 
   def indexOf(conf: org.apache.hadoop.conf.Configuration, path: String,
       cps: Int, atEnd: Boolean, crc: Boolean): (Array[Long], Array[Long]) = {
@@ -539,17 +545,31 @@ private[sources] object ShardIndexCache {
       val hit = map.get(key)
       if (hit != null) return hit
     }
-    val idxSize = cps * 16 + (if (crc) 4 else 0)
-    val idxOff = if (atEnd) st.getLen - idxSize else 0L
-    require(idxOff >= 0,
-      s"$path: shorter than its own shard index ($idxSize bytes)")
-    val in = StoreIO.open(conf, path)
-    val parsed =
-      try Zarr3IO.decodeShardIndex(StoreIO.readRange(in, idxOff, idxSize),
-        cps, crc, path)
-      finally in.close()
-    map.synchronized { map.put(key, parsed) }
-    parsed
+    val mine = new java.util.concurrent.CompletableFuture[(Array[Long], Array[Long])]()
+    val winner = inflight.putIfAbsent(key, mine)
+    if (winner != null) return winner.join()
+    try {
+      // double-check: a prior flight may have completed and been removed
+      // between our map miss and winning the inflight slot
+      map.synchronized {
+        val hit = map.get(key)
+        if (hit != null) { mine.complete(hit); return hit }
+      }
+      val idxSize = cps * 16 + (if (crc) 4 else 0)
+      val idxOff = if (atEnd) st.getLen - idxSize else 0L
+      require(idxOff >= 0,
+        s"$path: shorter than its own shard index ($idxSize bytes)")
+      val in = StoreIO.open(conf, path)
+      val parsed =
+        try Zarr3IO.decodeShardIndex(StoreIO.readRange(in, idxOff, idxSize),
+          cps, crc, path)
+        finally in.close()
+      map.synchronized { map.put(key, parsed) }
+      mine.complete(parsed)
+      parsed
+    } catch {
+      case t: Throwable => mine.completeExceptionally(t); throw t
+    } finally inflight.remove(key)
   }
 
   /** Evict entries of shards under `dir` — path-prefix match on a path

@@ -90,6 +90,35 @@ class ZarrSchemeSpec extends AnyFunSuite {
       allTiles.map(_.data.sum).sum)
   }
 
+  test("streaming sharded read through cfs: reads each shard index once") {
+    import spark.implicits._
+    val dir = tmpUri("zarr_cfs_stream")
+    Zarr3IO.writeSharded(spark.createDataset(allTiles), spec, Array(4, 4),
+      dir, "int64", gzip = false)
+    CountingFileSystem.reset()
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("zarr")
+      .option("maxChunksPerTrigger", "1").load(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.addAndGet(b.count()); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.get() == allTiles.map(_.data.length).sum)
+    // 4 shard objects served across 4 single-shard micro-batches, each
+    // shard covering up to 4 inner chunks: the per-JVM ShardIndexCache
+    // must hold across micro-batches AND across the inner chunks of one
+    // shard — one index read per shard, one payload read per present
+    // inner, nothing proportional to (batches x inners)
+    val isShard = (p: String) => p.contains("/c/")
+    val inners = allTiles.length // 9 present inner chunks
+    val shards = 4
+    assert(CountingFileSystem.rangedReads(isShard) <= shards + inners,
+      s"saw ${CountingFileSystem.rangedReads(isShard)} ranged reads for " +
+        s"$shards shards + $inners inner chunks — index reads are being " +
+        "repeated per micro-batch")
+  }
+
   test("DSv2 round-trip write + read through cfs:") {
     val dir = tmpUri("zarr_cfs_write")
     spark.range(16)
