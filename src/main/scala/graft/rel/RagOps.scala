@@ -1,0 +1,135 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import Q.tbl
+
+/** Retrieval/training-set preparation over `documents`: fixed-stride
+  * chunking (the RAG ingestion primitive), an inverted index
+  * materialization, and deterministic contrastive negative sampling.
+  *
+  * All three are narrow-map + single-shuffle shapes: chunking is a
+  * stateless generator (explode) over each document, postings shuffle once
+  * on the term, and negatives are a window over hash-salted sub-rings —
+  * nothing quadratic, nothing driver-side, no UDFs.
+  */
+object RagOps {
+
+  /** Chunk geometry: 64-token windows every 48 tokens (16-token overlap) —
+    * the context-window slicing a RAG ingest or a packing pipeline does
+    * before embedding. Shared by the Spark and oracle sides.
+    */
+  private val W = 64
+  private val S = 48
+
+  def all: Seq[Q] = Seq(
+
+    // Fixed-stride overlapping chunks per document. Chunk starts at token
+    // offsets 0, S, 2S, ... while the offset is inside the document, so a
+    // doc of t tokens yields (t-1) div S + 1 chunks, the last possibly
+    // short. The whole operator is one generator over the token array —
+    // no shuffle at all until a downstream consumer groups; at 100 TB it
+    // is embarrassingly parallel and columnar end-to-end. The md5 of each
+    // reassembled chunk pins the exact token membership and order through
+    // the hash gate.
+    Q("tx_chunk", (s, d) => {
+      tbl(s, d, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), col("w"), posexplode(expr(
+          s"""transform(sequence(0, CAST((size(w) - 1) DIV $S AS INT)),
+              i -> md5(concat_ws(' ', slice(w, i * $S + 1, $W))))""")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          least(lit(W), size(col("w")) - col("pos") * S).cast("long")
+            .as("n_tok"),
+          col("col").as("chunk_md5"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      c AS (SELECT doc_id, w,
+                   unnest(range(0, (len(w) - 1) // $S + 1)) AS chunk_idx
+            FROM t)
+      SELECT doc_id, chunk_idx,
+             least($W, len(w) - chunk_idx * $S) AS n_tok,
+             md5(array_to_string(
+               w[(chunk_idx * $S + 1):(chunk_idx * $S + $W)], ' ')) AS chunk_md5
+      FROM c""")),
+
+    // Inverted index materialization for the mid-frequency vocabulary
+    // band — df in [n/100, 4n/5] RELATIVE to corpus size n, so the band
+    // means the same thing at every scale: per term, its document
+    // frequency and the SORTED posting list. Rare terms are noise,
+    // everywhere-terms would make posting rows corpus-wide — the df
+    // filter runs BEFORE the list aggregation, so the wide groups never
+    // materialize their lists; that pre-aggregation df cut is how a
+    // sharded index build bounds its skew at scale. n reaches the plan as
+    // a broadcast 1-row aggregate, not a collected literal.
+    Q("tx_postings", (s, d) => {
+      val td = tbl(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
+        .distinct()
+      val n = tbl(s, d, "documents").agg(count(lit(1)).as("nn"))
+      val df = td.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") >= col("nn") / 100 && col("df") * 5 <= col("nn") * 4)
+        .select("term", "df")
+      td.join(broadcast(df), "term")
+        .groupBy("term", "df")
+        .agg(concat_ws(",", expr(
+          "transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))"))
+          .as("postings"))
+    }, Some("""
+      WITH td AS (
+        SELECT DISTINCT term, doc_id FROM (
+          SELECT unnest(string_split(text, ' ')) AS term, doc_id
+          FROM documents)),
+      n AS (SELECT count(*) AS nn FROM documents),
+      df AS (SELECT term, count(*) AS df FROM td, n GROUP BY term, nn
+             HAVING count(*) >= nn / 100 AND count(*) * 5 <= nn * 4)
+      SELECT t.term, f.df,
+             array_to_string(list(t.doc_id ORDER BY t.doc_id), ',') AS postings
+      FROM td t JOIN df f ON t.term = f.term
+      GROUP BY t.term, f.df""")),
+
+    // Deterministic contrastive negative sampling: each document draws 4
+    // same-source negatives (hard negatives — same domain, different
+    // content) by ring adjacency. Documents are ordered by md5(doc_id)
+    // inside (source, first-hex-char-of-md5) sub-rings and each doc's
+    // negatives are the next 4 on its ring; md5 makes the ring order a
+    // deterministic pseudo-random permutation BOTH engines compute
+    // identically. The hash salt splits every source into 16 independent
+    // sub-rings, so the window partitions stay bounded as a source grows —
+    // at 100 TB the sort is per (source, salt) slice, never per source (a
+    // production corpus would widen the salt with source size).
+    // Ring tails yield < 4 negatives rather than wrapping (wrap needs a
+    // second pass; the boundary loss is 4/|sub-ring| of pairs).
+    Q("tx_negatives", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ring = tbl(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("r"))
+        .withColumn("salt", substring(col("r"), 1, 1))
+      val w = Window.partitionBy("source", "salt")
+        .orderBy(col("r"), col("doc_id"))
+      ring
+        .select(col("doc_id") +:
+          (1 to 4).map(i => lead(col("doc_id"), i).over(w).as(s"n$i")): _*)
+        .select(col("doc_id"),
+          posexplode(array((1 to 4).map(i => col(s"n$i")): _*)))
+        .filter(col("col").isNotNull)
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("neg_rank"),
+          col("col").as("neg_id"))
+    }, Some("""
+      WITH ring AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS r,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS salt
+        FROM documents),
+      l AS (
+        SELECT doc_id,
+               lead(doc_id, 1) OVER win AS n1, lead(doc_id, 2) OVER win AS n2,
+               lead(doc_id, 3) OVER win AS n3, lead(doc_id, 4) OVER win AS n4
+        FROM ring WINDOW win AS (PARTITION BY source, salt ORDER BY r, doc_id))
+      SELECT doc_id, neg_rank, neg_id FROM (
+        SELECT doc_id, CAST(1 AS BIGINT) AS neg_rank, n1 AS neg_id FROM l
+        UNION ALL SELECT doc_id, 2, n2 FROM l
+        UNION ALL SELECT doc_id, 3, n3 FROM l
+        UNION ALL SELECT doc_id, 4, n4 FROM l)
+      WHERE neg_id IS NOT NULL""")))
+}

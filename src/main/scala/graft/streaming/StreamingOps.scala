@@ -524,8 +524,72 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Streaming centroid assignment — the online half of km_cluster /
+    * ann_ivf: embedding vectors stream in, the centroid codebook is FIXED
+    * (the deterministic strided 1% sample, collected driver-side — bounded
+    * codebook metadata, same rationale as the RankOps scalar literals —
+    * and folded into the plan as array literals), and each micro-batch
+    * assigns its vectors to the max-dot centroid entirely MAP-SIDE via a
+    * greatest() fold over per-centroid (dot, -cid, cid) structs; the only
+    * stateful operator is the final per-centroid complete-mode aggregate.
+    * At 100 TB the codebook rides a broadcast variable instead of
+    * literals, but the plan shape — narrow map, one k-group shuffle — is
+    * unchanged; this is how an online IVF ingest keeps cluster statistics
+    * current while the stream flows.
+    */
+  def vecAssign(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val quant =
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv"
+    val cents = s.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") % 100 === 7)
+      .selectExpr("vec_id", quant)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val qn = "st_vec_assign_sink_" + sinkCounter.incrementAndGet()
+    val structs = cents.map { case (cid, cv) =>
+      struct(
+        graft.functions.VectorFunctions.long_dot(col("qv"), typedLit(cv))
+          .as("cdot"),
+        lit(-cid).as("nc"), lit(cid).as("cid"))
+    }
+    val agg = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      .selectExpr("vec_id", quant)
+      .select(col("vec_id"), greatest(structs: _*).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.cdot").as("cdot"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("cdot").as("sum_dot"))
+    val query = StateSizing.startSized(s)(agg.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
+  private val VEC_ASSIGN_SQL = """
+      WITH qv AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+      cents AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id % 100 = 7),
+      sc AS (
+        SELECT b.vec_id, a.cid,
+               CAST(list_dot_product(CAST(b.qv AS DOUBLE[]),
+                                     CAST(a.cv AS DOUBLE[])) AS BIGINT) AS cdot
+        FROM qv b, cents a),
+      asg AS (
+        SELECT vec_id, cid, cdot FROM (
+          SELECT vec_id, cid, cdot,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cdot DESC, cid ASC) AS rn
+          FROM sc) WHERE rn = 1)
+      SELECT cid, count(*) AS n, CAST(sum(cdot) AS BIGINT) AS sum_dot
+      FROM asg GROUP BY cid"""
+
   def all: Seq[graft.rel.Q] = Seq(
     graft.rel.Q("st_dd_minhash", streamMinhash, Some(MINHASH_STREAM_SQL)),
+    graft.rel.Q("st_vec_assign", vecAssign, Some(VEC_ASSIGN_SQL)),
     graft.rel.Q("st_tx_decontam", streamDecontam, Some("""
       WITH g8 AS (
         SELECT doc_id, unnest(list_transform(

@@ -1,0 +1,105 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RagOps + the streaming centroid assignment: differential checks against
+  * plain-Scala recomputations and cross-operator invariants the DuckDB
+  * hash gates can't express (self-joins against the source table,
+  * streaming-vs-batch parity inside one session).
+  */
+class RagOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("tx_chunk equals a plain-Scala sliding-window recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run("tx_chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    val expect = docs.flatMap { case (id, text) =>
+      val w = text.split(" ", -1) // keep empties: Spark split has no limit cut
+      val starts = 0 to ((w.length - 1) / 48)
+      starts.map { i =>
+        val chunk = w.slice(i * 48, i * 48 + 64)
+        (id, i.toLong) -> (chunk.length.toLong, md5hex(chunk.mkString(" ")))
+      }
+    }
+    assert(got.size === expect.size)
+    assert(got === expect)
+  }
+
+  test("tx_postings: df == posting length, lists sorted, band relative") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val rows = run("tx_postings").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val ids = r.getString(2).split(",").map(_.toLong)
+      assert(ids.length.toLong === df, s"term ${r.getString(0)}")
+      assert(ids.sameElements(ids.sorted), s"term ${r.getString(0)} unsorted")
+      assert(ids.distinct.length === ids.length)
+      assert(df >= n / 100.0 && df * 5 <= n * 4)
+    }
+  }
+
+  test("tx_negatives: same-source, no self, ranks distinct, deterministic") {
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = run("tx_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, rank, neg) =>
+      assert(a != neg, s"self-negative for $a")
+      assert(srcOf(a) == srcOf(neg), s"cross-source negative $a -> $neg")
+      assert(rank >= 1 && rank <= 4)
+    }
+    rows.groupBy(_._1).foreach { case (a, g) =>
+      assert(g.map(_._2).distinct.length === g.length, s"dup rank for $a")
+      assert(g.map(_._3).distinct.length === g.length, s"dup negative for $a")
+    }
+    assert(run("tx_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      === rows.sorted)
+  }
+
+  test("st_vec_assign matches the batch argmax over the same codebook") {
+    val batch = {
+      val qv = spark.read.parquet(s"$sf/embeddings.parquet")
+        .selectExpr("vec_id",
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv")
+      val cents = qv.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      qv.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          graft.functions.VectorFunctions.long_dot(col("qv"), col("cv"))
+            .as("cdot"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cdot"), (-col("cid")).as("nc"), col("cid")))
+          .as("m"))
+        .groupBy(col("m.cid").as("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("m.cdot")).as("sum_dot"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    }
+    val got = run("st_vec_assign").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty && got === batch)
+    // every vector is assigned exactly once
+    assert(got.values.map(_._1).sum ===
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+  }
+}
