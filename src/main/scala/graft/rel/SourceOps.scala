@@ -217,6 +217,45 @@ object SourceOps {
              min(epoch_us(ts)) AS lo_ltz, max(epoch_us(ts)) AS hi_ltz
       FROM events GROUP BY 1""")),
 
+    // Small-file compaction — the lakehouse maintenance operator: a store
+    // fragmented into 64 tiny files (the streaming-ingest pathology) is
+    // bin-packed into 2 range-partitioned files and must read back
+    // byte-identical under the shared gate. repartitionByRange gives the
+    // rewrite a sort-order dividend: each output file carries a tight
+    // event_id min/max envelope, so post-compaction scans range-prune.
+    // The file-count collapse itself is pinned by SourceStagingSpec.
+    Q("src_compact", (s, d) => {
+      val small = stage("frag")
+      val packed = stage("packed")
+      ev(s, d).repartition(64).write.mode(SaveMode.Overwrite).parquet(small)
+      s.read.parquet(small)
+        .repartitionByRange(2, col("event_id"))
+        .write.mode(SaveMode.Overwrite).parquet(packed)
+      gateAgg(s.read.parquet(packed))
+    }, Some(GATE_SQL)),
+
+    // Schema evolution: an events feed that ADDED the value column
+    // mid-stream — early files lack it, late files carry it — read back
+    // through mergeSchema, with the absent column surfacing as NULL for
+    // the early rows. This is the append-only table lifecycle every
+    // long-lived ingest hits; the oracle recomputes the same aggregate
+    // with value masked to the late stratum.
+    Q("src_schema_evolution", (s, d) => {
+      val dir = stage("evo")
+      ev(s, d).filter(col("event_type") =!= "purchase")
+        .select("event_id", "ts", "user_id", "event_type")
+        .write.mode(SaveMode.Append).parquet(dir)
+      ev(s, d).filter(col("event_type") === "purchase")
+        .write.mode(SaveMode.Append).parquet(dir)
+      gateAgg(s.read.option("mergeSchema", "true").parquet(dir))
+    }, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY 1, 2""")),
+
     // Hive-partitioned parquet: partitionBy on the filter column, then a
     // filtered read — the filter must become a PartitionFilter (directory
     // pruning, no data read outside the two partitions; plan-guarded in
