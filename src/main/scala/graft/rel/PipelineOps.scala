@@ -902,7 +902,71 @@ object PipelineOps {
            CAST(count(*) AS BIGINT) AS n
     FROM mm_rgb GROUP BY doc_id, bin"""
 
+  /** Multiscale pyramid over the labeled image — the OME-NGFF layout a
+    * microscopy viewer consumes (the reference's own domain): level-1 is a
+    * 2x max-pool of the global label image, WRITTEN to a zarr store and
+    * READ BACK through the DSv2 source, and level-2 is pooled from the
+    * read-back — so the cascade proves write → read → derive, not two
+    * independent downsamples. Max-pooling is one hash aggregate per level
+    * on (y div 2, x div 2) — at 100 TB each pyramid level is a quarter of
+    * the previous shuffle, a geometrically-vanishing cost. `sum_pos`
+    * (label-weighted cell address) pins every pooled value to its exact
+    * position through the hash gate.
+    */
+  private lazy val zarrPyrDir: String = graft.TempDirs.create("graft_zarr_pyr")
+
+  def zarrPyramid(s: SparkSession, d: String): DataFrame = {
+    val gyL = GY * L; val gxL = GX * L // 72 x 48 global image
+    val glob = RelabelRel.pixels(s, d)
+      .select((col("gy") * L + col("py")).as("y"),
+        (col("gx") * L + col("px")).as("x"), col("label"))
+    val l1 = glob
+      .groupBy(expr("y div 2").as("y"), expr("x div 2").as("x"))
+      .agg(max("label").as("value"))
+    l1.select(expr(s"y div $L").as("g0"), expr(s"x div $L").as("g1"),
+        expr(s"y % $L").as("p0"), expr(s"x % $L").as("p1"), col("value"))
+      .write.format("zarr")
+      .option("shape", s"${gyL / 2},${gxL / 2}").option("chunks", s"$L,$L")
+      .option("dtype", "<u2").option("compressor", "zlib")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(zarrPyrDir)
+    val back = s.read.format("zarr").load(zarrPyrDir)
+      .filter(col("value") =!= 0)
+      .select((col("g0") * L + col("p0")).as("y"),
+        (col("g1") * L + col("p1")).as("x"), col("value").as("label"))
+    val l2 = back
+      .groupBy(expr("y div 2").as("y"), expr("x div 2").as("x"))
+      .agg(max("label").as("label"))
+    def stats(level: Int, df: DataFrame, width: Int): DataFrame = df
+      .agg(count(lit(1)).as("n_cells"),
+        sum("label").as("sum_label"),
+        sum(col("label") * (col("y") * width + col("x"))).as("sum_pos"))
+      .select(lit(level.toLong).as("level"), col("n_cells"),
+        col("sum_label"), col("sum_pos"))
+    stats(1, back, gxL / 2).unionByName(stats(2, l2, gxL / 4))
+  }
+
+  private val ZARR_PYRAMID_SQL = RelabelRel.PIXELS_SQL + s"""
+    , gimg AS (
+      SELECT gy * ${RelabelRel.L} + py AS y, gx * ${RelabelRel.L} + px AS x,
+             label
+      FROM lab),
+    l1 AS (SELECT y // 2 AS y, x // 2 AS x, max(label) AS label
+           FROM gimg GROUP BY 1, 2),
+    l2 AS (SELECT y // 2 AS y, x // 2 AS x, max(label) AS label
+           FROM l1 GROUP BY 1, 2)
+    SELECT CAST(1 AS BIGINT) AS level, count(*) AS n_cells,
+           CAST(sum(label) AS BIGINT) AS sum_label,
+           CAST(sum(label * (y * ${RelabelRel.GX * RelabelRel.L / 2} + x))
+             AS BIGINT) AS sum_pos
+    FROM l1
+    UNION ALL
+    SELECT 2, count(*), CAST(sum(label) AS BIGINT),
+           CAST(sum(label * (y * ${RelabelRel.GX * RelabelRel.L / 4} + x))
+             AS BIGINT)
+    FROM l2"""
+
   def all: Seq[Q] = Seq(
+    Q("px_zarr_pyramid", zarrPyramid, Some(ZARR_PYRAMID_SQL)),
     Q("mm_frame_sample", frameSample, Some(MM_FRAME_SAMPLE_SQL)),
     Q("mm_keyframes", keyframes, Some(MM_KEYFRAMES_SQL)),
     Q("st_mm_keyframes", keyframesStream, Some(MM_KEYFRAMES_SQL)),

@@ -131,5 +131,31 @@ object RagOps {
         UNION ALL SELECT doc_id, 2, n2 FROM l
         UNION ALL SELECT doc_id, 3, n3 FROM l
         UNION ALL SELECT doc_id, 4, n4 FROM l)
-      WHERE neg_id IS NOT NULL""")))
+      WHERE neg_id IS NOT NULL""")),
+
+    // Behavioral sequence construction — the events-to-training-sequences
+    // step of a next-action model: per user, the time-ordered event-type
+    // sequence (first 32 actions) plus the full count. One hash aggregate;
+    // the per-user sort happens INSIDE the aggregated list (array_sort of
+    // (ts, event_id, type) structs), so there is no global or windowed
+    // sort — at 100 TB this is a single user-keyed shuffle whose rows are
+    // user-sized, and the 32-cap bounds every output row regardless of how
+    // active a user is. event_id breaks timestamp ties, making the
+    // sequence string deterministic in both engines.
+    Q("sq_user_seq", (s, d) => {
+      tbl(s, d, "events")
+        .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(",", expr(
+            """transform(
+                 slice(array_sort(collect_list(struct(us, event_id, event_type))), 1, 32),
+                 e -> e.event_type)""")).as("seq"))
+    }, Some("""
+      SELECT user_id, count(*) AS n_events,
+             array_to_string(
+               (list(event_type ORDER BY epoch_us(ts), event_id))[1:32],
+               ',') AS seq
+      FROM events GROUP BY user_id""")))
 }

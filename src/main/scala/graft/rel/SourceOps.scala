@@ -217,6 +217,41 @@ object SourceOps {
              min(epoch_us(ts)) AS lo_ltz, max(epoch_us(ts)) AS hi_ltz
       FROM events GROUP BY 1""")),
 
+    // Corrupt-record-tolerant ingest: the events feed with garbage lines
+    // spliced in (truncated JSON, non-JSON noise, wrong-type fields — the
+    // realities of a scraped log feed). Two defenses compose, both
+    // executor-side: DROPMALFORMED discards SYNTAX-corrupt lines at parse
+    // time, but a well-formed JSON object whose fields fail type
+    // conversion is RETAINED with nulls (Spark treats that as a partial
+    // row, not a malformed one — CorruptIngestSpec pins the asymmetry),
+    // so a non-null key filter removes the type-corrupt residue. The gate
+    // aggregate over the survivors must equal the clean-feed oracle
+    // bit-for-bit; dropping too much or letting a mangled row through
+    // breaks the hash.
+    Q("src_corrupt_jsonl", (s, d) => {
+      val dir = stage("corrupt")
+      ev(s, d).write.mode(SaveMode.Overwrite)
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .json(dir)
+      val garbage = Seq(
+        "{\"event_id\": 1, \"ts\": \"2024-01-01 00:0",   // truncated mid-value
+        "not json at all",
+        "{\"event_id\": \"noise\", \"ts\": false}",       // wrong types
+        "{")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-99999-garbage.json"),
+        garbage.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gateAgg(s.read
+        .option("mode", "DROPMALFORMED")
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE")
+        .json(dir)
+        .filter(col("event_id").isNotNull && col("ts").isNotNull))
+    }, Some(GATE_SQL)),
+
     // Small-file compaction — the lakehouse maintenance operator: a store
     // fragmented into 64 tiny files (the streaming-ingest pathology) is
     // bin-packed into 2 range-partitioned files and must read back
