@@ -393,4 +393,48 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(gens.nonEmpty && gens.forall(_.contains("explode(array(struct(")),
       s"signature pass still explodes shingles:\n$p")
   }
+
+  test("tx_chunk is a pure generator: zero exchanges, pruned scan") {
+    val p = plan("tx_chunk")
+    assert(!p.contains("Exchange"), s"chunking grew a shuffle:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"),
+      s"chunk scan reads unreferenced columns:\n$read")
+  }
+
+  test("tx_negatives sorts per salted sub-ring, never per source") {
+    val p = plan("tx_negatives")
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(parts.nonEmpty && parts.forall(_.contains("salt")),
+      s"window partitioning lost the salt — unbounded per-source sort:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"negative sampling degenerated to a loop join:\n$p")
+  }
+
+  test("tx_postings broadcasts the df band, no unfiltered list aggregation") {
+    val p = plan("tx_postings")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df band join is not broadcast:\n$p")
+    // the posting-list aggregate (collect_list) must sit above the band
+    // join, i.e. appear at most once and never on the full term explosion
+    assert("collect_list".r.findAllIn(p).size <= 2, // partial + final
+      s"posting lists aggregated more than once:\n$p")
+  }
+
+  test("sq_user_seq has no window and a single user-keyed exchange chain") {
+    val p = plan("sq_user_seq")
+    assert(!p.contains("Window"), s"sequence build grew a window sort:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"sequence build grew extra exchanges:\n$p")
+  }
+
+  test("src_partitioned_prune plans a PartitionFilter, not a data filter") {
+    val p = plan("src_partitioned_prune")
+    assert(p.contains("PartitionFilters: [") &&
+      p.linesIterator.filter(_.contains("PartitionFilters"))
+        .exists(_.contains("event_type")),
+      s"event_type filter did not become a partition filter:\n$p")
+  }
 }
