@@ -328,6 +328,32 @@ object CoreQueries {
              CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN qv END) AS BIGINT) AS p50,
              CAST(max(CASE WHEN rn = ceil(n * 0.95) THEN qv END) AS BIGINT) AS p95,
              CAST(max(CASE WHEN rn = ceil(n * 0.99) THEN qv END) AS BIGINT) AS p99
-      FROM ranked GROUP BY event_type, n"""))
+      FROM ranked GROUP BY event_type, n""")),
+
+    // -- recursive CTE (hierarchy walk) --------------------------------------
+    // Spark 4's WITH RECURSIVE (UnionLoop): every customer walks the
+    // implicit binary hierarchy node -> node div 2 up to the root, and the
+    // per-depth census (count + key sum) pins the whole closure. The
+    // recursion is a bounded iterative self-union — depth = log2(max key),
+    // ~21 levels at 100 TB scale — and each level is one hash aggregate's
+    // worth of work on the surviving frontier, which HALVES per level; the
+    // anchor scan reads one column. The same query runs verbatim in DuckDB
+    // (modulo div spelling), making the oracle a true recursive twin.
+    Q("q27_recursive", (s, d) => {
+      s.sql(s"""
+        WITH RECURSIVE walk(custkey, node, depth) AS (
+          SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+          FROM parquet.`$d/customer.parquet`
+          UNION ALL
+          SELECT custkey, node DIV 2, depth + 1 FROM walk WHERE node > 1)
+        SELECT depth, count(*) AS n, sum(custkey) AS sum_key
+        FROM walk GROUP BY depth""")
+    }, Some("""
+      WITH RECURSIVE walk(custkey, node, depth) AS (
+        SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+        UNION ALL
+        SELECT custkey, node // 2, depth + 1 FROM walk WHERE node > 1)
+      SELECT depth, count(*) AS n, CAST(sum(custkey) AS BIGINT) AS sum_key
+      FROM walk GROUP BY depth"""))
   )
 }

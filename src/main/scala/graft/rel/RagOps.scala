@@ -21,6 +21,34 @@ object RagOps {
   private val W = 64
   private val S = 48
 
+  /** The chunk transform itself — stateless (one generator, no shuffle),
+    * shared verbatim by the batch gate and the streaming twin
+    * (`st_tx_chunk`): a stream of documents chunks map-side with zero
+    * state, which is what makes RAG ingestion a trivially streaming
+    * operator.
+    */
+  private[graft] def chunk(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("w"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(w) - 1) DIV $S AS INT)),
+            i -> md5(concat_ws(' ', slice(w, i * $S + 1, $W))))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        least(lit(W), size(col("w")) - col("pos") * S).cast("long")
+          .as("n_tok"),
+        col("col").as("chunk_md5"))
+
+  private[graft] val CHUNK_SQL = s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      c AS (SELECT doc_id, w,
+                   unnest(range(0, (len(w) - 1) // $S + 1)) AS chunk_idx
+            FROM t)
+      SELECT doc_id, chunk_idx,
+             least($W, len(w) - chunk_idx * $S) AS n_tok,
+             md5(array_to_string(
+               w[(chunk_idx * $S + 1):(chunk_idx * $S + $W)], ' ')) AS chunk_md5
+      FROM c"""
+
   def all: Seq[Q] = Seq(
 
     // Fixed-stride overlapping chunks per document. Chunk starts at token
@@ -31,26 +59,7 @@ object RagOps {
     // is embarrassingly parallel and columnar end-to-end. The md5 of each
     // reassembled chunk pins the exact token membership and order through
     // the hash gate.
-    Q("tx_chunk", (s, d) => {
-      tbl(s, d, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"), col("w"), posexplode(expr(
-          s"""transform(sequence(0, CAST((size(w) - 1) DIV $S AS INT)),
-              i -> md5(concat_ws(' ', slice(w, i * $S + 1, $W))))""")))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-          least(lit(W), size(col("w")) - col("pos") * S).cast("long")
-            .as("n_tok"),
-          col("col").as("chunk_md5"))
-    }, Some(s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      c AS (SELECT doc_id, w,
-                   unnest(range(0, (len(w) - 1) // $S + 1)) AS chunk_idx
-            FROM t)
-      SELECT doc_id, chunk_idx,
-             least($W, len(w) - chunk_idx * $S) AS n_tok,
-             md5(array_to_string(
-               w[(chunk_idx * $S + 1):(chunk_idx * $S + $W)], ' ')) AS chunk_md5
-      FROM c""")),
+    Q("tx_chunk", (s, d) => chunk(tbl(s, d, "documents")), Some(CHUNK_SQL)),
 
     // Inverted index materialization for the mid-frequency vocabulary
     // band — df in [n/100, 4n/5] RELATIVE to corpus size n, so the band

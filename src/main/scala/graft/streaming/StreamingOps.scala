@@ -587,9 +587,30 @@ object StreamingOps {
       SELECT cid, count(*) AS n, CAST(sum(cdot) AS BIGINT) AS sum_dot
       FROM asg GROUP BY cid"""
 
+  /** Streaming RAG chunking — [[graft.rel.RagOps.chunk]] applied to a
+    * document STREAM: the transform is a stateless generator, so every
+    * micro-batch chunks map-side with zero state and the sink appends —
+    * the shape of a continuous embedding-ingest front-end. Batch oracle =
+    * the same CHUNK_SQL as tx_chunk; identical output proves streaming
+    * adds (and loses) nothing.
+    */
+  def chunkStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val qn = "st_chunk_sink_" + sinkCounter.incrementAndGet()
+    val chunked = graft.rel.RagOps.chunk(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d))
+    val query = chunked.writeStream
+      .outputMode("append").format("memory").queryName(qn).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
     graft.rel.Q("st_dd_minhash", streamMinhash, Some(MINHASH_STREAM_SQL)),
     graft.rel.Q("st_vec_assign", vecAssign, Some(VEC_ASSIGN_SQL)),
+    graft.rel.Q("st_tx_chunk", chunkStream, Some(graft.rel.RagOps.CHUNK_SQL)),
     graft.rel.Q("st_tx_decontam", streamDecontam, Some("""
       WITH g8 AS (
         SELECT doc_id, unnest(list_transform(
