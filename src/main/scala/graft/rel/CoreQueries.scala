@@ -354,6 +354,31 @@ object CoreQueries {
         UNION ALL
         SELECT custkey, node // 2, depth + 1 FROM walk WHERE node > 1)
       SELECT depth, count(*) AS n, CAST(sum(custkey) AS BIGINT) AS sum_key
-      FROM walk GROUP BY depth"""))
+      FROM walk GROUP BY depth""")),
+
+    // -- cohort retention ----------------------------------------------------
+    // The product-analytics staple the funnel (q26) doesn't cover: users
+    // cohorted by their FIRST-seen 6-hour bucket, then distinct-user
+    // retention at each bucket age. Two hash aggregates and one user-keyed
+    // equi-join — the first-seen aggregate leaves both sides partitioned
+    // by user_id, so the join is shuffle-free on the firsts side, and no
+    // window ever orders the raw event stream. Exact countDistinct: the
+    // retention matrix is small (cohorts x ages), the distinct shuffle is
+    // keyed by it.
+    Q("q28_cohort", (s, d) => {
+      val e = tbl(s, d, "events")
+        .select(col("user_id"), Q.tsBucket(col("ts"), 21600000000L).as("b"))
+      val f = e.groupBy("user_id").agg(min("b").as("cohort"))
+      e.join(f, "user_id")
+        .groupBy(col("cohort"), (col("b") - col("cohort")).as("age"))
+        .agg(countDistinct("user_id").as("users"), count(lit(1)).as("n"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 21600) AS BIGINT) AS b
+        FROM events),
+      f AS (SELECT user_id, min(b) AS cohort FROM e GROUP BY user_id)
+      SELECT f.cohort, e.b - f.cohort AS age,
+             count(DISTINCT e.user_id) AS users, count(*) AS n
+      FROM e JOIN f USING (user_id) GROUP BY 1, 2"""))
   )
 }
