@@ -63,7 +63,7 @@ object SelectOps {
     * engines evaluate identically (each nibble CAST to BIGINT before the
     * power-of-16 scale so no 32-bit intermediate can overflow).
     */
-  private def hash32(idExpr: String, cast: String) = {
+  private[graft] def hash32(idExpr: String, cast: String) = {
     def nb(k: Int) =
       s"(instr('0123456789abcdef', substr(md5(CAST($idExpr AS $cast)), $k, 1)) - 1)"
     (1 to 8)
@@ -194,7 +194,13 @@ object SelectOps {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .select(col("source"), col("rk"), col("doc_id"), col("priority"))
-    }, Some(s"""
+    }, Some(WEIGHTED_SAMPLE_SQL))
+  )
+
+  /** Shared by tx_weighted_sample and its streaming twin st_tx_sample —
+    * identical selection, so one oracle gates both.
+    */
+  private[graft] val WEIGHTED_SAMPLE_SQL = s"""
       WITH pri AS (
         SELECT source, doc_id,
                (${hash32("doc_id", "VARCHAR")} * 1000000)
@@ -205,6 +211,5 @@ object SelectOps {
                row_number() OVER (PARTITION BY source
                                   ORDER BY priority, doc_id) AS rk
         FROM pri)
-      WHERE rk <= 10"""))
-  )
+      WHERE rk <= 10"""
 }

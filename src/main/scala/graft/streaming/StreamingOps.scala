@@ -607,10 +607,47 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Streaming weighted sampling — tx_weighted_sample's online twin. The
+    * batch form ranks with a per-source window; windows don't stream, but
+    * the SELECTION ITSELF is an order-independent bounded min-k, which is
+    * exactly the [[graft.functions.KMinStrings]] aggregate (O(k) state per
+    * source, any arrival order, any partitioning). Priorities are encoded
+    * as fixed-width sortable strings so lexicographic k-min == numeric
+    * (priority, doc_id) order; the complete-mode snapshot then decodes
+    * back to rows. This is the shape of a continuously-maintained training
+    * sample: documents stream in, every source's current k winners are
+    * always materialized, and a doc can only ever be displaced by a
+    * strictly better one.
+    */
+  def weightedSampleStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val qn = "st_sample_sink_" + sinkCounter.incrementAndGet()
+    val enc = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .selectExpr("source",
+        s"""lpad(CAST((${graft.rel.SelectOps.hash32("doc_id", "STRING")} * 1000000)
+                     div greatest(n_chars, 1) AS STRING), 17, '0')
+            || '|' || lpad(CAST(doc_id AS STRING), 10, '0') AS ek""")
+    val query = StateSizing.startSized(s)(enc
+      .groupBy("source").agg(graft.functions.KMinStrings(col("ek"), 10).as("mins"))
+      .writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+      .select(col("source"), posexplode(col("mins")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+        expr("CAST(substr(col, 19) AS BIGINT)").as("doc_id"),
+        expr("CAST(substr(col, 1, 17) AS BIGINT)").as("priority"))
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
     graft.rel.Q("st_dd_minhash", streamMinhash, Some(MINHASH_STREAM_SQL)),
     graft.rel.Q("st_vec_assign", vecAssign, Some(VEC_ASSIGN_SQL)),
     graft.rel.Q("st_tx_chunk", chunkStream, Some(graft.rel.RagOps.CHUNK_SQL)),
+    graft.rel.Q("st_tx_sample", weightedSampleStream,
+      Some(graft.rel.SelectOps.WEIGHTED_SAMPLE_SQL)),
     graft.rel.Q("st_tx_decontam", streamDecontam, Some("""
       WITH g8 AS (
         SELECT doc_id, unnest(list_transform(
