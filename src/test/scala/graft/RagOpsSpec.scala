@@ -41,6 +41,30 @@ class RagOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("chunking boundary cases: stride multiples, singletons, empty text") {
+    import spark.implicits._
+    // token counts straddling every boundary: W=64, S=48
+    val cases = Seq(0, 1, 47, 48, 49, 63, 64, 65, 96, 112, 113, 160)
+    val docs = cases.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(k => s"w$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.rel.RagOps.chunk(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.zipWithIndex.foreach { case (n, i) =>
+      // split("", -1) yields [""], so "0 tokens" is 1 empty token — the
+      // convention both engines share
+      val t = math.max(n, 1)
+      val nChunks = (t - 1) / 48 + 1
+      val mine = got.filter(_._1._1 == i.toLong)
+      assert(mine.size === nChunks, s"doc with $n tokens")
+      (0 until nChunks).foreach { c =>
+        val expect = math.min(64, t - c * 48)
+        assert(mine((i.toLong, c.toLong)) === expect,
+          s"doc $n tokens chunk $c length")
+      }
+    }
+  }
+
   test("tx_postings: df == posting length, lists sorted, band relative") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     val rows = run("tx_postings").collect()
