@@ -945,6 +945,53 @@ object PipelineOps {
     stats(1, back, gxL / 2).unionByName(stats(2, l2, gxL / 4))
   }
 
+  /** The pyramid as a PROPER OME-NGFF group store: both levels live as
+    * child array nodes of one zarr v3 group whose multiscales attribute
+    * names them (the layout a microscopy viewer opens), and the gate reads
+    * each level back BY THE GROUP METADATA — the datasets list, not
+    * hardcoded paths — through the DSv2 source. Same oracle as
+    * px_zarr_pyramid: the store layout must be invisible in the numbers.
+    */
+  private lazy val zarrOmeDir: String = graft.TempDirs.create("graft_zarr_ome")
+
+  def zarrOme(s: SparkSession, d: String): DataFrame = {
+    val gyL = GY * L; val gxL = GX * L
+    val glob = RelabelRel.pixels(s, d)
+      .select((col("gy") * L + col("py")).as("y"),
+        (col("gx") * L + col("px")).as("x"), col("label"))
+    val l1 = glob
+      .groupBy(expr("y div 2").as("y"), expr("x div 2").as("x"))
+      .agg(max("label").as("value"))
+    val l2 = l1
+      .groupBy(expr("y div 2").as("y"), expr("x div 2").as("x"))
+      .agg(max("value").as("value"))
+    def writeLevel(df: DataFrame, path: String, h: Int, w: Int,
+        cy: Int, cx: Int): Unit = df
+      .select(expr(s"y div $cy").as("g0"), expr(s"x div $cx").as("g1"),
+        expr(s"y % $cy").as("p0"), expr(s"x % $cx").as("p1"), col("value"))
+      .write.format("zarr")
+      .option("shape", s"$h,$w").option("chunks", s"$cy,$cx")
+      .option("dtype", "uint16").option("compressor", "gzip")
+      .option("zarrFormat", "3")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(s"$zarrOmeDir/$path")
+    writeLevel(l1, "0", gyL / 2, gxL / 2, L, L)
+    writeLevel(l2, "1", gyL / 4, gxL / 4, L / 2, L / 2)
+    graft.sources.Zarr3IO.writeGroupMeta(zarrOmeDir, Seq("0", "1"))
+    val levels = graft.sources.Zarr3IO.readGroupLevels(zarrOmeDir)
+    def stats(level: Int, path: String, width: Int): DataFrame =
+      s.read.format("zarr").load(s"$zarrOmeDir/$path")
+        .filter(col("value") =!= 0)
+        .select((col("g0") * expr(s"${if (level == 1) L else L / 2}") +
+          col("p0")).as("y"),
+          (col("g1") * expr(s"${if (level == 1) L else L / 2}") +
+            col("p1")).as("x"), col("value").as("label"))
+        .agg(count(lit(1)).as("n_cells"), sum("label").as("sum_label"),
+          sum(col("label") * (col("y") * width + col("x"))).as("sum_pos"))
+        .select(lit(level.toLong).as("level"), col("n_cells"),
+          col("sum_label"), col("sum_pos"))
+    stats(1, levels(0), gxL / 2).unionByName(stats(2, levels(1), gxL / 4))
+  }
+
   private val ZARR_PYRAMID_SQL = RelabelRel.PIXELS_SQL + s"""
     , gimg AS (
       SELECT gy * ${RelabelRel.L} + py AS y, gx * ${RelabelRel.L} + px AS x,
@@ -967,6 +1014,7 @@ object PipelineOps {
 
   def all: Seq[Q] = Seq(
     Q("px_zarr_pyramid", zarrPyramid, Some(ZARR_PYRAMID_SQL)),
+    Q("px_zarr_ome", zarrOme, Some(ZARR_PYRAMID_SQL)),
     Q("mm_frame_sample", frameSample, Some(MM_FRAME_SAMPLE_SQL)),
     Q("mm_keyframes", keyframes, Some(MM_KEYFRAMES_SQL)),
     Q("st_mm_keyframes", keyframesStream, Some(MM_KEYFRAMES_SQL)),

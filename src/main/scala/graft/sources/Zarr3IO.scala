@@ -198,6 +198,52 @@ object Zarr3IO {
       json.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** OME-NGFF-shaped v3 GROUP descriptor (ome/ngff 0.5 layout): node_type
+    * "group" whose `attributes.ome.multiscales` names the level arrays —
+    * child array nodes under `dir`, coarsest-last, each with the 2^level
+    * coordinate scale. A zarr client opens the group, reads the datasets
+    * list, then opens each level array by its path; this library reads
+    * levels back through the DSv2 source the same way
+    * (`spark.read.format("zarr").load(s"$dir/<path>")`).
+    */
+  def writeGroupMeta(dir: String, levels: Seq[String]): Unit = {
+    val datasets = levels.zipWithIndex.map { case (p, i) =>
+      s"""{"path": "$p", "coordinateTransformations": [
+         |        {"type": "scale", "scale": [${1L << i}.0, ${1L << i}.0]}]}""".stripMargin
+    }.mkString("[", ",\n      ", "]")
+    val json =
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "group",
+         |  "attributes": {
+         |    "ome": {
+         |      "version": "0.5",
+         |      "multiscales": [{
+         |        "axes": [{"name": "y", "type": "space"},
+         |                 {"name": "x", "type": "space"}],
+         |        "datasets": $datasets
+         |      }]
+         |    }
+         |  }
+         |}""".stripMargin
+    StoreIO.write(StoreIO.hadoopConf, new Path(dir, "zarr.json").toString,
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Level-array paths of a group written by [[writeGroupMeta]] (or any
+    * OME-NGFF 0.5 group), in multiscales order.
+    */
+  def readGroupLevels(dir: String): Seq[String] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(StoreIO.readAllBytes(StoreIO.hadoopConf,
+        new Path(dir, "zarr.json").toString))
+    require(root.path("node_type").asText() == "group",
+      s"expected a group node at $dir, got ${root.path("node_type")}")
+    val ds = root.path("attributes").path("ome").path("multiscales")
+      .path(0).path("datasets")
+    (0 until ds.size()).map(i => ds.get(i).path("path").asText())
+  }
+
   /** Default chunk-key encoding: "c" <sep> i0 <sep> i1 ... */
   private[sources] def chunkKey(loc: Array[Int], sep: String): String =
     ("c" +: loc.map(_.toString)).mkString(sep)
