@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.{float_dot, long_dot}
 import Q.tbl
@@ -210,6 +210,46 @@ object VectorOps {
                row_number() OVER (PARTITION BY id_q
                                   ORDER BY dot DESC, id_n ASC) AS rn
         FROM hits) WHERE rn = 1"""
+
+  /** ann_ivf with the inverted lists PERSISTED — the build-once/query-many
+    * index lifecycle: assignments are written hive-partitioned BY CLUSTER
+    * ID (each partition directory IS an inverted list), and a probe's
+    * "seek the posting list" is Spark's dynamic partition pruning — the
+    * broadcast query side's cid set prunes the scan to exactly the probed
+    * clusters at runtime, no manual cid collection (plan-guarded in
+    * PlanQualitySpec). Same oracle as ann_ivf: the storage lifecycle must
+    * be invisible in the numbers. At 100 TB the partitioned assignments
+    * table is the index — rewritten only on retrain — and every query
+    * batch reads only its probed partitions' bytes.
+    */
+  private lazy val ivfDiskDir: String = graft.TempDirs.create("graft_ivf_disk")
+
+  private def annIvfDisk(s: SparkSession, d: String): DataFrame = {
+    val cents = qvec(s, d).filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val assign = qvec(s, d).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        long_dot(col("qv"), col("cv")).as("cdot"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cdot"), (-col("cid")).as("nc"),
+        col("cid"), col("qv"))).as("m"))
+      .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"))
+    assign.write.partitionBy("cid").mode(SaveMode.Overwrite)
+      .parquet(ivfDiskDir)
+    val index = s.read.parquet(ivfDiskDir)
+    val queries = index.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id_q"), col("qv").as("query_qv"), col("cid"))
+    index.withColumnRenamed("vec_id", "id_n")
+      .join(broadcast(queries), Seq("cid"))
+      .filter(col("id_q") =!= col("id_n"))
+      .select(col("id_q"), col("id_n"), col("cid"),
+        long_dot(col("query_qv"), col("qv")).as("dot"))
+      .groupBy("id_q")
+      .agg(max(struct(col("dot"), (-col("id_n")).as("nn"),
+        col("id_n"), col("cid"))).as("m"))
+      .select(col("id_q"), col("m.cid").cast("long").as("cid"),
+        col("m.id_n").as("id_n"), col("m.dot").as("dot"))
+  }
 
   /** Product-quantization ANN: the codebook path that scales ANN past IVF.
     * 8 subspaces x 16 centroids (centroid c of every subspace comes from
@@ -929,6 +969,7 @@ object VectorOps {
       FROM a, b WHERE id_a < id_b""")),
 
     Q("ann_ivf", annIvf, Some(ANN_IVF_SQL)),
+    Q("ann_ivf_disk", annIvfDisk, Some(ANN_IVF_SQL)),
 
     Q("ann_recall", annRecall, Some(annRecallSql(1))),
 

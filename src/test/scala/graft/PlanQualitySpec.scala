@@ -430,6 +430,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"sequence build grew extra exchanges:\n$p")
   }
 
+  test("ann_ivf_disk probes the stored index via dynamic partition pruning") {
+    val p = plan("ann_ivf_disk")
+    assert(p.contains("dynamicpruning"),
+      s"probe scan reads all inverted lists — no runtime partition pruning:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
   test("src_partitioned_prune plans a PartitionFilter, not a data filter") {
     val p = plan("src_partitioned_prune")
     assert(p.contains("PartitionFilters: [") &&
