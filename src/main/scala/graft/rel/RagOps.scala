@@ -142,6 +142,43 @@ object RagOps {
         UNION ALL SELECT doc_id, 4, n4 FROM l)
       WHERE neg_id IS NOT NULL""")),
 
+    // Fixed-length training-row packing — the final pretraining-data step:
+    // documents are tokenized, terminated with an <eos> marker, and packed
+    // back-to-back into 128-token rows that CROSS document boundaries (no
+    // padding waste). Packing is per 50-doc shard, so the concatenation
+    // order is a bounded in-group sort (array_sort inside the aggregate),
+    // never a global window — at 100 TB each shard packs independently and
+    // the row fingerprints pin every token's position in every row.
+    Q("tx_pack_tokens", (s, d) => {
+      tbl(s, d, "documents")
+        .select(col("doc_id"), expr("doc_id div 50").as("sh"),
+          expr("concat(split(text, ' '), array('<eos>'))").as("tk"))
+        .groupBy("sh")
+        .agg(expr(
+          "flatten(transform(array_sort(collect_list(struct(doc_id, tk))), s -> s.tk))")
+          .as("toks"))
+        .select(col("sh"), col("toks"), posexplode(expr(
+          """transform(sequence(0, CAST((size(toks) - 1) DIV 128 AS INT)),
+             i -> md5(concat_ws(' ', slice(toks, i * 128 + 1, 128))))""")))
+        .select(col("sh"), col("pos").cast("long").as("win"),
+          least(lit(128), size(col("toks")) - col("pos") * 128).cast("long")
+            .as("n_tok"),
+          col("col").as("w_md5"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, doc_id // 50 AS sh,
+               list_append(string_split(text, ' '), '<eos>') AS tk
+        FROM documents),
+      f AS (SELECT sh, flatten(list(tk ORDER BY doc_id)) AS toks
+            FROM t GROUP BY sh),
+      w AS (SELECT sh, toks,
+                   unnest(range(0, (len(toks) - 1) // 128 + 1)) AS win
+            FROM f)
+      SELECT sh, win, least(128, len(toks) - win * 128) AS n_tok,
+             md5(array_to_string(
+               toks[(win * 128 + 1):(win * 128 + 128)], ' ')) AS w_md5
+      FROM w""")),
+
     // Behavioral sequence construction — the events-to-training-sequences
     // step of a next-action model: per user, the time-ordered event-type
     // sequence (first 32 actions) plus the full count. One hash aggregate;

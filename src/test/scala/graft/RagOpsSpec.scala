@@ -100,6 +100,28 @@ class RagOpsSpec extends AnyFunSuite {
       === rows.sorted)
   }
 
+  test("tx_pack_tokens conserves every token and only the last row is short") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
+    val rows = run("tx_pack_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // token conservation per shard: packed tokens == doc tokens + one
+    // <eos> per doc
+    val packedPerShard = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val expectPerShard = docs.groupBy(_._1 / 50).view
+      .mapValues(g => g.values.map(_ + 1L).sum)
+    assert(packedPerShard.toMap === expectPerShard.toMap)
+    // density: every window is full except possibly the last of its shard
+    rows.groupBy(_._1).foreach { case (sh, g) =>
+      val last = g.map(_._2).max
+      g.foreach { case (_, win, n) =>
+        if (win < last) assert(n === 128L, s"short interior row $sh/$win")
+        else assert(n >= 1L && n <= 128L)
+      }
+    }
+  }
+
   test("st_vec_assign matches the batch argmax over the same codebook") {
     val batch = {
       val qv = spark.read.parquet(s"$sf/embeddings.parquet")
