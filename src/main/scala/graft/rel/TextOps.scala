@@ -292,6 +292,46 @@ object TextOps {
                    JOIN sizes nb ON i.id_b = nb.doc_id
       WHERE i.inter * 2 >= na.n + nb.n - i.inter""")),
 
+    // -- containment near-dup (asymmetric overlap) ---------------------------
+    // Jaccard misses SUBSET copies: a paragraph lifted whole into a much
+    // larger document has tiny symmetric overlap but ~1.0 containment
+    // |A∩B| / min(|A|,|B|). Same LSH candidates, same hashed intersection
+    // join as dd_jaccard — only the statistic and the cut change
+    // (containment >= 0.8 on the smaller side), which is the point:
+    // the candidate/intersection machinery is one shared scale shape,
+    // the dedup SEMANTIC is a pluggable final predicate.
+    Q("dd_containment", (s, d) => {
+      val ds = shinglesDf(nearCorpusDf(s, d)).distinct()
+      val cand = minhashCandFrom(ds)
+      val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dsh = ds.select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+      val inter = cand
+        .join(dsh.as("x"), col("id_a") === col("x.doc_id"))
+        .join(dsh.as("y"),
+          col("id_b") === col("y.doc_id") && col("x.hs") === col("y.hs"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      Caching.releaseAfterAction(
+        inter
+          .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
+          .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+          .select(col("id_a"), col("id_b"), col("inter"),
+            col("na.n").as("n_a"), col("nb.n").as("n_b"))
+          .filter(col("inter") * 10 >= least(col("n_a"), col("n_b")) * 8),
+        ds, cand)
+    }, Some(MINHASH_CAND_SQL + """,
+      ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN ds x ON x.doc_id = c.id_a
+        JOIN ds y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        GROUP BY c.id_a, c.id_b)
+      SELECT i.id_a, i.id_b, i.inter, na.n AS n_a, nb.n AS n_b
+      FROM inter i JOIN sizes na ON i.id_a = na.doc_id
+                   JOIN sizes nb ON i.id_b = nb.doc_id
+      WHERE i.inter * 10 >= least(na.n, nb.n) * 8""")),
+
     // -- transitive near-dup clustering (connected components) ---------------
     // The final step of corpus dedup: group everything transitively linked
     // through the LSH candidate graph and elect min-id canonicals. Spark
