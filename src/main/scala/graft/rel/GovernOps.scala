@@ -1,0 +1,236 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.tbl
+
+/** Data-governance operators a production lakehouse runs beside every
+  * ingest: Deequ-style single-pass column profiling, rule-based
+  * expectation checks, a CDC snapshot diff (the change feed between two
+  * materialized states), and wide-to-long unpivot.
+  *
+  * Scale shapes: the profile and the checks are each ONE scan — profiling
+  * folds every per-column metric into a single aggregate (Spark plans the
+  * multi-column exact distincts via one Expand, so the pass count stays 1
+  * no matter how many columns are profiled), and the checks are
+  * conditional sums inside one aggregate plus one exact-distinct. The
+  * snapshot diff is two bounded-window aggregates and a user-keyed full
+  * outer join — at 100 TB each side is a partial-agg-reduced state table,
+  * orders of magnitude smaller than the raw event log it derives from.
+  */
+object GovernOps {
+
+  /** Day boundaries inside the events month (UTC epoch seconds), shared
+    * with the oracles: the "old" snapshot is day 5, the "new" is day 25 —
+    * two daily activity snapshots far enough apart that all four change
+    * kinds occur.
+    */
+  private val OldLo = 1704499200L
+  private val OldHi = 1704585600L
+  private val NewLo = 1706227200L
+  private val NewHi = 1706313600L
+
+  /** Latest event state within an epoch-second window: one hash aggregate;
+    * the per-user "last writer" is a lexicographic max over
+    * (ts, event_id, event_type) structs INSIDE the aggregate — no window
+    * over the raw log, and event_id breaks timestamp ties so the state is
+    * deterministic in both engines.
+    */
+  private def snapshot(s: SparkSession, d: String, lo: Long, hi: Long): DataFrame =
+    tbl(s, d, "events")
+      .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .filter(col("us") >= lo * 1000000L && col("us") < hi * 1000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("n"), col("m.event_type").as("st"))
+
+  private def snapshotSql(alias: String, lo: Long, hi: Long): String = s"""
+      $alias AS (
+        SELECT user_id, count(*) AS n,
+               (list(event_type ORDER BY ts DESC, event_id DESC))[1] AS st
+        FROM events
+        WHERE epoch(ts) >= $lo AND epoch(ts) < $hi
+        GROUP BY user_id)"""
+
+  def all: Seq[Q] = Seq(
+
+    // Single-pass column profile over lineitem — the metrics a data
+    // catalog publishes per column (row count, null count, exact distinct
+    // count, min, max), computed for five columns of three different
+    // types in ONE aggregate. Spark plans the five exact count-distincts
+    // as one Expand over the scan (5x the rows into a partial aggregate,
+    // still a single pass over the table — the profile never rescans);
+    // min/max render through explicit string casts and the timestamp
+    // through epoch micros so both engines emit identical text. At
+    // 100 TB this is exactly one table scan regardless of column count.
+    Q("dq_profile", (s, d) => {
+      val li = tbl(s, d, "lineitem")
+      def prof(c: String, v: org.apache.spark.sql.Column) = struct(
+        lit(c).as("col_name"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(v).as("n_distinct"),
+        min(v).cast("string").as("min_s"),
+        max(v).cast("string").as("max_s"))
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        prof("l_orderkey", col("l_orderkey")).as("p1"),
+        prof("l_linenumber", col("l_linenumber")).as("p2"),
+        prof("l_returnflag", col("l_returnflag")).as("p3"),
+        prof("l_linestatus", col("l_linestatus")).as("p4"),
+        prof("l_shipdate", Q.tsMicros(col("l_shipdate"))).as("p5"))
+        .select(col("n_rows"), explode(array(col("p1"), col("p2"),
+          col("p3"), col("p4"), col("p5"))).as("p"))
+        .select(col("p.col_name"), col("n_rows"), col("p.n_null"),
+          col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
+    }, Some("""
+      WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+      SELECT 'l_orderkey' AS col_name, n_rows,
+             count(*) FILTER (l_orderkey IS NULL) AS n_null,
+             count(DISTINCT l_orderkey) AS n_distinct,
+             CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+             CAST(max(l_orderkey) AS VARCHAR) AS max_s
+      FROM lineitem, n GROUP BY n_rows
+      UNION ALL
+      SELECT 'l_linenumber', n_rows,
+             count(*) FILTER (l_linenumber IS NULL),
+             count(DISTINCT l_linenumber),
+             CAST(min(l_linenumber) AS VARCHAR),
+             CAST(max(l_linenumber) AS VARCHAR)
+      FROM lineitem, n GROUP BY n_rows
+      UNION ALL
+      SELECT 'l_returnflag', n_rows,
+             count(*) FILTER (l_returnflag IS NULL),
+             count(DISTINCT l_returnflag),
+             min(l_returnflag), max(l_returnflag)
+      FROM lineitem, n GROUP BY n_rows
+      UNION ALL
+      SELECT 'l_linestatus', n_rows,
+             count(*) FILTER (l_linestatus IS NULL),
+             count(DISTINCT l_linestatus),
+             min(l_linestatus), max(l_linestatus)
+      FROM lineitem, n GROUP BY n_rows
+      UNION ALL
+      SELECT 'l_shipdate', n_rows,
+             count(*) FILTER (l_shipdate IS NULL),
+             count(DISTINCT l_shipdate),
+             CAST(min(epoch_us(l_shipdate)) AS VARCHAR),
+             CAST(max(epoch_us(l_shipdate)) AS VARCHAR)
+      FROM lineitem, n GROUP BY n_rows""")),
+
+    // Expectation suite over events — the contract an ingest job asserts
+    // before publishing a partition (Deequ/Great-Expectations shape):
+    // each rule reports its violation count and verdict. Four of the five
+    // rules are conditional sums inside ONE aggregate (a single scan);
+    // the uniqueness rule needs a distinct and rides the same scan via a
+    // second branch. Thresholds compare as integer cross-products — no
+    // ratio materializes. At 100 TB: one pass plus one partial-agg
+    // distinct, both shuffle a single row per rule to the driver sink.
+    Q("dq_check", (s, d) => {
+      val ev = tbl(s, d, "events")
+      val base = ev.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
+        sum(when(!col("event_type").isin("click", "view", "purchase",
+          "signup", "logout"), 1L).otherwise(0L)).as("v_type_domain"),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("v_value_neg"),
+        sum(when(Q.tsMicros(col("ts")) < 1704067200000000L ||
+          Q.tsMicros(col("ts")) >= 1706745600000000L, 1L).otherwise(0L))
+          .as("v_ts_range"))
+      val uniq = ev.agg(
+        (count(lit(1)) - count_distinct(col("event_id"))).as("v_id_dup"),
+        count(lit(1)).as("n2"))
+      base.crossJoin(broadcast(uniq))
+        .select(col("n"), explode(array(
+          struct(lit("event_id_not_null").as("rule"),
+            col("v_id_null").as("violations")),
+          struct(lit("event_id_unique").as("rule"),
+            col("v_id_dup").as("violations")),
+          struct(lit("event_type_in_domain").as("rule"),
+            col("v_type_domain").as("violations")),
+          struct(lit("value_non_negative").as("rule"),
+            col("v_value_neg").as("violations")),
+          struct(lit("ts_in_month").as("rule"),
+            col("v_ts_range").as("violations")))).as("r"))
+        .select(col("r.rule"), col("n"), col("r.violations"),
+          (col("r.violations") * 1000L <= col("n")).as("pass"))
+    }, Some("""
+      WITH m AS (
+        SELECT count(*) AS n,
+               count(*) FILTER (event_id IS NULL) AS v_id_null,
+               count(*) - count(DISTINCT event_id) AS v_id_dup,
+               count(*) FILTER (event_type NOT IN
+                 ('click','view','purchase','signup','logout')) AS v_type_domain,
+               count(*) FILTER (value < 0.0) AS v_value_neg,
+               count(*) FILTER (epoch_us(ts) < 1704067200000000
+                 OR epoch_us(ts) >= 1706745600000000) AS v_ts_range
+        FROM events)
+      SELECT r.rule, m.n, r.violations, r.violations * 1000 <= m.n AS pass
+      FROM m, LATERAL (
+        SELECT * FROM (VALUES
+          ('event_id_not_null', m.v_id_null),
+          ('event_id_unique', m.v_id_dup),
+          ('event_type_in_domain', m.v_type_domain),
+          ('value_non_negative', m.v_value_neg),
+          ('ts_in_month', m.v_ts_range)) AS t(rule, violations)) r""")),
+
+    // CDC snapshot diff — the change feed between two materialized
+    // per-user activity states (day 5 vs day 25): a full outer join on
+    // the entity key classifies every row as insert / delete / update /
+    // noop, carrying both images (the before/after a downstream MERGE
+    // consumes). The state tables are aggregate-reduced BEFORE the join,
+    // so at 100 TB the join is entity-sized, not event-sized, and the
+    // last-writer state needs no window over the raw log.
+    Q("q29_snapshot_diff", (s, d) => {
+      val o = snapshot(s, d, OldLo, OldHi).as("o")
+      val n = snapshot(s, d, NewLo, NewHi).as("n")
+      o.join(n, col("o.user_id") === col("n.user_id"), "full_outer")
+        .select(
+          coalesce(col("o.user_id"), col("n.user_id")).as("user_id"),
+          when(col("o.user_id").isNull, "insert")
+            .when(col("n.user_id").isNull, "delete")
+            .when(col("o.st") === col("n.st"), "noop")
+            .otherwise("update").as("change"),
+          col("o.st").as("old_state"), col("n.st").as("new_state"),
+          coalesce(col("o.n"), lit(0L)).as("old_n"),
+          coalesce(col("n.n"), lit(0L)).as("new_n"))
+    }, Some(s"""
+      WITH ${snapshotSql("o", OldLo, OldHi)},
+      ${snapshotSql("nw", NewLo, NewHi)}
+      SELECT coalesce(o.user_id, nw.user_id) AS user_id,
+             CASE WHEN o.user_id IS NULL THEN 'insert'
+                  WHEN nw.user_id IS NULL THEN 'delete'
+                  WHEN o.st = nw.st THEN 'noop'
+                  ELSE 'update' END AS change,
+             o.st AS old_state, nw.st AS new_state,
+             coalesce(o.n, 0) AS old_n, coalesce(nw.n, 0) AS new_n
+      FROM o FULL OUTER JOIN nw ON o.user_id = nw.user_id""")),
+
+    // Wide-to-long unpivot (melt) of the four lineitem measures — the
+    // reshape feeding any per-metric pipeline (metric stores, feature
+    // tables). One generator per row, no shuffle, values pass through
+    // untouched (never aggregated, so the doubles hash identically).
+    // The stratum keeps the gate output bounded; the operator itself is
+    // scan-shaped at any scale.
+    Q("q30_unpivot", (s, d) => {
+      tbl(s, d, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(4,
+            'quantity', l_quantity,
+            'extendedprice', l_extendedprice,
+            'discount', l_discount,
+            'tax', l_tax)""").as(Seq("measure", "val")))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, measure, val FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               l_quantity AS val FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+               l_extendedprice FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
+               l_discount FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'tax',
+               l_tax FROM lineitem)
+      WHERE l_orderkey % 7 = 0""")))
+}
