@@ -179,6 +179,94 @@ object RagOps {
                toks[(win * 128 + 1):(win * 128 + 128)], ' ')) AS w_md5
       FROM w""")),
 
+    // Hybrid retrieval with reciprocal-rank fusion — the RAG serving
+    // pattern that combines a lexical ranker and a vector ranker. Lexical:
+    // distinct-term overlap between the query stratum and the corpus,
+    // candidates generated by a TERM equi-join (posting-list shaped — a
+    // production deployment adds tx_postings' df cut to bound the hot
+    // terms; the shape is the same). Vector: exact int-quantized dot
+    // products against the broadcast query stratum (the ann_topk shape —
+    // at 100 TB the brute side swaps for ann_ivf's cluster-pruned join
+    // without touching the fusion). Each ranker keeps top-10 per query via
+    // a query-partitioned window; fusion is a full outer join on
+    // (query, candidate) scoring 1/(60+rank) per list — each document sums
+    // at most TWO IEEE doubles, so the fused score is bit-deterministic in
+    // both engines, and the final order tie-breaks on candidate id.
+    Q("rag_rrf", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val td = tbl(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+      val qt = td.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"), col("term"))
+      val wl = Window.partitionBy("q_id")
+        .orderBy(col("overlap").desc, col("cand").asc)
+      val lex = td.join(broadcast(qt), "term")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("doc_id").as("cand"))
+        .agg(count(lit(1)).as("overlap"))
+        .withColumn("r_lex", row_number().over(wl))
+        .filter(col("r_lex") <= 10)
+        .select("q_id", "cand", "r_lex")
+      val qv = tbl(s, d, "embeddings")
+        .select(col("vec_id"), expr(VectorOps.quant).as("qv"))
+      val wv = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("cand").asc)
+      val vec = qv.as("b")
+        .join(broadcast(qv.filter(col("vec_id") % 50 === 0).as("a")),
+          expr("a.vec_id != b.vec_id"))
+        .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("cand"),
+          graft.functions.VectorFunctions
+            .long_dot(col("a.qv"), col("b.qv")).as("dot"))
+        .withColumn("r_vec", row_number().over(wv))
+        .filter(col("r_vec") <= 10)
+        .select("q_id", "cand", "r_vec")
+      val wf = Window.partitionBy("q_id")
+        .orderBy(col("rrf").desc, col("cand").asc)
+      lex.join(vec, Seq("q_id", "cand"), "full_outer")
+        .select(col("q_id"), col("cand"), col("r_lex"), col("r_vec"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+            .as("rrf"))
+        .withColumn("fused_rank", row_number().over(wf))
+    }, Some(s"""
+      WITH ${VectorOps.QVEC_SQL},
+      td AS (
+        SELECT DISTINCT doc_id, term FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)),
+      lexall AS (
+        SELECT q.doc_id AS q_id, c.doc_id AS cand, count(*) AS overlap
+        FROM td q JOIN td c ON q.term = c.term AND c.doc_id != q.doc_id
+        WHERE q.doc_id % 50 = 0
+        GROUP BY 1, 2),
+      lex AS (SELECT q_id, cand, r_lex FROM (
+        SELECT q_id, cand,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY overlap DESC, cand ASC) AS r_lex
+        FROM lexall) WHERE r_lex <= 10),
+      dots AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS cand,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                     CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot
+        FROM qv a, qv b WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id),
+      vec AS (SELECT q_id, cand, r_vec FROM (
+        SELECT q_id, cand,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dot DESC, cand ASC) AS r_vec
+        FROM dots) WHERE r_vec <= 10),
+      f AS (
+        SELECT coalesce(l.q_id, v.q_id) AS q_id,
+               coalesce(l.cand, v.cand) AS cand, l.r_lex, v.r_vec,
+               coalesce(1.0 / (60 + l.r_lex), 0.0) +
+               coalesce(1.0 / (60 + v.r_vec), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.q_id = v.q_id AND l.cand = v.cand)
+      SELECT q_id, cand, r_lex, r_vec, rrf,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY rrf DESC, cand ASC) AS fused_rank
+      FROM f""")),
+
     // Behavioral sequence construction — the events-to-training-sequences
     // step of a next-action model: per user, the time-ordered event-type
     // sequence (first 32 actions) plus the full count. One hash aggregate;

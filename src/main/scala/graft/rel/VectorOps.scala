@@ -20,13 +20,13 @@ import Q.tbl
   */
 object VectorOps {
 
-  private val quant =
+  private[rel] val quant =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   private def qvec(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "embeddings").select(col("vec_id"), expr(quant).as("qv"))
 
-  private val QVEC_SQL = """
+  private[rel] val QVEC_SQL = """
     qv AS (SELECT vec_id,
                   list_transform(embedding,
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv

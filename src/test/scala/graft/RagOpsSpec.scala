@@ -148,4 +148,39 @@ class RagOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum ===
       spark.read.parquet(s"$sf/embeddings.parquet").count())
   }
+
+  test("rag_rrf: fusion scores decompose into the two rank lists") {
+    val rows = run("rag_rrf").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val rl = if (r.isNullAt(r.fieldIndex("r_lex"))) None
+        else Some(r.getAs[Int]("r_lex"))
+      val rv = if (r.isNullAt(r.fieldIndex("r_vec"))) None
+        else Some(r.getAs[Int]("r_vec"))
+      assert(rl.isDefined || rv.isDefined)
+      assert(rl.forall(x => x >= 1 && x <= 10) &&
+        rv.forall(x => x >= 1 && x <= 10))
+      val expect = rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expect)
+    }
+    // per query: fused ranks are 1..n dense and ordered by (rrf desc, cand)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("fused_rank"))
+      assert(sorted.map(_.getAs[Int]("fused_rank")).toSeq ==
+        (1 to g.length))
+      val keys = sorted.map(r =>
+        (-r.getAs[Double]("rrf"), r.getAs[Long]("cand")))
+      assert(keys.toSeq == keys.sortBy(identity).toSeq)
+      // each ranker contributes its full top-10 (or the whole corpus if
+      // smaller), so a doc in both lists implies fewer fused rows
+      assert(g.length >= 10 && g.length <= 20)
+    }
+  }
+
+  test("rag_rrf broadcasts both query strata (no shuffled cartesian)") {
+    val p = run("rag_rrf").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), s"shuffled cartesian:\n$p")
+  }
 }
