@@ -182,6 +182,28 @@ object SourceOps {
         .json(jsonDir))
     }, Some(GATE_SQL)),
 
+    // XML: the document-interchange path (Spark 4 ships the xml source
+    // natively). Same contract as CSV/JSONL: schema on read, the NTZ
+    // timestamp carried micro-exact under the explicit fraction pattern
+    // on BOTH format options, value as shortest-round-trip double. The
+    // rowTag scopes each event element; the writer emits one XML file per
+    // partition (distributed, like every other staging sink here).
+    Q("src_xml_roundtrip", (s, d) => {
+      val xmlDir = stage("xml")
+      ev(s, d).write.mode(SaveMode.Overwrite)
+        .option("rowTag", "event")
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .xml(xmlDir)
+      gateAgg(s.read
+        .option("rowTag", "event")
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE")
+        .xml(xmlDir))
+    }, Some(GATE_SQL)),
+
     // Text-format timestamp-type matrix: the SAME instant carried as
     // TIMESTAMP_NTZ (as read off parquet) and as TIMESTAMP_LTZ (cast under
     // the UTC session) side by side through one CSV round-trip. Each type

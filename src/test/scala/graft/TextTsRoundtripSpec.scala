@@ -29,20 +29,29 @@ class TextTsRoundtripSpec extends AnyFunSuite {
   private def roundtrip(fmt: String, ntzFormat: String): Map[Long, Long] = {
     val dir = TempDirs.create(s"graft_tsrt_$fmt") + "/stage"
     val w = src().write.mode("overwrite")
-      .option("header", "true").option("timestampNTZFormat", ntzFormat)
-    (if (fmt == "csv") w.csv(dir) else w.json(dir))
+      .option("header", "true").option("rowTag", "event")
+      .option("timestampNTZFormat", ntzFormat)
+    fmt match {
+      case "csv" => w.csv(dir); case "json" => w.json(dir)
+      case "xml" => w.xml(dir)
+    }
     val r = spark.read
-      .option("header", "true").option("timestampNTZFormat", ntzFormat)
+      .option("header", "true").option("rowTag", "event")
+      .option("timestampNTZFormat", ntzFormat)
       .schema("event_id BIGINT, ts TIMESTAMP_NTZ")
-    micros(if (fmt == "csv") r.csv(dir) else r.json(dir))
+    micros(fmt match {
+      case "csv" => r.csv(dir); case "json" => r.json(dir)
+      case "xml" => r.xml(dir)
+    })
   }
 
-  test("CSV and JSONL round-trip ts micro-exactly under TS_FMT") {
+  test("CSV, JSONL and XML round-trip ts micro-exactly under TS_FMT") {
     val expect = micros(src())
     // the fixture must actually exercise sub-milli precision
     assert(expect.values.count(_ % 1000L != 0L) > 100)
     assert(roundtrip("csv", SourceOps.TS_FMT) === expect)
     assert(roundtrip("json", SourceOps.TS_FMT) === expect)
+    assert(roundtrip("xml", SourceOps.TS_FMT) === expect)
   }
 
   test("a millis-only NTZ format would be caught, not silently pass") {
