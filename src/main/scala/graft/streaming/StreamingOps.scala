@@ -642,7 +642,61 @@ object StreamingOps {
         expr("CAST(substr(col, 1, 17) AS BIGINT)").as("priority"))
   }
 
+  /** Built-in `session_window` aggregation — the engine-managed sibling of
+    * the custom `flatMapGroupsWithState` sessionizer above: Spark merges
+    * per-event [t, t+gap) windows in its own session state store (no user
+    * state code, RocksDB-capable, merge-on-overlap). Note the boundary
+    * seam the oracle must mirror: window MERGE happens only when the next
+    * event starts strictly BEFORE the current session end, so a gap of
+    * exactly 30 min starts a NEW session (`>= gap`), whereas the custom
+    * sessionizer's rule breaks on `> gap` — the kind of off-by-a-boundary
+    * divergence that motivates hash-gating both surfaces separately.
+    */
+  def sessionWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_session_window_sink_" + sinkCounter.incrementAndGet()
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("tts"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+      .groupBy(col("user_id"),
+        session_window(col("tts"), "30 minutes").as("w"))
+      .agg(count(expr("1")).as("n_events"), sum("qv").as("sum_micros"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("s_start"),
+        expr("unix_micros(w.end)").as("s_end"),
+        col("n_events"), col("sum_micros"))
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
+  val SESSION_WINDOW_SQL: String = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CAST(round(value * 1000000) AS BIGINT) AS qv
+      FROM events),
+    d AS (
+      SELECT user_id, tus, qv,
+             CASE WHEN lag(tus) OVER w IS NULL
+                    OR tus - lag(tus) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+    s AS (
+      SELECT user_id, tus, qv,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d)
+    SELECT user_id, min(tus) AS s_start,
+           max(tus) + 1800000000 AS s_end,
+           count(*) AS n_events, CAST(sum(qv) AS BIGINT) AS sum_micros
+    FROM s GROUP BY user_id, sid"""
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_session_window", sessionWindow, Some(SESSION_WINDOW_SQL)),
     graft.rel.Q("st_dd_minhash", streamMinhash, Some(MINHASH_STREAM_SQL)),
     graft.rel.Q("st_vec_assign", vecAssign, Some(VEC_ASSIGN_SQL)),
     graft.rel.Q("st_tx_chunk", chunkStream, Some(graft.rel.RagOps.CHUNK_SQL)),
