@@ -1,0 +1,107 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import Q.tbl
+
+/** Spatial join: point-in-polygon over a grid-binned candidate join — the
+  * relational form of the geometry step that follows contour extraction
+  * (reference `relabeling.py` emits polygon annotations; a production
+  * pipeline then asks "which measurements fall inside which annotated
+  * object"). Cited shape: every spatial engine (Sedona, PostGIS
+  * partitioned joins) does exactly bin -> equi-join -> exact test.
+  *
+  * Exactness strategy: polygons are simple integer diamonds (4 vertices,
+  * per-vertex radii) derived from `part` keys by modular formulas BOTH
+  * engines evaluate identically; the point-in-polygon test is the
+  * crossing-number rule with the division cleared by cross-multiplication,
+  * so every comparison is exact int64 arithmetic — no epsilon, no floats.
+  *
+  * Scale shape: candidates come from ONE equi-join on grid cell (polygons
+  * explode to the cells of their bounding box — bounded by the max radius,
+  * here <= 2x2 cells; each point hashes to exactly one cell, so a
+  * candidate pair arises at most once and needs no dedup). The exact test
+  * runs inline on the joined row (whole-stage codegen, no second shuffle,
+  * no edge explode). At 100 TB both sides shuffle only on cell id; skewed
+  * cells salt like any hot join key.
+  */
+object SpatialOps {
+
+  private val D = 1024 // coordinate domain (offset +64 keeps all ints > 0)
+  private val C = 64 // grid cell size
+
+  /** Shared SQL fragments — Spark SQL and DuckDB differ only in the floor
+    * division operator (`div` vs `//`; all operands positive, so Spark's
+    * truncating div IS floor).
+    */
+  private def polySrc = s"""
+      SELECT p_partkey AS poly_id,
+             64 + (p_partkey * 37) % $D AS cx,
+             64 + (p_partkey * 91) % $D AS cy,
+             1 + (p_partkey * 13) % 50 AS r1,
+             1 + (p_partkey * 29) % 50 AS r2,
+             1 + (p_partkey * 53) % 50 AS r3,
+             1 + (p_partkey * 71) % 50 AS r4
+      FROM part WHERE p_partkey % 3 = 0"""
+
+  private def ptSrc = s"""
+      SELECT l_orderkey * 10 + l_linenumber AS pt_id,
+             64 + (l_orderkey * 7 + l_linenumber * 131) % $D AS px,
+             64 + (l_partkey * 11 + l_suppkey * 17) % $D AS py
+      FROM lineitem WHERE l_orderkey % 13 = 0"""
+
+  /** Crossing-number term for one directed edge (x1,y1)->(x2,y2) against
+    * point (px,py): the edge spans py's horizontal AND the point is left
+    * of the crossing — `px < x1 + (py-y1)(x2-x1)/(y2-y1)` with the
+    * division cleared by multiplying through by (y2-y1) (sign-corrected by
+    * a second multiply; every edge here has y2 != y1).
+    */
+  private def crossing(x1: String, y1: String, x2: String, y2: String) =
+    s"""(CASE WHEN (($y1 > py) != ($y2 > py))
+              AND ((($x1 - px) * (($y2) - ($y1)) + (py - ($y1)) * (($x2) - ($x1)))
+                   * (($y2) - ($y1))) > 0
+         THEN 1 ELSE 0 END)"""
+
+  /** Diamond vertices: (cx+r1,cy) -> (cx,cy+r2) -> (cx-r3,cy) ->
+    * (cx,cy-r4) -> close. Point is inside iff the crossing count is odd.
+    */
+  private[graft] val INSIDE = "(" +
+    crossing("cx + r1", "cy", "cx", "cy + r2") + " + " +
+    crossing("cx", "cy + r2", "cx - r3", "cy") + " + " +
+    crossing("cx - r3", "cy", "cx", "cy - r4") + " + " +
+    crossing("cx", "cy - r4", "cx + r1", "cy") + ") % 2 = 1"
+
+  def all: Seq[Q] = Seq(
+
+    Q("geo_pip_join", (s, d) => {
+      tbl(s, d, "part").createOrReplaceTempView("part")
+      tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(s"""
+        WITH polys AS ($polySrc),
+        pc AS (
+          SELECT poly_id, cx, cy, r1, r2, r3, r4,
+                 explode(flatten(transform(
+                   sequence((cx - r3) div $C, (cx + r1) div $C),
+                   xc -> transform(sequence((cy - r4) div $C, (cy + r2) div $C),
+                                   yc -> xc * 128 + yc)))) AS cell
+          FROM polys),
+        pts AS ($ptSrc)
+        SELECT poly_id, pt_id, px, py
+        FROM pts JOIN pc
+          ON (px div $C) * 128 + (py div $C) = pc.cell
+        WHERE $INSIDE""")
+    }, Some(s"""
+      WITH polys AS ($polySrc),
+      pc1 AS (
+        SELECT *, unnest(range((cx - r3) // $C, (cx + r1) // $C + 1)) AS xc
+        FROM polys),
+      pc AS (
+        SELECT poly_id, cx, cy, r1, r2, r3, r4,
+               xc * 128 + unnest(range((cy - r4) // $C, (cy + r2) // $C + 1))
+                 AS cell
+        FROM pc1),
+      pts AS ($ptSrc)
+      SELECT poly_id, pt_id, px, py
+      FROM pts JOIN pc
+        ON (px // $C) * 128 + (py // $C) = pc.cell
+      WHERE $INSIDE""")))
+}
