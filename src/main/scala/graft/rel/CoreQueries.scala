@@ -379,6 +379,35 @@ object CoreQueries {
       f AS (SELECT user_id, min(b) AS cohort FROM e GROUP BY user_id)
       SELECT f.cohort, e.b - f.cohort AS age,
              count(DISTINCT e.user_id) AS users, count(*) AS n
-      FROM e JOIN f USING (user_id) GROUP BY 1, 2"""))
+      FROM e JOIN f USING (user_id) GROUP BY 1, 2""")),
+
+    // -- event-time RANGE window frames --------------------------------------
+    // The frame kind q23's suite doesn't touch: a VALUE-based (RANGE)
+    // frame — per user, the trailing-1-hour event count and value sum at
+    // every event. RANGE frames bound by the ORDER-BY value (micros here),
+    // not by row offsets, and include the whole peer group of the current
+    // key — both engines share that peer rule, and the micros/quantized
+    // sums keep everything exact int64. One user-keyed shuffle + sort; the
+    // frame scan is the windowed-aggregation sliding-accumulator path, not
+    // a per-row rescan.
+    Q("q31_range_frame", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, Window.currentRow)
+      tbl(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          Q.tsMicros(col("ts")).as("us"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+        .select(col("user_id"), col("event_id"), col("us"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum("qv").over(w).as("sum_1h"))
+    }, Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             count(*) OVER w AS n_1h,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+               AS BIGINT) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""))
   )
 }

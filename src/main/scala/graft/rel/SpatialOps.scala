@@ -103,5 +103,54 @@ object SpatialOps {
       SELECT poly_id, pt_id, px, py
       FROM pts JOIN pc
         ON (px // $C) * 128 + (py // $C) = pc.cell
-      WHERE $INSIDE""")))
+      WHERE $INSIDE""")),
+
+    // Radius (distance) join — "every measurement within R of a site":
+    // the other half of the spatial-join pair. Cell size = R, so a
+    // qualifying partner can only sit in the probe's 3x3 cell stencil;
+    // the probe side replicates to its 9 neighbor cells (bounded fan-out),
+    // the build side hashes to its ONE home cell, so each candidate pair
+    // arises exactly once — equi-join on cell, then the exact integer
+    // dx^2+dy^2 <= R^2 test inline. The same shape serves ANN bucket
+    // probing and trajectory matching; at 100 TB both sides shuffle once
+    // on cell id.
+    Q("geo_radius_join", (s, d) => {
+      tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      tbl(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(s"""
+        WITH pts AS ($ptSrc),
+        sites AS ($siteSrc),
+        probe AS (
+          SELECT pt_id, px, py,
+                 explode(flatten(transform(sequence(-1, 1),
+                   dx -> transform(sequence(-1, 1),
+                     dy -> (px div $R + dx) * 256 + (py div $R + dy)))))
+                   AS cell
+          FROM pts)
+        SELECT pt_id, site_id, px, py,
+               (px - sx) * (px - sx) + (py - sy) * (py - sy) AS dist2
+        FROM probe JOIN sites
+          ON (sx div $R) * 256 + (sy div $R) = probe.cell
+        WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= ${R * R}""")
+    }, Some(s"""
+      WITH pts AS ($ptSrc),
+      sites AS ($siteSrc),
+      p1 AS (SELECT *, unnest([-1, 0, 1]) AS dx FROM pts),
+      probe AS (
+        SELECT pt_id, px, py,
+               (px // $R + dx) * 256 + (py // $R + unnest([-1, 0, 1])) AS cell
+        FROM p1)
+      SELECT pt_id, site_id, px, py,
+             (px - sx) * (px - sx) + (py - sy) * (py - sy) AS dist2
+      FROM probe JOIN sites
+        ON (sx // $R) * 256 + (sy // $R) = probe.cell
+      WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= ${R * R}""")))
+
+  private val R = 16 // join radius = grid cell size
+
+  private def siteSrc = s"""
+      SELECT o_orderkey AS site_id,
+             64 + (o_orderkey * 19) % $D AS sx,
+             64 + (o_orderkey * 43) % $D AS sy
+      FROM orders WHERE o_orderkey % 11 = 0"""
 }

@@ -70,6 +70,32 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("radius join equals brute-force all-pairs distance scan") {
+    val got = SparkEntry.queries("geo_radius_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("orders")
+    val brute = spark.sql("""
+      WITH pts AS (
+        SELECT l_orderkey * 10 + l_linenumber AS pt_id,
+               64 + (l_orderkey * 7 + l_linenumber * 131) % 1024 AS px,
+               64 + (l_partkey * 11 + l_suppkey * 17) % 1024 AS py
+        FROM lineitem WHERE l_orderkey % 13 = 0),
+      sites AS (
+        SELECT o_orderkey AS site_id,
+               64 + (o_orderkey * 19) % 1024 AS sx,
+               64 + (o_orderkey * 43) % 1024 AS sy
+        FROM orders WHERE o_orderkey % 11 = 0)
+      SELECT pt_id, site_id,
+             (px - sx) * (px - sx) + (py - sy) * (py - sy) AS dist2
+      FROM pts CROSS JOIN sites
+      WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= 256""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === brute,
+      s"stencil join diverges from brute force: ${got.size} vs ${brute.size}")
+  }
+
   test("plan: candidates via equi-join on cell, no cartesian") {
     val p = run().queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
