@@ -207,6 +207,43 @@ object GovernOps {
              coalesce(o.n, 0) AS old_n, coalesce(nw.n, 0) AS new_n
       FROM o FULL OUTER JOIN nw ON o.user_id = nw.user_id""")),
 
+    // Incremental view maintenance — the append-only MERGE an aggregate
+    // materialized view takes instead of a rescan: the stored view (the
+    // pre-cutoff aggregate, staged to parquet as a real stored table) is
+    // combined with the DELTA batch's aggregate through the aggregates'
+    // own merge functions (n, sum add; min, max combine) — count/sum/
+    // min/max are self-maintainable under inserts, so the base rows are
+    // NEVER rescanned. The oracle aggregates the full log in one pass;
+    // the hash match proves merge(view, delta) == recompute(all). At
+    // 100 TB the delta is a day's partition and the view update touches
+    // view-sized data only.
+    Q("q32_ivm_merge", (s, d) => {
+      val cut = 1706140800000000L // day 24 of the month
+      def agg(df: DataFrame) = df
+        .select(Q.tsBucket(col("ts"), 300000000L).as("bucket"),
+          col("event_type"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"), sum("qv").as("sum_qv"),
+          min("qv").as("min_qv"), max("qv").as("max_qv"))
+      val viewDir = graft.TempDirs.create("graft_ivm") + "/view"
+      val ev = tbl(s, d, "events")
+      agg(ev.filter(Q.tsMicros(col("ts")) < cut))
+        .write.mode("overwrite").parquet(viewDir)
+      val delta = agg(ev.filter(Q.tsMicros(col("ts")) >= cut))
+      s.read.parquet(viewDir).unionByName(delta)
+        .groupBy("bucket", "event_type")
+        .agg(sum("n").as("n"), sum("sum_qv").as("sum_qv"),
+          min("min_qv").as("min_qv"), max("max_qv").as("max_qv"))
+    }, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_qv,
+             min(CAST(round(value * 1000000) AS BIGINT)) AS min_qv,
+             max(CAST(round(value * 1000000) AS BIGINT)) AS max_qv
+      FROM events GROUP BY 1, 2""")),
+
     // Wide-to-long unpivot (melt) of the four lineitem measures — the
     // reshape feeding any per-metric pipeline (metric stores, feature
     // tables). One generator per row, no shuffle, values pass through

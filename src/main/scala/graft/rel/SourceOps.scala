@@ -182,6 +182,27 @@ object SourceOps {
         .json(jsonDir))
     }, Some(GATE_SQL)),
 
+    // Parquet bloom-filter point lookup: the store is laid out ADVERSELY
+    // for the probe key (sorted by user_id, so event_id is scattered and
+    // min/max stats prune nothing) and written with a bloom filter on
+    // event_id; the point read then skips every row group whose bloom
+    // says "definitely absent" — the layout-independent point-lookup
+    // path a 100 TB event store needs when the probe key isn't the sort
+    // key (BloomPruneSpec pins the bytes-read reduction through a counting
+    // FileSystem; this gate pins the answer).
+    Q("src_bloom_point", (s, d) => {
+      val dir = stage("bloom")
+      ev(s, d).sort("user_id")
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.bloom.filter.enabled#event_id", "true")
+        .parquet(dir)
+      s.read.parquet(dir).filter(col("event_id") === 123L)
+        .select(col("event_id"), Q.tsMicros(col("ts")).as("us"),
+          col("user_id"), col("event_type"), col("value"))
+    }, Some("""
+      SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
+      FROM events WHERE event_id = 123""")),
+
     // XML: the document-interchange path (Spark 4 ships the xml source
     // natively). Same contract as CSV/JSONL: schema on read, the NTZ
     // timestamp carried micro-exact under the explicit fraction pattern
