@@ -123,7 +123,56 @@ object AsOfRel {
       .select(col("user_id"), col("t").as("gt"), col("fill_v"), col("n_1h"))
   }
 
+  /** Point-in-time feature join with a staleness tolerance — the
+    * leakage-safe training-set join a feature store runs (pandas
+    * `merge_asof(tolerance=...)`): each event takes the user's latest
+    * purchase feature at-or-before its time, but a feature older than the
+    * 3-day bound is treated as ABSENT (stale features are worse than no
+    * feature). Composes the same custom [[graft.plans.AsOfJoinExec]] —
+    * tolerance is a post-join null-out, so the O(n+m) merge and its
+    * one-exchange-per-side plan are unchanged at any scale.
+    */
+  def pitFeatures(s: SparkSession, d: String): DataFrame = {
+    val tol = 259200000000000L // 3 days in nanos
+    val e = tbl(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), Q.tsNanos(col("ts")).as("t"),
+        col("event_type"))
+    val states = tbl(s, d, "events")
+      .filter(col("user_id").isNotNull &&
+        col("event_type") === "purchase")
+      .select(col("user_id"), Q.tsNanos(col("ts")).as("s_t"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("sqv"))
+      .groupBy("user_id", "s_t").agg(max("sqv").as("sqv"))
+    val fresh = col("s_t").isNotNull && (col("t") - col("s_t")) <= tol
+    AsOf.join(e, states, Seq("user_id"), "t", "s_t")
+      .toDF("user_id", "t", "event_type", "u2", "s_t", "sqv")
+      .select(col("user_id"), col("t"), col("event_type"),
+        when(fresh, col("sqv")).as("feat"),
+        when(fresh, col("s_t")).as("feat_t"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("aj_pit_features", pitFeatures, Some("""
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) AS t, event_type
+        FROM events WHERE user_id IS NOT NULL),
+      s AS (
+        SELECT user_id, epoch_ns(ts) AS s_t,
+               max(CAST(round(value * 1000000) AS BIGINT)) AS sqv
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY 1, 2),
+      j AS (
+        SELECT e.user_id, e.t, e.event_type, s.s_t, s.sqv
+        FROM e ASOF LEFT JOIN s
+          ON e.user_id = s.user_id AND e.t >= s.s_t)
+      SELECT user_id, t, event_type,
+             CASE WHEN s_t IS NOT NULL AND t - s_t <= 259200000000000
+                  THEN sqv END AS feat,
+             CASE WHEN s_t IS NOT NULL AND t - s_t <= 259200000000000
+                  THEN s_t END AS feat_t
+      FROM j""")),
     Q("aj_resample", resample, Some("""
       WITH e AS (
         SELECT user_id, t, max(value) AS v

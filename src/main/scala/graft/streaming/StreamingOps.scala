@@ -293,6 +293,64 @@ object StreamingOps {
     s.read.parquet(current).select("user_id", "us", "event_type", "value")
   }
 
+  /** Streaming incremental view maintenance — q32_ivm_merge's online twin:
+    * the events stream arrives in 8 micro-batches and foreachBatch folds
+    * each batch's PARTIAL aggregate into the stored view through the
+    * aggregates' merge functions (n and sum add, min and max combine) —
+    * the view update reads view-sized data only, never the log. The fold
+    * is commutative/associative, so ANY micro-batch arrival order yields
+    * the same view; foreachBatch is at-least-once, so a batch-id guard
+    * makes redelivery a no-op (double-adding a sum would NOT be safe —
+    * unlike the upsert fold above, this merge is order-independent but
+    * not idempotent, exactly why the guard exists).
+    */
+  def ivmMergeStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val inv = sinkCounter.incrementAndGet()
+    val stageDir = graft.TempDirs.create(s"graft_ivmst_stage_$inv")
+    val viewBase = graft.TempDirs.create(s"graft_ivmst_view_$inv")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .select(graft.rel.Q.tsBucket(col("ts"), 300000000L).as("bucket"),
+        col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+    ev.repartition(8).write.mode("overwrite").parquet(stageDir)
+
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"), sum("qv").as("sum_qv"),
+        min("qv").as("min_qv"), max("qv").as("max_qv"))
+
+    var current: String = null
+    var lastApplied = -1L
+    var gen = 0
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastApplied) {
+          val delta = partial(batch)
+          val merged =
+            if (current == null) delta
+            else delta
+              .unionByName(batch.sparkSession.read.parquet(current))
+              .groupBy("bucket", "event_type")
+              .agg(sum("n").as("n"), sum("sum_qv").as("sum_qv"),
+                min("min_qv").as("min_qv"), max("max_qv").as("max_qv"))
+          val next = s"$viewBase/gen${gen % 2}"
+          merged.write.mode("overwrite").parquet(next)
+          current = next
+          gen += 1
+          lastApplied = batchId
+        }
+        ()
+      }
+      .start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.read.parquet(current)
+  }
+
   /** Streaming ingest into the DSv2 zarr sink: the synthetic pixel
     * relation arrives in micro-batches (staged files + maxFilesPerTrigger),
     * and foreachBatch appends each batch into ONE growing zarr store
@@ -697,6 +755,14 @@ object StreamingOps {
 
   def all: Seq[graft.rel.Q] = Seq(
     graft.rel.Q("st_session_window", sessionWindow, Some(SESSION_WINDOW_SQL)),
+    graft.rel.Q("st_ivm_merge", ivmMergeStream, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_qv,
+             min(CAST(round(value * 1000000) AS BIGINT)) AS min_qv,
+             max(CAST(round(value * 1000000) AS BIGINT)) AS max_qv
+      FROM events GROUP BY 1, 2""")),
     graft.rel.Q("st_dd_minhash", streamMinhash, Some(MINHASH_STREAM_SQL)),
     graft.rel.Q("st_vec_assign", vecAssign, Some(VEC_ASSIGN_SQL)),
     graft.rel.Q("st_tx_chunk", chunkStream, Some(graft.rel.RagOps.CHUNK_SQL)),
