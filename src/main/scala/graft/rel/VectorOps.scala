@@ -951,7 +951,120 @@ object VectorOps {
                                   ORDER BY dot DESC, id_n ASC) AS rn
         FROM cand) WHERE rn = 1"""
 
+  /** MMR (maximal marginal relevance) diversification — the retrieval
+    * post-processor that trades relevance against redundancy: from each
+    * query's top-10 exact-dot candidates, greedily pick 5 maximizing
+    * `7*rel - 3*max_sim_to_selected` (lambda=0.7 scaled to integers, so
+    * every score is exact int64; ties break to the lowest candidate id).
+    * The greedy recurrence is unrolled to 5 relational rounds — each an
+    * anti-join (drop selected) + equi-join to the selected set's pairwise
+    * sims + one argmax — over the PERSISTED candidate and sim relations,
+    * both bounded at 10 and 90 rows per query regardless of corpus size:
+    * the per-query work is constant, so the operator scales with query
+    * count only.
+    */
+  private val MMR_K = 5
+
+  def mmr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = qvec(s, d)
+    val w = Window.partitionBy("q_id").orderBy(col("rel").desc, col("cand").asc)
+    val cand = qv.as("b")
+      .join(broadcast(qv.filter(col("vec_id") % 50 === 0).as("a")),
+        expr("a.vec_id != b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("cand"),
+        dotCol.as("rel"), col("b.qv").as("cqv"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("q_id", "cand", "rel", "cqv")
+    val csim = cand.select(col("q_id"), col("cand").as("a"),
+        col("cqv").as("aqv"))
+      .join(cand.select(col("q_id"), col("cand").as("b"),
+        col("cqv").as("bqv")), "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        graft.functions.VectorFunctions.long_dot(col("aqv"), col("bqv"))
+          .as("sim"))
+    val candS = cand.select("q_id", "cand", "rel")
+
+    def argmax(df: DataFrame, score: org.apache.spark.sql.Column,
+        step: Int): DataFrame = df
+      .groupBy("q_id")
+      .agg(max(struct(score.as("s"), (-col("cand")).as("nc"))).as("m"))
+      .select(col("q_id"), lit(step).as("step"), (-col("m.nc")).as("cand"))
+
+    var selu = argmax(candS, col("rel"), 1)
+    for (r <- 2 to MMR_K) {
+      val pen = candS.join(selu.select("q_id", "cand"),
+          Seq("q_id", "cand"), "left_anti")
+        .join(csim
+          .join(selu.select(col("q_id"), col("cand").as("b")),
+            Seq("q_id", "b"))
+          .select(col("q_id"), col("a").as("cand"), col("sim")),
+          Seq("q_id", "cand"))
+        .groupBy("q_id", "cand", "rel").agg(max("sim").as("pen"))
+      selu = selu.unionByName(
+        argmax(pen, lit(7L) * col("rel") - lit(3L) * col("pen"), r))
+    }
+    graft.Caching.releaseAfterAction(selu, cand, csim)
+  }
+
+  private def mmrSql: String = {
+    val rounds = (2 to MMR_K).map { r =>
+      s"""
+      rem$r AS (
+        SELECT c.q_id, c.cand, c.rel FROM cand c
+        LEFT JOIN selu${r - 1} u ON c.q_id = u.q_id AND c.cand = u.cand
+        WHERE u.cand IS NULL),
+      pen$r AS (
+        SELECT m.q_id, m.cand, m.rel, max(cs.sim) AS pen
+        FROM rem$r m
+        JOIN csim cs ON cs.q_id = m.q_id AND cs.a = m.cand
+        JOIN selu${r - 1} u ON u.q_id = cs.q_id AND u.cand = cs.b
+        GROUP BY 1, 2, 3),
+      s$r AS (
+        SELECT q_id, cand FROM (
+          SELECT q_id, cand,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY 7 * rel - 3 * pen DESC, cand ASC) AS rn
+          FROM pen$r) WHERE rn = 1),
+      selu$r AS (SELECT * FROM selu${r - 1}
+                 UNION ALL SELECT q_id, $r, cand FROM s$r)"""
+    }.mkString(",")
+    s"""
+      WITH $QVEC_SQL,
+      dots AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS cand,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                     CAST(b.qv AS DOUBLE[])) AS BIGINT)
+                 AS rel
+        FROM qv a, qv b WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id),
+      cand AS (
+        SELECT q_id, cand, rel FROM (
+          SELECT q_id, cand, rel,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY rel DESC, cand ASC) AS rn
+          FROM dots) WHERE rn <= 10),
+      csim AS (
+        SELECT x.q_id, x.cand AS a, y.cand AS b,
+               CAST(list_dot_product(CAST(xq.qv AS DOUBLE[]),
+                                     CAST(yq.qv AS DOUBLE[])) AS BIGINT)
+                 AS sim
+        FROM cand x JOIN cand y ON x.q_id = y.q_id AND x.cand != y.cand
+        JOIN qv xq ON xq.vec_id = x.cand
+        JOIN qv yq ON yq.vec_id = y.cand),
+      s1 AS (
+        SELECT q_id, cand FROM (
+          SELECT q_id, cand,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY rel DESC, cand ASC) AS rn
+          FROM cand) WHERE rn = 1),
+      selu1 AS (SELECT q_id, 1 AS step, cand FROM s1),
+      $rounds
+      SELECT q_id, step, cand FROM selu$MMR_K"""
+  }
+
   def all: Seq[Q] = Seq(
+    Q("ann_mmr", mmr, Some(mmrSql)),
     Q("ann_rp_bucket", annRpBucket, Some(ANN_RP_BUCKET_SQL)),
 
     Q("vec_int8_quant", vecInt8Quant, Some(VEC_INT8_SQL)),
