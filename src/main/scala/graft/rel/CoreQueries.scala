@@ -408,6 +408,36 @@ object CoreQueries {
                AS BIGINT) AS sum_1h
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""))
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")),
+
+    // -- explicit GROUPING SETS ----------------------------------------------
+    // The multi-grain aggregate q13's ROLLUP and q24's CUBE don't cover:
+    // an ARBITRARY grouping-set list — here (flag, status), (flag),
+    // (status) but NOT the grand total, exactly the shape a dashboard's
+    // mixed drill-downs ask for. Spark plans one scan + one Expand (rows
+    // replicated once per set), the same single-pass trick dq_profile
+    // leans on; grouping_id disambiguates the NULL-as-aggregate rows.
+    Q("q33_grouping_sets", (s, d) => {
+      tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))""")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), (l_linestatus))"""))
   )
 }

@@ -207,6 +207,26 @@ object GovernOps {
              coalesce(o.n, 0) AS old_n, coalesce(nw.n, 0) AS new_n
       FROM o FULL OUTER JOIN nw ON o.user_id = nw.user_id""")),
 
+    // k-anonymity audit — the privacy gate a release pipeline runs before
+    // publishing: group the quasi-identifier tuple (here event_type x
+    // user-id decade x day) and report every equivalence class smaller
+    // than k=5 — the rows a k-anonymous release must suppress or
+    // generalize. One hash aggregate + HAVING; at 100 TB the class table
+    // is the shuffle, bounded by the quasi-identifier domain, and the
+    // suppression set is what feeds the redaction join downstream.
+    Q("dq_kanon", (s, d) => {
+      tbl(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("user_id div 10").as("uid_decade"),
+          Q.tsBucket(col("ts"), 86400000000L).as("day"))
+        .agg(count(lit(1)).as("class_size"))
+        .filter(col("class_size") < 5)
+    }, Some("""
+      SELECT event_type, user_id // 10 AS uid_decade,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             count(*) AS class_size
+      FROM events GROUP BY 1, 2, 3 HAVING count(*) < 5""")),
+
     // Incremental view maintenance — the append-only MERGE an aggregate
     // materialized view takes instead of a rescan: the stored view (the
     // pre-cutoff aggregate, staged to parquet as a real stored table) is

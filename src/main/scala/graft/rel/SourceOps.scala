@@ -312,6 +312,55 @@ object SourceOps {
       gateAgg(s.read.parquet(packed))
     }, Some(GATE_SQL)),
 
+    // Manifest-based snapshot versioning (time travel): each commit
+    // records its file list in a manifest at commit time; a snapshot read
+    // plans from the MANIFEST, never from directory listing — so version 1
+    // stays byte-stable while version 2's files land in the very same
+    // directory (snapshot isolation on plain parquet, the metadata-layer
+    // idea under Iceberg/Delta). The gate reads BOTH versions through
+    // their persisted manifests after the append and aggregates each; the
+    // oracle recomputes the two snapshots from the raw table by the
+    // commit's time split. TimeTravelSpec additionally pins zero directory
+    // listings during a manifest read.
+    Q("src_time_travel", (s, d) => {
+      val dir = stage("tt")
+      val mid = 1705363200000000L // day 15 commit boundary
+      val e = ev(s, d)
+      e.filter(Q.tsMicros(col("ts")) < mid)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      def dataFiles(): Seq[String] = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      def commit(v: Int, fs: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/_manifest_v$v.txt"),
+          fs.mkString("\n").getBytes)
+      commit(1, dataFiles())
+      e.filter(Q.tsMicros(col("ts")) >= mid)
+        .write.mode(SaveMode.Append).parquet(dir)
+      commit(2, dataFiles())
+      def snap(v: Int): DataFrame = {
+        val mf = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/_manifest_v$v.txt")))
+          .split("\n").toSeq
+        s.read.parquet(mf: _*)
+      }
+      def agg(v: Int) = snap(v).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .select(lit(v.toLong).as("version"), col("event_type"), col("n"),
+          col("sum_value"))
+      agg(1).unionByName(agg(2))
+    }, Some("""
+      SELECT CAST(1 AS BIGINT) AS version, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE epoch_us(ts) < 1705363200000000 GROUP BY 2
+      UNION ALL
+      SELECT 2, event_type, count(*),
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM events GROUP BY 2""")),
+
     // Schema evolution: an events feed that ADDED the value column
     // mid-stream — early files lack it, late files carry it — read back
     // through mergeSchema, with the absent column surfacing as NULL for
