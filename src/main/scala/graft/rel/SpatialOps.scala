@@ -1,5 +1,6 @@
 package graft.rel
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q.tbl
 
@@ -70,6 +71,22 @@ object SpatialOps {
     crossing("cx - r3", "cy", "cx", "cy - r4") + " + " +
     crossing("cx", "cy - r4", "cx + r1", "cy") + ") % 2 = 1"
 
+  private lazy val PIP_SQL = s"""
+      WITH polys AS ($polySrc),
+      pc1 AS (
+        SELECT *, unnest(range((cx - r3) // $C, (cx + r1) // $C + 1)) AS xc
+        FROM polys),
+      pc AS (
+        SELECT poly_id, cx, cy, r1, r2, r3, r4,
+               xc * 128 + unnest(range((cy - r4) // $C, (cy + r2) // $C + 1))
+                 AS cell
+        FROM pc1),
+      pts AS ($ptSrc)
+      SELECT poly_id, pt_id, px, py
+      FROM pts JOIN pc
+        ON (px // $C) * 128 + (py // $C) = pc.cell
+      WHERE $INSIDE"""
+
   def all: Seq[Q] = Seq(
 
     Q("geo_pip_join", (s, d) => {
@@ -89,21 +106,9 @@ object SpatialOps {
         FROM pts JOIN pc
           ON (px div $C) * 128 + (py div $C) = pc.cell
         WHERE $INSIDE""")
-    }, Some(s"""
-      WITH polys AS ($polySrc),
-      pc1 AS (
-        SELECT *, unnest(range((cx - r3) // $C, (cx + r1) // $C + 1)) AS xc
-        FROM polys),
-      pc AS (
-        SELECT poly_id, cx, cy, r1, r2, r3, r4,
-               xc * 128 + unnest(range((cy - r4) // $C, (cy + r2) // $C + 1))
-                 AS cell
-        FROM pc1),
-      pts AS ($ptSrc)
-      SELECT poly_id, pt_id, px, py
-      FROM pts JOIN pc
-        ON (px // $C) * 128 + (py // $C) = pc.cell
-      WHERE $INSIDE""")),
+    }, Some(PIP_SQL)),
+
+    Q("st_geo_pip", pipStream, Some(PIP_SQL)),
 
     // Radius (distance) join — "every measurement within R of a site":
     // the other half of the spatial-join pair. Cell size = R, so a
@@ -145,6 +150,54 @@ object SpatialOps {
       FROM probe JOIN sites
         ON (sx // $R) * 256 + (sy // $R) = probe.cell
       WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= ${R * R}""")))
+
+  /** Streaming twin of geo_pip_join: measurement points ARRIVE as a
+    * stream (staged files, several micro-batches) and join the STATIC
+    * polygon-cell relation — a stream-static inner join, which Structured
+    * Streaming runs stateless and watermark-free (the static side is
+    * re-broadcast per batch, the stream side never buffers). The exact
+    * inside test is the same shared predicate; output is append-mode and
+    * batch-equivalent, gated by the identical oracle as the batch gate.
+    */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def pipStream(s: SparkSession, d: String): DataFrame = {
+    val inv = sinkCounter.incrementAndGet()
+    val qn = s"st_geo_pip_sink_$inv"
+    val stageDir = graft.TempDirs.create(s"graft_pip_stage_$inv")
+    tbl(s, d, "lineitem")
+      .filter(col("l_orderkey") % 13 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+      .repartition(4).write.mode("overwrite").parquet(stageDir)
+    tbl(s, d, "part").createOrReplaceTempView("part")
+    val polyCells = s.sql(s"""
+      WITH polys AS ($polySrc)
+      SELECT poly_id, cx, cy, r1, r2, r3, r4,
+             explode(flatten(transform(
+               sequence((cx - r3) div $C, (cx + r1) div $C),
+               xc -> transform(sequence((cy - r4) div $C, (cy + r2) div $C),
+                               yc -> xc * 128 + yc)))) AS cell
+      FROM polys""")
+    val pts = s.readStream
+      .schema("l_orderkey BIGINT, l_linenumber INT, l_partkey BIGINT, " +
+        "l_suppkey BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .selectExpr("l_orderkey * 10 + l_linenumber AS pt_id",
+        s"64 + (l_orderkey * 7 + l_linenumber * 131) % $D AS px",
+        s"64 + (l_partkey * 11 + l_suppkey * 17) % $D AS py")
+      .withColumn("cell",
+        expr(s"(px div $C) * 128 + (py div $C)"))
+    val joined = pts.join(polyCells, "cell")
+      .filter(expr(INSIDE))
+      .select("poly_id", "pt_id", "px", "py")
+    val query = graft.streaming.StateSizing.startSized(s)(
+      joined.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
 
   private val R = 16 // join radius = grid cell size
 
