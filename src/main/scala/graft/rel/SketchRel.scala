@@ -149,7 +149,69 @@ object SketchRel {
       .toDF("event_type", "wmean")
   }
 
+  /** HLL sketch gate: per event_type, the FULL 64-register table from the
+    * custom [[graft.functions.HllRegisters]] aggregate (Java
+    * numberOfLeadingZeros inside the agg), exploded to rows, plus the
+    * exact-integer register sum S = sum(2^(55-reg)) and the one-division
+    * estimate alpha*m^2*2^55 / S. The DuckDB oracle re-derives every
+    * register INDEPENDENTLY — nibble-parsing the same md5 hashes and
+    * taking rho from the binary-string length — so a hash match proves
+    * the sketch bit-for-bit, not just the estimate's ballpark. Registers
+    * (unlike the float harmonic mean) are order- and partitioning-
+    * deterministic: elementwise max is commutative and idempotent.
+    */
+  private val HLL_P = 6
+  private val HLL_NUM: Double = 0.709 * 4096.0 * (1L << 55).toDouble
+
+  def hllUsers(s: SparkSession, d: String): DataFrame = {
+    val h = tbl(s, d, "events")
+      .select(col("event_type"), expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+    val rows = h.groupBy("event_type")
+      .agg(graft.functions.HllRegisters(col("h"), HLL_P).as("regs"))
+      .select(col("event_type"), posexplode(col("regs")))
+      .select(col("event_type"), col("pos").cast("long").as("bucket"),
+        col("col").cast("long").as("reg"))
+    val stats = rows.groupBy("event_type")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - reg AS INT))"))
+        .as("s_sum"))
+      .select(col("event_type"), col("s_sum"),
+        (lit(HLL_NUM) / col("s_sum").cast("double")).as("est_users"))
+    rows.join(broadcast(stats), "event_type")
+  }
+
   def all: Seq[Q] = Seq(
+    Q("sk_hll_users", hllUsers, Some(s"""
+      WITH h AS (
+        SELECT event_type,
+               ${duckNibbleSum("md5(CAST(user_id AS VARCHAR))")} AS h
+        FROM events),
+      rr AS (
+        SELECT event_type, h // ${1L << 54} AS bucket,
+               h % ${1L << 54} AS r
+        FROM h),
+      hits AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN r = 0 THEN 55
+                        ELSE 55 - len(printf('%b', r)) END) AS reg
+        FROM rr GROUP BY 1, 2),
+      scaffold AS (
+        SELECT DISTINCT event_type, unnest(range(0, 64)) AS bucket
+        FROM events),
+      regs AS (
+        SELECT s.event_type, s.bucket,
+               CAST(coalesce(h.reg, 0) AS BIGINT) AS reg
+        FROM scaffold s LEFT JOIN hits h
+          ON s.event_type = h.event_type AND s.bucket = h.bucket),
+      stats AS (
+        SELECT event_type,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(55 - reg AS INT))
+                 AS BIGINT) AS s_sum
+        FROM regs GROUP BY 1)
+      SELECT r.event_type, r.bucket, r.reg, t.s_sum,
+             $HLL_NUM / CAST(t.s_sum AS DOUBLE) AS est_users
+      FROM regs r JOIN stats t ON r.event_type = t.event_type""")),
     Q("ag_weighted_mean", weightedMean, Some("""
       SELECT event_type,
              CAST(CAST(sum(CAST(round(value * 1000000) AS BIGINT) * (user_id % 10 + 1)) AS BIGINT) AS DOUBLE) /

@@ -967,6 +967,7 @@ object VectorOps {
 
   def mmr(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val qv = qvec(s, d)
     val w = Window.partitionBy("q_id").orderBy(col("rel").desc, col("cand").asc)
     val cand = qv.as("b")
@@ -976,36 +977,35 @@ object VectorOps {
         dotCol.as("rel"), col("b.qv").as("cqv"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select("q_id", "cand", "rel", "cqv")
-    val csim = cand.select(col("q_id"), col("cand").as("a"),
-        col("cqv").as("aqv"))
-      .join(cand.select(col("q_id"), col("cand").as("b"),
-        col("cqv").as("bqv")), "q_id")
-      .filter(col("a") =!= col("b"))
-      .select(col("q_id"), col("a"), col("b"),
-        graft.functions.VectorFunctions.long_dot(col("aqv"), col("bqv"))
-          .as("sim"))
-    val candS = cand.select("q_id", "cand", "rel")
-
-    def argmax(df: DataFrame, score: org.apache.spark.sql.Column,
-        step: Int): DataFrame = df
-      .groupBy("q_id")
-      .agg(max(struct(score.as("s"), (-col("cand")).as("nc"))).as("m"))
-      .select(col("q_id"), lit(step).as("step"), (-col("m.nc")).as("cand"))
-
-    var selu = argmax(candS, col("rel"), 1)
-    for (r <- 2 to MMR_K) {
-      val pen = candS.join(selu.select("q_id", "cand"),
-          Seq("q_id", "cand"), "left_anti")
-        .join(csim
-          .join(selu.select(col("q_id"), col("cand").as("b")),
-            Seq("q_id", "b"))
-          .select(col("q_id"), col("a").as("cand"), col("sim")),
-          Seq("q_id", "cand"))
-        .groupBy("q_id", "cand", "rel").agg(max("sim").as("pen"))
-      selu = selu.unionByName(
-        argmax(pen, lit(7L) * col("rel") - lit(3L) * col("pen"), r))
-    }
-    graft.Caching.releaseAfterAction(selu, cand, csim)
+    // the greedy itself is per-query local over the k-bounded candidate
+    // set (10 rows, 45 sims) — ONE q_id-keyed aggregate then a typed
+    // flatMap, never more shuffles; the earlier 4-round relational
+    // unrolling re-paid a join+window+aggregate per step for work that
+    // fits in registers (15.9 s -> corpus-scan-bound)
+    cand.groupBy("q_id")
+      .agg(collect_list(struct(col("cand"), col("rel"), col("cqv")))
+        .as("cs"))
+      .as[(Long, Seq[(Long, Long, Seq[Long])])]
+      .flatMap { case (q, csRaw) =>
+        val cs = csRaw.sortBy(t => (-t._2, t._1))
+        val vecs = cs.map(t => t._1 -> t._3.toArray).toMap
+        val rel = cs.map(t => t._1 -> t._2).toMap
+        def dot(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        var selected = Vector(cs.head._1)
+        while (selected.length < MMR_K && selected.length < cs.length) {
+          val next = cs.map(_._1).filterNot(selected.contains).map { c =>
+            val pen = selected.map(sl => dot(vecs(c), vecs(sl))).max
+            (7L * rel(c) - 3L * pen, -c)
+          }.max
+          selected :+= -next._2
+        }
+        selected.zipWithIndex.map { case (c, i) => (q, i + 1, c) }
+      }
+      .toDF("q_id", "step", "cand")
   }
 
   private def mmrSql: String = {
