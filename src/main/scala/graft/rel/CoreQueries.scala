@@ -438,6 +438,37 @@ object CoreQueries {
                AS sum_qty
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                              (l_returnflag), (l_linestatus))"""))
+                              (l_returnflag), (l_linestatus))""")),
+
+    // -- LATERAL correlated subquery -----------------------------------------
+    // Per order, its top-2 line items by extended price through a LATERAL
+    // correlated subquery — the "top-N per group as a join" surface.
+    // Catalyst DECORRELATES the lateral into a ranked window join rather
+    // than executing per-row subqueries (plan-guarded in the spec: one
+    // window, no nested-loop re-execution per outer row) — the rewrite
+    // that makes lateral top-N viable over 100 TB of orders.
+    Q("q34_lateral", (s, d) => {
+      tbl(s, d, "orders").createOrReplaceTempView("orders")
+      tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT o.o_orderkey, o.o_custkey, t.l_linenumber, t.l_extendedprice
+        FROM orders o
+        JOIN LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber ASC
+          LIMIT 2) t
+        WHERE o.o_orderkey % 5 = 0""")
+    }, Some("""
+      SELECT o.o_orderkey, o.o_custkey, t.l_linenumber, t.l_extendedprice
+      FROM orders o
+      JOIN LATERAL (
+        SELECT l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber ASC
+        LIMIT 2) t ON true
+      WHERE o.o_orderkey % 5 = 0"""))
   )
 }

@@ -732,6 +732,66 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Dynamic-gap session windows: the gap is a PER-EVENT expression
+    * (purchases hold a session open 60 min, everything else 15) — the
+    * engine merges each event's [t, t+gap(t)) window into the running
+    * session on overlap. The oracle replays the merge rule relationally:
+    * an event starts a new session iff its time is at or past the RUNNING
+    * MAX of all previous events' window ends (cumulative max over the
+    * (ROWS UNBOUNDED PRECEDING, 1 PRECEDING) frame) — value-dependent
+    * state the fixed-gap oracle cannot express.
+    */
+  def sessionWindowDynamic(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_session_dyn_sink_" + sinkCounter.incrementAndGet()
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), col("ts").cast("timestamp").as("tts"),
+        col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+      .groupBy(col("user_id"),
+        session_window(col("tts"), when(col("event_type") === "purchase",
+          lit("60 minutes")).otherwise(lit("15 minutes"))).as("w"))
+      .agg(count(expr("1")).as("n_events"), sum("qv").as("sum_micros"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("s_start"),
+        expr("unix_micros(w.end)").as("s_end"),
+        col("n_events"), col("sum_micros"))
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
+  val SESSION_DYN_SQL: String = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CASE WHEN event_type = 'purchase' THEN 3600000000
+                  ELSE 900000000 END AS gap,
+             CAST(round(value * 1000000) AS BIGINT) AS qv
+      FROM events),
+    d AS (
+      SELECT user_id, tus, gap, qv,
+             CASE WHEN max(tus + gap) OVER (PARTITION BY user_id
+                    ORDER BY tus, gap
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR tus >= max(tus + gap) OVER (PARTITION BY user_id
+                    ORDER BY tus, gap
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (
+      SELECT user_id, tus, gap, qv,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, gap
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d)
+    SELECT user_id, min(tus) AS s_start, max(tus + gap) AS s_end,
+           count(*) AS n_events, CAST(sum(qv) AS BIGINT) AS sum_micros
+    FROM s GROUP BY user_id, sid"""
+
   val SESSION_WINDOW_SQL: String = """
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS tus,
@@ -755,6 +815,8 @@ object StreamingOps {
 
   def all: Seq[graft.rel.Q] = Seq(
     graft.rel.Q("st_session_window", sessionWindow, Some(SESSION_WINDOW_SQL)),
+    graft.rel.Q("st_session_dynamic", sessionWindowDynamic,
+      Some(SESSION_DYN_SQL)),
     graft.rel.Q("st_ivm_merge", ivmMergeStream, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,
