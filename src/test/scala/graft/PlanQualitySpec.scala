@@ -445,4 +445,39 @@ class PlanQualitySpec extends AnyFunSuite {
         .exists(_.contains("event_type")),
       s"event_type filter did not become a partition filter:\n$p")
   }
+
+  test("q34_lateral decorrelates: ranked window join, no per-row rescans") {
+    val p = plan("q34_lateral")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral subquery did not decorrelate:\n$p")
+    // the per-order LIMIT 2 becomes one rank computation over lineitem
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"),
+      s"no ranked rewrite of the lateral LIMIT:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size <= 2,
+      s"lateral rescans a table:\n$p")
+  }
+
+  test("q31_range_frame is one user-keyed exchange plus one window") {
+    val p = plan("q31_range_frame")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"range frame grew extra exchanges:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1)
+  }
+
+  test("aj_pit_features runs on the custom as-of operator") {
+    val p = plan("aj_pit_features")
+    assert(p.contains("AsOfJoin"),
+      s"point-in-time join fell back off AsOfJoinExec:\n$p")
+  }
+
+  test("sk_hll_users sketches in the partial-aggregate phase") {
+    val p = plan("sk_hll_users")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial phase — registers merge map-side, the 100 TB property
+    assert(p.contains("ObjectHashAggregate"),
+      s"HLL aggregate not object-hash planned:\n$p")
+    assert(p.contains("partial_hll_registers") ||
+      p.contains("hll_registers"), s"custom aggregate missing:\n$p")
+  }
 }
