@@ -182,6 +182,49 @@ object SourceOps {
         .json(jsonDir))
     }, Some(GATE_SQL)),
 
+    // Compressed text interchange: the same JSONL round-trip through the
+    // gzip codec — every file is written and re-read as .json.gz, the
+    // form event logs actually ship in. Same oracle as the uncompressed
+    // path, so a hash match isolates the codec layer. (gzip text files
+    // are NOT splittable — a real 100 TB feed shards into many files so
+    // parallelism comes from file count, exactly what the distributed
+    // writer produces here.)
+    Q("src_jsonl_gzip", (s, d) => {
+      val dir = stage("jsongz")
+      ev(s, d).write.mode(SaveMode.Overwrite)
+        .option("compression", "gzip")
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .json(dir)
+      gateAgg(s.read
+        .option("timestampFormat", TS_FMT)
+        .option("timestampNTZFormat", TS_FMT)
+        .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE")
+        .json(dir))
+    }, Some(GATE_SQL)),
+
+    // CSV quoting fidelity: events.props carries embedded double quotes
+    // (JSON text), which the CSV writer must quote-wrap and escape and
+    // the reader must unescape byte-exactly — the classic corruption seam
+    // of CSV interchange. The gate groups by the ROUND-TRIPPED props
+    // value, so one mangled character splits or merges groups and breaks
+    // the hash.
+    Q("src_csv_quoted", (s, d) => {
+      val dir = stage("csvq")
+      tbl(s, d, "events").select("event_id", "event_type", "props")
+        .write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(dir)
+      s.read.option("header", "true")
+        .schema("event_id BIGINT, event_type STRING, props STRING")
+        .csv(dir)
+        .groupBy("event_type", "props")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+    }, Some("""
+      SELECT event_type, props, count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum
+      FROM events GROUP BY 1, 2""")),
+
     // Parquet bloom-filter point lookup: the store is laid out ADVERSELY
     // for the probe key (sorted by user_id, so event_id is scattered and
     // min/max stats prune nothing) and written with a bloom filter on

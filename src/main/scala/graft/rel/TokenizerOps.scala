@@ -177,7 +177,43 @@ object TokenizerOps {
       WHERE len(dw.w) > 0
       GROUP BY doc_id"""
 
+  /** Streaming twin of tx_bpe_apply — tokenize-at-ingest: documents
+    * arrive as a stream and each micro-batch joins the BROADCAST static
+    * vocabulary (word -> token count, learned batch-side from the same
+    * corpus) — a stream-static join, stateless on the stream side; only
+    * the per-doc aggregate keeps state. This is the shape a production
+    * ingest uses: the tokenizer is a small static artifact shipped to
+    * every executor, the text never re-shuffles for tokenization.
+    */
+  def bpeApplyStream(s: SparkSession, d: String): DataFrame = {
+    val (_, syms, cached) = train(s, d, 3)
+    val ntoks = syms.select(col("word"),
+      size(split(expr("trim(BOTH '|' FROM sym)"), raw"\|\|"))
+        .cast("long").as("wt"))
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val qn = "st_bpe_sink_" + bpeSinkCounter.incrementAndGet()
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(ntoks), "word")
+      .groupBy("doc_id")
+      .agg(sum("wt").as("bpe_tokens"), count(lit(1)).as("words"))
+    val query = graft.streaming.StateSizing.startSized(s)(
+      stream.writeStream.outputMode("complete")
+        .format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      cached.foreach(_.unpersist(blocking = false))
+    }
+    s.table(qn)
+  }
+
+  private val bpeSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def all: Seq[Q] = Seq(
     Q("tx_bpe_train", bpeTrain, Some(BPE_TRAIN_SQL)),
-    Q("tx_bpe_apply", bpeApply, Some(BPE_APPLY_SQL)))
+    Q("tx_bpe_apply", bpeApply, Some(BPE_APPLY_SQL)),
+    Q("st_tx_bpe", bpeApplyStream, Some(BPE_APPLY_SQL)))
 }
