@@ -181,7 +181,84 @@ object SketchRel {
     rows.join(broadcast(stats), "event_type")
   }
 
+  /** DDSketch-style mergeable quantile histogram (Masson et al., VLDB
+    * 2019 — relative-error quantiles from log-spaced buckets): values
+    * land in sub-bucketed power-of-2 bins (4 per octave, gamma ~ 1.19),
+    * the histogram merges by count addition (the mergeability exact
+    * percentiles lack — q21's sort-based percentile can't combine across
+    * 100 TB partitions; this can, map-side), and quantiles read off the
+    * cumulative walk deterministically: rank = ceil(q*N) in exact
+    * integers, representative = the bin midpoint 2^(b-3)*(9+2k) — every
+    * number in the gate is int64, so the sketch hash-matches a DuckDB
+    * replay deriving bins from binary-string lengths.
+    */
+  def ddsketch(s: SparkSession, d: String): DataFrame = {
+    val hist = tbl(s, d, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+      .select(col("event_type"),
+        expr("length(bin(qv)) - 1").as("b"),
+        expr("shiftright(qv, CAST(length(bin(qv)) - 3 AS INT)) & 3").as("k"))
+      .groupBy(col("event_type"), (col("b") * 4 + col("k")).as("bid"))
+      .agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("bid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("n").over(w))
+    val stats = cum.groupBy("event_type")
+      .agg(sum("n").as("nt"),
+        collect_list(struct(col("bid"), col("cum"))).as("walk"))
+      .select(col("event_type"), col("nt"),
+        expr("""array_min(transform(
+            filter(walk, x -> x.cum * 2 >= nt + 1), x -> x.bid))""")
+          .as("q50_bid"),
+        expr("""array_min(transform(
+            filter(walk, x -> x.cum * 20 >= nt * 19), x -> x.bid))""")
+          .as("q95_bid"))
+    def rep(bid: org.apache.spark.sql.Column) =
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${bid.toString()} div 4 - 3 AS INT))") *
+        (lit(9L) + lit(2L) * (bid % 4))
+    cum.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("bid"), col("n"), col("cum"),
+        col("nt"), col("q50_bid"), col("q95_bid"),
+        rep(col("q50_bid")).as("q50_rep"), rep(col("q95_bid")).as("q95_rep"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("sk_ddsketch", ddsketch, Some("""
+      WITH qv AS (
+        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS qv
+        FROM events),
+      bins AS (
+        SELECT event_type,
+               (len(printf('%b', qv)) - 1) * 4 +
+               ((qv >> (len(printf('%b', qv)) - 3)) & 3) AS bid
+        FROM qv),
+      hist AS (
+        SELECT event_type, bid, count(*) AS n
+        FROM bins GROUP BY 1, 2),
+      cumul AS (
+        SELECT event_type, bid, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bid
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist),
+      tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt
+              FROM hist GROUP BY 1),
+      stats AS (
+        SELECT c.event_type, max(t.nt) AS nt,
+               min(CASE WHEN c.cum * 2 >= t.nt + 1 THEN c.bid END)
+                 AS q50_bid,
+               min(CASE WHEN c.cum * 20 >= t.nt * 19 THEN c.bid END)
+                 AS q95_bid
+        FROM cumul c JOIN tot t USING (event_type) GROUP BY 1
+      )
+      SELECT c.event_type, c.bid, c.n, c.cum,
+             CAST(t.nt AS BIGINT) AS nt, t.q50_bid, t.q95_bid,
+             (CAST(1 AS BIGINT) << CAST(t.q50_bid // 4 - 3 AS INT))
+               * (9 + 2 * (t.q50_bid % 4)) AS q50_rep,
+             (CAST(1 AS BIGINT) << CAST(t.q95_bid // 4 - 3 AS INT))
+               * (9 + 2 * (t.q95_bid % 4)) AS q95_rep
+      FROM cumul c JOIN stats t ON c.event_type = t.event_type""")),
     Q("sk_hll_users", hllUsers, Some(s"""
       WITH h AS (
         SELECT event_type,
