@@ -264,6 +264,68 @@ object GovernOps {
              max(CAST(round(value * 1000000) AS BIGINT)) AS max_qv
       FROM events GROUP BY 1, 2""")),
 
+    // Distribution drift monitor — the check a feature pipeline runs
+    // between a reference window and a live window: value distributions
+    // (first vs second half-month) bucketed into the same log-spaced bins
+    // as sk_ddsketch, compared per bin by the EXACT cross-product
+    // residual n_a*tot_b - n_b*tot_a (the chi-square numerator's signed
+    // core, kept in int64 — a float PSI would be summation-order
+    // dependent and unhashable). Full outer join on the bin keeps bins
+    // that exist on only one side — precisely the drift signal. One scan,
+    // two hash aggregates, a bin-keyed join.
+    Q("dq_drift", (s, d) => {
+      val mid = 1705363200000000L
+      val bins = tbl(s, d, "events")
+        .select((Q.tsMicros(col("ts")) >= mid).as("late"),
+          col("event_type"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+        .selectExpr("late", "event_type",
+          "(length(bin(qv)) - 1) * 4 + " +
+            "(shiftright(qv, CAST(length(bin(qv)) - 3 AS INT)) & 3) AS bid")
+        .groupBy("late", "event_type", "bid").agg(count(lit(1)).as("n"))
+      val a = bins.filter(!col("late")).select(col("event_type"),
+        col("bid"), col("n").as("n_a"))
+      val b = bins.filter(col("late")).select(col("event_type"),
+        col("bid"), col("n").as("n_b"))
+      val tot = bins.groupBy("event_type")
+        .agg(sum(when(!col("late"), col("n")).otherwise(0L)).as("tot_a"),
+          sum(when(col("late"), col("n")).otherwise(0L)).as("tot_b"))
+      a.join(b, Seq("event_type", "bid"), "full_outer")
+        .na.fill(0L, Seq("n_a", "n_b"))
+        .join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("bid"), col("n_a"), col("n_b"),
+          (col("n_a") * col("tot_b") - col("n_b") * col("tot_a"))
+            .as("drift"))
+    }, Some("""
+      WITH q AS (
+        SELECT epoch_us(ts) >= 1705363200000000 AS late, event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS qv
+        FROM events),
+      bins AS (
+        SELECT late, event_type,
+               (len(printf('%b', qv)) - 1) * 4 +
+               ((qv >> (len(printf('%b', qv)) - 3)) & 3) AS bid,
+               count(*) AS n
+        FROM q GROUP BY 1, 2, 3),
+      a AS (SELECT event_type, bid, n AS n_a FROM bins WHERE NOT late),
+      b AS (SELECT event_type, bid, n AS n_b FROM bins WHERE late),
+      tot AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN NOT late THEN n ELSE 0 END) AS BIGINT)
+                 AS tot_a,
+               CAST(sum(CASE WHEN late THEN n ELSE 0 END) AS BIGINT)
+                 AS tot_b
+        FROM bins GROUP BY 1)
+      SELECT coalesce(a.event_type, b.event_type) AS event_type,
+             coalesce(a.bid, b.bid) AS bid,
+             CAST(coalesce(a.n_a, 0) AS BIGINT) AS n_a,
+             CAST(coalesce(b.n_b, 0) AS BIGINT) AS n_b,
+             CAST(coalesce(a.n_a, 0) * t.tot_b
+                  - coalesce(b.n_b, 0) * t.tot_a AS BIGINT) AS drift
+      FROM a FULL OUTER JOIN b
+        ON a.event_type = b.event_type AND a.bid = b.bid
+      JOIN tot t ON t.event_type = coalesce(a.event_type, b.event_type)""")),
+
     // Wide-to-long unpivot (melt) of the four lineitem measures — the
     // reshape feeding any per-metric pipeline (metric stores, feature
     // tables). One generator per row, no shuffle, values pass through

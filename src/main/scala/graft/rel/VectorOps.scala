@@ -1063,7 +1063,79 @@ object VectorOps {
       SELECT q_id, step, cand FROM selu$MMR_K"""
   }
 
+  /** Binary (1-bit) quantization retrieval — the modern memory-floor ANN
+    * path (64 dims -> ONE long word of sign bits, 32x smaller than int8):
+    * Hamming distance via bit_count(xor) prunes to 10 candidates per
+    * query, exact int dots rerank to the final 3. Sign words build with
+    * disjoint-bit sums (== OR, carry-free, so DuckDB's arithmetic replay
+    * is bit-identical including bit 63's two's-complement wrap). At scale
+    * the Hamming pass streams the corpus past broadcast query words —
+    * 8 bytes per vector — and only the 10 survivors touch full vectors.
+    */
+  private val SIGN_SQL_SPARK =
+    """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+       (acc, i) -> acc + IF(element_at(embedding, i + 1) > 0F,
+                            shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
+
+  // DuckDB's checked shift refuses 1 << 63; bit 63 enters as the min-long
+  // literal instead (disjoint-bit sums never carry, and sum(BIGINT) runs
+  // in HUGEINT, so the cast back is the exact two's-complement word)
+  private val SIGN_SQL_DUCK =
+    """(SELECT CAST(sum(CASE WHEN embedding[i + 1] <= 0 THEN 0
+                        WHEN i = 63
+                          THEN CAST(-9223372036854775808 AS HUGEINT)
+                        ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT)
+                        END) AS BIGINT)
+        FROM range(0, 64) AS t(i))"""
+
+  def binaryAnn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = tbl(s, d, "embeddings")
+      .select(col("vec_id"), expr(SIGN_SQL_SPARK).as("w"),
+        expr(quant).as("qv"))
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("ham").asc, col("cand").asc)
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("dot").desc, col("cand").asc)
+    vecs.as("b")
+      .join(broadcast(vecs.filter(col("vec_id") % 50 === 0).as("a")),
+        expr("a.vec_id != b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("cand"),
+        expr("CAST(bit_count(a.w ^ b.w) AS BIGINT)").as("ham"),
+        dotCol.as("dot"))
+      .withColumn("hr", row_number().over(wq)).filter(col("hr") <= 10)
+      .withColumn("rr", row_number().over(wr)).filter(col("rr") <= 3)
+      .select(col("q_id"), col("cand"), col("ham"), col("dot"),
+        col("rr").as("rank"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("ann_binary", binaryAnn, Some(s"""
+      WITH $QVEC_SQL,
+      sw AS (
+        SELECT vec_id, $SIGN_SQL_DUCK AS w
+        FROM embeddings),
+      v AS (SELECT q.vec_id, q.qv, s.w
+            FROM qv q JOIN sw s ON q.vec_id = s.vec_id),
+      ham AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS cand,
+               CAST(bit_count(CAST(xor(a.w, b.w) AS BIGINT)) AS BIGINT)
+                 AS ham,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                     CAST(b.qv AS DOUBLE[])) AS BIGINT)
+                 AS dot
+        FROM v a, v b WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id),
+      c10 AS (
+        SELECT q_id, cand, ham, dot FROM (
+          SELECT q_id, cand, ham, dot,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY ham ASC, cand ASC) AS hr
+          FROM ham) WHERE hr <= 10)
+      SELECT q_id, cand, ham, dot, rank FROM (
+        SELECT q_id, cand, ham, dot,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY dot DESC, cand ASC) AS rank
+        FROM c10) WHERE rank <= 3""")),
     Q("ann_mmr", mmr, Some(mmrSql)),
     Q("ann_rp_bucket", annRpBucket, Some(ANN_RP_BUCKET_SQL)),
 
