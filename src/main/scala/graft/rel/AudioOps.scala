@@ -1,7 +1,7 @@
 package graft.rel
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, row_number, sum}
 import graft.mm.AudioCodec
 import Q.tbl
 
@@ -328,7 +328,58 @@ object AudioOps {
     s.table(qn)
   }
 
+  /** Activity segmentation (VAD shape) over the decoded windows: a window
+    * is ACTIVE when its energy exceeds the clip-channel mean (compared by
+    * exact cross-multiplication — no ratio), and activity runs merge by
+    * the gaps-and-islands rule (island id = win - row_number, pure
+    * integers). Per (clip, channel): segment count, longest run, active
+    * windows — the silence-split statistics an audio curation pipeline
+    * keys on. Spark derives energies from the REAL WAV decode
+    * (audioFeatures), the oracle from the synthesis formula, so the
+    * segmentation pins the codec path end-to-end.
+    */
+  def audioVad(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = audioFeatures(s, d)
+    val tot = feats.groupBy("doc_id", "chan")
+      .agg(sum("energy").as("te"), count(lit(1)).as("nw"))
+    val active = feats.join(tot, Seq("doc_id", "chan"))
+      .filter(col("energy") * col("nw") > col("te"))
+    val w = Window.partitionBy("doc_id", "chan").orderBy("win")
+    active
+      .withColumn("grp", col("win") - row_number().over(w))
+      .groupBy("doc_id", "chan", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id", "chan")
+      .agg(count(lit(1)).as("n_segments"), max("len").as("longest"),
+        sum("len").as("active_windows"))
+  }
+
+  private val MM_AUDIO_VAD_SQL = s"""
+    WITH $MM_SIG_CTES,
+    feats AS (
+      SELECT doc_id, c AS chan, i // 160 AS win,
+             CAST(sum(v * v) AS BIGINT) AS energy
+      FROM mm_sig GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT doc_id, chan, CAST(sum(energy) AS BIGINT) AS te,
+             count(*) AS nw
+      FROM feats GROUP BY 1, 2),
+    active AS (
+      SELECT f.doc_id, f.chan, f.win,
+             f.win - row_number() OVER (PARTITION BY f.doc_id, f.chan
+                                        ORDER BY f.win) AS grp
+      FROM feats f JOIN tot t ON f.doc_id = t.doc_id AND f.chan = t.chan
+      WHERE f.energy * t.nw > t.te),
+    runs AS (
+      SELECT doc_id, chan, grp, count(*) AS len
+      FROM active GROUP BY 1, 2, 3)
+    SELECT doc_id, chan, count(*) AS n_segments,
+           CAST(max(len) AS BIGINT) AS longest,
+           CAST(sum(len) AS BIGINT) AS active_windows
+    FROM runs GROUP BY 1, 2"""
+
   def all: Seq[Q] = Seq(
+    Q("mm_audio_vad", audioVad, Some(MM_AUDIO_VAD_SQL)),
     Q("mm_mux_demux", muxDemux, Some(MM_MUX_SQL)),
     Q("st_mm_mux", muxDemuxStream, Some(MM_MUX_SQL)),
     Q("mm_audio_meta", audioMeta, Some(MM_AUDIO_META_SQL)),
