@@ -440,6 +440,32 @@ object CoreQueries {
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                               (l_returnflag), (l_linestatus))""")),
 
+    // -- multiset (bag) set operations ---------------------------------------
+    // INTERSECT ALL / EXCEPT ALL — the bag semantics q10's distinct
+    // EXCEPT doesn't exercise: per key, the result carries
+    // min(count_a, count_b) resp. count_a - count_b DUPLICATE rows.
+    // Spark plans both as a single aggregate computing per-key counts on
+    // each side then re-generating rows — no distinct collapse, no join
+    // explosion. The two branches are tagged and unioned into one gate so
+    // the multiplicities themselves are hash-pinned.
+    Q("q35_multiset_ops", (s, d) => {
+      val a = tbl(s, d, "lineitem").filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_partkey").as("pk"))
+      val b = tbl(s, d, "lineitem").filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_partkey").as("pk"))
+      a.exceptAll(b).select(lit("except_all").as("op"), col("pk"))
+        .unionByName(a.intersectAll(b)
+          .select(lit("intersect_all").as("op"), col("pk")))
+    }, Some("""
+      WITH a AS (SELECT l_partkey AS pk FROM lineitem
+                 WHERE l_orderkey % 2 = 0),
+      b AS (SELECT l_partkey AS pk FROM lineitem WHERE l_orderkey % 2 = 1)
+      SELECT 'except_all' AS op, pk FROM (
+        SELECT pk FROM a EXCEPT ALL SELECT pk FROM b)
+      UNION ALL
+      SELECT 'intersect_all', pk FROM (
+        SELECT pk FROM a INTERSECT ALL SELECT pk FROM b)""")),
+
     // -- LATERAL correlated subquery -----------------------------------------
     // Per order, its top-2 line items by extended price through a LATERAL
     // correlated subquery — the "top-N per group as a join" surface.
