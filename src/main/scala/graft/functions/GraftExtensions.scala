@@ -22,6 +22,11 @@ object GraftFunctions {
         require(children.length == 2, "long_dot takes exactly 2 arguments")
         LongDotProduct(children.head, children(1))
     })
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "ws_token_count", {
+      children =>
+        require(children.length == 1, "ws_token_count takes 1 argument")
+        WsTokenCount(children.head)
+    })
     org.apache.spark.sql.graft.Bridge.registerFunction(spark, "kmin_strings", {
       children =>
         require(children.length == 2, "kmin_strings(col, k) takes 2 arguments")
@@ -43,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "long_dot takes exactly 2 arguments")
         LongDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "ws_token_count takes 1 argument")
+        WsTokenCount(children.head)
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.DotProductFusion)

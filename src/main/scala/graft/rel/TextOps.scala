@@ -467,6 +467,23 @@ object TextOps {
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""")),
 
+    // -- native single-pass token counting ------------------------------------
+    // the same statistic through the codegen'd WsTokenCount expression:
+    // one fused pass over the UTF-8 bytes, NO token-array materialization
+    // (the split/filter form allocates every token slice just to count
+    // them — the dominant cost of a token-budget scan at corpus scale;
+    // OpsScale measures the delta). Non-empty-token semantics, so runs of
+    // spaces count nothing.
+    Q("tx_tokens_native", (s, d) => {
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.WsTokenCount(col("text")).as("n_tok"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> len(x) > 0)) AS BIGINT) AS n_tok
+      FROM documents""")),
+
     // -- BPE-style pre-tokenization count -------------------------------------
     // the GPT-2 pre-tokenizer shape (contraction suffixes, space-prefixed
     // letter/digit/punct runs, whitespace runs) restricted to ASCII classes

@@ -151,6 +151,23 @@ object OpsScale {
         .select(pq_encode_word(col("qv"), lit(flat)).as("w"))
         .filter(col("w") >= 0).count()
     }
+    // token counting A/B: the composable split+filter array path vs the
+    // fused single-pass WsTokenCount expression over the same synthetic
+    // ~40-token documents
+    val nTcDocs = nEvents / 10
+    val docs = spark.range(nTcDocs).select(expr(
+      """concat_ws(' ', transform(sequence(0, CAST(20 + id % 40 AS INT)),
+         j -> concat('w', CAST((id * 31 + j * 7) % 997 AS STRING))))""")
+      .as("text"))
+    probeN("tokcount_split", nTcDocs) {
+      docs.select(expr(
+        "CAST(size(filter(split(text, ' '), x -> length(x) > 0)) AS BIGINT)")
+        .as("n")).agg(sum("n")).collect()(0).getLong(0)
+    }
+    probeN("tokcount_native", nTcDocs) {
+      docs.select(graft.functions.WsTokenCount(col("text")).as("n"))
+        .agg(sum("n")).collect()(0).getLong(0)
+    }
     spark.stop()
   }
 }
