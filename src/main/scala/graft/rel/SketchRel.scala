@@ -192,15 +192,22 @@ object SketchRel {
     * number in the gate is int64, so the sketch hash-matches a DuckDB
     * replay deriving bins from binary-string lengths.
     */
-  def ddsketch(s: SparkSession, d: String): DataFrame = {
-    val hist = tbl(s, d, "events")
-      .select(col("event_type"),
-        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
-      .select(col("event_type"),
-        expr("length(bin(qv)) - 1").as("b"),
-        expr("shiftright(qv, CAST(length(bin(qv)) - 3 AS INT)) & 3").as("k"))
-      .groupBy(col("event_type"), (col("b") * 4 + col("k")).as("bid"))
-      .agg(count(lit(1)).as("n"))
+  def ddsketch(s: SparkSession, d: String): DataFrame =
+    ddPost(
+      tbl(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+        .select(col("event_type"),
+          expr("length(bin(qv)) - 1").as("b"),
+          expr("shiftright(qv, CAST(length(bin(qv)) - 3 AS INT)) & 3").as("k"))
+        .groupBy(col("event_type"), (col("b") * 4 + col("k")).as("bid"))
+        .agg(count(lit(1)).as("n")))
+
+  /** Quantile walk over a (event_type, bid, n) histogram — shared by the
+    * batch gate and the streaming twin (the sketch is the STATE; the walk
+    * is a view over it).
+    */
+  private[graft] def ddPost(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("bid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -224,8 +231,7 @@ object SketchRel {
         rep(col("q50_bid")).as("q50_rep"), rep(col("q95_bid")).as("q95_rep"))
   }
 
-  def all: Seq[Q] = Seq(
-    Q("sk_ddsketch", ddsketch, Some("""
+  private[graft] val DDSKETCH_SQL = """
       WITH qv AS (
         SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS qv
         FROM events),
@@ -258,7 +264,10 @@ object SketchRel {
                * (9 + 2 * (t.q50_bid % 4)) AS q50_rep,
              (CAST(1 AS BIGINT) << CAST(t.q95_bid // 4 - 3 AS INT))
                * (9 + 2 * (t.q95_bid % 4)) AS q95_rep
-      FROM cumul c JOIN stats t ON c.event_type = t.event_type""")),
+      FROM cumul c JOIN stats t ON c.event_type = t.event_type"""
+
+  def all: Seq[Q] = Seq(
+    Q("sk_ddsketch", ddsketch, Some(DDSKETCH_SQL)),
     Q("sk_hll_users", hllUsers, Some(s"""
       WITH h AS (
         SELECT event_type,

@@ -182,6 +182,26 @@ object SourceOps {
         .json(jsonDir))
     }, Some(GATE_SQL)),
 
+    // Corrupt-tolerant PARQUET ingest — the binary-format sibling of
+    // src_corrupt_jsonl: a store holding good files PLUS a
+    // parquet-suffixed garbage object (a partial upload, a truncated
+    // copy) reads through ignoreCorruptFiles, which drops exactly the
+    // unreadable file (footer validation fails) and keeps every good row.
+    // The oracle recomputes from the good stratum alone.
+    Q("src_corrupt_parquet", (s, d) => {
+      val dir = stage("corruptpq")
+      ev(s, d).filter(col("event_id") % 3 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/part-garbage.parquet"),
+        ("NOT A PARQUET FILE " * 64).getBytes)
+      gateAgg(s.read.option("ignoreCorruptFiles", "true").parquet(dir))
+    }, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2""")),
+
     // Compressed text interchange: the same JSONL round-trip through the
     // gzip codec — every file is written and re-read as .json.gz, the
     // form event logs actually ship in. Same oracle as the uncompressed

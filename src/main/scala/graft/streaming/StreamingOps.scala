@@ -765,6 +765,36 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Streaming DDSketch — the quantile monitor as a live aggregate: the
+    * register histogram IS the streaming state (a complete-mode
+    * (type, bin) count — mergeable by construction, so micro-batch order
+    * is immaterial), and the quantile walk runs as a batch view over the
+    * snapshot. Same oracle as the batch sketch: streaming adds and loses
+    * nothing.
+    */
+  def ddsketchStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_dds_sink_" + sinkCounter.incrementAndGet()
+    val hist = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+      .select(col("event_type"),
+        expr("length(bin(qv)) - 1").as("b"),
+        expr("shiftright(qv, CAST(length(bin(qv)) - 3 AS INT)) & 3").as("k"))
+      .groupBy(col("event_type"), (col("b") * 4 + col("k")).as("bid"))
+      .agg(count(expr("1")).as("n"))
+    val query = StateSizing.startSized(s)(hist.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    // the walk self-joins the snapshot; MemoryPlan can't deduplicate its
+    // attributes across a self-join, so pin the (bin-bounded) snapshot to
+    // an RDD first
+    graft.rel.SketchRel.ddPost(s.table(qn).localCheckpoint(true))
+  }
+
   val SESSION_DYN_SQL: String = """
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS tus,
@@ -817,6 +847,8 @@ object StreamingOps {
     graft.rel.Q("st_session_window", sessionWindow, Some(SESSION_WINDOW_SQL)),
     graft.rel.Q("st_session_dynamic", sessionWindowDynamic,
       Some(SESSION_DYN_SQL)),
+    graft.rel.Q("st_sk_ddsketch", ddsketchStream,
+      Some(graft.rel.SketchRel.DDSKETCH_SQL)),
     graft.rel.Q("st_ivm_merge", ivmMergeStream, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,
