@@ -267,6 +267,37 @@ object RagOps {
                                 ORDER BY rrf DESC, cand ASC) AS fused_rank
       FROM f""")),
 
+    // First-order Markov transition counts — the statistic behind
+    // next-action models and session simulators: per ordered (prev, next)
+    // event-type pair, its occurrence count and the out-of-prev total
+    // (the exact numerator/denominator of the transition probability —
+    // no float ratio crosses the gate). One user-partitioned lag (bounded
+    // partitions), two hash aggregates; event_id breaks timestamp ties.
+    Q("sq_markov", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val pairs = tbl(s, d, "events")
+        .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val outTot = pairs.groupBy("prev").agg(sum("n").as("n_from"))
+      pairs.join(broadcast(outTot), "prev")
+    }, Some("""
+      WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events),
+      p AS (SELECT prev, event_type AS next, count(*) AS n
+            FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS n_from
+            FROM p GROUP BY 1)
+      SELECT p.prev, p.next, p.n, t.n_from
+      FROM p JOIN t ON p.prev = t.prev""")),
+
     // Behavioral sequence construction — the events-to-training-sequences
     // step of a next-action model: per user, the time-ordered event-type
     // sequence (first 32 actions) plus the full count. One hash aggregate;

@@ -213,6 +213,44 @@ object TextOps {
 
   def all: Seq[Q] = Seq(
 
+    // Blocked fuzzy matching (entity resolution): distinct part names
+    // within Levenshtein distance 3, candidates generated by the classic
+    // blocking discipline — same first token, length within +-2 — so the
+    // edit-distance kernel only ever runs inside small blocks (the trade
+    // every record-linkage system makes; an unblocked fuzzy join is
+    // quadratic at any scale). Both engines ship the SAME standard
+    // Levenshtein, so the distances hash-match; counts carry how many
+    // rows each matched name represents.
+    Q("dd_fuzzy_names", (s, d) => {
+      val names = tbl(s, d, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+        .select(col("p_name"), col("n"),
+          expr("element_at(split(p_name, ' '), 1)").as("blk"),
+          length(col("p_name")).as("len"))
+      val a = names.select(col("p_name").as("name_a"), col("n").as("n_a"),
+        col("blk"), col("len").as("len_a"))
+      val b = names.select(col("p_name").as("name_b"), col("n").as("n_b"),
+        col("blk"), col("len").as("len_b"))
+      a.join(b, "blk")
+        .filter(col("name_a") < col("name_b") &&
+          abs(col("len_a") - col("len_b")) <= 2)
+        .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 3)
+    }, Some("""
+      WITH names AS (
+        SELECT p_name, count(*) AS n,
+               string_split(p_name, ' ')[1] AS blk,
+               length(p_name) AS len
+        FROM part GROUP BY 1)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             a.n AS n_a, b.n AS n_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM names a JOIN names b
+        ON a.blk = b.blk AND a.p_name < b.p_name
+        AND abs(a.len - b.len) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 3""")),
+
     // -- exact dedup: content-hash groups, keep the smallest id --------------
     Q("dd_exact", (s, d) => {
       val h = corpusDf(s, d).select(col("doc_id"), md5(col("text")).as("hash"))
