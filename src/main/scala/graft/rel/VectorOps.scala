@@ -1109,7 +1109,59 @@ object VectorOps {
         col("rr").as("rank"))
   }
 
+  /** Recall@10 of the Hamming prune against exact top-10 — the quality
+    * measurement that makes ann_binary an ENGINEERED trade rather than a
+    * hope: per query, how many of the true top-10 survive in the binary
+    * candidate set (the gate carries the exact integer hit counts; the
+    * corpus recall is their sum over 10*|Q|).
+    */
+  def binaryRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = tbl(s, d, "embeddings")
+      .select(col("vec_id"), expr(SIGN_SQL_SPARK).as("w"),
+        expr(quant).as("qv"))
+    val joined = vecs.as("b")
+      .join(broadcast(vecs.filter(col("vec_id") % 50 === 0).as("a")),
+        expr("a.vec_id != b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("cand"),
+        expr("CAST(bit_count(a.w ^ b.w) AS BIGINT)").as("ham"),
+        dotCol.as("dot"))
+    val we = Window.partitionBy("q_id").orderBy(col("dot").desc, col("cand").asc)
+    val wh = Window.partitionBy("q_id").orderBy(col("ham").asc, col("cand").asc)
+    val exact = joined.withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= 10).select("q_id", "cand")
+    val ham = joined.withColumn("rn", row_number().over(wh))
+      .filter(col("rn") <= 10).select("q_id", "cand")
+    exact.join(ham, Seq("q_id", "cand"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      .withColumn("k", lit(10L))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("ann_binary_recall", binaryRecall, Some(s"""
+      WITH $QVEC_SQL,
+      sw AS (SELECT vec_id, $SIGN_SQL_DUCK AS w FROM embeddings),
+      v AS (SELECT q.vec_id, q.qv, s.w
+            FROM qv q JOIN sw s ON q.vec_id = s.vec_id),
+      pairs AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS cand,
+               CAST(bit_count(CAST(xor(a.w, b.w) AS BIGINT)) AS BIGINT)
+                 AS ham,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                     CAST(b.qv AS DOUBLE[])) AS BIGINT)
+                 AS dot
+        FROM v a, v b WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id),
+      exact AS (
+        SELECT q_id, cand FROM (
+          SELECT q_id, cand, row_number() OVER (PARTITION BY q_id
+            ORDER BY dot DESC, cand ASC) AS rn FROM pairs) WHERE rn <= 10),
+      ham10 AS (
+        SELECT q_id, cand FROM (
+          SELECT q_id, cand, row_number() OVER (PARTITION BY q_id
+            ORDER BY ham ASC, cand ASC) AS rn FROM pairs) WHERE rn <= 10)
+      SELECT e.q_id, count(*) AS n_hits, CAST(10 AS BIGINT) AS k
+      FROM exact e JOIN ham10 h ON e.q_id = h.q_id AND e.cand = h.cand
+      GROUP BY e.q_id""")),
     Q("ann_binary", binaryAnn, Some(s"""
       WITH $QVEC_SQL,
       sw AS (
