@@ -152,7 +152,86 @@ object AsOfRel {
         when(fresh, col("s_t")).as("feat_t"))
   }
 
+  /** Training-matrix assembly — the end-to-end feature-store build, three
+    * operator families in ONE query: every purchase (the label row) takes
+    * (1) the user's latest STRICTLY-PRIOR click value through the custom
+    * AsOfJoinExec (leakage-safe: the as-of time is t-1us, so a feature
+    * stamped at the label instant never leaks in), (2) the trailing-7-day
+    * event count through an event-time RANGE frame ending 1us before the
+    * label, and (3) a static embedding score (the user's vector dotted
+    * with the fixed probe vector, exact ints, broadcast). This is the
+    * query a reference user migrating a training pipeline actually runs;
+    * each constituent shape is independently gated elsewhere
+    * (aj_pit_features, q31_range_frame, vec_dot_pairs).
+    */
+  def trainingMatrix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = tbl(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), Q.tsMicros(col("ts")).as("t"),
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+    // trailing-7d behavioral count at every event, label rows filtered after
+    val w = Window.partitionBy("user_id").orderBy("t")
+      .rangeBetween(-604800000000L, -1L)
+    val withBehav = ev.withColumn("f_n7d", count(lit(1)).over(w))
+    val labels = withBehav.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("t") - 1L).as("asof_t"), col("t"),
+        col("event_id"), col("f_n7d"))
+    val clickStates = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("t").as("s_t")).agg(max("qv").as("sqv"))
+    val pit = AsOf.join(labels, clickStates, Seq("user_id"), "asof_t", "s_t")
+      .toDF("user_id", "asof_t", "t", "event_id", "f_n7d", "u2", "s_t",
+        "f_click")
+      .select(col("user_id"), col("t"), col("event_id"), col("f_n7d"),
+        col("f_click"))
+    val quantSql =
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val uvec = tbl(s, d, "embeddings")
+      .select(col("vec_id"), expr(quantSql).as("qv"))
+    val probe = uvec.filter(col("vec_id") === 0)
+      .select(col("qv").as("pv"))
+    pit.join(uvec, pit("user_id") % 500 === uvec("vec_id"))
+      .crossJoin(broadcast(probe))
+      .select(col("user_id"), col("t"), col("event_id"), col("f_n7d"),
+        col("f_click"),
+        graft.functions.VectorFunctions.long_dot(col("qv"), col("pv"))
+          .as("f_embed"))
+  }
+
   def all: Seq[Q] = Seq(
+    Q("ft_training_matrix", trainingMatrix, Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS qv
+        FROM events WHERE user_id IS NOT NULL),
+      b AS (
+        SELECT user_id, t, event_id, event_type,
+               count(*) OVER (PARTITION BY user_id ORDER BY t
+                 RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+                 AS f_n7d
+        FROM e),
+      labels AS (
+        SELECT user_id, t - 1 AS asof_t, t, event_id, f_n7d
+        FROM b WHERE event_type = 'purchase'),
+      cs AS (
+        SELECT user_id, t AS s_t, max(qv) AS sqv
+        FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      pit AS (
+        SELECT l.user_id, l.t, l.event_id, l.f_n7d, cs.sqv AS f_click
+        FROM labels l ASOF LEFT JOIN cs
+          ON l.user_id = cs.user_id AND l.asof_t >= cs.s_t),
+      qv AS (SELECT vec_id,
+                    list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                      AS qv
+             FROM embeddings),
+      probe AS (SELECT qv AS pv FROM qv WHERE vec_id = 0)
+      SELECT p.user_id, p.t, p.event_id, p.f_n7d, p.f_click,
+             CAST(list_dot_product(CAST(u.qv AS DOUBLE[]),
+                                   CAST(pr.pv AS DOUBLE[])) AS BIGINT)
+               AS f_embed
+      FROM pit p JOIN qv u ON p.user_id % 500 = u.vec_id, probe pr""")),
     Q("aj_pit_features", pitFeatures, Some("""
       WITH e AS (
         SELECT user_id, epoch_ns(ts) AS t, event_type

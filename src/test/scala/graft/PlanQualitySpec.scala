@@ -471,6 +471,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"point-in-time join fell back off AsOfJoinExec:\n$p")
   }
 
+  test("ft_training_matrix composes the custom as-of, a range frame, " +
+    "and a broadcast vector join in one plan") {
+    val p = plan("ft_training_matrix")
+    assert(p.contains("AsOfJoin"), s"PIT feature lost the custom op:\n$p")
+    assert(p.contains("RANGE BETWEEN") || p.contains("specifiedwindowframe")
+      || p.contains("Window"), s"behavioral feature lost its frame:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"embedding join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sk_hll_users sketches in the partial-aggregate phase") {
     val p = plan("sk_hll_users")
     // TypedImperativeAggregate plans as ObjectHashAggregate with a
