@@ -84,6 +84,71 @@ object RankOps {
               FROM pr2 p LEFT JOIN c3 c ON p.node = c.node2)
       SELECT node, pr FROM pr3"""
 
+  /** Personalized PageRank — the recommendation variant: teleport mass
+    * returns ONLY to the seed set (every 100th customer), so scores rank
+    * proximity TO THE SEEDS rather than global centrality. Same
+    * scaled-integer determinism contract and per-round equi-join +
+    * hash-aggregate shape as [[pagerank]]; only the teleport term is
+    * seed-conditional. A production recommender runs one PPR per user
+    * cohort off the same cached edge relation.
+    */
+  def ppr(s: SparkSession, d: String): DataFrame = {
+    val ed = tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + lit(1000000L)).as("b"))
+      .distinct()
+    val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ed.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(deg, "src")
+    val seed = expr("IF(node < 1000000 AND node % 100 = 0, 1, 0)")
+    var pr = deg.select(col("src").as("node"))
+      .select(col("node"), (seed * 1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = withDeg
+        .join(pr, col("src") === col("node"))
+        .select(col("dst").as("node2"), expr("pr div outdeg").as("c"))
+        .groupBy("node2")
+        .agg(sum("c").cast("long").as("m"))
+      pr = pr.join(contrib, col("node") === col("node2"), "left")
+        .select(col("node"),
+          (seed * 150000L +
+            expr("(850 * coalesce(m, 0)) div 1000")).cast("long").as("pr"))
+    }
+    graft.Caching.releaseAfterAction(pr, withDeg)
+  }
+
+  private val PPR_SQL: String = {
+    val seed = "CASE WHEN %s < 1000000 AND %s %% 100 = 0 THEN 1 ELSE 0 END"
+    val rounds = (1 to 3).map { r =>
+      s"""
+      c$r AS (SELECT e.dst AS node2, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS m
+             FROM edges e JOIN pr${r - 1} p ON e.src = p.node
+                          JOIN deg d ON e.src = d.src
+             GROUP BY e.dst),
+      pr$r AS (SELECT p.node,
+                     CAST(${seed.format("p.node", "p.node")} * 150000
+                          + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS pr
+              FROM pr${r - 1} p LEFT JOIN c$r c ON p.node = c.node2)"""
+    }.mkString(",")
+    s"""
+      WITH ed AS (
+        SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT a AS src, b AS dst FROM ed
+        UNION ALL SELECT b, a FROM ed),
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      pr0 AS (SELECT src AS node,
+                     CAST(${seed.format("src", "src")} * 1000000 AS BIGINT)
+                       AS pr
+              FROM deg),
+      $rounds
+      SELECT node, pr FROM pr3"""
+  }
+
   /** Hamilton (largest-remainder) allocation of `budget` units across
     * sources proportional to whitespace-token mass: floor quota plus
     * remainder rank, so the allocations sum EXACTLY to the budget and all
@@ -536,6 +601,7 @@ object RankOps {
 
   def all: Seq[Q] = Seq(
     Q("gr_pagerank", pagerank, Some(PAGERANK_SQL)),
+    Q("gr_ppr", ppr, Some(PPR_SQL)),
     Q("gr_linkpred", linkpred, Some(LINKPRED_SQL)),
     Q("gr_labelprop", labelProp, Some(LABELPROP_SQL)),
     Q("gr_hits", hits, Some(HITS_SQL)),
