@@ -458,6 +458,62 @@ object PipelineOps {
       .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Sharpness (blur) metric over the REAL decoded raster — the curation
+    * signal that drops defocused or upscaled images: per-pixel integer
+    * luma, 4-neighbor Laplacian over interior pixels, summed |lap|^2
+    * (variance-of-Laplacian family, all int64). The oracle rebuilds the
+    * same energy from the pixel formula with four positional self-joins;
+    * a decode or raster-indexing defect shifts a neighbor and breaks the
+    * hash.
+    */
+  def sharpness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.mm.ImageCodec
+    pngPayloads(s, d)
+      .mapPartitions(_.map { case (id, png) =>
+        val dec = ImageCodec.decode(png)
+        @inline def luma(x: Int, y: Int): Long = {
+          val p = dec.argb(y * dec.w + x)
+          (ImageCodec.rOf(p) * 299 + ImageCodec.gOf(p) * 587 +
+            ImageCodec.bOf(p) * 114) / 1000
+        }
+        var energy = 0L
+        var n = 0L
+        var y = 1
+        while (y < dec.h - 1) {
+          var x = 1
+          while (x < dec.w - 1) {
+            val lap = 4 * luma(x, y) - luma(x - 1, y) - luma(x + 1, y) -
+              luma(x, y - 1) - luma(x, y + 1)
+            energy += lap * lap
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        (id, n, energy)
+      })
+      .toDF("doc_id", "n_interior", "lap_energy")
+  }
+
+  private val MM_SHARPNESS_SQL = s"""
+    WITH $MM_RGB_CTES,
+    lum AS (
+      SELECT doc_id, w, h, x, y,
+             (r * 299 + g * 587 + b * 114) // 1000 AS l
+      FROM mm_rgb)
+    SELECT c.doc_id, count(*) AS n_interior,
+           CAST(sum((4 * c.l - lx0.l - lx1.l - ly0.l - ly1.l)
+                    * (4 * c.l - lx0.l - lx1.l - ly0.l - ly1.l))
+             AS BIGINT) AS lap_energy
+    FROM lum c
+    JOIN lum lx0 ON c.doc_id = lx0.doc_id AND lx0.x = c.x - 1 AND lx0.y = c.y
+    JOIN lum lx1 ON c.doc_id = lx1.doc_id AND lx1.x = c.x + 1 AND lx1.y = c.y
+    JOIN lum ly0 ON c.doc_id = ly0.doc_id AND ly0.x = c.x AND ly0.y = c.y - 1
+    JOIN lum ly1 ON c.doc_id = ly1.doc_id AND ly1.x = c.x AND ly1.y = c.y + 1
+    WHERE c.x BETWEEN 1 AND c.w - 2 AND c.y BETWEEN 1 AND c.h - 2
+    GROUP BY c.doc_id"""
+
   private val MM_DECODE_META_SQL = s"""
     WITH $MM_RGB_CTES
     SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
@@ -1040,6 +1096,7 @@ object PipelineOps {
       FROM events, range(0, 4) k(k)
       GROUP BY 1, 2""")),
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
+    Q("mm_sharpness", sharpness, Some(MM_SHARPNESS_SQL)),
     Q("mm_phash", phash, Some(MM_PHASH_SQL)),
     Q("mm_phash_pairs", phashPairs, Some(MM_PHASH_PAIRS_SQL)),
     Q("st_mm_phash", phashStream, Some(MM_PHASH_SQL)),
