@@ -149,6 +149,73 @@ object RankOps {
       SELECT node, pr FROM pr3"""
   }
 
+  /** Deterministic random-walk corpus — the DeepWalk/node2vec data-prep
+    * step: from every seed (each 100th customer), a 4-step walk where
+    * each step picks the out-edge minimizing md5(node:step:dst) — a
+    * hash-derived pseudo-random choice BOTH engines compute identically,
+    * so the walk corpus is exactly replayable (the property a resumable
+    * 100 TB walk job needs anyway: re-generated walks must not drift
+    * between attempts). Each step is one edge equi-join + per-walk argmin;
+    * walks advance in lockstep, shuffled by walk id.
+    */
+  def randomWalks(s: SparkSession, d: String): DataFrame = {
+    val ed = tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + lit(1000000L)).as("b"))
+      .distinct()
+    val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ed.select(col("b").as("src"), col("a").as("dst")))
+    var cur = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") < 1000000L && col("node") % 100 === 0)
+      .select(col("node").as("start"), lit(0L).as("step"), col("node"))
+    var acc = cur
+    for (step <- 1 to 4) {
+      cur = cur.join(edges, cur("node") === edges("src"))
+        .select(col("start"),
+          md5(concat_ws(":", cur("node"), lit(step), col("dst"))).as("h"),
+          col("dst"))
+        .groupBy("start")
+        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .select(col("start"), lit(step.toLong).as("step"),
+          col("m.dst").as("node"))
+      acc = acc.unionByName(cur)
+    }
+    acc
+  }
+
+  private val WALKS_SQL: String = {
+    val steps = (1 to 4).map { st =>
+      s"""
+      j$st AS (
+        SELECT c.start, e.dst,
+               row_number() OVER (PARTITION BY c.start
+                 ORDER BY md5(c.node || ':' || $st || ':' || e.dst),
+                          e.dst) AS rn
+        FROM c${st - 1} c JOIN edges e ON c.node = e.src),
+      c$st AS (SELECT start, CAST($st AS BIGINT) AS step, dst AS node
+               FROM j$st WHERE rn = 1)"""
+    }.mkString(",")
+    s"""
+      WITH ed AS (
+        SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT a AS src, b AS dst FROM ed
+        UNION ALL SELECT b, a FROM ed),
+      c0 AS (
+        SELECT DISTINCT src AS start, CAST(0 AS BIGINT) AS step,
+               src AS node
+        FROM edges WHERE src < 1000000 AND src % 100 = 0),
+      $steps
+      SELECT start, step, node FROM c0
+      UNION ALL SELECT start, step, node FROM c1
+      UNION ALL SELECT start, step, node FROM c2
+      UNION ALL SELECT start, step, node FROM c3
+      UNION ALL SELECT start, step, node FROM c4"""
+  }
+
   /** Hamilton (largest-remainder) allocation of `budget` units across
     * sources proportional to whitespace-token mass: floor quota plus
     * remainder rank, so the allocations sum EXACTLY to the budget and all
@@ -602,6 +669,7 @@ object RankOps {
   def all: Seq[Q] = Seq(
     Q("gr_pagerank", pagerank, Some(PAGERANK_SQL)),
     Q("gr_ppr", ppr, Some(PPR_SQL)),
+    Q("gr_walks", randomWalks, Some(WALKS_SQL)),
     Q("gr_linkpred", linkpred, Some(LINKPRED_SQL)),
     Q("gr_labelprop", labelProp, Some(LABELPROP_SQL)),
     Q("gr_hits", hits, Some(HITS_SQL)),
