@@ -20,7 +20,8 @@ object SparkEntry {
       Relabel3Rel.all ++ StreamingOps.all ++ AsOfRel.all ++ SketchRel.all ++
       GeoRel.all ++ AnnotateRel.all ++ BucketedRel.all ++ CurationOps.all ++
       AudioOps.all ++ SourceOps.all ++ SketchOps.all ++ RankOps.all ++
-      TokenizerOps.all ++ SelectOps.all ++ RagOps.all ++ GovernOps.all ++ SpatialOps.all ++ EvalOps.all
+      TokenizerOps.all ++ SelectOps.all ++ RagOps.all ++ GovernOps.all ++
+      SpatialOps.all ++ EvalOps.all ++ StatsOps.all
 
   /** Flagship: the full image2labels pipeline on a synthetic tile grid
     * derived from sf0.001 lineitem (driver smoke-checks rows > 0).

@@ -1,0 +1,355 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q.tbl
+
+/** Experiment / time-series statistics over the event log — the analytics a
+  * product team runs on the SAME events relation the pipelines ingest:
+  * A/B-test significance (chi-square on user-level conversion, Welch's t on
+  * a continuous metric), series autocorrelation, per-entity exponential
+  * smoothing, and multi-touch attribution.
+  *
+  * Determinism discipline (the hash gate compares bit-for-bit): every
+  * statistic is computed as a STRAIGHT-LINE double formula over EXACT
+  * integer/decimal aggregates, with the formula text structured identically
+  * on both engines — `+ - * /` and `sqrt` are IEEE-754 correctly-rounded,
+  * so identical inputs through an identical op tree give identical bits.
+  * No aggregated raw double ever crosses the gate (summation order is the
+  * only nondeterminism, and it is confined to exact types).
+  */
+object StatsOps {
+
+  /** Per-arm chi-square term over the 2×K contingency table, written once
+    * and spliced verbatim into BOTH engines' expressions so the double op
+    * tree is identical. `cA`/`nA` are exact BIGINT conditional aggregates;
+    * `C`/`N` the grand totals. int/int division yields DOUBLE in both
+    * Spark SQL and DuckDB, and both cast the exact ints to double first.
+    */
+  private def chiTerm(c: String, n: String): String =
+    s"""($c - $n*ct/nt)*($c - $n*ct/nt)/($n*ct/nt)
+       | + (($n-$c) - $n*(nt-ct)/nt)*(($n-$c) - $n*(nt-ct)/nt)/($n*(nt-ct)/nt)"""
+      .stripMargin.replace("\n", "")
+
+  private val CHISQ_EXPR =
+    s"${chiTerm("c0", "n0")} + ${chiTerm("c1", "n1")} + ${chiTerm("c2", "n2")}"
+
+  def all: Seq[Q] = Seq(
+
+    // A/B chi-square — the user-level conversion test: arm = user_id % 3
+    // (a deterministic splitter both engines replay), converted = has at
+    // least one high-value purchase (value ≥ 150: the distribution is
+    // heavy-tailed with median ~34, and EVERY user has some purchase, so
+    // the raw flag would saturate the table and zero the non-converted
+    // expected cell). Two hash aggregates (user collapse, then
+    // a 1-row conditional fold) and zero joins; at 100 TB the user
+    // collapse is the only shuffle and it is the minimal one the metric
+    // definition requires. The statistic itself is a straight-line double
+    // expression over the six exact cell counts, spliced from the same
+    // text into both engines.
+    Q("ab_chisq", (s, d) => {
+      tbl(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0, 1L)
+          .otherwise(0L)).as("conv"))
+        .withColumn("arm", pmod(col("user_id"), lit(3L)))
+        .groupBy()
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"),
+          sum(when(col("arm") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 2, col("conv")).otherwise(0L)).as("c2"))
+        .withColumn("nt", col("n0") + col("n1") + col("n2"))
+        .withColumn("ct", col("c0") + col("c1") + col("c2"))
+        .withColumn("chisq", expr(CHISQ_EXPR))
+    }, Some(s"""
+      WITH u AS (
+        SELECT user_id, user_id % 3 AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN arm = 2 THEN conv ELSE 0 END) AS BIGINT) AS c2
+        FROM u)
+      SELECT n0, c0, n1, c1, n2, c2, nt, ct, $CHISQ_EXPR AS chisq
+      FROM (SELECT *, n0+n1+n2 AS nt, c0+c1+c2 AS ct FROM g)""")),
+
+    // A/B Welch's t — the continuous-metric test: arm = user_id % 2, metric
+    // = event value (exact decimal cast, squared IN decimal so Σx and Σx²
+    // are exact; both engines round the same exact sum to the same double).
+    // One conditional-fold aggregate, no user collapse (the metric is
+    // per-event); t and the Welch–Satterthwaite df are straight-line
+    // doubles with sqrt (correctly rounded in both engines).
+    Q("ab_welch", (s, d) => {
+      tbl(s, d, "events")
+        .select(pmod(col("user_id"), lit(2L)).as("arm"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .groupBy()
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("v")).otherwise(lit(0).cast("decimal(18,6)")))
+            .cast("double").as("s10"),
+          sum(when(col("arm") === 1, col("v")).otherwise(lit(0).cast("decimal(18,6)")))
+            .cast("double").as("s11"),
+          sum(when(col("arm") === 0, col("v") * col("v"))
+            .otherwise(lit(0).cast("decimal(37,12)"))).cast("double").as("s20"),
+          sum(when(col("arm") === 1, col("v") * col("v"))
+            .otherwise(lit(0).cast("decimal(37,12)"))).cast("double").as("s21"))
+        .withColumn("mean_diff", expr("s10/n0 - s11/n1"))
+        .withColumn("t_stat", expr(
+          """(s10/n0 - s11/n1) /
+             sqrt(((s20 - s10*s10/n0)/(n0-1))/n0 +
+                  ((s21 - s11*s11/n1)/(n1-1))/n1)"""))
+        .withColumn("df_welch", expr(
+          """(((s20 - s10*s10/n0)/(n0-1))/n0 + ((s21 - s11*s11/n1)/(n1-1))/n1)
+             * (((s20 - s10*s10/n0)/(n0-1))/n0 + ((s21 - s11*s11/n1)/(n1-1))/n1)
+             / ((((s20 - s10*s10/n0)/(n0-1))/n0) * (((s20 - s10*s10/n0)/(n0-1))/n0) / (n0-1)
+                + (((s21 - s11*s11/n1)/(n1-1))/n1) * (((s21 - s11*s11/n1)/(n1-1))/n1) / (n1-1))"""))
+        .select("n0", "n1", "s10", "s11", "s20", "s21",
+          "mean_diff", "t_stat", "df_welch")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id % 2 AS arm, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events),
+      g AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN v ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS s10,
+               CAST(sum(CASE WHEN arm = 1 THEN v ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS s11,
+               CAST(sum(CASE WHEN arm = 0 THEN v*v ELSE CAST(0 AS DECIMAL(36,12)) END) AS DOUBLE) AS s20,
+               CAST(sum(CASE WHEN arm = 1 THEN v*v ELSE CAST(0 AS DECIMAL(36,12)) END) AS DOUBLE) AS s21
+        FROM e)
+      SELECT n0, n1, s10, s11, s20, s21,
+             s10/n0 - s11/n1 AS mean_diff,
+             (s10/n0 - s11/n1) /
+             sqrt(((s20 - s10*s10/n0)/(n0-1))/n0 +
+                  ((s21 - s11*s11/n1)/(n1-1))/n1) AS t_stat,
+             (((s20 - s10*s10/n0)/(n0-1))/n0 + ((s21 - s11*s11/n1)/(n1-1))/n1)
+             * (((s20 - s10*s10/n0)/(n0-1))/n0 + ((s21 - s11*s11/n1)/(n1-1))/n1)
+             / ((((s20 - s10*s10/n0)/(n0-1))/n0) * (((s20 - s10*s10/n0)/(n0-1))/n0) / (n0-1)
+                + (((s21 - s11*s11/n1)/(n1-1))/n1) * (((s21 - s11*s11/n1)/(n1-1))/n1) / (n1-1)) AS df_welch
+      FROM g""")),
+
+    // Series autocorrelation — traffic periodicity detection: the event
+    // log collapsed to a 5-minute count series (bounded by the TIME SPAN,
+    // not the data volume — 30 days = 8640 points at any SF), then Pearson
+    // r at lags 1..6 from exact integer sums over the lag-joined pairs.
+    // Gapped buckets pair only when both endpoints exist (a join on
+    // bucket+lag, not a positional window), so missing intervals never
+    // fabricate zero samples. The series is aggregated BEFORE the
+    // self-join, so the join touches KB regardless of input scale.
+    Q("ts_autocorr", (s, d) => {
+      val series = tbl(s, d, "events")
+        .groupBy(Q.tsBucket(col("ts"), 300000000L).as("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val lagged = series
+        .select(col("bucket"), col("x"),
+          explode(sequence(lit(1L), lit(6L))).as("lag"))
+        .withColumn("nb", col("bucket") + col("lag"))
+      lagged.as("a")
+        .join(broadcast(series).as("b"), col("a.nb") === col("b.bucket"))
+        .groupBy(col("a.lag").as("lag"))
+        .agg(count(lit(1)).as("np"),
+          sum(col("a.x")).as("sx"), sum(col("b.x")).as("sy"),
+          sum(col("a.x") * col("b.x")).as("sxy"),
+          sum(col("a.x") * col("a.x")).as("sxx"),
+          sum(col("b.x") * col("b.x")).as("syy"))
+        .withColumn("r", expr(
+          "(np*sxy - sx*sy) / (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy))"))
+    }, Some("""
+      WITH srs AS (
+        SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+               count(*) AS x
+        FROM events GROUP BY 1),
+      p AS (
+        SELECT l.lag, a.x AS ax, b.x AS bx
+        FROM srs a
+        JOIN (SELECT unnest(range(1, 7)) AS lag) l ON true
+        JOIN srs b ON b.bucket = a.bucket + l.lag)
+      SELECT lag, count(*) AS np,
+             CAST(sum(ax) AS BIGINT) AS sx, CAST(sum(bx) AS BIGINT) AS sy,
+             CAST(sum(ax*bx) AS BIGINT) AS sxy,
+             CAST(sum(ax*ax) AS BIGINT) AS sxx,
+             CAST(sum(bx*bx) AS BIGINT) AS syy,
+             (count(*)*CAST(sum(ax*bx) AS BIGINT)
+                - CAST(sum(ax) AS BIGINT)*CAST(sum(bx) AS BIGINT))
+             / (sqrt(count(*)*CAST(sum(ax*ax) AS BIGINT)
+                - CAST(sum(ax) AS BIGINT)*CAST(sum(ax) AS BIGINT))
+                * sqrt(count(*)*CAST(sum(bx*bx) AS BIGINT)
+                - CAST(sum(bx) AS BIGINT)*CAST(sum(bx) AS BIGINT))) AS r
+      FROM p GROUP BY lag""")),
+
+    // Per-entity exponential smoothing — the truncated 8-tap EWMA
+    // (α = 1/2) of each user's value series at their LAST event: weights
+    // are exact powers of two over exact decimals, so the numerator is an
+    // exact decimal in both engines and the single final division is the
+    // only float op. One user-partitioned window (bounded partitions),
+    // emitted rows = one per user with ≥ 8 events.
+    Q("ts_ewma", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val vs = tbl(s, d, "events")
+        .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
+          col("event_id"), col("value").cast("decimal(18,6)").as("v"))
+      val taps = (1 to 7).foldLeft(vs) { (df, i) =>
+        df.withColumn(s"v$i", lag(col("v"), i).over(w))
+      }
+      taps
+        .withColumn("rn",
+          row_number().over(
+            Window.partitionBy("user_id").orderBy(desc("us"), desc("event_id"))))
+        .filter(col("rn") === 1 && col("v7").isNotNull)
+        .withColumn("num", expr(
+          "v*128 + v1*64 + v2*32 + v3*16 + v4*8 + v5*4 + v6*2 + v7"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          (col("num").cast("double") / 255.0).as("ewma"))
+    }, Some("""
+      WITH o AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(value AS DECIMAL(18,6)) AS v,
+               lag(CAST(value AS DECIMAL(18,6)), 1) OVER w AS v1,
+               lag(CAST(value AS DECIMAL(18,6)), 2) OVER w AS v2,
+               lag(CAST(value AS DECIMAL(18,6)), 3) OVER w AS v3,
+               lag(CAST(value AS DECIMAL(18,6)), 4) OVER w AS v4,
+               lag(CAST(value AS DECIMAL(18,6)), 5) OVER w AS v5,
+               lag(CAST(value AS DECIMAL(18,6)), 6) OVER w AS v6,
+               lag(CAST(value AS DECIMAL(18,6)), 7) OVER w AS v7,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      SELECT user_id, event_id AS last_event_id,
+             CAST(v*128 + v1*64 + v2*32 + v3*16 + v4*8 + v5*4 + v6*2 + v7
+                  AS DOUBLE) / 255.0 AS ewma
+      FROM o WHERE rn = 1 AND v7 IS NOT NULL""")),
+
+    // Multi-touch attribution — conversion credit per channel under the
+    // three classic models AT ONCE: for every purchase, its click/view
+    // touches in the preceding 30 minutes (user-keyed join, range
+    // predicate as residual — partitions bounded by per-user activity);
+    // rank within each conversion gives first/last touch, and the linear
+    // model's 1/k share is carried as an EXACT scaled integer
+    // (1000000 div k), so the per-channel credit sums are pure BIGINTs.
+    Q("sq_attribution", (s, d) => {
+      val ev = tbl(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Q.tsMicros(col("ts")).as("us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("us").as("cus"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("tid"),
+          col("event_type").as("channel"), col("us").as("tus"))
+      val wAsc = Window.partitionBy("conv_id").orderBy("tus", "tid")
+      val wAll = Window.partitionBy("conv_id")
+      conv.join(touch, Seq("user_id"))
+        .filter(col("tus") >= col("cus") - 1800000000L && col("tus") < col("cus"))
+        .withColumn("rn", row_number().over(wAsc))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("touches"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("first_n"),
+          sum(when(col("rn") === col("k"), 1L).otherwise(0L)).as("last_n"),
+          sum(expr("1000000 div k")).as("linear_ppm"))
+    }, Some("""
+      WITH conv AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cus
+        FROM events WHERE event_type = 'purchase'),
+      touch AS (
+        SELECT user_id, event_id AS tid, event_type AS channel,
+               epoch_us(ts) AS tus
+        FROM events WHERE event_type IN ('click', 'view')),
+      j AS (
+        SELECT t.channel, c.conv_id, t.tus, t.tid,
+               row_number() OVER (PARTITION BY c.conv_id
+                 ORDER BY t.tus, t.tid) AS rn,
+               count(*) OVER (PARTITION BY c.conv_id) AS k
+        FROM conv c JOIN touch t ON c.user_id = t.user_id
+        WHERE t.tus >= c.cus - 1800000000 AND t.tus < c.cus)
+      SELECT channel, count(*) AS touches,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_n,
+             CAST(sum(CASE WHEN rn = k THEN 1 ELSE 0 END) AS BIGINT) AS last_n,
+             CAST(sum(1000000 // k) AS BIGINT) AS linear_ppm
+      FROM j GROUP BY channel""")),
+
+    // PMI collocations — corpus-level phrase mining: bigram and unigram
+    // counts from the shared whitespace tokenizer, scored by pointwise
+    // mutual information carried as the exact-ratio components
+    // (n_xy·N, n_x·n_y) plus the single-division lift (log-free: log is
+    // monotonic, so the lift ranking IS the PMI ranking, without relying
+    // on cross-engine libm bits). Two token-keyed hash aggregates and two
+    // broadcast-sized joins against the unigram table; min-count 5 prunes
+    // the hapax tail before the join.
+    Q("tx_collocations", (s, d) => {
+      val docs = tbl(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bigrams = docs.select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i+1]))"))
+        .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 5)
+      val uni = tbl(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n_w"))
+      val nTot = tbl(s, d, "documents")
+        .select(expr("size(split(text, ' ')) - 1").as("nb"))
+        .agg(sum("nb").as("n_big"))
+      bigrams
+        .join(broadcast(uni.withColumnRenamed("word", "w1")
+          .withColumnRenamed("n_w", "n_x")), "w1")
+        .join(broadcast(uni.withColumnRenamed("word", "w2")
+          .withColumnRenamed("n_w", "n_y")), "w2")
+        .crossJoin(broadcast(nTot))
+        .withColumn("lift", expr("n_xy * n_big / (n_x * n_y)"))
+        .orderBy(desc("lift"), col("w1"), col("w2"))
+        .limit(50)
+        .select("w1", "w2", "n_xy", "n_x", "n_y", "n_big", "lift")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      bg AS (
+        SELECT unnest(list_transform(range(1, len(l)),
+                 i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS s
+        FROM t WHERE len(l) >= 2),
+      b AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n_xy FROM bg
+            GROUP BY 1, 2 HAVING count(*) >= 5),
+      u AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      uc AS (SELECT word, count(*) AS n_w FROM u GROUP BY 1),
+      tot AS (SELECT CAST(sum(len(l) - 1) AS BIGINT) AS n_big FROM t)
+      SELECT b.w1, b.w2, b.n_xy, x.n_w AS n_x, y.n_w AS n_y, tot.n_big,
+             b.n_xy * tot.n_big / (x.n_w * y.n_w) AS lift
+      FROM b JOIN uc x ON b.w1 = x.word JOIN uc y ON b.w2 = y.word
+      CROSS JOIN tot
+      ORDER BY lift DESC, b.w1, b.w2 LIMIT 50""")),
+
+    // l-diversity audit — the companion to dq_kanon: a k-anonymous class
+    // is still re-identifiable if its SENSITIVE attribute is uniform, so
+    // the audit reports, per quasi-identifier class (user × day — finer
+    // than dq_kanon's decade classes, where every class carries all five
+    // types and the audit would be vacuous), the class size and the
+    // number of distinct event types, flagging classes below l = 3. One
+    // hash aggregate; count(distinct) is a two-phase partial aggregate
+    // at scale.
+    Q("dq_ldiv", (s, d) => {
+      tbl(s, d, "events")
+        .groupBy(col("user_id"),
+          Q.tsBucket(col("ts"), 86400000000L).as("day"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("event_type")).as("l_div"))
+        .filter(col("l_div") < 3)
+    }, Some("""
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             count(*) AS class_size,
+             count(DISTINCT event_type) AS l_div
+      FROM events GROUP BY 1, 2 HAVING count(DISTINCT event_type) < 3""")))
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Statistical invariants of the experiment / time-series gates — the
+  * properties a hash match against the oracle cannot express: conservation
+  * (attribution credit sums to the conversion count), boundedness (chi-square
+  * non-negative, |r| ≤ 1, EWMA inside the value range), and contingency-table
+  * consistency.
+  */
+class StatsOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("ab_chisq: one row, consistent margins, non-negative statistic") {
+    val r = run("ab_chisq").collect().head
+    val (n0, n1, n2) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    val (c0, c1, c2) = (r.getAs[Long]("c0"), r.getAs[Long]("c1"), r.getAs[Long]("c2"))
+    assert(r.getAs[Long]("nt") == n0 + n1 + n2)
+    assert(r.getAs[Long]("ct") == c0 + c1 + c2)
+    assert(c0 <= n0 && c1 <= n1 && c2 <= n2)
+    assert(r.getAs[Long]("ct") > 0 && r.getAs[Long]("ct") < r.getAs[Long]("nt"),
+      "conversion must split the table or the test is degenerate")
+    assert(r.getAs[Double]("chisq") >= 0.0)
+  }
+
+  test("ab_welch: moment inequalities hold and df is within its bounds") {
+    val r = run("ab_welch").collect().head
+    val (n0, n1) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"))
+    // Cauchy–Schwarz: n·Σx² ≥ (Σx)² — equivalently the variance is ≥ 0
+    assert(n0 * r.getAs[Double]("s20") >= r.getAs[Double]("s10") * r.getAs[Double]("s10"))
+    assert(n1 * r.getAs[Double]("s21") >= r.getAs[Double]("s11") * r.getAs[Double]("s11"))
+    val df = r.getAs[Double]("df_welch")
+    // Welch df lies between min(n0,n1)-1 and n0+n1-2
+    assert(df >= (math.min(n0, n1) - 1).toDouble - 1e-9)
+    assert(df <= (n0 + n1 - 2).toDouble + 1e-9)
+  }
+
+  test("ts_autocorr: six lags, |r| <= 1, pair counts bounded by the series") {
+    val rows = run("ts_autocorr").collect().sortBy(_.getAs[Long]("lag"))
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val nBuckets = spark.read.parquet(s"$sf/events.parquet")
+      .select(rel.Q.tsBucket(col("ts"), 300000000L)).distinct().count()
+    for (r <- rows) {
+      assert(math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-12)
+      // every pair consumes a distinct left endpoint, so a lag can pair at
+      // most nBuckets - 1 of them (gaps mean counts need NOT shrink with lag)
+      assert(r.getAs[Long]("np") > 0 && r.getAs[Long]("np") <= nBuckets - 1)
+    }
+  }
+
+  test("ts_ewma: one row per user with >=8 events, value inside global range") {
+    val out = run("ts_ewma")
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    val mm = spark.read.parquet(s"$sf/events.parquet")
+      .agg(min("value"), max("value")).collect().head
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    for (r <- out.collect())
+      assert(r.getAs[Double]("ewma") >= lo - 1e-6 && r.getAs[Double]("ewma") <= hi + 1e-6,
+        "a convex combination of values cannot leave their range")
+  }
+
+  test("sq_attribution: credit conservation across channels") {
+    val rows = run("sq_attribution").collect()
+    val firstTot = rows.map(_.getAs[Long]("first_n")).sum
+    val lastTot = rows.map(_.getAs[Long]("last_n")).sum
+    // every attributed conversion has exactly one first and one last touch
+    assert(firstTot == lastTot)
+    assert(firstTot > 0)
+    // linear credit: each conversion contributes k·(1000000 div k) ppm —
+    // i.e. 1e6 minus an integer-division remainder < k per conversion
+    val ppmTot = rows.map(_.getAs[Long]("linear_ppm")).sum
+    val maxTouchesPerConv = 64L // generous bound for the remainder argument
+    assert(ppmTot <= 1000000L * firstTot)
+    assert(ppmTot > 1000000L * firstTot - firstTot * maxTouchesPerConv)
+  }
+
+  test("tx_collocations: exactly the top-50, lift consistent with counts") {
+    val rows = run("tx_collocations").collect()
+    assert(rows.length == 50)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_xy") >= 5)
+      val lift = r.getAs[Double]("lift")
+      val expect = r.getAs[Long]("n_xy").toDouble * r.getAs[Long]("n_big") /
+        (r.getAs[Long]("n_x").toDouble * r.getAs[Long]("n_y"))
+      assert(math.abs(lift - expect) <= math.ulp(expect) * 4)
+      // a bigram can never outnumber either of its unigrams
+      assert(r.getAs[Long]("n_xy") <= r.getAs[Long]("n_x"))
+      assert(r.getAs[Long]("n_xy") <= r.getAs[Long]("n_y"))
+    }
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => b <= a },
+      "results must arrive lift-descending")
+  }
+
+  test("dq_ldiv: every flagged class is genuinely below l = 3") {
+    val flagged = run("dq_ldiv")
+    assert(flagged.filter(col("l_div") >= 3).count() == 0)
+    // cross-check one flagged class against a direct distinct count
+    flagged.limit(1).collect().headOption.foreach { r =>
+      val direct = spark.read.parquet(s"$sf/events.parquet")
+        .filter(col("user_id") === r.getAs[Long]("user_id") &&
+          rel.Q.tsBucket(col("ts"), 86400000000L) === r.getAs[Long]("day"))
+        .select("event_type").distinct().count()
+      assert(direct == r.getAs[Long]("l_div"))
+    }
+  }
+}
