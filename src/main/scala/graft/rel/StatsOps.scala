@@ -331,6 +331,163 @@ object StatsOps {
       CROSS JOIN tot
       ORDER BY lift DESC, b.w1, b.w2 LIMIT 50""")),
 
+    // CUPED variance reduction — the pre-experiment-covariate adjustment
+    // every mature experimentation platform applies: per user, the
+    // pre-period value total (first 15 days) predicts the post-period
+    // metric, and θ = cov(x,y)/var(x) strips the predictable component.
+    // Per-user totals are EXACT micro-scaled BIGINTs (the q32 house
+    // pattern), truncated to millis by integer division so the second
+    // moments (Σxy, Σxx, Σyy over ~2e6-sized values) stay inside int64 —
+    // θ, the adjusted per-arm means, and the variance-reduction ratio are
+    // then straight-line doubles over those exact sums. One user
+    // collapse, one 1-row fold; no joins.
+    Q("ab_cuped", (s, d) => {
+      val cut = 1705363200000000L // 2024-01-16T00:00:00Z
+      val users = tbl(s, d, "events")
+        .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("us") < cut, col("vm")).otherwise(0L)).as("xm"),
+          sum(when(col("us") >= cut, col("vm")).otherwise(0L)).as("ym"))
+        .select(col("user_id"),
+          expr("xm div 1000").as("x"), expr("ym div 1000").as("y"),
+          pmod(col("user_id"), lit(2L)).as("arm"))
+      users.groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"))
+        .withColumn("theta", expr("(n*sxy - sx*sy) / (n*sxx - sx*sx)"))
+        .withColumn("adj_diff", expr(
+          """(sy0/n0 - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*(sx0/n0 - sx/n))
+             - (sy1/(n-n0) - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*(sx1/(n-n0) - sx/n))"""))
+        .withColumn("var_reduction", expr(
+          """((n*sxy - sx*sy) / (n*sxx - sx*sx)) * ((n*sxy - sx*sy) / (n*sxx - sx*sx))
+             * (n*sxx - sx*sx) / (n*syy - sy*sy)"""))
+        .select("n", "n0", "sx", "sy", "sxx", "sxy", "syy",
+          "theta", "adj_diff", "var_reduction")
+    }, Some("""
+      WITH u AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+                 THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+                 AS BIGINT) // 1000 AS x,
+               CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+                 THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+                 AS BIGINT) // 1000 AS y
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(x*y) AS BIGINT) AS sxy,
+               CAST(sum(y*y) AS BIGINT) AS syy,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+               CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+               CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+               CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+        FROM u)
+      SELECT n, n0, sx, sy, sxx, sxy, syy,
+             (n*sxy - sx*sy) / (n*sxx - sx*sx) AS theta,
+             (sy0/n0 - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*(sx0/n0 - sx/n))
+             - (sy1/(n-n0) - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*(sx1/(n-n0) - sx/n)) AS adj_diff,
+             ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * ((n*sxy - sx*sy) / (n*sxx - sx*sx))
+             * (n*sxx - sx*sx) / (n*syy - sy*sy) AS var_reduction
+      FROM g""")),
+
+    // Forecast backtest — seasonal-naive prediction scored by WAPE, the
+    // workhorse accuracy check of a demand/traffic forecasting pipeline:
+    // each hourly per-type count is predicted by the same hour one week
+    // earlier (and, as the naive baseline, one day earlier); the weighted
+    // absolute percentage error keeps the exact integer numerator
+    // (Σ|actual − predicted|) and denominator (Σ actual) and crosses into
+    // float only in the final single division. The series is aggregated
+    // before the lag joins, so both joins touch a time-span-bounded
+    // relation (720 hours) regardless of event volume.
+    Q("ts_backtest", (s, d) => {
+      val srs = tbl(s, d, "events")
+        .groupBy(col("event_type"), Q.tsBucket(col("ts"), 3600000000L).as("b"))
+        .agg(count(lit(1)).as("x"))
+      def scored(lagH: Int, err: String, act: String) = srs.as("a")
+        .join(broadcast(srs).as("p"),
+          col("a.event_type") === col("p.event_type") &&
+            col("p.b") === col("a.b") - lagH)
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(abs(col("a.x") - col("p.x"))).as(err),
+          sum(col("a.x")).as(act))
+      scored(168, "err_w", "act_w")
+        .join(scored(24, "err_d", "act_d"), "event_type")
+        .withColumn("wape_weekly", expr("err_w / act_w"))
+        .withColumn("wape_daily", expr("err_d / act_d"))
+    }, Some("""
+      WITH s AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+               count(*) AS x
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT a.event_type,
+               CAST(sum(abs(a.x - p.x)) AS BIGINT) AS err_w,
+               CAST(sum(a.x) AS BIGINT) AS act_w
+        FROM s a JOIN s p ON a.event_type = p.event_type
+                         AND p.b = a.b - 168
+        GROUP BY 1),
+      dly AS (
+        SELECT a.event_type,
+               CAST(sum(abs(a.x - p.x)) AS BIGINT) AS err_d,
+               CAST(sum(a.x) AS BIGINT) AS act_d
+        FROM s a JOIN s p ON a.event_type = p.event_type
+                         AND p.b = a.b - 24
+        GROUP BY 1)
+      SELECT w.event_type, err_w, act_w, err_d, act_d,
+             err_w / act_w AS wape_weekly, err_d / act_d AS wape_daily
+      FROM w JOIN dly ON w.event_type = dly.event_type""")),
+
+    // Key-skew diagnostic — the pre-join audit that decides whether a
+    // 100 TB join needs salting or AQE skew handling: the per-key row
+    // counts collapsed into a log2 frequency histogram (floor(log2 n) via
+    // binary-string length — exact in both engines, no libm), with the
+    // concentration statistics every skew decision reads: the hottest
+    // key's share and the Herfindahl–Hirschman numerator Σnᵢ² (exact
+    // BIGINTs; the shares are single divisions). Key collapse is the only
+    // data-sized shuffle; the histogram and the 1-row fold are keys-sized.
+    Q("dq_skew", (s, d) => {
+      val keys = tbl(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n_i"))
+      val hist = keys
+        .groupBy((length(bin(col("n_i"))) - 1).cast("long").as("log2_n"))
+        .agg(count(lit(1)).as("n_keys"),
+          min("n_i").as("min_n"), max("n_i").as("max_n"),
+          sum("n_i").as("rows_in"))
+      val glob = keys.groupBy()
+        .agg(count(lit(1)).as("tot_keys"), sum("n_i").as("tot_rows"),
+          max("n_i").as("hot_n"), sum(col("n_i") * col("n_i")).as("hhi_num"))
+        .withColumn("top1_share", expr("hot_n / tot_rows"))
+        .withColumn("hhi", expr("hhi_num / (tot_rows * tot_rows)"))
+      hist.crossJoin(broadcast(glob))
+    }, Some("""
+      WITH k AS (SELECT user_id, count(*) AS n_i FROM events GROUP BY 1),
+      h AS (
+        SELECT CAST(length(bin(n_i)) - 1 AS BIGINT) AS log2_n,
+               count(*) AS n_keys, min(n_i) AS min_n, max(n_i) AS max_n,
+               CAST(sum(n_i) AS BIGINT) AS rows_in
+        FROM k GROUP BY 1),
+      g AS (
+        SELECT count(*) AS tot_keys, CAST(sum(n_i) AS BIGINT) AS tot_rows,
+               max(n_i) AS hot_n, CAST(sum(n_i*n_i) AS BIGINT) AS hhi_num
+        FROM k)
+      SELECT h.*, g.tot_keys, g.tot_rows, g.hot_n, g.hhi_num,
+             g.hot_n / g.tot_rows AS top1_share,
+             g.hhi_num / (g.tot_rows * g.tot_rows) AS hhi
+      FROM h CROSS JOIN g""")),
+
     // l-diversity audit — the companion to dq_kanon: a k-anonymous class
     // is still re-identifiable if its SENSITIVE attribute is uniform, so
     // the audit reports, per quasi-identifier class (user × day — finer

@@ -97,6 +97,51 @@ class StatsOpsSpec extends AnyFunSuite {
       "results must arrive lift-descending")
   }
 
+  test("ab_cuped: theta is the OLS slope and the reduction is a valid ratio") {
+    val r = run("ab_cuped").collect().head
+    val (n, sx, sxx) = (r.getAs[Long]("n"), r.getAs[Long]("sx"), r.getAs[Long]("sxx"))
+    val (sy, syy, sxy) = (r.getAs[Long]("sy"), r.getAs[Long]("syy"), r.getAs[Long]("sxy"))
+    assert(n * sxx >= sx * sx, "var(x) >= 0")
+    assert(n * syy >= sy * sy, "var(y) >= 0")
+    val theta = r.getAs[Double]("theta")
+    assert(theta == (n.toDouble * sxy - sx.toDouble * sy) / (n.toDouble * sxx - sx.toDouble * sx))
+    // reduction = corr(x,y)^2, so it must land in [0, 1]
+    val red = r.getAs[Double]("var_reduction")
+    assert(red >= 0.0 && red <= 1.0 + 1e-12)
+    assert(r.getAs[Long]("n0") > 0 && r.getAs[Long]("n0") < n)
+  }
+
+  test("ts_backtest: five types, WAPE ratios recompute from exact parts") {
+    val rows = run("ts_backtest").collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      assert(r.getAs[Long]("act_w") > 0 && r.getAs[Long]("act_d") > 0)
+      assert(r.getAs[Double]("wape_weekly") ==
+        r.getAs[Long]("err_w").toDouble / r.getAs[Long]("act_w"))
+      assert(r.getAs[Double]("wape_daily") ==
+        r.getAs[Long]("err_d").toDouble / r.getAs[Long]("act_d"))
+      assert(r.getAs[Double]("wape_weekly") >= 0.0)
+    }
+  }
+
+  test("dq_skew: histogram partitions the key set and bounds are honest") {
+    val rows = run("dq_skew").collect()
+    val totKeys = rows.head.getAs[Long]("tot_keys")
+    val totRows = rows.head.getAs[Long]("tot_rows")
+    assert(rows.map(_.getAs[Long]("n_keys")).sum == totKeys)
+    assert(rows.map(_.getAs[Long]("rows_in")).sum == totRows)
+    for (r <- rows) {
+      val b = r.getAs[Long]("log2_n")
+      val lo = 1L << b; val hi = (1L << (b + 1)) - 1
+      assert(r.getAs[Long]("min_n") >= lo && r.getAs[Long]("max_n") <= hi,
+        s"bucket $b must contain only counts in [$lo, $hi]")
+    }
+    val hhi = rows.head.getAs[Double]("hhi")
+    assert(hhi >= 1.0 / totKeys - 1e-12 && hhi <= 1.0)
+    assert(rows.head.getAs[Double]("top1_share") * totKeys >= 1.0 - 1e-9,
+      "the hottest key is at least the average key")
+  }
+
   test("dq_ldiv: every flagged class is genuinely below l = 3") {
     val flagged = run("dq_ldiv")
     assert(flagged.filter(col("l_div") >= 3).count() == 0)
