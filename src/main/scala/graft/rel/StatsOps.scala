@@ -148,9 +148,12 @@ object StatsOps {
     // fabricate zero samples. The series is aggregated BEFORE the
     // self-join, so the join touches KB regardless of input scale.
     Q("ts_autocorr", (s, d) => {
+      // persisted: referenced as both join sides — without it the event
+      // log would be scanned and aggregated twice for one tiny series
       val series = tbl(s, d, "events")
         .groupBy(Q.tsBucket(col("ts"), 300000000L).as("bucket"))
         .agg(count(lit(1)).as("x"))
+        .persist()
       val lagged = series
         .select(col("bucket"), col("x"),
           explode(sequence(lit(1L), lit(6L))).as("lag"))
@@ -289,20 +292,23 @@ object StatsOps {
     // broadcast-sized joins against the unigram table; min-count 5 prunes
     // the hapax tail before the join.
     Q("tx_collocations", (s, d) => {
-      val docs = tbl(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-      val bigrams = docs.select(explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i+1]))"))
-        .as("b"))
+      // one corpus scan: the tokenized projection is persisted and feeds
+      // bigram counts, unigram counts, and the bigram total; the unigram
+      // table is persisted too (it is both broadcast join sides)
+      val toks = tbl(s, d, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .persist()
+      val bigrams = toks.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i+1]))"))
+          .as("b"))
         .select(col("b.w1"), col("b.w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
         .filter(col("n_xy") >= 5)
-      val uni = tbl(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
+      val uni = toks.select(explode(col("w")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n_w"))
-      val nTot = tbl(s, d, "documents")
-        .select(expr("size(split(text, ' ')) - 1").as("nb"))
+        .persist()
+      val nTot = toks.select((size(col("w")) - 1).cast("long").as("nb"))
         .agg(sum("nb").as("n_big"))
       bigrams
         .join(broadcast(uni.withColumnRenamed("word", "w1")
@@ -413,9 +419,12 @@ object StatsOps {
     // before the lag joins, so both joins touch a time-span-bounded
     // relation (720 hours) regardless of event volume.
     Q("ts_backtest", (s, d) => {
+      // persisted: the series feeds both sides of both lag joins — four
+      // references, which would otherwise be four full event-log scans
       val srs = tbl(s, d, "events")
         .groupBy(col("event_type"), Q.tsBucket(col("ts"), 3600000000L).as("b"))
         .agg(count(lit(1)).as("x"))
+        .persist()
       def scored(lagH: Int, err: String, act: String) = srs.as("a")
         .join(broadcast(srs).as("p"),
           col("a.event_type") === col("p.event_type") &&
@@ -459,16 +468,21 @@ object StatsOps {
     // BIGINTs; the shares are single divisions). Key collapse is the only
     // data-sized shuffle; the histogram and the 1-row fold are keys-sized.
     Q("dq_skew", (s, d) => {
-      val keys = tbl(s, d, "events")
+      // the global concentration stats fold FROM the histogram (every one
+      // is bucket-decomposable, including Σnᵢ² carried as hhi_in), so the
+      // event log is scanned exactly once and everything past the key
+      // collapse is keys- then buckets-sized
+      val hist = tbl(s, d, "events")
         .groupBy("user_id").agg(count(lit(1)).as("n_i"))
-      val hist = keys
         .groupBy((length(bin(col("n_i"))) - 1).cast("long").as("log2_n"))
         .agg(count(lit(1)).as("n_keys"),
           min("n_i").as("min_n"), max("n_i").as("max_n"),
-          sum("n_i").as("rows_in"))
-      val glob = keys.groupBy()
-        .agg(count(lit(1)).as("tot_keys"), sum("n_i").as("tot_rows"),
-          max("n_i").as("hot_n"), sum(col("n_i") * col("n_i")).as("hhi_num"))
+          sum("n_i").as("rows_in"),
+          sum(col("n_i") * col("n_i")).as("hhi_in"))
+        .persist() // folded into glob AND emitted — one key collapse
+      val glob = hist.groupBy()
+        .agg(sum("n_keys").as("tot_keys"), sum("rows_in").as("tot_rows"),
+          max("max_n").as("hot_n"), sum("hhi_in").as("hhi_num"))
         .withColumn("top1_share", expr("hot_n / tot_rows"))
         .withColumn("hhi", expr("hhi_num / (tot_rows * tot_rows)"))
       hist.crossJoin(broadcast(glob))
@@ -477,12 +491,14 @@ object StatsOps {
       h AS (
         SELECT CAST(length(bin(n_i)) - 1 AS BIGINT) AS log2_n,
                count(*) AS n_keys, min(n_i) AS min_n, max(n_i) AS max_n,
-               CAST(sum(n_i) AS BIGINT) AS rows_in
+               CAST(sum(n_i) AS BIGINT) AS rows_in,
+               CAST(sum(n_i*n_i) AS BIGINT) AS hhi_in
         FROM k GROUP BY 1),
       g AS (
-        SELECT count(*) AS tot_keys, CAST(sum(n_i) AS BIGINT) AS tot_rows,
-               max(n_i) AS hot_n, CAST(sum(n_i*n_i) AS BIGINT) AS hhi_num
-        FROM k)
+        SELECT CAST(sum(n_keys) AS BIGINT) AS tot_keys,
+               CAST(sum(rows_in) AS BIGINT) AS tot_rows,
+               max(max_n) AS hot_n, CAST(sum(hhi_in) AS BIGINT) AS hhi_num
+        FROM h)
       SELECT h.*, g.tot_keys, g.tot_rows, g.hot_n, g.hhi_num,
              g.hot_n / g.tot_rows AS top1_share,
              g.hhi_num / (g.tot_rows * g.tot_rows) AS hhi

@@ -492,4 +492,56 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_hll_registers") ||
       p.contains("hll_registers"), s"custom aggregate missing:\n$p")
   }
+
+  test("ab_chisq / ab_welch / ab_cuped fold in one events scan each") {
+    for (q <- Seq("ab_chisq", "ab_welch", "ab_cuped")) {
+      val p = plan(q)
+      val scans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("events"))
+      assert(scans == 1, s"$q expected 1 events scan, got $scans:\n$p")
+      assert(p.contains("HashAggregate"), s"$q lost partial aggregation")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+    }
+  }
+
+  test("ts_backtest and ts_autocorr reuse the cached series, no rescans") {
+    for (q <- Seq("ts_backtest", "ts_autocorr")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"$q recomputes the series instead of reusing it:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+  }
+
+  test("sq_attribution joins on the user key with bounded windows") {
+    val p = plan("sq_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"attribution degenerated to an unbounded join:\n$p")
+    assert(p.contains("Window"), "first/last ranking lost its window")
+    assert(p.contains("hashpartitioning(user_id") ||
+      p.contains("user_id"), s"join not keyed on user:\n$p")
+  }
+
+  // NOTE on cached-scan counting: the plan STRING re-prints the cached
+  // subtree under every InMemoryRelation reference, so a raw FileScan line
+  // count overcounts — each reference EXECUTES the scan zero times after
+  // the first materialization. The guard therefore asserts that every
+  // reuse goes through InMemoryTableScan, which is the runtime property.
+
+  test("tx_collocations broadcasts the unigram sides over the cached corpus") {
+    val p = plan("tx_collocations")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"tokenized corpus / unigram table not reused via cache:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"unigram joins not broadcast:\n$p")
+  }
+
+  test("dq_skew folds the globals from the cached histogram") {
+    val p = plan("dq_skew")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"histogram not reused for the global fold:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row global fold must broadcast, not shuffle")
+  }
 }
