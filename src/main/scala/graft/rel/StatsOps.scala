@@ -283,6 +283,57 @@ object StatsOps {
              CAST(sum(1000000 // k) AS BIGINT) AS linear_ppm
       FROM j GROUP BY channel""")),
 
+    // Time-to-convert quantiles — the funnel-latency companion to
+    // q26_funnel: per purchase, the micros since the SAME user's most
+    // recent preceding click (a running max over the user-partitioned
+    // window — the as-of lookup without a join), then exact discrete
+    // p50/p90 per purchase-day via the q21 rank-selection pattern. Pure
+    // int64 end to end; the day partitioning keeps the quantile windows
+    // bounded and parallel.
+    Q("sq_funnel_time", (s, d) => {
+      val wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val deltas = tbl(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Q.tsMicros(col("ts")).as("us"))
+        .withColumn("last_click_us",
+          max(when(col("event_type") === "click", col("us"))).over(wu))
+        .filter(col("event_type") === "purchase" && col("last_click_us").isNotNull)
+        .select(expr("us div 86400000000").as("day"),
+          (col("us") - col("last_click_us")).as("delta"), col("event_id"))
+      val wd = Window.partitionBy("day").orderBy(col("delta").asc, col("event_id").asc)
+      val ranked = deltas.withColumn("rn", row_number().over(wd))
+      val sized = ranked.groupBy("day").agg(count(lit(1)).as("n_conv"))
+      ranked.join(sized, "day")
+        .groupBy(col("day"), col("n_conv"))
+        .agg(
+          max(when(col("rn") === ceil(col("n_conv") * 0.5), col("delta"))).as("p50_us"),
+          max(when(col("rn") === ceil(col("n_conv") * 0.9), col("delta"))).as("p90_us"))
+        .select("day", "n_conv", "p50_us", "p90_us")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      c AS (
+        SELECT *, max(CASE WHEN event_type = 'click' THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_click_us
+        FROM e),
+      dl AS (
+        SELECT us // 86400000000 AS day, us - last_click_us AS delta, event_id
+        FROM c WHERE event_type = 'purchase' AND last_click_us IS NOT NULL),
+      r AS (
+        SELECT day, delta,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY delta ASC, event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY day) AS n_conv
+        FROM dl)
+      SELECT day, n_conv,
+             CAST(max(CASE WHEN rn = ceil(n_conv * 0.5) THEN delta END) AS BIGINT) AS p50_us,
+             CAST(max(CASE WHEN rn = ceil(n_conv * 0.9) THEN delta END) AS BIGINT) AS p90_us
+      FROM r GROUP BY day, n_conv""")),
+
     // PMI collocations — corpus-level phrase mining: bigram and unigram
     // counts from the shared whitespace tokenizer, scored by pointwise
     // mutual information carried as the exact-ratio components

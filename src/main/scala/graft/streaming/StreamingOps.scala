@@ -204,6 +204,37 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Live A/B contingency cells — the experiment monitor as a streaming
+    * aggregation: each event contributes its user to the `all` cell of the
+    * user's arm, qualifying purchases also to the `conv` cell; streaming
+    * dropDuplicates keeps each (user, kind) once, so the per-arm counts are
+    * USER-level, exactly what ab_chisq's batch table folds. State is
+    * users×2 keys — bounded by the entity population, not the stream
+    * length. Complete mode re-emits the whole (arm, kind) table each
+    * micro-batch: six rows, the live dashboard shape.
+    */
+  def abCells(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_ab_sink_" + sinkCounter.incrementAndGet()
+    def base = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val all = base.select(col("user_id"), lit("all").as("kind"))
+    val conv = base
+      .filter(col("event_type") === "purchase" && col("value") >= 150.0)
+      .select(col("user_id"), lit("conv").as("kind"))
+    val cells = all.union(conv)
+      .dropDuplicates("user_id", "kind")
+      .withColumn("arm", pmod(col("user_id"), lit(3L)))
+      .groupBy("arm", "kind")
+      .agg(count(lit(1)).as("n_users"))
+    val query = StateSizing.startSized(s)(cells.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   /** Stream-stream time-interval inner join — the attribution primitive
     * (clicks joined to same-user purchases within 10 minutes after). Both
     * sides carry event-time watermarks, so the join state is BOUNDED: rows
@@ -915,6 +946,14 @@ object StreamingOps {
              count(*) AS n_events
       FROM events GROUP BY user_id""")),
     graft.rel.Q("st_sessionize", sessionize, Some(SESSIONIZE_SQL)),
+    graft.rel.Q("st_ab_cells", abCells, Some("""
+      WITH uk AS (
+        SELECT DISTINCT user_id, 'all' AS kind FROM events
+        UNION
+        SELECT DISTINCT user_id, 'conv' AS kind FROM events
+        WHERE event_type = 'purchase' AND value >= 150.0)
+      SELECT user_id % 3 AS arm, kind, count(*) AS n_users
+      FROM uk GROUP BY 1, 2""")),
     graft.rel.Q("st_stream_dedup", streamDedup, Some("""
       SELECT event_type, count(*) AS n_users
       FROM (SELECT DISTINCT user_id, event_type FROM events)

@@ -142,6 +142,28 @@ class StatsOpsSpec extends AnyFunSuite {
       "the hottest key is at least the average key")
   }
 
+  test("sq_funnel_time: quantiles ordered, deltas causal") {
+    val rows = run("sq_funnel_time").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (p50, p90) = (r.getAs[Long]("p50_us"), r.getAs[Long]("p90_us"))
+      assert(p50 >= 0, "a conversion cannot precede its click")
+      assert(p50 <= p90, "discrete quantiles must be ordered")
+      assert(r.getAs[Long]("n_conv") > 0)
+    }
+  }
+
+  test("st_ab_cells: conv cell is a subset of the all cell per arm") {
+    val rows = run("st_ab_cells").collect()
+    val byArm = rows.groupBy(_.getAs[Long]("arm"))
+    assert(byArm.keySet == Set(0L, 1L, 2L))
+    for ((_, rs) <- byArm) {
+      val m = rs.map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_users")).toMap
+      assert(m("conv") <= m("all"))
+      assert(m("conv") > 0 && m("all") > 0)
+    }
+  }
+
   test("dq_ldiv: every flagged class is genuinely below l = 3") {
     val flagged = run("dq_ldiv")
     assert(flagged.filter(col("l_div") >= 3).count() == 0)
