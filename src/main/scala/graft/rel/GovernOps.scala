@@ -351,5 +351,54 @@ object GovernOps {
                l_discount FROM lineitem
         UNION ALL SELECT l_orderkey, l_linenumber, 'tax',
                l_tax FROM lineitem)
-      WHERE l_orderkey % 7 = 0""")))
+      WHERE l_orderkey % 7 = 0""")),
+
+    // Data-freshness gap audit — the "data downtime" report an ingestion
+    // SLA monitor emits: per event type, the hourly buckets inside the
+    // feed's own [min, max] span with NO rows, collapsed gaps-and-islands
+    // style into contiguous outage windows (start, end, length). Expected
+    // buckets are generated from the per-type bounds (a handful of rows),
+    // present buckets come from one distinct pass; the anti-join and the
+    // island window both run on bucket-sized relations, never the raw
+    // log. Pure int64.
+    Q("dq_gaps", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val present = tbl(s, d, "events")
+        .select(col("event_type"), Q.tsBucket(col("ts"), 3600000000L).as("b"))
+        .distinct()
+        .persist() // bounds derive from it; one log scan total
+      val expected = present.groupBy("event_type")
+        .agg(min("b").as("lo"), max("b").as("hi"))
+        .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("b"))
+      val missing = expected.join(present, Seq("event_type", "b"), "left_anti")
+      val w = Window.partitionBy("event_type").orderBy("b")
+      missing
+        .withColumn("isl", col("b") - row_number().over(w))
+        .groupBy(col("event_type"), col("isl"))
+        .agg(min("b").as("gap_start"), max("b").as("gap_end"),
+          count(lit(1)).as("gap_len"))
+        .drop("isl")
+        .select("event_type", "gap_start", "gap_end", "gap_len")
+    }, Some("""
+      WITH present AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b
+        FROM events),
+      bounds AS (
+        SELECT event_type, min(b) AS lo, max(b) AS hi
+        FROM present GROUP BY 1),
+      expected AS (
+        SELECT event_type, unnest(range(lo, hi + 1)) AS b FROM bounds),
+      missing AS (
+        SELECT e.event_type, e.b FROM expected e
+        LEFT JOIN present p ON e.event_type = p.event_type AND e.b = p.b
+        WHERE p.b IS NULL),
+      isl AS (
+        SELECT event_type, b,
+               b - row_number() OVER (PARTITION BY event_type
+                                      ORDER BY b) AS isl
+        FROM missing)
+      SELECT event_type, min(b) AS gap_start, max(b) AS gap_end,
+             count(*) AS gap_len
+      FROM isl GROUP BY event_type, isl""")))
 }

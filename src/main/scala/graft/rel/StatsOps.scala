@@ -191,6 +191,55 @@ object StatsOps {
                 - CAST(sum(bx) AS BIGINT)*CAST(sum(bx) AS BIGINT))) AS r
       FROM p GROUP BY lag""")),
 
+    // Change-point detection — the CUSUM-style level-shift locator, exact:
+    // over the 5-minute count series (time-span-bounded, pre-aggregated),
+    // the centered cumulative deviation at position t is carried as the
+    // INTEGER cum_t·T − t·S (the ×T·S scaling clears both divisions), and
+    // the change point is its |·|-argmax strictly before the series end.
+    // Pre/post means around the break are the only float ops — single
+    // divisions of exact ints. Windows run over the tiny series relation,
+    // never the raw log.
+    Q("ts_changepoint", (s, d) => {
+      val wOrd = Window.orderBy("bucket")
+      val series = tbl(s, d, "events")
+        .groupBy(Q.tsBucket(col("ts"), 300000000L).as("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val scored = series
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum("x").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("ss", sum("x").over(Window.partitionBy()))
+        .withColumn("dev", expr("cum * tt - t * ss"))
+        .filter(col("t") < col("tt"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.orderBy(abs(col("dev")).desc, col("t").asc)))
+        .filter(col("rk") === 1)
+        .select(col("bucket"), col("t"), col("tt"), col("ss"), col("dev"),
+          expr("cum / t").as("mean_pre"),
+          expr("(ss - cum) / (tt - t)").as("mean_post"))
+    }, Some("""
+      WITH srs AS (
+        SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+               count(*) AS x
+        FROM events GROUP BY 1),
+      sc AS (
+        SELECT bucket,
+               row_number() OVER (ORDER BY bucket) AS t,
+               CAST(sum(x) OVER (ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(count(*) OVER () AS BIGINT) AS tt,
+               CAST(sum(x) OVER () AS BIGINT) AS ss
+        FROM srs),
+      dv AS (
+        SELECT *, cum * tt - t * ss AS dev FROM sc WHERE t < tt),
+      rk AS (
+        SELECT *, row_number() OVER (ORDER BY abs(dev) DESC, t ASC) AS rk
+        FROM dv)
+      SELECT bucket, t, tt, ss, dev,
+             cum / t AS mean_pre, (ss - cum) / (tt - t) AS mean_post
+      FROM rk WHERE rk = 1""")),
+
     // Per-entity exponential smoothing — the truncated 8-tap EWMA
     // (α = 1/2) of each user's value series at their LAST event: weights
     // are exact powers of two over exact decimals, so the numerator is an

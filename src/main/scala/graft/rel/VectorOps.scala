@@ -1364,6 +1364,61 @@ object VectorOps {
                  AS BIGINT) AS bucket
         FROM proj GROUP BY vec_id)
       SELECT bucket, count(*) AS n_vectors FROM buckets
-      GROUP BY bucket HAVING count(*) > 1"""))
+      GROUP BY bucket HAVING count(*) > 1""")),
+
+    // Gram / covariance accumulation — the building block under PCA,
+    // whitening, and linear probes: for every dim pair i ≤ j, the exact
+    // Σ qᵢqⱼ over the quantized corpus, with the marginal sums joined on
+    // (64 rows, broadcast) so the centered covariance NUMERATOR
+    // n·Σqᵢqⱼ − Σqᵢ·Σqⱼ is itself an exact BIGINT. Per row the flat-map
+    // emits the d(d+1)/2 upper triangle (2080 cells at d=64) — the
+    // outer-product partial-aggregation shape whose communication is d²
+    // per partition regardless of row count, exactly how a 100 TB
+    // covariance pass must behave. (At extreme row counts the scaled
+    // products approach int64; the decimal(38) widening is the escape
+    // hatch, not needed at gate scale.)
+    Q("vec_gram", (s, d) => {
+      val cells = tbl(s, d, "embeddings")
+        .select(expr(quant).as("qv"))
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 63), i ->
+               transform(sequence(i, 63), j ->
+                 named_struct('i', i + 1, 'j', j + 1, 'p', qv[i] * qv[j]))))"""))
+          .as("c"))
+        .groupBy(col("c.i").cast("long").as("i"),
+          col("c.j").cast("long").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("c.p")).as("s_ij"))
+      val marg = tbl(s, d, "embeddings")
+        .select(posexplode(expr(quant)).as(Seq("pos", "q")))
+        .groupBy((col("pos") + 1).cast("long").as("dim"))
+        .agg(sum("q").as("s_dim"))
+      cells
+        .join(broadcast(marg.withColumnRenamed("dim", "i")
+          .withColumnRenamed("s_dim", "s_i")), "i")
+        .join(broadcast(marg.withColumnRenamed("dim", "j")
+          .withColumnRenamed("s_dim", "s_j")), "j")
+        .withColumn("cov_num", expr("n * s_ij - s_i * s_j"))
+        .select("i", "j", "n", "s_ij", "s_i", "s_j", "cov_num")
+    }, Some(s"""
+      WITH $QVEC_SQL,
+      cells AS (
+        SELECT s.i AS i, s.j AS j, count(*) AS n,
+               CAST(sum(s.p) AS BIGINT) AS s_ij
+        FROM (
+          SELECT unnest(flatten(list_transform(range(1, 65), i ->
+                   list_transform(range(i, 65), j ->
+                     struct_pack(i := i, j := j, p := qv[i] * qv[j]))))) AS s
+          FROM qv)
+        GROUP BY 1, 2),
+      marg AS (
+        SELECT dim, CAST(sum(q) AS BIGINT) AS s_dim FROM (
+          SELECT unnest(qv) AS q,
+                 unnest(range(1, 65)) AS dim
+          FROM qv)
+        GROUP BY 1)
+      SELECT c.i, c.j, c.n, c.s_ij, mi.s_dim AS s_i, mj.s_dim AS s_j,
+             c.n * c.s_ij - mi.s_dim * mj.s_dim AS cov_num
+      FROM cells c JOIN marg mi ON c.i = mi.dim
+                   JOIN marg mj ON c.j = mj.dim"""))
   )
 }

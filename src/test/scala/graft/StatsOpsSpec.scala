@@ -164,6 +164,48 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_changepoint: the break splits the series with consistent means") {
+    val r = run("ts_changepoint").collect().head
+    val (t, tt, ss) = (r.getAs[Long]("t"), r.getAs[Long]("tt"), r.getAs[Long]("ss"))
+    assert(t >= 1 && t < tt, "break must fall strictly inside the series")
+    val (pre, post) = (r.getAs[Double]("mean_pre"), r.getAs[Double]("mean_post"))
+    // dev = t*tt*(mean_pre - S/T) => sign of dev matches pre-vs-global mean
+    val dev = r.getAs[Long]("dev")
+    assert((dev > 0) == (pre > ss.toDouble / tt) || dev == 0)
+    assert(pre > 0 && post > 0)
+  }
+
+  test("vec_gram: full upper triangle with PSD-consistent diagonal") {
+    val rows = run("vec_gram").collect()
+    assert(rows.length == 64 * 65 / 2)
+    val n = rows.head.getAs[Long]("n")
+    for (r <- rows) {
+      assert(r.getAs[Long]("n") == n, "every cell sums the same row count")
+      assert(r.getAs[Long]("i") <= r.getAs[Long]("j"))
+      if (r.getAs[Long]("i") == r.getAs[Long]("j")) {
+        assert(r.getAs[Long]("s_ij") >= 0, "diagonal is a sum of squares")
+        assert(r.getAs[Long]("cov_num") >= 0,
+          "n*Σq² - (Σq)² is n²·variance, necessarily non-negative")
+      }
+    }
+  }
+
+  test("dq_gaps: islands are well-formed outage windows") {
+    val rows = run("dq_gaps").collect()
+    assert(rows.nonEmpty, "the sparse sf0.001 feed must have hourly gaps")
+    for (r <- rows) {
+      assert(r.getAs[Long]("gap_len") ==
+        r.getAs[Long]("gap_end") - r.getAs[Long]("gap_start") + 1,
+        "a gap is a contiguous bucket run")
+    }
+    // gaps of one type never overlap
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("event_type"))) {
+      val sorted = rs.sortBy(_.getAs[Long]("gap_start"))
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if sorted.length > 1)
+        assert(a.getAs[Long]("gap_end") < b.getAs[Long]("gap_start"))
+    }
+  }
+
   test("dq_ldiv: every flagged class is genuinely below l = 3") {
     val flagged = run("dq_ldiv")
     assert(flagged.filter(col("l_div") >= 3).count() == 0)
