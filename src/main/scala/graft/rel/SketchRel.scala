@@ -245,8 +245,8 @@ object SketchRel {
         FROM bins GROUP BY 1, 2),
       cumul AS (
         SELECT event_type, bid, n,
-               sum(n) OVER (PARTITION BY event_type ORDER BY bid
-                            ROWS UNBOUNDED PRECEDING) AS cum
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bid
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         FROM hist),
       tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt
               FROM hist GROUP BY 1),

@@ -224,6 +224,38 @@ object SourceOps {
         .json(dir))
     }, Some(GATE_SQL)),
 
+    // Fixed-width text ingest — the mainframe/legacy-feed format Spark has
+    // no reader for: records are written as zero/space-padded column
+    // slices through the distributed text sink, read back with the plain
+    // text source, and parsed by 1-based substring offsets (the schema
+    // lives in the offsets, not the file). Everything numeric rides as
+    // exact scaled integers, so the shared gate aggregate proves the
+    // pad → slice → cast chain byte-faithful. Line-oriented text splits
+    // by newline, so the format is fully splittable at 100 TB.
+    Q("src_fixedwidth", (s, d) => {
+      val dir = stage("fw")
+      tbl(s, d, "events").select(concat(
+        lpad(col("event_id").cast("string"), 12, "0"),
+        lpad(Q.tsMicros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("user_id").cast("string"), 8, "0"),
+        rpad(col("event_type"), 10, " "),
+        lpad(expr("CAST(round(value * 1000000) AS BIGINT)").cast("string"),
+          14, "0")).as("value"))
+        .write.mode(SaveMode.Overwrite).text(dir)
+      s.read.text(dir)
+        .select(
+          expr("CAST(substring(value, 13, 20) AS BIGINT)").as("us"),
+          expr("rtrim(substring(value, 41, 10))").as("event_type"),
+          expr("CAST(substring(value, 51, 14) AS BIGINT)").as("vm"))
+        .groupBy(expr("us div 300000000").as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("vm").as("sum_micros"))
+    }, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_micros
+      FROM events GROUP BY 1, 2""")),
+
     // CSV quoting fidelity: events.props carries embedded double quotes
     // (JSON text), which the CSV writer must quote-wrap and escape and
     // the reader must unescape byte-exactly — the classic corruption seam
