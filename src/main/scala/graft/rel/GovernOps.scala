@@ -400,5 +400,66 @@ object GovernOps {
         FROM missing)
       SELECT event_type, min(b) AS gap_start, max(b) AS gap_end,
              count(*) AS gap_len
-      FROM isl GROUP BY event_type, isl""")))
+      FROM isl GROUP BY event_type, isl""")),
+
+    // Referential-integrity audit — the FK checks a lakehouse runs between
+    // fact and dimension loads, both verdict branches exercised: the
+    // lineitem→orders edge is intact (the audit must prove a zero), while
+    // orders→customer is checked against a deliberately INCOMPLETE dim
+    // snapshot (every 10th key missing — the late-arriving-dimension
+    // failure a real pipeline hits), so orphan counts and shares are
+    // nonzero. Each audit is one distinct-collapse of the child's key and
+    // one left-anti join on it — the child table's full rows never
+    // shuffle; at 100 TB the anti-join carries only the distinct key set,
+    // and AQE picks broadcast when the dim side fits.
+    Q("dq_referential", (s, d) => {
+      def audit(fk: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String): DataFrame = {
+        // ONE child scan: the key collapse feeds both the row-count fold
+        // and the anti-join, and shrinks the anti-join's probe side from
+        // child-rows to distinct-keys before any join shuffle
+        val kc = child.groupBy(col(ck).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+        val rows = kc.groupBy().agg(sum("cnt").as("child_keys"))
+        val orphans = kc
+          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+          .groupBy().agg(count(lit(1)).as("orphan_keys"),
+            coalesce(min("k"), lit(-1L)).as("first_orphan"))
+        graft.Caching.releaseAfterAction(
+          rows.crossJoin(broadcast(orphans))
+            .select(lit(fk).as("fk"), col("child_keys"), col("orphan_keys"),
+              col("first_orphan"),
+              expr("orphan_keys / child_keys").as("orphan_share")),
+          kc)
+      }
+      val snap = tbl(s, d, "customer")
+        .filter(col("c_custkey") % 10 =!= 3)
+      audit("lineitem.l_orderkey->orders",
+          tbl(s, d, "lineitem"), "l_orderkey",
+          tbl(s, d, "orders"), "o_orderkey")
+        .unionByName(audit("orders.o_custkey->customer_snapshot",
+          tbl(s, d, "orders"), "o_custkey", snap, "c_custkey"))
+    }, Some("""
+      WITH a1 AS (
+        SELECT 'lineitem.l_orderkey->orders' AS fk,
+               (SELECT count(*) FROM lineitem) AS child_keys,
+               count(*) AS orphan_keys,
+               coalesce(min(k), -1) AS first_orphan
+        FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.k)),
+      a2 AS (
+        SELECT 'orders.o_custkey->customer_snapshot' AS fk,
+               (SELECT count(*) FROM orders) AS child_keys,
+               count(*) AS orphan_keys,
+               coalesce(min(k), -1) AS first_orphan
+        FROM (SELECT DISTINCT o_custkey AS k FROM orders) c
+        WHERE NOT EXISTS (SELECT 1 FROM customer p
+                          WHERE p.c_custkey % 10 != 3 AND p.c_custkey = c.k))
+      SELECT fk, child_keys, orphan_keys, first_orphan,
+             orphan_keys / child_keys AS orphan_share
+      FROM a1
+      UNION ALL
+      SELECT fk, child_keys, orphan_keys, first_orphan,
+             orphan_keys / child_keys AS orphan_share
+      FROM a2""")))
 }

@@ -624,5 +624,155 @@ object StatsOps {
              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
              count(*) AS class_size,
              count(DISTINCT event_type) AS l_div
-      FROM events GROUP BY 1, 2 HAVING count(DISTINCT event_type) < 3""")))
+      FROM events GROUP BY 1, 2 HAVING count(DISTINCT event_type) < 3""")),
+
+    // Sample-ratio mismatch — the assignment-health guardrail every
+    // experiment platform runs BEFORE reading any metric: the splitter
+    // (two md5 nibbles of the user id, mod 3 — a hash both engines replay
+    // byte-for-byte) should land users on arms in thirds; the chi-square
+    // against the uniform expectation is a straight-line double over the
+    // three exact BIGINT arm counts, spliced from the same text into both
+    // engines. The flag compares that bit-identical double to the df=2
+    // p≈1e-3 critical value. One user collapse (the minimal shuffle the
+    // user-level unit demands) + a 1-row conditional fold.
+    Q("ab_srm", (s, d) => {
+      tbl(s, d, "events")
+        .select(col("user_id")).distinct()
+        .select(expr(
+          "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 3")
+          .as("arm"))
+        .groupBy()
+        .agg(count(lit(1)).as("nt"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("k0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("k1"),
+          sum(when(col("arm") === 2, 1L).otherwise(0L)).as("k2"))
+        .withColumn("chisq", expr(SRM_EXPR))
+        .withColumn("srm_flag", (col("chisq") > 13.8155).cast("long"))
+    }, Some(s"""
+      WITH u AS (
+        SELECT (instr('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) AS h
+        FROM (SELECT DISTINCT user_id FROM events)),
+      g AS (
+        SELECT count(*) AS nt,
+               CAST(sum(CASE WHEN h % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+               CAST(sum(CASE WHEN h % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+               CAST(sum(CASE WHEN h % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+        FROM u)
+      SELECT nt, k0, k1, k2, $SRM_EXPR AS chisq,
+             CAST(CASE WHEN $SRM_EXPR > 13.8155 THEN 1 ELSE 0 END AS BIGINT)
+               AS srm_flag
+      FROM g""")),
+
+    // Classical seasonal decomposition — the STL-shaped additive split of
+    // the hourly traffic series into trend + hour-of-day seasonality +
+    // residual: trend is a centered 24-tap moving average (exact BIGINT
+    // window sums over the PRE-AGGREGATED series — bounded by the 720-hour
+    // time span, never the event volume), the seasonal index is each
+    // hour-of-day's mean deviation from the grand mean, and the residual
+    // is what neither explains. Every emitted float is a straight-line
+    // formula over exact integer sums, spliced from shared text; the
+    // per-hour means and the grand mean ride along as their exact
+    // numerator/denominator pairs.
+    Q("ts_decompose", (s, d) => {
+      val srs = tbl(s, d, "events")
+        .groupBy(Q.tsBucket(col("ts"), 3600000000L).as("b"))
+        .agg(count(lit(1)).as("x"))
+        .persist() // three references: trend window, hod means, grand fold
+      val wTrend = Window.orderBy("b").rowsBetween(-12, 11)
+      val hod = srs.groupBy(pmod(col("b"), lit(24L)).as("hod"))
+        .agg(sum("x").as("sn"), count(lit(1)).as("sc"))
+      val glob = srs.groupBy()
+        .agg(sum("x").as("gs"), count(lit(1)).as("gn"))
+      srs
+        .withColumn("tn", sum("x").over(wTrend))
+        .withColumn("tc", count(lit(1)).over(wTrend))
+        .withColumn("hod", pmod(col("b"), lit(24L)))
+        .join(broadcast(hod), "hod")
+        .crossJoin(broadcast(glob))
+        .withColumn("trend", expr(TREND_EXPR))
+        .withColumn("seasonal", expr(SEAS_EXPR))
+        .withColumn("resid", expr(RESID_EXPR))
+        .select("b", "x", "hod", "tn", "tc", "sn", "sc", "gs", "gn",
+          "trend", "seasonal", "resid")
+    }, Some(s"""
+      WITH srs AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, count(*) AS x
+        FROM events GROUP BY 1),
+      tr AS (
+        SELECT b, x, b % 24 AS hod,
+               CAST(sum(x) OVER w AS BIGINT) AS tn,
+               CAST(count(*) OVER w AS BIGINT) AS tc
+        FROM srs
+        WINDOW w AS (ORDER BY b ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+      hd AS (
+        SELECT b % 24 AS hod, CAST(sum(x) AS BIGINT) AS sn,
+               count(*) AS sc
+        FROM srs GROUP BY 1),
+      g AS (
+        SELECT CAST(sum(x) AS BIGINT) AS gs, count(*) AS gn FROM srs)
+      SELECT b, x, tr.hod, tn, tc, sn, sc, gs, gn,
+             $TREND_EXPR AS trend, $SEAS_EXPR AS seasonal,
+             $RESID_EXPR AS resid
+      FROM tr JOIN hd ON tr.hod = hd.hod CROSS JOIN g""")),
+
+    // Robust anomaly detection — median/MAD outlier flags on the hourly
+    // count series, FULLY integer: both the median and the MAD are exact
+    // discrete rank selections (the q21 pattern — lower median at rank
+    // (N+1) div 2 with the bucket id as tiebreak, identical in both
+    // engines, no interpolation ambiguity), and the 3-MAD fence is an
+    // integer comparison — the gate never touches a float. Both selections
+    // window over the tiny pre-aggregated series; the scalars fold back in
+    // as broadcast 1-row relations (the house scalar pattern).
+    Q("ts_anomaly", (s, d) => {
+      val srs = tbl(s, d, "events")
+        .groupBy(Q.tsBucket(col("ts"), 3600000000L).as("b"))
+        .agg(count(lit(1)).as("x"))
+        .persist() // referenced by the N fold, the median rank, and dv
+      val n = srs.groupBy().agg(count(lit(1)).as("nn"))
+      val med = srs
+        .withColumn("rn", row_number().over(Window.orderBy("x", "b")))
+        .crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(nn + 1) div 2"))
+        .select(col("x").as("med"))
+      val dv = srs.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("x") - col("med")))
+        .persist() // referenced by the MAD rank and the output filter
+      val mad = dv
+        .withColumn("rn", row_number().over(Window.orderBy("dev", "b")))
+        .crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(nn + 1) div 2"))
+        .select(col("dev").as("mad"))
+      dv.crossJoin(broadcast(mad))
+        .filter(col("dev") > lit(3L) * col("mad"))
+        .select("b", "x", "med", "mad", "dev")
+    }, Some("""
+      WITH srs AS (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, count(*) AS x
+        FROM events GROUP BY 1),
+      n AS (SELECT count(*) AS nn FROM srs),
+      med AS (
+        SELECT x AS med FROM
+          (SELECT x, row_number() OVER (ORDER BY x, b) AS rn FROM srs), n
+        WHERE rn = (nn + 1) // 2),
+      dv AS (
+        SELECT b, x, med, abs(x - med) AS dev FROM srs, med),
+      mad AS (
+        SELECT dev AS mad FROM
+          (SELECT dev, b, row_number() OVER (ORDER BY dev, b) AS rn FROM dv), n
+        WHERE rn = (nn + 1) // 2)
+      SELECT b, x, med, mad, dev FROM dv, mad WHERE dev > 3 * mad""")))
+
+  /** Uniform-thirds chi-square over exact arm counts — one text, both
+    * engines; `nt/3` is int-by-int `/`, DOUBLE in both.
+    */
+  private val SRM_EXPR =
+    """(k0 - nt/3)*(k0 - nt/3)/(nt/3) + (k1 - nt/3)*(k1 - nt/3)/(nt/3)
+       + (k2 - nt/3)*(k2 - nt/3)/(nt/3)""".stripMargin.replace("\n", "")
+
+  private val TREND_EXPR = "tn / tc"
+  private val SEAS_EXPR = "sn / sc - gs / gn"
+  private val RESID_EXPR = "x - tn / tc - (sn / sc - gs / gn)"
 }

@@ -1419,6 +1419,111 @@ object VectorOps {
       SELECT c.i, c.j, c.n, c.s_ij, mi.s_dim AS s_i, mj.s_dim AS s_j,
              c.n * c.s_ij - mi.s_dim * mj.s_dim AS cov_num
       FROM cells c JOIN marg mi ON c.i = mi.dim
-                   JOIN marg mj ON c.j = mj.dim"""))
+                   JOIN marg mj ON c.j = mj.dim""")),
+
+    // PCA top component by power iteration — vec_gram's covariance cells
+    // driven to the leading eigendirection, EXACTLY: three unrolled
+    // iterations u ↦ normalize(C·u) where the matrix-vector product is an
+    // exact decimal/HUGEINT sum over the 64×64 Gram relation and the
+    // max-norm normalization is sign·(abs(v)·10^6 div max|v|) — the abs
+    // keeps every division positive, where floor (DuckDB //) and
+    // truncation (Spark div) agree, so each iterate is a BIGINT in
+    // [-10^6, 10^6] with identical bits in both engines. The one
+    // data-sized pass is the Gram aggregation (d²/2 partial-aggregated
+    // cells per partition — the same communication shape as vec_gram);
+    // every iteration after it touches only the 4096-cell matrix and a
+    // 64-row vector, with the scalar max folded back as a broadcast 1-row
+    // relation (the house scalar pattern).
+    Q("vec_pca_power", (s, d) => {
+      val cells = tbl(s, d, "embeddings")
+        .select(expr(quant).as("qv"))
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 63), i ->
+               transform(sequence(i, 63), j ->
+                 named_struct('i', i + 1, 'j', j + 1, 'p', qv[i] * qv[j]))))"""))
+          .as("c"))
+        .groupBy(col("c.i").cast("long").as("i"),
+          col("c.j").cast("long").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("c.p")).as("s_ij"))
+      val marg = tbl(s, d, "embeddings")
+        .select(posexplode(expr(quant)).as(Seq("pos", "q")))
+        .groupBy((col("pos") + 1).cast("long").as("dim"))
+        .agg(sum("q").as("s_dim"))
+      val upper = cells
+        .join(broadcast(marg.withColumnRenamed("dim", "i")
+          .withColumnRenamed("s_dim", "s_i")), "i")
+        .join(broadcast(marg.withColumnRenamed("dim", "j")
+          .withColumnRenamed("s_dim", "s_j")), "j")
+        .select(col("i"), col("j"), expr("n * s_ij - s_i * s_j").as("c"))
+      val gram = upper.unionByName(
+        upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+      def step(u: DataFrame): DataFrame = {
+        val v = gram.join(u, gram("j") === u("dim"))
+          .groupBy(col("i").as("vdim"))
+          .agg(sum(col("c").cast("decimal(20,0)") * col("u").cast("decimal(7,0)"))
+            .as("v"))
+        val mv = v.agg(max(abs(col("v"))).as("mv"))
+        v.crossJoin(broadcast(mv))
+          .select(col("vdim").as("dim"), expr(
+            """CAST((CASE WHEN v < 0 THEN -1 ELSE 1 END)
+                    * (CAST(abs(v) AS DECIMAL(30,0)) * 1000000 div mv)
+                 AS BIGINT)""").as("u"))
+      }
+      val u0 = marg.select(col("dim"), lit(1L).as("u"))
+      val u1 = step(u0)
+      val u2 = step(u1)
+      val u3 = step(u2)
+      graft.Caching.releaseAfterAction(
+        u1.select(col("dim"), col("u").as("u1"))
+          .join(u2.select(col("dim"), col("u").as("u2")), "dim")
+          .join(u3.select(col("dim"), col("u").as("u3")), "dim"),
+        gram)
+    }, Some(s"""
+      WITH $QVEC_SQL,
+      cells AS (
+        SELECT s.i AS i, s.j AS j, count(*) AS n,
+               CAST(sum(s.p) AS BIGINT) AS s_ij
+        FROM (
+          SELECT unnest(flatten(list_transform(range(1, 65), i ->
+                   list_transform(range(i, 65), j ->
+                     struct_pack(i := i, j := j, p := qv[i] * qv[j]))))) AS s
+          FROM qv)
+        GROUP BY 1, 2),
+      marg AS (
+        SELECT dim, CAST(sum(q) AS BIGINT) AS s_dim FROM (
+          SELECT unnest(qv) AS q,
+                 unnest(range(1, 65)) AS dim
+          FROM qv)
+        GROUP BY 1),
+      up AS (
+        SELECT c.i, c.j, c.n * c.s_ij - mi.s_dim * mj.s_dim AS c
+        FROM cells c JOIN marg mi ON c.i = mi.dim
+                     JOIN marg mj ON c.j = mj.dim),
+      gram AS (
+        SELECT i, j, c FROM up
+        UNION ALL
+        SELECT j AS i, i AS j, c FROM up WHERE i != j),
+      u0 AS (SELECT dim, CAST(1 AS BIGINT) AS u FROM marg),
+      v1 AS (SELECT g.i AS dim, sum(CAST(g.c AS HUGEINT) * u.u) AS v
+             FROM gram g JOIN u0 u ON g.j = u.dim GROUP BY 1),
+      m1 AS (SELECT max(abs(v)) AS mv FROM v1),
+      w1 AS (SELECT dim, CAST((CASE WHEN v < 0 THEN -1 ELSE 1 END)
+                              * (abs(v) * 1000000 // mv) AS BIGINT) AS u
+             FROM v1, m1),
+      v2 AS (SELECT g.i AS dim, sum(CAST(g.c AS HUGEINT) * u.u) AS v
+             FROM gram g JOIN w1 u ON g.j = u.dim GROUP BY 1),
+      m2 AS (SELECT max(abs(v)) AS mv FROM v2),
+      w2 AS (SELECT dim, CAST((CASE WHEN v < 0 THEN -1 ELSE 1 END)
+                              * (abs(v) * 1000000 // mv) AS BIGINT) AS u
+             FROM v2, m2),
+      v3 AS (SELECT g.i AS dim, sum(CAST(g.c AS HUGEINT) * u.u) AS v
+             FROM gram g JOIN w2 u ON g.j = u.dim GROUP BY 1),
+      m3 AS (SELECT max(abs(v)) AS mv FROM v3),
+      w3 AS (SELECT dim, CAST((CASE WHEN v < 0 THEN -1 ELSE 1 END)
+                              * (abs(v) * 1000000 // mv) AS BIGINT) AS u
+             FROM v3, m3)
+      SELECT w1.dim, w1.u AS u1, w2.u AS u2, w3.u AS u3
+      FROM w1 JOIN w2 ON w1.dim = w2.dim JOIN w3 ON w1.dim = w3.dim"""))
   )
 }

@@ -874,7 +874,86 @@ object StreamingOps {
            count(*) AS n_events, CAST(sum(qv) AS BIGINT) AS sum_micros
     FROM s GROUP BY user_id, sid"""
 
+  /** Watermark late-data accounting — the semantic every event-time
+    * streaming aggregation stands on, pinned end to end: the events
+    * relation is staged as single-file micro-batches with explicit,
+    * strictly increasing modification times (the file source takes files
+    * oldest-mtime-first under maxFilesPerTrigger=1, path as tiebreak), so
+    * batch order is deterministic: (1) the bulk stratum advances the
+    * watermark to its max event time minus the 1-hour delay, (2) a
+    * WATERMARK-COMMIT GAP batch — Spark filters late events against the
+    * watermark as of the START of the previous micro-batch (the
+    * late-events/eviction watermark split of SPARK-40925: lateEvents lags
+    * eviction by one batch), so a stratum arriving in the batch right
+    * after the bulk would see late-boundary 0 and sail through; the tiny
+    * gap slice (the bulk's final hour — may even be empty; the batch
+    * itself is what commits the boundary) promotes the bulk watermark
+    * into the late-events boundary, (3) a stratum of far-older events now
+    * arrives entirely BEHIND that boundary and is dropped before
+    * aggregation — numRowsDroppedByWatermark accounts for every partial,
+    * and no closed window re-opens, (4) a tail stratum advances the
+    * watermark far enough to flush all but the final windows. Append mode
+    * then emits exactly the hourly windows whose end precedes the final
+    * watermark, computed over the kept strata — which is what the batch
+    * oracle recomputes. Event times carry microsecond jitter, so no
+    * window boundary ever ties with a watermark and the strict/non-strict
+    * comparison distinction cannot bite.
+    */
+  def lateData(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val inv = sinkCounter.incrementAndGet()
+    val stageDir = graft.TempDirs.create(s"graft_late_stage_$inv")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .select(graft.rel.Q.tsMicros(col("ts")).as("us"), col("event_type"))
+    def put(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = graft.TempDirs.create(s"graft_late_tmp_${inv}_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$stageDir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+      ()
+    }
+    val cLo = 1704326400000000L // 2024-01-04T00:00:00Z
+    val cHi = 1706227200000000L // 2024-01-26T00:00:00Z
+    val cMid = cHi - 3600000000L // gap slice: the bulk's final hour
+    val base = System.currentTimeMillis()
+    put(ev.filter(col("us") >= cLo && col("us") < cMid), "f1_bulk", base - 400000)
+    put(ev.filter(col("us") >= cMid && col("us") < cHi), "f2_gap", base - 300000)
+    put(ev.filter(col("us") < cLo), "f3_late", base - 200000)
+    put(ev.filter(col("us") >= cHi), "f4_tail", base - 100000)
+    val qn = "st_late_sink_" + inv
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .withColumn("et", expr("timestamp_micros(us)"))
+      .withWatermark("et", "1 hour")
+      .groupBy(window(col("et"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(window.start) div 3600000000").as("hour"),
+        col("event_type"), col("n"))
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("append").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
+  private val LATE_SQL = """
+    WITH kept AS (
+      SELECT epoch_us(ts) AS us, event_type FROM events
+      WHERE epoch_us(ts) >= 1704326400000000),
+    wm AS (
+      SELECT ((max(us) // 1000) - 3600000) * 1000 AS wm_us FROM kept),
+    w AS (
+      SELECT us // 3600000000 AS hour, event_type, count(*) AS n
+      FROM kept GROUP BY 1, 2)
+    SELECT hour, event_type, n FROM w, wm
+    WHERE (hour + 1) * 3600000000 < wm_us"""
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_late_data", lateData, Some(LATE_SQL)),
     graft.rel.Q("st_session_window", sessionWindow, Some(SESSION_WINDOW_SQL)),
     graft.rel.Q("st_session_dynamic", sessionWindowDynamic,
       Some(SESSION_DYN_SQL)),
