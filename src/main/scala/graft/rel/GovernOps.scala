@@ -54,6 +54,25 @@ object GovernOps {
         WHERE epoch(ts) >= $lo AND epoch(ts) < $hi
         GROUP BY user_id)"""
 
+  /** The CDC change feed between the two snapshots — q29's body, shared
+    * with q36_cdc_apply (which proves the feed is faithful by replaying
+    * it).
+    */
+  private def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val o = snapshot(s, d, OldLo, OldHi).as("o")
+    val n = snapshot(s, d, NewLo, NewHi).as("n")
+    o.join(n, col("o.user_id") === col("n.user_id"), "full_outer")
+      .select(
+        coalesce(col("o.user_id"), col("n.user_id")).as("user_id"),
+        when(col("o.user_id").isNull, "insert")
+          .when(col("n.user_id").isNull, "delete")
+          .when(col("o.st") === col("n.st"), "noop")
+          .otherwise("update").as("change"),
+        col("o.st").as("old_state"), col("n.st").as("new_state"),
+        coalesce(col("o.n"), lit(0L)).as("old_n"),
+        coalesce(col("n.n"), lit(0L)).as("new_n"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // Single-pass column profile over lineitem — the metrics a data
@@ -182,20 +201,7 @@ object GovernOps {
     // consumes). The state tables are aggregate-reduced BEFORE the join,
     // so at 100 TB the join is entity-sized, not event-sized, and the
     // last-writer state needs no window over the raw log.
-    Q("q29_snapshot_diff", (s, d) => {
-      val o = snapshot(s, d, OldLo, OldHi).as("o")
-      val n = snapshot(s, d, NewLo, NewHi).as("n")
-      o.join(n, col("o.user_id") === col("n.user_id"), "full_outer")
-        .select(
-          coalesce(col("o.user_id"), col("n.user_id")).as("user_id"),
-          when(col("o.user_id").isNull, "insert")
-            .when(col("n.user_id").isNull, "delete")
-            .when(col("o.st") === col("n.st"), "noop")
-            .otherwise("update").as("change"),
-          col("o.st").as("old_state"), col("n.st").as("new_state"),
-          coalesce(col("o.n"), lit(0L)).as("old_n"),
-          coalesce(col("n.n"), lit(0L)).as("new_n"))
-    }, Some(s"""
+    Q("q29_snapshot_diff", (s, d) => changeFeed(s, d), Some(s"""
       WITH ${snapshotSql("o", OldLo, OldHi)},
       ${snapshotSql("nw", NewLo, NewHi)}
       SELECT coalesce(o.user_id, nw.user_id) AS user_id,
@@ -461,5 +467,32 @@ object GovernOps {
       UNION ALL
       SELECT fk, child_keys, orphan_keys, first_orphan,
              orphan_keys / child_keys AS orphan_share
-      FROM a2""")))
+      FROM a2""")),
+
+    // CDC apply — the closure property that proves the q29 change feed is
+    // FAITHFUL: compact the feed to a true delta (rows where the state OR
+    // the count actually changed — q29's 'noop' kind only pins the state
+    // column, so count-only drifts stay in the delta), then replay it
+    // against the OLD snapshot the way a MERGE sink would: untouched rows
+    // pass through an anti-join on the delta keys, deleted keys vanish,
+    // insert/update keys take their after-images. The gate's oracle is
+    // the NEW snapshot built directly — hash equality IS the proof that
+    // feed + apply loses and invents nothing. At 100 TB both sides of
+    // every join are aggregate-reduced state tables (user-sized), and the
+    // anti-join/union pair is exactly the shape of an incremental MERGE
+    // into a materialized dimension.
+    Q("q36_cdc_apply", (s, d) => {
+      // two references (anti-join keys + after-images); releaseAfterAction
+      // persists it and drops the cache once the gate action completes
+      val delta = changeFeed(s, d)
+        .filter(col("change") =!= "noop" || col("old_n") =!= col("new_n"))
+      val applied = snapshot(s, d, OldLo, OldHi)
+        .join(delta.select("user_id"), Seq("user_id"), "left_anti")
+        .unionByName(delta.filter(col("change") =!= "delete")
+          .select(col("user_id"), col("new_n").as("n"),
+            col("new_state").as("st")))
+      graft.Caching.releaseAfterAction(applied, delta)
+    }, Some(s"""
+      WITH ${snapshotSql("nw", NewLo, NewHi)}
+      SELECT user_id, n, st FROM nw""")))
 }

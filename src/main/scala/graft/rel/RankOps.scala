@@ -350,7 +350,13 @@ object RankOps {
     * and shuffle profile as a pagerank iteration; label relations stay
     * node-sized.
     */
-  def labelProp(s: SparkSession, d: String): DataFrame = {
+  /** The sparsified purchase graph plus its 3-round label-propagation
+    * assignment — shared by gr_labelprop (community census) and
+    * gr_modularity (partition-quality score). Returns (undirected pairs,
+    * directed edges, node→label).
+    */
+  private def lpGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     // sparsify to the rare low-quantity trades: the dense bipartite graph
     // collapses to one giant community, the sparse one has real structure
     val ed = tbl(s, d, "orders")
@@ -370,11 +376,54 @@ object RankOps {
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
     }
+    (ed, edges, lbl)
+  }
+
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    val (_, edges, lbl) = lpGraph(s, d)
     val out = lbl.groupBy("lbl")
       .agg(count(lit(1)).as("n_members"), sum("node").cast("long").as("id_sum"),
         min("node").as("id_min"))
     graft.Caching.releaseAfterAction(out, edges)
   }
+
+  /** Newman modularity of the label-propagation partition, per community
+    * and exact: Q = Σ_c (e_c/m − (d_c/2m)²) over undirected edge count m,
+    * intra-community edge count e_c, and community degree sum d_c — all
+    * exact BIGINTs (the double contribution is one shared-text formula
+    * over them). The partition-quality check every community detection
+    * run ships with.
+    *
+    * At 100 TB: two node-sized label joins onto the undirected pair
+    * relation, one degree aggregate, and a broadcast 1-row m fold — the
+    * assignment relation (cached) is the only thing read more than once.
+    */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val (ed, edges, lbl) = lpGraph(s, d)
+    val m1 = ed.groupBy().agg(count(lit(1)).as("m"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dc = deg.join(lbl, col("src") === col("node"))
+      .groupBy("lbl").agg(sum("deg").as("dc"))
+    val ec = ed
+      .join(lbl.select(col("node").as("a"), col("lbl").as("ca")), "a")
+      .join(lbl.select(col("node").as("b"), col("lbl").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("lbl")).agg(count(lit(1)).as("ec"))
+    val out = dc.join(ec, Seq("lbl"), "left")
+      .withColumn("ec", coalesce(col("ec"), lit(0L)))
+      .crossJoin(broadcast(m1))
+      .withColumn("contrib", expr(MOD_EXPR))
+      .select("lbl", "ec", "dc", "m", "contrib")
+    graft.Caching.releaseAfterAction(out, edges, lbl)
+  }
+
+  /** Per-community modularity contribution — shared text, both engines.
+    * `4e0`, NOT `4.0`: Spark parses a `d.d` literal as DECIMAL and would
+    * run the whole term through decimal rounding (≈25 ulps off DuckDB's
+    * double path); the exponent form is a DOUBLE literal in both engines,
+    * and 4·m·m is exact in doubles below 2^26 edges.
+    */
+  private val MOD_EXPR = "ec / m - (dc * dc) / (4e0 * m * m)"
 
   private def lpRoundSql(prev: String, out: String): String = s"""
       $out AS (
@@ -386,7 +435,7 @@ object RankOps {
           GROUP BY e.dst, l.lbl)
         WHERE rn = 1)"""
 
-  private val LABELPROP_SQL = s"""
+  private val LP_CTES = s"""
       WITH ed AS (
         SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -397,11 +446,30 @@ object RankOps {
       l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
       ${lpRoundSql("l0", "l1")},
       ${lpRoundSql("l1", "l2")},
-      ${lpRoundSql("l2", "l3")}
+      ${lpRoundSql("l2", "l3")}"""
+
+  private val LABELPROP_SQL = LP_CTES + s"""
       SELECT lbl, CAST(count(*) AS BIGINT) AS n_members,
              CAST(sum(node) AS BIGINT) AS id_sum,
              CAST(min(node) AS BIGINT) AS id_min
       FROM l3 GROUP BY lbl"""
+
+  private val MODULARITY_SQL = LP_CTES + s""",
+      m1 AS (SELECT count(*) AS m FROM ed),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      dc AS (
+        SELECT l.lbl, CAST(sum(d.deg) AS BIGINT) AS dc
+        FROM deg d JOIN l3 l ON d.src = l.node GROUP BY 1),
+      ec AS (
+        SELECT la.lbl AS lbl, count(*) AS ec
+        FROM ed JOIN l3 la ON ed.a = la.node
+                JOIN l3 lb ON ed.b = lb.node
+        WHERE la.lbl = lb.lbl GROUP BY 1),
+      base AS (
+        SELECT dc.lbl AS lbl, CAST(coalesce(ec.ec, 0) AS BIGINT) AS ec,
+               dc.dc AS dc, m1.m AS m
+        FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl CROSS JOIN m1)
+      SELECT lbl, ec, dc, m, $MOD_EXPR AS contrib FROM base"""
 
   /** HITS hubs/authorities on the directed customer -> supplier purchase
     * graph (two full mutual-reinforcement rounds): auth(b) = sum of hub
@@ -672,6 +740,7 @@ object RankOps {
     Q("gr_walks", randomWalks, Some(WALKS_SQL)),
     Q("gr_linkpred", linkpred, Some(LINKPRED_SQL)),
     Q("gr_labelprop", labelProp, Some(LABELPROP_SQL)),
+    Q("gr_modularity", modularity, Some(MODULARITY_SQL)),
     Q("gr_hits", hits, Some(HITS_SQL)),
     Q("gr_kcore", kcore, Some(KCORE_SQL)),
     Q("gr_bfs", bfs, Some(BFS_SQL)),

@@ -163,23 +163,35 @@ object SketchRel {
   private val HLL_P = 6
   private val HLL_NUM: Double = 0.709 * 4096.0 * (1L << 55).toDouble
 
-  def hllUsers(s: SparkSession, d: String): DataFrame = {
-    val h = tbl(s, d, "events")
-      .select(col("event_type"), expr(
-        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-        .as("h"))
-    val rows = h.groupBy("event_type")
-      .agg(graft.functions.HllRegisters(col("h"), HLL_P).as("regs"))
-      .select(col("event_type"), posexplode(col("regs")))
-      .select(col("event_type"), col("pos").cast("long").as("bucket"),
-        col("col").cast("long").as("reg"))
-    val stats = rows.groupBy("event_type")
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - reg AS INT))"))
-        .as("s_sum"))
-      .select(col("event_type"), col("s_sum"),
-        (lit(HLL_NUM) / col("s_sum").cast("double")).as("est_users"))
-    rows.join(broadcast(stats), "event_type")
-  }
+  /** The per-type HLL register aggregation over any (event_type, user_id)
+    * relation — batch here, and the streaming STATE in st_sk_hll (the
+    * TypedImperativeAggregate's buffer is what the state store holds).
+    */
+  private[graft] def hllAgg(ev: DataFrame): DataFrame = ev
+    .select(col("event_type"), expr(
+      "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+      .as("h"))
+    .groupBy("event_type")
+    .agg(graft.functions.HllRegisters(col("h"), HLL_P).as("regs"))
+
+  /** Register table + estimate view over an aggregated (event_type, regs)
+    * relation — the read side shared by the batch and streaming gates.
+    * The per-type harmonic sum rides as a window over the 64-register
+    * partitions (bounded by the sketch width), so the view is one pass
+    * with no self-join — which also lets it run over a streaming memory
+    * sink's view, where a self-join trips analyzer reference dedup.
+    */
+  private[graft] def hllView(aggd: DataFrame): DataFrame = aggd
+    .select(col("event_type"), posexplode(col("regs")))
+    .select(col("event_type"), col("pos").cast("long").as("bucket"),
+      col("col").cast("long").as("reg"))
+    .withColumn("s_sum",
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - reg AS INT))"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    .withColumn("est_users", lit(HLL_NUM) / col("s_sum").cast("double"))
+
+  def hllUsers(s: SparkSession, d: String): DataFrame =
+    hllView(hllAgg(tbl(s, d, "events")))
 
   /** DDSketch-style mergeable quantile histogram (Masson et al., VLDB
     * 2019 — relative-error quantiles from log-spaced buckets): values
@@ -266,9 +278,11 @@ object SketchRel {
                * (9 + 2 * (t.q95_bid % 4)) AS q95_rep
       FROM cumul c JOIN stats t ON c.event_type = t.event_type"""
 
-  def all: Seq[Q] = Seq(
-    Q("sk_ddsketch", ddsketch, Some(DDSKETCH_SQL)),
-    Q("sk_hll_users", hllUsers, Some(s"""
+  /** The register-table oracle, shared with the streaming twin st_sk_hll
+    * (the sketch merge is commutative, so the batch replay is the oracle
+    * for any micro-batch arrival order).
+    */
+  private[graft] val HLL_SQL: String = s"""
       WITH h AS (
         SELECT event_type,
                ${duckNibbleSum("md5(CAST(user_id AS VARCHAR))")} AS h
@@ -297,7 +311,11 @@ object SketchRel {
         FROM regs GROUP BY 1)
       SELECT r.event_type, r.bucket, r.reg, t.s_sum,
              $HLL_NUM / CAST(t.s_sum AS DOUBLE) AS est_users
-      FROM regs r JOIN stats t ON r.event_type = t.event_type""")),
+      FROM regs r JOIN stats t ON r.event_type = t.event_type"""
+
+  def all: Seq[Q] = Seq(
+    Q("sk_ddsketch", ddsketch, Some(DDSKETCH_SQL)),
+    Q("sk_hll_users", hllUsers, Some(HLL_SQL)),
     Q("ag_weighted_mean", weightedMean, Some("""
       SELECT event_type,
              CAST(CAST(sum(CAST(round(value * 1000000) AS BIGINT) * (user_id % 10 + 1)) AS BIGINT) AS DOUBLE) /

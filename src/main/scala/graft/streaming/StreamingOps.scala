@@ -952,8 +952,154 @@ object StreamingOps {
     SELECT hour, event_type, n FROM w, wm
     WHERE (hour + 1) * 3600000000 < wm_us"""
 
+  /** Streaming HLL — the distinct-user monitor live: the custom
+    * TypedImperativeAggregate's register buffer IS the streaming state
+    * (complete mode re-emits the merged sketch each micro-batch; the
+    * events arrive in 4 arbitrary-order staged batches, and the register
+    * max-merge is commutative, so any arrival order yields the batch
+    * sketch — which is why sk_hll_users' oracle gates this verbatim).
+    * The register table + estimate view derive batch-side from the final
+    * snapshot, exactly like st_sk_ddsketch's walk.
+    */
+  def hllStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val inv = sinkCounter.incrementAndGet()
+    val stageDir = graft.TempDirs.create(s"graft_hll_stage_$inv")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .select(col("event_type"), col("user_id"))
+    ev.repartition(4).write.mode("overwrite").parquet(stageDir)
+    val qn = "st_hll_sink_" + inv
+    val stream = graft.rel.SketchRel.hllAgg(
+      s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir))
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("complete").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    graft.rel.SketchRel.hllView(s.table(qn))
+  }
+
+  /** Bounded-state streaming dedup — dropDuplicatesWithinWatermark, the
+    * form that survives 100 TB: unlike st_stream_dedup's unbounded
+    * dropDuplicates (state grows with every key ever seen), state here
+    * expires once the watermark passes an id's event time plus the
+    * within-horizon, so state is bounded by the horizon's key arrival
+    * rate. The gate delivers the WHOLE events relation twice — two staged
+    * files, maxFilesPerTrigger=1: an exact redelivery of an entire feed —
+    * with a horizon wider than the data span, so every batch-2 row is a
+    * within-horizon duplicate and must be dropped; the output is the
+    * relation exactly once (the plain batch projection is the oracle).
+    */
+  def dedupWithinWatermark(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val inv = sinkCounter.incrementAndGet()
+    val stageDir = graft.TempDirs.create(s"graft_ddwm_stage_$inv")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), graft.rel.Q.tsMicros(col("ts")).as("us"),
+        col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+    def put(name: String, mtime: Long): Unit = {
+      val tmp = graft.TempDirs.create(s"graft_ddwm_tmp_${inv}_$name")
+      ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$stageDir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+      ()
+    }
+    val base = System.currentTimeMillis()
+    put("f1_feed", base - 200000)
+    put("f2_redelivery", base - 100000)
+    val qn = "st_ddwm_sink_" + inv
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .withColumn("et", expr("timestamp_micros(us)"))
+      .withWatermark("et", "40 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "us", "event_type", "qv")
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("append").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
+  /** LEFT OUTER stream-stream join — the semantic the inner
+    * st_stream_join cannot show: a click with no purchase inside its
+    * 10-minute attribution window must still be emitted (with nulls), but
+    * only once the watermark PROVES no match can arrive — i.e. once it
+    * passes click_ts + 10 minutes. Both sides watermark at 1 hour; the
+    * whole table arrives in one micro-batch, so matches emit immediately
+    * and the trailing no-data batch evicts+null-emits every unmatched
+    * click whose window closed before the final watermark
+    * (min over both sides' max event time, minus the hour). Clicks in the
+    * last ~70 minutes stay in state unemitted — exactly what the oracle's
+    * watermark predicate reproduces. Microsecond jitter keeps every
+    * boundary tie-free.
+    */
+  def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_ojoin_sink_" + sinkCounter.incrementAndGet()
+    def side(et: String, user: String, tsCol: String) =
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .filter(col("event_type") === et)
+        .select(col("user_id").as(user),
+          col("ts").cast("timestamp").as(tsCol))
+        .withWatermark(tsCol, "1 hour")
+    val clicks = side("click", "user_id", "click_ts")
+    val purchases = side("purchase", "p_user", "purchase_ts")
+    val joined = clicks.join(purchases, expr(
+        """user_id = p_user AND purchase_ts >= click_ts
+           AND purchase_ts <= click_ts + interval 10 minutes"""),
+        "left_outer")
+      .select(col("user_id"),
+        expr("unix_micros(cast(click_ts AS timestamp))").as("click_us"),
+        expr("unix_micros(cast(purchase_ts AS timestamp))").as("purchase_us"))
+    val query = StateSizing.startSized(s)(joined.writeStream
+      .outputMode("append").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
+  private val OUTER_JOIN_SQL = """
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS cus FROM events
+      WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS pus FROM events
+      WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT (least((SELECT max(cus) FROM c), (SELECT max(pus) FROM p))
+              // 1000 - 3600000) * 1000 AS wm_us),
+    m AS (
+      SELECT c.user_id, c.cus, p.pus
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.pus >= c.cus AND p.pus <= c.cus + 600000000),
+    um AS (
+      SELECT c.user_id, c.cus, CAST(NULL AS BIGINT) AS pus
+      FROM c, wm
+      WHERE NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.pus >= c.cus AND p.pus <= c.cus + 600000000)
+        AND c.cus + 600000000 < wm_us)
+    SELECT user_id, cus AS click_us, pus AS purchase_us FROM m
+    UNION ALL
+    SELECT user_id, cus AS click_us, pus AS purchase_us FROM um"""
+
   def all: Seq[graft.rel.Q] = Seq(
     graft.rel.Q("st_late_data", lateData, Some(LATE_SQL)),
+    graft.rel.Q("st_sk_hll", hllStream, Some(graft.rel.SketchRel.HLL_SQL)),
+    graft.rel.Q("st_dedup_within_wm", dedupWithinWatermark, Some("""
+      SELECT event_id, epoch_us(ts) AS us, event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS qv
+      FROM events""")),
+    graft.rel.Q("st_outer_join", streamOuterJoin, Some(OUTER_JOIN_SQL)),
     graft.rel.Q("st_session_window", sessionWindow, Some(SESSION_WINDOW_SQL)),
     graft.rel.Q("st_session_dynamic", sessionWindowDynamic,
       Some(SESSION_DYN_SQL)),
