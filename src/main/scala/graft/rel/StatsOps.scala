@@ -763,7 +763,105 @@ object StatsOps {
         SELECT dev AS mad FROM
           (SELECT dev, b, row_number() OVER (ORDER BY dev, b) AS rn FROM dv), n
         WHERE rn = (nn + 1) // 2)
-      SELECT b, x, med, mad, dev FROM dv, mad WHERE dev > 3 * mad""")))
+      SELECT b, x, med, mad, dev FROM dv, mad WHERE dev > 3 * mad""")),
+
+    // RFM segmentation — the classic recency/frequency/monetary customer
+    // grid with FIXED business band edges (the production form: edges are
+    // policy constants, not data quantiles — exact data quantiles of a
+    // user-sized relation would need a global sort; the quantile
+    // machinery itself is gated separately by q21/sk_ddsketch). Recency
+    // is hours since the user's last event relative to the corpus
+    // watermark (a broadcast 1-row fold); frequency and monetary are the
+    // user collapse's exact count/micro-sum. One data-sized shuffle (the
+    // user collapse), one broadcast, one segment-sized aggregate.
+    Q("sq_rfm", (s, d) => {
+      val users = tbl(s, d, "events")
+        .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+        .groupBy("user_id")
+        .agg(max("us").as("r_us"), count(lit(1)).as("f"), sum("qv").as("m"))
+      val tmax = tbl(s, d, "events")
+        .groupBy().agg(max(Q.tsMicros(col("ts"))).as("tmax"))
+      users.crossJoin(broadcast(tmax))
+        .withColumn("r_band", expr(RFM_R))
+        .withColumn("f_band", expr(RFM_F))
+        .withColumn("m_band", expr(RFM_M))
+        .groupBy("r_band", "f_band", "m_band")
+        .agg(count(lit(1)).as("n_users"), sum("f").as("sum_f"),
+          sum("m").as("sum_m"))
+    }, Some(s"""
+      WITH u AS (
+        SELECT user_id, max(epoch_us(ts)) AS r_us, count(*) AS f,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS m
+        FROM events GROUP BY 1),
+      t AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+      b AS (
+        SELECT $RFM_R AS r_band, $RFM_F AS f_band, $RFM_M AS m_band, f, m
+        FROM u, t)
+      SELECT r_band, f_band, m_band, count(*) AS n_users,
+             CAST(sum(f) AS BIGINT) AS sum_f, CAST(sum(m) AS BIGINT) AS sum_m
+      FROM b GROUP BY 1, 2, 3""")),
+
+    // Feature-leakage audit — the train/serve-skew check a feature store
+    // runs before a model ships: for every label event (purchase), the
+    // PIT-correct feature is the user's last click STRICTLY BEFORE the
+    // label (a running window max — merge_asof without the join), while
+    // the naive join a leaky pipeline writes picks the user's last click
+    // OVERALL (an unordered partition max over the same pass). A label
+    // leaks when the naive pick reads the future. Per label-day: label
+    // count, labels with any PIT feature, leaky labels, and the leak
+    // share. One user-partitioned pass computes both variants — the
+    // audit costs one window scan, no joins.
+    Q("ft_leakage_audit", (s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("user_id")
+      tbl(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Q.tsMicros(col("ts")).as("us"))
+        .withColumn("pit_us",
+          max(when(col("event_type") === "click", col("us"))).over(wOrd))
+        .withColumn("naive_us",
+          max(when(col("event_type") === "click", col("us"))).over(wAll))
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_labels"),
+          sum(when(col("pit_us").isNotNull, 1L).otherwise(0L)).as("n_pit"),
+          sum(when(col("naive_us") > col("us"), 1L).otherwise(0L))
+            .as("n_leaky"))
+        .withColumn("leak_share", expr("n_leaky / n_labels"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, event_type, us,
+               max(CASE WHEN event_type = 'click' THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pit_us,
+               max(CASE WHEN event_type = 'click' THEN us END)
+                 OVER (PARTITION BY user_id) AS naive_us
+        FROM e)
+      SELECT us // 86400000000 AS day, count(*) AS n_labels,
+             CAST(sum(CASE WHEN pit_us IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pit,
+             CAST(sum(CASE WHEN naive_us > us THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_leaky,
+             CAST(sum(CASE WHEN naive_us > us THEN 1 ELSE 0 END) AS BIGINT)
+               / count(*) AS leak_share
+      FROM f WHERE event_type = 'purchase' GROUP BY 1""")))
+
+  /** RFM band edges — business constants, shared text. Recency in hours
+    * since the corpus watermark; monetary in value micros.
+    */
+  private val RFM_R = """CASE WHEN tmax - r_us < 21600000000 THEN 'hot'
+       WHEN tmax - r_us < 86400000000 THEN 'warm'
+       ELSE 'cold' END""".replace("\n", " ")
+  private val RFM_F =
+    "CASE WHEN f >= 70 THEN 'high' WHEN f >= 55 THEN 'mid' ELSE 'low' END"
+  private val RFM_M = """CASE WHEN m >= 3500000000 THEN 'high'
+       WHEN m >= 2500000000 THEN 'mid' ELSE 'low' END""".replace("\n", " ")
 
   /** Uniform-thirds chi-square over exact arm counts — one text, both
     * engines; `nt/3` is int-by-int `/`, DOUBLE in both.

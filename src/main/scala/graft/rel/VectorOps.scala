@@ -632,7 +632,12 @@ object VectorOps {
     * aggregate argmin (map-side combinable, no window over the corpus);
     * mean recomputation is one hash aggregate on (cluster, dim).
     */
-  private def kmCluster(s: SparkSession, d: String): DataFrame = {
+  /** The one-Lloyd-round distance relation (vec_id × updated centroid →
+    * exact squared L2), shared by km_cluster (argmin census) and
+    * km_assign_quality (inertia + separation margins). Returns (d2, a1)
+    * where a1 is the cached first-assignment dep.
+    */
+  private def kmD2(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = qvec(s, d)
     val c0 = base.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
@@ -653,11 +658,17 @@ object VectorOps {
       .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), x -> x.mv)")
         .as("cv"))
       .select(col("c1").as("cid2"), col("cv"))
-    val a2 = a1.crossJoin(broadcast(means))
+    val d2 = a1.crossJoin(broadcast(means))
       .select(col("vec_id"), col("cid2"),
         expr("zip_with(qv, cv, (x, y) -> x * 1000 - y)").as("diff"))
       .select(col("vec_id"), col("cid2"),
         long_dot(col("diff"), col("diff")).as("dist"))
+    (d2, a1)
+  }
+
+  private def kmCluster(s: SparkSession, d: String): DataFrame = {
+    val (d2, a1) = kmD2(s, d)
+    val a2 = d2
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cid2"))).as("m"))
       .select(col("vec_id"), col("m.cid2").as("cluster"))
@@ -668,7 +679,34 @@ object VectorOps {
       a1)
   }
 
-  private val KM_CLUSTER_SQL = s"""
+  /** Assignment-quality audit over the same Lloyd round — the numbers a
+    * clustering job publishes to decide k and spot degenerate cells:
+    * per-cluster inertia (Σ own-centroid squared distance — EXACT int64
+    * on the quantized corpus) and the separation margin to the runner-up
+    * centroid (min and sum — a small margin means the cell boundary cuts
+    * through dense mass). No floats anywhere; the two-smallest selection
+    * is an in-aggregate sort over the per-vector centroid candidates,
+    * so nothing beyond the d2 relation ever shuffles.
+    */
+  private def kmQuality(s: SparkSession, d: String): DataFrame = {
+    val (d2, a1) = kmD2(s, d)
+    val two = d2
+      .groupBy("vec_id")
+      .agg(expr("slice(array_sort(collect_list(struct(dist, cid2))), 1, 2)")
+        .as("s"))
+      .select(col("vec_id"),
+        col("s").getItem(0).getField("cid2").as("cluster"),
+        col("s").getItem(0).getField("dist").as("da"),
+        col("s").getItem(1).getField("dist").as("db"))
+    graft.Caching.releaseAfterAction(
+      two.groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sum("da").as("sse"),
+          min(col("db") - col("da")).as("margin_min"),
+          sum(col("db") - col("da")).as("margin_sum")),
+      a1)
+  }
+
+  private val KM_CTES = s"""
       WITH $QVEC_SQL,
       c0 AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id % 100 = 7),
       d1 AS (
@@ -697,7 +735,9 @@ object VectorOps {
                  CAST(list_transform(range(1, 65), i -> v.qv[i] * 1000 - c.cv[i]) AS DOUBLE[]),
                  CAST(list_transform(range(1, 65), i -> v.qv[i] * 1000 - c.cv[i]) AS DOUBLE[]))
                  AS BIGINT) AS dist
-        FROM a1 v, cv2 c),
+        FROM a1 v, cv2 c)"""
+
+  private val KM_CLUSTER_SQL = KM_CTES + s""",
       a2 AS (
         SELECT vec_id, cid2 AS cluster FROM (
           SELECT vec_id, cid2,
@@ -707,6 +747,21 @@ object VectorOps {
       SELECT cluster, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_id,
              min(vec_id) AS min_id, max(vec_id) AS max_id
       FROM a2 GROUP BY cluster"""
+
+  private val KM_QUALITY_SQL = KM_CTES + s""",
+      r1 AS (
+        SELECT vec_id, cid2, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cid2 ASC) AS rn
+        FROM d2),
+      two AS (
+        SELECT a.vec_id, a.cid2 AS cluster, a.dist AS da, b.dist AS db
+        FROM r1 a JOIN r1 b ON a.vec_id = b.vec_id
+        WHERE a.rn = 1 AND b.rn = 2)
+      SELECT cluster, count(*) AS n, CAST(sum(da) AS BIGINT) AS sse,
+             min(db - da) AS margin_min,
+             CAST(sum(db - da) AS BIGINT) AS margin_sum
+      FROM two GROUP BY cluster"""
 
   /** SemDeDup-shaped semantic dedup (cluster, then prune inside clusters):
     * every vector is k-means-assigned (one exact integer squared-L2 pass
@@ -1247,6 +1302,8 @@ object VectorOps {
                                   ORDER BY dot DESC, id_n ASC) AS rn
         FROM rer) WHERE rn = 1""")),
     Q("km_cluster", kmCluster, Some(KM_CLUSTER_SQL)),
+
+    Q("km_assign_quality", kmQuality, Some(KM_QUALITY_SQL)),
 
     Q("dd_semantic", ddSemantic, Some(DD_SEMANTIC_SQL)),
 

@@ -77,6 +77,45 @@ class Wave10Spec extends AnyFunSuite {
     ()
   }
 
+  test("sq_rfm: segments partition users; frequency mass is conserved") {
+    val rows = run("sq_rfm").collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    assert(rows.map(_.getAs[Long]("n_users")).sum ==
+      ev.select("user_id").distinct().count())
+    assert(rows.map(_.getAs[Long]("sum_f")).sum == ev.count())
+  }
+
+  test("ft_leakage_audit: counts bounded; the naive join provably leaks") {
+    val rows = run("ft_leakage_audit").collect()
+    val purchases = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_labels")).sum == purchases)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_pit") <= r.getAs[Long]("n_labels"))
+      assert(r.getAs[Long]("n_leaky") <= r.getAs[Long]("n_labels"))
+      val share = r.getAs[Double]("leak_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_leaky")).sum > 0,
+      "the naive latest-overall join must read the future somewhere")
+  }
+
+  test("km_assign_quality: partitions agree with km_cluster; margins non-negative") {
+    val q = run("km_assign_quality").collect()
+      .map(r => r.getAs[Long]("cluster") -> r).toMap
+    val census = run("km_cluster").collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap
+    assert(q.keySet == census.keySet)
+    for ((c, r) <- q) {
+      assert(r.getAs[Long]("n") == census(c),
+        s"cluster $c size disagrees with the argmin census")
+      assert(r.getAs[Long]("sse") >= 0)
+      assert(r.getAs[Long]("margin_min") >= 0,
+        "runner-up distance can never beat the argmin")
+      assert(r.getAs[Long]("margin_sum") >= r.getAs[Long]("margin_min"))
+    }
+  }
+
   test("st_sk_hll: streaming register table equals the batch sketch") {
     val stream = run("st_sk_hll")
     val batch = run("sk_hll_users")
