@@ -495,6 +495,42 @@ object CoreQueries {
         WHERE l_orderkey = o.o_orderkey
         ORDER BY l_extendedprice DESC, l_linenumber ASC
         LIMIT 2) t ON true
-      WHERE o.o_orderkey % 5 = 0"""))
+      WHERE o.o_orderkey % 5 = 0""")),
+
+    // -- NULL semantics, pinned ----------------------------------------------
+    // The NULL edge cases every engine migration trips over, in one gate:
+    // a nullable metric (value nulled on the out-of-domain 'error' type)
+    // and a nullable grouping key (type nulled the same way). Pins that
+    // (a) NULL forms its OWN group under GROUP BY — the gate emits a
+    // NULL-keyed row, (b) count(col) skips NULLs while count(*) does not,
+    // (c) count(DISTINCT col) excludes NULL, (d) sum over an all-NULL
+    // slice is NULL, not 0 — the NULL-key row's sum_v is the NULL the
+    // hash must carry. One aggregate, no joins; identical text modulo
+    // dialect-neutral CASE.
+    Q("q37_null_semantics", (s, d) => {
+      tbl(s, d, "events")
+        .select(
+          when(col("event_type") =!= "error", col("event_type")).as("k"),
+          when(col("event_type") =!= "error",
+            expr("CAST(round(value * 1000000) AS BIGINT)")).as("v"),
+          col("user_id"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_v"),
+          sum("v").as("sum_v"),
+          countDistinct(col("v")).as("nd_v"),
+          countDistinct(when(col("v").isNotNull, col("user_id"))).as("nd_users"))
+    }, Some("""
+      WITH e AS (
+        SELECT CASE WHEN event_type != 'error' THEN event_type END AS k,
+               CASE WHEN event_type != 'error'
+                    THEN CAST(round(value * 1000000) AS BIGINT) END AS v,
+               user_id
+        FROM events)
+      SELECT k, count(*) AS n_rows, count(v) AS n_v,
+             CAST(sum(v) AS BIGINT) AS sum_v,
+             count(DISTINCT v) AS nd_v,
+             count(DISTINCT CASE WHEN v IS NOT NULL THEN user_id END)
+               AS nd_users
+      FROM e GROUP BY k"""))
   )
 }

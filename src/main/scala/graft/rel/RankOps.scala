@@ -417,6 +417,53 @@ object RankOps {
     graft.Caching.releaseAfterAction(out, edges, lbl)
   }
 
+  /** Degree assortativity of the sparsified purchase graph — Newman's
+    * r: the Pearson correlation of endpoint degrees over the directed
+    * edge list (each undirected edge contributes both orientations, the
+    * standard symmetrization). Negative r is the disassortative
+    * hub-to-leaf shape typical of bipartite commerce graphs. Every
+    * moment is an exact BIGINT from two node-sized degree joins onto the
+    * cached edge relation; r is one shared-text formula.
+    */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val (_, edges, _) = lpGraph(s, d) // lbl is lazy and unused: zero cost
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val out = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      .groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .withColumn("r", expr(
+        "(n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))"))
+    graft.Caching.releaseAfterAction(out, edges, deg)
+  }
+
+  // lazy: LP_CTES is declared further down; `all` is a def, so this
+  // resolves at registration time with every val initialized
+  private lazy val ASSORT_SQL = LP_CTES + s""",
+      deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+      j AS (
+        SELECT a.deg AS dx, b.deg AS dy
+        FROM edges e JOIN deg a ON e.src = a.node
+                     JOIN deg b ON e.dst = b.node)
+      SELECT count(*) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx*dy) AS BIGINT) AS sxy,
+             CAST(sum(dx*dx) AS BIGINT) AS sxx,
+             CAST(sum(dy*dy) AS BIGINT) AS syy,
+             (count(*)*CAST(sum(dx*dy) AS BIGINT)
+                - CAST(sum(dx) AS BIGINT)*CAST(sum(dy) AS BIGINT))
+             / (sqrt(count(*)*CAST(sum(dx*dx) AS BIGINT)
+                - CAST(sum(dx) AS BIGINT)*CAST(sum(dx) AS BIGINT))
+                * sqrt(count(*)*CAST(sum(dy*dy) AS BIGINT)
+                - CAST(sum(dy) AS BIGINT)*CAST(sum(dy) AS BIGINT))) AS r
+      FROM j"""
+
   /** Per-community modularity contribution — shared text, both engines.
     * `4e0`, NOT `4.0`: Spark parses a `d.d` literal as DECIMAL and would
     * run the whole term through decimal rounding (≈25 ulps off DuckDB's
@@ -741,6 +788,7 @@ object RankOps {
     Q("gr_linkpred", linkpred, Some(LINKPRED_SQL)),
     Q("gr_labelprop", labelProp, Some(LABELPROP_SQL)),
     Q("gr_modularity", modularity, Some(MODULARITY_SQL)),
+    Q("gr_assortativity", assortativity, Some(ASSORT_SQL)),
     Q("gr_hits", hits, Some(HITS_SQL)),
     Q("gr_kcore", kcore, Some(KCORE_SQL)),
     Q("gr_bfs", bfs, Some(BFS_SQL)),

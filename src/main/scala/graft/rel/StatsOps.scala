@@ -765,6 +765,62 @@ object StatsOps {
         WHERE rn = (nn + 1) // 2)
       SELECT b, x, med, mad, dev FROM dv, mad WHERE dev > 3 * mad""")),
 
+    // Lead-lag cross-correlation — ts_autocorr's two-series sibling, the
+    // question a growth team actually asks ("do clicks LEAD purchases,
+    // and by how much?"): Pearson r between the click and purchase
+    // 5-minute count series at purchase lags −6..+6. Pairs come from a
+    // bucket+lag equi-join of the two pre-aggregated series (both
+    // time-span-bounded; the click side broadcast), so gaps never
+    // fabricate zeros; all moments are exact BIGINTs and r is the same
+    // shared-text formula autocorr uses. The argmax-lag readout is the
+    // lead-lag estimate.
+    Q("ts_xcorr", (s, d) => {
+      def srs(et: String, xn: String) = tbl(s, d, "events")
+        .filter(col("event_type") === et)
+        .groupBy(Q.tsBucket(col("ts"), 300000000L).as("bucket"))
+        .agg(count(lit(1)).as(xn))
+      val lagged = srs("click", "x")
+        .select(col("bucket"), col("x"),
+          explode(sequence(lit(-6L), lit(6L))).as("lag"))
+        .withColumn("nb", col("bucket") + col("lag"))
+      lagged.as("a")
+        .join(broadcast(srs("purchase", "y")).as("b"),
+          col("a.nb") === col("b.bucket"))
+        .groupBy(col("a.lag").as("lag"))
+        .agg(count(lit(1)).as("np"),
+          sum(col("a.x")).as("sx"), sum(col("b.y")).as("sy"),
+          sum(col("a.x") * col("b.y")).as("sxy"),
+          sum(col("a.x") * col("a.x")).as("sxx"),
+          sum(col("b.y") * col("b.y")).as("syy"))
+        .withColumn("r", expr(
+          "(np*sxy - sx*sy) / (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy))"))
+    }, Some("""
+      WITH c AS (
+        SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+               count(*) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      p AS (
+        SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+               count(*) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      pr AS (
+        SELECT l.lag, a.x AS x, b.y AS y
+        FROM c a
+        JOIN (SELECT unnest(range(-6, 7)) AS lag) l ON true
+        JOIN p b ON b.bucket = a.bucket + l.lag)
+      SELECT lag, count(*) AS np,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(y*y) AS BIGINT) AS syy,
+             (count(*)*CAST(sum(x*y) AS BIGINT)
+                - CAST(sum(x) AS BIGINT)*CAST(sum(y) AS BIGINT))
+             / (sqrt(count(*)*CAST(sum(x*x) AS BIGINT)
+                - CAST(sum(x) AS BIGINT)*CAST(sum(x) AS BIGINT))
+                * sqrt(count(*)*CAST(sum(y*y) AS BIGINT)
+                - CAST(sum(y) AS BIGINT)*CAST(sum(y) AS BIGINT))) AS r
+      FROM pr GROUP BY lag""")),
+
     // RFM segmentation — the classic recency/frequency/monetary customer
     // grid with FIXED business band edges (the production form: edges are
     // policy constants, not data quantiles — exact data quantiles of a

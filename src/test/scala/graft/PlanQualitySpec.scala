@@ -544,4 +544,49 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "the 1-row global fold must broadcast, not shuffle")
   }
+
+  test("vec_pca_power: iterations stay broadcast-scalar, never cartesian") {
+    val p = plan("vec_pca_power")
+    assert(!p.contains("CartesianProduct"),
+      s"power iteration degenerated to a cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3,
+      s"max-norm scalar folds not broadcast:\n$p")
+  }
+
+  test("dq_referential: anti-joins on collapsed keys, no window, no cartesian") {
+    val p = plan("dq_referential")
+    assert(p.contains("LeftAnti"), s"orphan check lost its anti-join:\n$p")
+    assert(!p.contains("Window"), "audit must not window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ft_leakage_audit computes both feature variants join-free") {
+    val p = plan("ft_leakage_audit")
+    assert(p.contains("Window"), s"expected the windowed PIT pass:\n$p")
+    assert(!p.contains("Join"),
+      s"the one-pass audit grew a join:\n$p")
+  }
+
+  test("q36_cdc_apply: delta replay is anti-join + union over cached delta") {
+    val p = plan("q36_cdc_apply")
+    assert(p.contains("LeftAnti"), s"untouched-row passthrough lost:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"delta not cached across its two references:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ts_anomaly: both rank selections read the cached series") {
+    val p = plan("ts_anomaly")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"series/deviation relations not reused via cache:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "scalar med/mad folds must broadcast, not shuffle")
+  }
+
+  test("gr_assortativity: degree joins hash on the edge keys, no cartesian") {
+    val p = plan("gr_assortativity")
+    assert(!p.contains("CartesianProduct"), s"assortativity went cartesian:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), s"degree joins missing:\n$p")
+  }
 }
