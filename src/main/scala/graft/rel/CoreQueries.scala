@@ -531,6 +531,32 @@ object CoreQueries {
              count(DISTINCT v) AS nd_v,
              count(DISTINCT CASE WHEN v IS NOT NULL THEN user_id END)
                AS nd_users
-      FROM e GROUP BY k"""))
+      FROM e GROUP BY k""")),
+
+    // -- running DISTINCT over a window --------------------------------------
+    // Per user, the cumulative count of distinct event types at every
+    // event — "how much of the product has this user touched so far".
+    // Spark has no DISTINCT window aggregate; `size(collect_set(...))`
+    // over the running frame is the standard exact equivalent (set state
+    // is bounded by the type domain), and DuckDB's native
+    // count(DISTINCT) OVER pins the semantics match. Partitions are
+    // user-bounded; total order inside them is (ts, event_id).
+    Q("q38_window_distinct", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, d, "events")
+        .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("nd_types",
+          size(collect_set(col("event_type")).over(w)).cast("long"))
+        .select("user_id", "event_id", "nd_types")
+    }, Some("""
+      SELECT user_id, event_id,
+             count(DISTINCT event_type)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS nd_types
+      FROM events"""))
   )
 }

@@ -202,6 +202,47 @@ object SourceOps {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2""")),
 
+    // PERMISSIVE-mode CSV with corrupt-record CAPTURE — the third
+    // malformed-input discipline after DROPMALFORMED (src_corrupt_jsonl)
+    // and ignoreCorruptFiles (src_corrupt_parquet): wrong-arity lines
+    // spliced into the feed land in the declared _corrupt column instead
+    // of killing the read or vanishing silently, so the ingest can both
+    // keep every good row AND account for every bad one — the gate folds
+    // the captured stratum into the aggregate as an explicit '_corrupt'
+    // group whose count the oracle pins as the injected constant.
+    Q("src_csv_permissive", (s, d) => {
+      val dir = stage("permcsv")
+      ev(s, d).write.mode(SaveMode.Overwrite)
+        .option("header", "false")
+        .option("timestampNTZFormat", TS_FMT)
+        .csv(dir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/part-junk.csv"),
+        (1 to 7).map(i => s"junk-line-$i,only,three")
+          .mkString("", "\n", "\n").getBytes)
+      val raw = s.read
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("timestampNTZFormat", TS_FMT)
+        .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, _corrupt STRING")
+        .csv(dir)
+      raw
+        .withColumn("bucket", Q.tsBucket(col("ts"), 300000000L))
+        .withColumn("et", coalesce(col("event_type"), lit("_corrupt")))
+        .groupBy("bucket", "et")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+    }, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+             event_type AS et, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+      UNION ALL
+      SELECT NULL, '_corrupt', 7, NULL""")),
+
     // Compressed text interchange: the same JSONL round-trip through the
     // gzip codec — every file is written and re-read as .json.gz, the
     // form event logs actually ship in. Same oracle as the uncompressed

@@ -1392,6 +1392,45 @@ object VectorOps {
                                   ORDER BY dot DESC, id_n ASC) AS rn
         FROM dots) WHERE rn <= 5""")),
 
+    // -- filtered vector search (predicate + top-k in one plan) --------------
+    // The shape every RAG stack needs and most ANN indexes bolt on badly:
+    // top-3 by exact quantized dot RESTRICTED to corpus vectors whose
+    // document metadata passes a predicate (non-English here). The filter
+    // is applied PRE-search as an equi-join on the id — so recall over the
+    // filtered stratum is exact by construction, unlike post-filtering a
+    // fixed-k unfiltered result (which silently under-returns when the
+    // predicate is selective). The metadata join is key-partitioned; the
+    // bounded query stratum broadcasts; ranking windows per query.
+    Q("ann_filtered", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val meta = tbl(s, d, "documents")
+        .filter(col("lang") =!= "en")
+        .select(col("doc_id").as("vec_id"))
+      val q = qvec(s, d).filter(col("vec_id") % 50 === 0).as("a")
+      val c = qvec(s, d).join(meta, "vec_id").as("b")
+      val w = Window.partitionBy("id_q").orderBy(col("dot").desc, col("id_n").asc)
+      c.join(broadcast(q), expr("a.vec_id != b.vec_id"))
+        .select(col("a.vec_id").as("id_q"), col("b.vec_id").as("id_n"),
+          dotCol.as("dot"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    }, Some(s"""
+      WITH $QVEC_SQL,
+      c AS (
+        SELECT qv.vec_id, qv.qv FROM qv
+        JOIN documents dd ON dd.doc_id = qv.vec_id
+        WHERE dd.lang != 'en'),
+      dots AS (
+        SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot
+        FROM qv a, c b
+        WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id)
+      SELECT id_q, id_n, dot, rn FROM (
+        SELECT id_q, id_n, dot,
+               row_number() OVER (PARTITION BY id_q
+                                  ORDER BY dot DESC, id_n ASC) AS rn
+        FROM dots) WHERE rn <= 3""")),
+
     // -- LSH bucketing by deterministic hyperplane signs (the scale path) ----
     // hyperplane h (h=0..3) has components ((i*31 + h*17) % 7) - 3 over
     // dimension index i; bucket = 4-bit sign pattern; near-dup candidates are

@@ -116,6 +116,37 @@ class Wave10Spec extends AnyFunSuite {
     }
   }
 
+  test("ann_filtered: every neighbor satisfies the metadata predicate") {
+    val out = run("ann_filtered")
+    val nonEn = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") =!= "en").select(col("doc_id").as("id_n"))
+    assert(out.join(nonEn, Seq("id_n"), "left_anti").isEmpty,
+      "a neighbor escaped the pre-filter")
+    // exact recall over the filtered stratum: per query, rn runs 1..k
+    assert(out.groupBy("id_q").agg(max("rn").as("k"), count(lit(1)).as("c"))
+      .filter(col("k") =!= col("c")).isEmpty)
+  }
+
+  test("q38_window_distinct: per-user running distinct is monotone, bounded") {
+    val types = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type").distinct().count()
+    val bad = run("q38_window_distinct")
+      .groupBy("user_id").agg(min("nd_types").as("lo"), max("nd_types").as("hi"))
+      .filter(col("lo") < 1 || col("hi") > types)
+    assert(bad.isEmpty)
+  }
+
+  test("src_csv_permissive: captures exactly the injected corrupt lines") {
+    val out = run("src_csv_permissive")
+    val corrupt = out.filter(col("et") === "_corrupt").collect()
+    assert(corrupt.length == 1 && corrupt.head.getAs[Long]("n") == 7)
+    assert(corrupt.head.isNullAt(corrupt.head.fieldIndex("bucket")))
+    val good = out.filter(col("et") =!= "_corrupt")
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(good == spark.read.parquet(s"$sf/events.parquet").count(),
+      "permissive mode must keep every good row")
+  }
+
   test("st_sk_hll: streaming register table equals the batch sketch") {
     val stream = run("st_sk_hll")
     val batch = run("sk_hll_users")
