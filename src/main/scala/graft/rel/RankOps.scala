@@ -414,7 +414,9 @@ object RankOps {
       .crossJoin(broadcast(m1))
       .withColumn("contrib", expr(MOD_EXPR))
       .select("lbl", "ec", "dc", "m", "contrib")
-    graft.Caching.releaseAfterAction(out, edges, lbl)
+    // ed (the orders⋈lineitem distinct-pair join) feeds edges, m1 AND ec —
+    // cache it too or the data-sized join runs three times
+    graft.Caching.releaseAfterAction(out, ed, edges, lbl)
   }
 
   /** Degree assortativity of the sparsified purchase graph — Newman's

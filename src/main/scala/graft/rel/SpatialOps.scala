@@ -149,7 +149,56 @@ object SpatialOps {
              (px - sx) * (px - sx) + (py - sy) * (py - sy) AS dist2
       FROM probe JOIN sites
         ON (sx // $R) * 256 + (sy // $R) = probe.cell
-      WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= ${R * R}""")))
+      WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= ${R * R}""")),
+
+    // Bounded nearest-neighbor spatial join — "which site serves this
+    // point": the radius join's 3x3-stencil candidates reduced to each
+    // point's argmin by exact integer squared distance (site id breaks
+    // ties), emitted only for points with a site within R — the bound
+    // that keeps candidate generation an equi-join instead of an
+    // unbounded ring search. Partition per point is stencil-bounded, so
+    // the rank window never sees more than a cell neighborhood.
+    Q("geo_knn_join", (s, d) => {
+      tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      tbl(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(s"""
+        WITH pts AS ($ptSrc),
+        sites AS ($siteSrc),
+        probe AS (
+          SELECT pt_id, px, py,
+                 explode(flatten(transform(sequence(-1, 1),
+                   dx -> transform(sequence(-1, 1),
+                     dy -> (px div $R + dx) * 256 + (py div $R + dy)))))
+                   AS cell
+          FROM pts),
+        cand AS (
+          SELECT pt_id, site_id, px, py,
+                 (px - sx) * (px - sx) + (py - sy) * (py - sy) AS dist2
+          FROM probe JOIN sites
+            ON (sx div $R) * 256 + (sy div $R) = probe.cell
+          WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= ${R * R})
+        SELECT pt_id, site_id, px, py, dist2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY pt_id
+                      ORDER BY dist2 ASC, site_id ASC) AS rn
+          FROM cand) WHERE rn = 1""")
+    }, Some(s"""
+      WITH pts AS ($ptSrc),
+      sites AS ($siteSrc),
+      p1 AS (SELECT *, unnest([-1, 0, 1]) AS dx FROM pts),
+      probe AS (
+        SELECT pt_id, px, py,
+               (px // $R + dx) * 256 + (py // $R + unnest([-1, 0, 1])) AS cell
+        FROM p1),
+      cand AS (
+        SELECT pt_id, site_id, px, py,
+               (px - sx) * (px - sx) + (py - sy) * (py - sy) AS dist2
+        FROM probe JOIN sites
+          ON (sx // $R) * 256 + (sy // $R) = probe.cell
+        WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= ${R * R})
+      SELECT pt_id, site_id, px, py, dist2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY pt_id
+                    ORDER BY dist2 ASC, site_id ASC) AS rn
+        FROM cand) WHERE rn = 1""")))
 
   /** Streaming twin of geo_pip_join: measurement points ARRIVE as a
     * stream (staged files, several micro-batches) and join the STATIC

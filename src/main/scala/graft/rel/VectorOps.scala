@@ -1431,6 +1431,57 @@ object VectorOps {
                                   ORDER BY dot DESC, id_n ASC) AS rn
         FROM dots) WHERE rn <= 3""")),
 
+    // -- Matryoshka truncation quality (prefix-dim retrieval) ----------------
+    // MRL-style embeddings promise that a 16-dim PREFIX of the 64-dim
+    // vector retrieves almost as well at a quarter of the memory/compute —
+    // this gate MEASURES that trade instead of assuming it: one corpus×
+    // queries pass computes the full and prefix dots together, two
+    // bounded windows rank each, and the per-query output carries the
+    // top-5 overlap plus both top-1 picks. (On this synthetic corpus the
+    // prefix carries ~1/4 of the signal, so overlap is low — the gate
+    // pins the MEASUREMENT, which is what a real embedding eval needs.)
+    Q("vec_matryoshka", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = qvec(s, d).filter(col("vec_id") % 50 === 0).as("a")
+      val c = qvec(s, d).as("b")
+      val wf = Window.partitionBy("id_q")
+        .orderBy(col("dot_full").desc, col("id_n").asc)
+      val wp = Window.partitionBy("id_q")
+        .orderBy(col("dot_pre").desc, col("id_n").asc)
+      c.join(broadcast(q), expr("a.vec_id != b.vec_id"))
+        .select(col("a.vec_id").as("id_q"), col("b.vec_id").as("id_n"),
+          long_dot(col("a.qv"), col("b.qv")).as("dot_full"),
+          long_dot(expr("slice(a.qv, 1, 16)"), expr("slice(b.qv, 1, 16)"))
+            .as("dot_pre"))
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rp", row_number().over(wp))
+        .filter(col("rf") <= 5 || col("rp") <= 5)
+        .groupBy("id_q")
+        .agg(sum(when(col("rf") <= 5 && col("rp") <= 5, 1L).otherwise(0L))
+          .as("n_overlap"),
+          max(when(col("rf") === 1, col("id_n"))).as("full_top1"),
+          max(when(col("rp") === 1, col("id_n"))).as("pre_top1"))
+    }, Some(s"""
+      WITH $QVEC_SQL,
+      dots AS (
+        SELECT a.vec_id AS id_q, b.vec_id AS id_n,
+               CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot_full,
+               CAST(list_dot_product(CAST(a.qv[1:16] AS DOUBLE[]), CAST(b.qv[1:16] AS DOUBLE[])) AS BIGINT) AS dot_pre
+        FROM qv a, qv b
+        WHERE a.vec_id % 50 = 0 AND a.vec_id != b.vec_id),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY id_q
+                    ORDER BY dot_full DESC, id_n ASC) AS rf,
+                  row_number() OVER (PARTITION BY id_q
+                    ORDER BY dot_pre DESC, id_n ASC) AS rp
+        FROM dots)
+      SELECT id_q,
+             CAST(sum(CASE WHEN rf <= 5 AND rp <= 5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overlap,
+             max(CASE WHEN rf = 1 THEN id_n END) AS full_top1,
+             max(CASE WHEN rp = 1 THEN id_n END) AS pre_top1
+      FROM r WHERE rf <= 5 OR rp <= 5 GROUP BY id_q""")),
+
     // -- LSH bucketing by deterministic hyperplane signs (the scale path) ----
     // hyperplane h (h=0..3) has components ((i*31 + h*17) % 7) - 3 over
     // dimension index i; bucket = 4-bit sign pattern; near-dup candidates are
@@ -1554,17 +1605,24 @@ object VectorOps {
       val gram = upper.unionByName(
         upper.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("c")))
+      // every iterate is 64 rows but referenced twice (its max fold and
+      // the next matvec / final join) — cache each or the recomputation
+      // compounds geometrically back through the Gram aggregation
+      val deps = scala.collection.mutable.ArrayBuffer[DataFrame](gram)
       def step(u: DataFrame): DataFrame = {
         val v = gram.join(u, gram("j") === u("dim"))
           .groupBy(col("i").as("vdim"))
           .agg(sum(col("c").cast("decimal(20,0)") * col("u").cast("decimal(7,0)"))
             .as("v"))
+        deps += v
         val mv = v.agg(max(abs(col("v"))).as("mv"))
-        v.crossJoin(broadcast(mv))
+        val un = v.crossJoin(broadcast(mv))
           .select(col("vdim").as("dim"), expr(
             """CAST((CASE WHEN v < 0 THEN -1 ELSE 1 END)
                     * (CAST(abs(v) AS DECIMAL(30,0)) * 1000000 div mv)
                  AS BIGINT)""").as("u"))
+        deps += un
+        un
       }
       val u0 = marg.select(col("dim"), lit(1L).as("u"))
       val u1 = step(u0)
@@ -1574,7 +1632,7 @@ object VectorOps {
         u1.select(col("dim"), col("u").as("u1"))
           .join(u2.select(col("dim"), col("u").as("u2")), "dim")
           .join(u3.select(col("dim"), col("u").as("u3")), "dim"),
-        gram)
+        deps.toSeq: _*)
     }, Some(s"""
       WITH $QVEC_SQL,
       cells AS (

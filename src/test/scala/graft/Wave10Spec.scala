@@ -147,6 +147,41 @@ class Wave10Spec extends AnyFunSuite {
       "permissive mode must keep every good row")
   }
 
+  test("vec_matryoshka: overlap bounded by k; top-1 ids come from the corpus") {
+    val rows = run("vec_matryoshka").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0 && ov <= 5)
+      assert(r.getAs[Long]("full_top1") != r.getAs[Long]("id_q"))
+      assert(r.getAs[Long]("pre_top1") != r.getAs[Long]("id_q"))
+    }
+  }
+
+  test("geo_knn_join: one nearest site per point, consistent with the radius join") {
+    val knn = run("geo_knn_join").persist()
+    assert(knn.groupBy("pt_id").count().filter(col("count") > 1).isEmpty)
+    val radius = run("geo_radius_join")
+      .groupBy("pt_id").agg(min("dist2").as("best"))
+    val joined = knn.join(radius, "pt_id")
+    assert(joined.filter(col("dist2") =!= col("best")).isEmpty,
+      "knn must pick exactly the radius join's per-point minimum")
+    assert(knn.count() == radius.count())
+    knn.unpersist()
+    ()
+  }
+
+  test("ab_halfsample_ci: 32 samples, each roughly half, ranks a permutation") {
+    val rows = run("ab_halfsample_ci").collect()
+    assert(rows.length == 32)
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_b")
+      assert(n > total / 4 && n < 3 * total / 4, s"sample $n not near half of $total")
+    }
+    assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 32L).toSeq)
+  }
+
   test("st_sk_hll: streaming register table equals the batch sketch") {
     val stream = run("st_sk_hll")
     val batch = run("sk_hll_users")
