@@ -1,5 +1,6 @@
 package graft.rel
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import Q.tbl
 
@@ -298,6 +299,71 @@ object RagOps {
       SELECT p.prev, p.next, p.n, t.n_from
       FROM p JOIN t ON p.prev = t.prev""")),
 
+    // Markov removal-effect attribution — the data-driven model that
+    // replaced last-touch in marketing science (Anderl et al. 2016): a
+    // channel's credit is how much the START→conversion reach DROPS when
+    // the channel's node is deleted from the journey graph. Journeys are
+    // per-user event sequences with purchase absorbing into 'conv' and a
+    // synthetic START before each user's first event; reach is a 4-step
+    // value iteration r(s) ← Σ_t n(s→t)·r(t) div n_from(s) carried as
+    // EXACT parts-per-billion integers (all operands positive, so
+    // DuckDB's floor // and Spark's truncating div agree), unrolled for
+    // the full graph and each of the four channel removals. Every
+    // iteration is a join over the states-sized transition matrix (the
+    // ONE data-sized pass is the lag + count behind it — shared with
+    // sq_markov's shape); the removal variants are filters over the
+    // cached matrix, and the final removal share is one division of
+    // exact ints.
+    Q("sq_markov_removal", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val o = tbl(s, d, "events")
+        .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+      val mapped = when(col("event_type") === "purchase", "conv")
+        .otherwise(col("event_type"))
+      val trans = o.filter(col("prev").isNotNull && col("prev") =!= "purchase")
+        .select(col("prev"), mapped.as("next"))
+        .unionByName(o.filter(col("rn") === 1)
+          .select(lit("START").as("prev"), mapped.as("next")))
+        .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+      val nfrom = trans.groupBy("prev").agg(sum("n").as("n_from"))
+      val tm = trans.join(nfrom, "prev")
+      val states = tm.select(col("prev").as("state"))
+        .unionByName(tm.select(col("next").as("state"))).distinct()
+      def reach(tmv: DataFrame): DataFrame = {
+        var r = states.withColumn("r",
+          when(col("state") === "conv", 1000000000L).otherwise(0L))
+        for (_ <- 1 to 4) {
+          val acc = tmv.join(r, tmv("next") === r("state"))
+            .groupBy("prev")
+            .agg(expr("sum(n * r) div max(n_from)").as("acc"))
+          r = states
+            .join(acc.withColumnRenamed("prev", "state"), Seq("state"), "left")
+            .select(col("state"),
+              when(col("state") === "conv", 1000000000L)
+                .otherwise(coalesce(col("acc"), lit(0L))).as("r"))
+        }
+        r
+      }
+      val variants = ("full", tm) +: Seq("view", "click", "signup", "error")
+        .map(c => (s"no_$c", tm.filter(col("prev") =!= c && col("next") =!= c)))
+      val res = variants.map { case (name, tmv) =>
+        reach(tmv).filter(col("state") === "START")
+          .select(lit(name).as("variant"), col("r").as("reach_ppb"))
+      }.reduce(_ unionByName _)
+      val full = res.filter(col("variant") === "full")
+        .select(col("reach_ppb").as("full_ppb"))
+      graft.Caching.releaseAfterAction(
+        res.crossJoin(broadcast(full))
+          .withColumn("drop_share",
+            expr("(full_ppb - reach_ppb) / full_ppb"))
+          .select("variant", "reach_ppb", "full_ppb", "drop_share"),
+        tm, states, res)
+    }, Some(MARKOV_REMOVAL_SQL)),
+
     // Behavioral sequence construction — the events-to-training-sequences
     // step of a next-action model: per user, the time-ordered event-type
     // sequence (first 32 actions) plus the full count. One hash aggregate;
@@ -323,4 +389,65 @@ object RagOps {
                (list(event_type ORDER BY epoch_us(ts), event_id))[1:32],
                ',') AS seq
       FROM events GROUP BY user_id""")))
+
+  /** One unrolled value-iteration step for variant `v`: r_k(s) =
+    * Σ_t n(s→t)·r_{k−1}(t) floor-div n_from(s), conv pinned at 10^9.
+    */
+  private def mrStepSql(v: String, k: Int): String = {
+    val prev = if (k == 1) "r0" else s"r${k - 1}_$v"
+    s"""r${k}_$v AS (
+        SELECT f.state,
+               CASE WHEN f.state = 'conv' THEN CAST(1000000000 AS BIGINT)
+                    ELSE CAST(coalesce(s.acc, 0) AS BIGINT) END AS r
+        FROM states f LEFT JOIN (
+          SELECT t.prev AS state,
+                 CAST(sum(t.n * r.r) // max(t.n_from) AS BIGINT) AS acc
+          FROM tv_$v t JOIN $prev r ON t.next = r.state
+          GROUP BY t.prev) s ON f.state = s.state)"""
+  }
+
+  private val MR_CHANNELS = Seq("view", "click", "signup", "error")
+
+  private val MARKOV_REMOVAL_SQL: String = {
+    val variants = ("full", "TRUE") +: MR_CHANNELS.map(c =>
+      (s"no_$c", s"prev != '$c' AND next != '$c'"))
+    val vsql = variants.map { case (v, cond) =>
+      (s"tv_$v AS (SELECT * FROM t WHERE $cond)" +:
+        (1 to 4).map(k => mrStepSql(v, k))).mkString(",\n      ")
+    }.mkString(",\n      ")
+    val res = variants.map { case (v, _) =>
+      s"SELECT '$v' AS variant, r AS reach_ppb FROM r4_$v WHERE state = 'START'"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      tr AS (
+        SELECT prev, CASE WHEN event_type = 'purchase' THEN 'conv'
+                          ELSE event_type END AS next
+        FROM o WHERE prev IS NOT NULL AND prev != 'purchase'
+        UNION ALL
+        SELECT 'START', CASE WHEN event_type = 'purchase' THEN 'conv'
+                             ELSE event_type END
+        FROM o WHERE rn = 1),
+      tm AS (SELECT prev, next, count(*) AS n FROM tr GROUP BY 1, 2),
+      nf AS (SELECT prev, CAST(sum(n) AS BIGINT) AS n_from FROM tm GROUP BY 1),
+      t AS (SELECT tm.prev, tm.next, tm.n, nf.n_from
+            FROM tm JOIN nf ON tm.prev = nf.prev),
+      states AS (SELECT prev AS state FROM t UNION SELECT next FROM t),
+      r0 AS (SELECT state,
+                    CASE WHEN state = 'conv' THEN CAST(1000000000 AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END AS r
+             FROM states),
+      $vsql,
+      res AS (
+        $res),
+      fullr AS (SELECT reach_ppb AS full_ppb FROM res WHERE variant = 'full')
+      SELECT variant, reach_ppb, full_ppb,
+             (full_ppb - reach_ppb) / full_ppb AS drop_share
+      FROM res CROSS JOIN fullr"""
+  }
 }

@@ -182,6 +182,48 @@ class Wave10Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 32L).toSeq)
   }
 
+  test("sq_markov_removal: plain-Scala value-iteration replay matches exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val o = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), rel.Q.tsMicros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val mapped = when(col("event_type") === "purchase", "conv")
+      .otherwise(col("event_type"))
+    val tm = o.filter(col("prev").isNotNull && col("prev") =!= "purchase")
+      .select(col("prev"), mapped.as("next"))
+      .unionByName(o.filter(col("rn") === 1)
+        .select(lit("START").as("prev"), mapped.as("next")))
+      .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nFrom = tm.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._3).sum }
+    val states = (tm.map(_._1) ++ tm.map(_._2)).distinct
+    def replay(drop: Option[String]): Long = {
+      val t = tm.filter { case (p, n, _) => !drop.contains(p) && !drop.contains(n) }
+      var r = states.map(s => s -> (if (s == "conv") 1000000000L else 0L)).toMap
+      for (_ <- 1 to 4) {
+        r = states.map { s =>
+          s -> (if (s == "conv") 1000000000L
+                else {
+                  val num = t.filter(_._1 == s).map { case (_, nx, n) => n * r(nx) }.sum
+                  if (num == 0L) 0L else num / nFrom(s)
+                })
+        }.toMap
+      }
+      r("START")
+    }
+    val got = run("sq_markov_removal").collect()
+      .map(r => r.getAs[String]("variant") -> r.getAs[Long]("reach_ppb")).toMap
+    assert(got("full") == replay(None))
+    for (c <- Seq("view", "click", "signup", "error"))
+      assert(got(s"no_$c") == replay(Some(c)), s"variant no_$c diverges")
+    assert(Seq("view", "click", "signup", "error")
+      .forall(c => got(s"no_$c") <= got("full")),
+      "removing a channel can never increase reach")
+  }
+
   test("st_sk_hll: streaming register table equals the batch sketch") {
     val stream = run("st_sk_hll")
     val batch = run("sk_hll_users")
