@@ -257,10 +257,40 @@ object RelabelRel {
   val COUNT_SQL: String = PIXELS_SQL + REMOVE_CTES + """
     SELECT count(DISTINCT gid) AS n_objects, count(*) AS n_rows FROM removed"""
 
+  /** Region properties — the `skimage.measure.regionprops` adjunct every
+    * consumer of a labeled image runs next (the reference emits labels
+    * and contours; area/bbox/centroid/extent are the measurement table a
+    * downstream analysis joins on): per (tile, label), pixel area, the
+    * bounding box, exact centroid numerators plus the single-division
+    * centroid, and extent (area over bbox area). One hash aggregate over
+    * the pixel relation — the same single-shuffle shape as marginStats.
+    */
+  def regionProps(s: SparkSession, d: String): DataFrame =
+    pixels(s, d)
+      .groupBy("gy", "gx", "label")
+      .agg(count(lit(1)).as("area"),
+        min("py").as("y0"), max("py").as("y1"),
+        min("px").as("x0"), max("px").as("x1"),
+        sum("py").as("sy"), sum("px").as("sx"))
+      .withColumn("cy", expr("sy / area"))
+      .withColumn("cx", expr("sx / area"))
+      .withColumn("extent", expr("area / ((y1 - y0 + 1) * (x1 - x0 + 1))"))
+
+  val REGIONPROPS_SQL: String = PIXELS_SQL + s"""
+    SELECT gy, gx, label, count(*) AS area,
+           min(py) AS y0, max(py) AS y1, min(px) AS x0, max(px) AS x1,
+           CAST(sum(py) AS BIGINT) AS sy, CAST(sum(px) AS BIGINT) AS sx,
+           CAST(sum(py) AS BIGINT) / count(*) AS cy,
+           CAST(sum(px) AS BIGINT) / count(*) AS cx,
+           count(*) / ((max(py) - min(py) + 1) * (max(px) - min(px) + 1))
+             AS extent
+    FROM lab GROUP BY gy, gx, label"""
+
   def all: Seq[Q] = Seq(
     Q("rl_margin_stats", marginStats, Some(MARGIN_STATS_SQL)),
     Q("rl_remove", remove, Some(REMOVE_SQL)),
     Q("rl_merge", merge, Some(MERGE_SQL)),
     Q("rl_sort", sortRank, Some(SORT_SQL)),
-    Q("rl_count", objectCount, Some(COUNT_SQL)))
+    Q("rl_count", objectCount, Some(COUNT_SQL)),
+    Q("px_regionprops", regionProps, Some(REGIONPROPS_SQL)))
 }

@@ -137,6 +137,18 @@ object SourceOps {
       SELECT ok, pk, morton FROM z
       WHERE ok BETWEEN 1000 AND 3000 AND pk BETWEEN 20 AND 150""")),
 
+    // Parquet under zstd — the codec a modern lakehouse actually deploys
+    // (better ratio than snappy at comparable decode speed): the same
+    // events relation written with compression=zstd and read back through
+    // the same gate aggregate, proving the codec path end to end (footer,
+    // page compression, vectorized decode).
+    Q("src_parquet_zstd", (s, d) => {
+      val dir = stage("zstd")
+      ev(s, d).write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(dir)
+      gateAgg(s.read.parquet(dir))
+    }, Some(GATE_SQL)),
+
     // ORC: Spark's second built-in columnar format, with its own codec and
     // type mapping; predicate pushdown and column pruning apply to the
     // read-back scan exactly as for parquet.

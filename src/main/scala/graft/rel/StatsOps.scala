@@ -859,6 +859,62 @@ object StatsOps {
              row_number() OVER (ORDER BY sum_qv / n_b, b) AS rk
       FROM g""")),
 
+    // Growth accounting — the weekly user-lifecycle ledger (new /
+    // retained / resurrected / churned) every growth team reads first:
+    // user-weeks collapse to a distinct relation (the one data-sized
+    // shuffle), a per-user lag/lead window classifies each active week,
+    // and churn posts to the FOLLOWING week (bounded by the corpus span
+    // via a broadcast max-week fold, so the ledger never invents a week
+    // after the data ends). The growth identities — active = new +
+    // retained + resurrected, churned(w) = active(w−1) − retained(w) —
+    // are spec-asserted; all counts exact.
+    Q("sq_lifecycle", (s, d) => {
+      val wk = Window.partitionBy("user_id").orderBy("day")
+      val uw = tbl(s, d, "events")
+        .select(col("user_id"),
+          Q.tsBucket(col("ts"), 86400000000L).as("day"))
+        .distinct()
+      // feeds both the active and churn branches; cached via the
+      // release-after-action dep below
+      val base = uw
+        .withColumn("prevw", lag("day", 1).over(wk))
+        .withColumn("nextw", lead("day", 1).over(wk))
+      val maxw = uw.groupBy().agg(max("day").as("maxday"))
+      val actives = base.select(col("day"),
+        when(col("prevw").isNull, "new")
+          .when(col("prevw") === col("day") - 1, "retained")
+          .otherwise("resurrected").as("state"))
+      val churned = base
+        .filter(col("nextw").isNull || col("nextw") > col("day") + 1)
+        .crossJoin(broadcast(maxw))
+        .filter(col("day") + 1 <= col("maxday"))
+        .select((col("day") + 1).as("day"), lit("churned").as("state"))
+      graft.Caching.releaseAfterAction(
+        actives.unionByName(churned)
+          .groupBy("day", "state").agg(count(lit(1)).as("n")),
+        base)
+    }, Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events),
+      base AS (
+        SELECT user_id, day,
+               lag(day) OVER w AS prevw, lead(day) OVER w AS nextw
+        FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      mw AS (SELECT max(day) AS maxday FROM uw),
+      states AS (
+        SELECT day,
+               CASE WHEN prevw IS NULL THEN 'new'
+                    WHEN prevw = day - 1 THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM base
+        UNION ALL
+        SELECT day + 1, 'churned'
+        FROM base, mw
+        WHERE (nextw IS NULL OR nextw > day + 1) AND day + 1 <= maxday)
+      SELECT day, state, count(*) AS n FROM states GROUP BY 1, 2""")),
+
     // RFM segmentation — the classic recency/frequency/monetary customer
     // grid with FIXED business band edges (the production form: edges are
     // policy constants, not data quantiles — exact data quantiles of a

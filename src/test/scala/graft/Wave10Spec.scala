@@ -224,6 +224,37 @@ class Wave10Spec extends AnyFunSuite {
       "removing a channel can never increase reach")
   }
 
+  test("sq_lifecycle: growth-accounting identities hold day over day") {
+    val rows = run("sq_lifecycle").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[String]("state")) ->
+        r.getAs[Long]("n")).toMap
+    def g(d: Long, s: String) = rows.getOrElse((d, s), 0L)
+    val days = rows.keys.map(_._1).toSeq.distinct.sorted
+    assert(Set("new", "retained", "resurrected").subsetOf(
+      rows.keys.map(_._2).toSet), "fixture must exercise the state space")
+    def active(d: Long) = g(d, "new") + g(d, "retained") + g(d, "resurrected")
+    for (d <- days.drop(1) if rows.keys.exists(_._1 == d - 1)) {
+      assert(g(d, "churned") == active(d - 1) - g(d, "retained"),
+        s"churn ledger broken at day $d")
+    }
+  }
+
+  test("px_regionprops: areas partition the tile pixels; centroid inside bbox") {
+    val rows = run("px_regionprops").collect()
+    val total = rel.RelabelRel.pixels(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("area")).sum == total,
+      "region areas must partition the pixel relation")
+    for (r <- rows) {
+      val (y0, y1) = (r.getAs[Long]("y0"), r.getAs[Long]("y1"))
+      val (x0, x1) = (r.getAs[Long]("x0"), r.getAs[Long]("x1"))
+      assert(r.getAs[Double]("cy") >= y0 && r.getAs[Double]("cy") <= y1)
+      assert(r.getAs[Double]("cx") >= x0 && r.getAs[Double]("cx") <= x1)
+      val ext = r.getAs[Double]("extent")
+      assert(ext > 0.0 && ext <= 1.0)
+      assert(r.getAs[Long]("area") <= (y1 - y0 + 1) * (x1 - x0 + 1))
+    }
+  }
+
   test("st_sk_hll: streaming register table equals the batch sketch") {
     val stream = run("st_sk_hll")
     val batch = run("sk_hll_users")
