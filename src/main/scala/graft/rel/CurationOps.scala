@@ -608,6 +608,53 @@ object CurationOps {
       FROM cand e1 JOIN cand e2 ON e1.id_b = e2.id_a
            JOIN cand e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b""")),
 
+    // -- global clustering coefficient ---------------------------------------
+    // The cohesion statistic over the same near-dup graph: C = 3T / W
+    // with T the triangle count (dd_triangles' ordered two-join, folded
+    // to one row) and W the open-wedge count Σ_v deg·(deg−1)/2 — deg·
+    // (deg−1) is always even, so the halving is exact integer division.
+    // High C on a dedup candidate graph means candidates arrive in
+    // cliques (whole duplicated families), low C means chains — the
+    // signal that decides whether transitive clustering (dd_components)
+    // will over-merge. Everything folds to exact-int scalars; the one
+    // float is the final division.
+    Q("gr_clustering", (s, d) => {
+      val e = TextOps.minhashCand(s, d)
+      val tri = e.as("e1").join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
+        .join(e.as("e3"),
+          col("e1.id_a") === col("e3.id_a") &&
+            col("e2.id_b") === col("e3.id_b"))
+        .groupBy().agg(count(lit(1)).as("n_tri"))
+      val deg = e.select(col("id_a").as("v"))
+        .unionByName(e.select(col("id_b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val wed = deg.groupBy()
+        .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+          count(lit(1)).as("n_nodes"))
+      graft.Caching.releaseAfterAction(
+        e.groupBy().agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(tri)).crossJoin(broadcast(wed))
+          .withColumn("c_global", expr("3 * n_tri / n_wedges"))
+          .select("n_edges", "n_tri", "n_wedges", "n_nodes", "c_global"),
+        e)
+    }, Some(TextOps.MINHASH_CAND_SQL + """,
+      tri AS (
+        SELECT count(*) AS n_tri
+        FROM cand e1 JOIN cand e2 ON e1.id_b = e2.id_a
+             JOIN cand e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b),
+      deg AS (
+        SELECT v, count(*) AS deg FROM (
+          SELECT id_a AS v FROM cand UNION ALL SELECT id_b FROM cand)
+        GROUP BY 1),
+      wed AS (
+        SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+               count(*) AS n_nodes
+        FROM deg),
+      ed AS (SELECT count(*) AS n_edges FROM cand)
+      SELECT n_edges, n_tri, n_wedges, n_nodes,
+             3 * n_tri / n_wedges AS c_global
+      FROM ed, tri, wed""")),
+
     // -- composed C4-style filter decision -----------------------------------
     // The actual keep/drop gate a curation pipeline emits: every document
     // scored against word-count bounds, top-word concentration, and

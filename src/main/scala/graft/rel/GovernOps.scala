@@ -54,6 +54,18 @@ object GovernOps {
         WHERE epoch(ts) >= $lo AND epoch(ts) < $hi
         GROUP BY user_id)"""
 
+  /** Benford expectations log10(1+1/d), d=1..9, as exponent-form double
+    * literals (17 significant digits → parse-exact in both engines) in a
+    * shared CASE text; and the per-digit chi-square term over them.
+    */
+  private val BENFORD_P: String =
+    "(CASE d1 " + (1 to 9).map { dd =>
+      f"WHEN $dd THEN ${math.log10(1.0 + 1.0 / dd)}%.17e "
+    }.mkString + "END)"
+
+  private val CHI_TERM: String =
+    s"(n_d - nt * $BENFORD_P) * (n_d - nt * $BENFORD_P) / (nt * $BENFORD_P)"
+
   /** The CDC change feed between the two snapshots — q29's body, shared
     * with q36_cdc_apply (which proves the feed is faithful by replaying
     * it).
@@ -468,6 +480,40 @@ object GovernOps {
       SELECT fk, child_keys, orphan_keys, first_orphan,
              orphan_keys / child_keys AS orphan_share
       FROM a2""")),
+
+    // Benford first-digit audit — the fraud/fabrication screen a finance
+    // or data-quality team runs on any organically-generated amount
+    // column: the leading significant digit of |value| (micro-quantized,
+    // string-sliced — works for any magnitude, sign-safe via abs) counted
+    // per digit and compared against Benford's log10(1+1/d) expectation.
+    // The expectations ride as 17-significant-digit DOUBLE literals in
+    // EXPONENT form (a `0.301…` literal would parse as DECIMAL in Spark
+    // and shift the arithmetic off DuckDB's double path — the gr_modularity
+    // lesson), generated once and spliced into both engines; the per-digit
+    // chi-square term is then a shared-text straight-line double over the
+    // exact counts. One scan, one 9-row aggregate, one broadcast fold.
+    Q("dq_benford", (s, d) => {
+      val digits = tbl(s, d, "events")
+        .select(expr(
+          """CAST(substr(CAST(abs(CAST(round(value * 1000000) AS BIGINT))
+               AS STRING), 1, 1) AS BIGINT)""").as("d1"))
+        .filter(col("d1") >= 1)
+        .groupBy("d1").agg(count(lit(1)).as("n_d"))
+      val tot = digits.groupBy().agg(sum("n_d").as("nt"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("benford_p", expr(BENFORD_P))
+        .withColumn("share", expr("n_d / nt"))
+        .withColumn("chi_term", expr(CHI_TERM))
+    }, Some(s"""
+      WITH dg AS (
+        SELECT CAST(substr(CAST(abs(CAST(round(value * 1000000) AS BIGINT))
+                 AS VARCHAR), 1, 1) AS BIGINT) AS d1
+        FROM events),
+      c AS (SELECT d1, count(*) AS n_d FROM dg WHERE d1 >= 1 GROUP BY 1),
+      t AS (SELECT CAST(sum(n_d) AS BIGINT) AS nt FROM c)
+      SELECT d1, n_d, nt, $BENFORD_P AS benford_p, n_d / nt AS share,
+             $CHI_TERM AS chi_term
+      FROM c CROSS JOIN t""")),
 
     // CDC apply — the closure property that proves the q29 change feed is
     // FAITHFUL: compact the feed to a true delta (rows where the state OR

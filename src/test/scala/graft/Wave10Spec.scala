@@ -255,6 +255,36 @@ class Wave10Spec extends AnyFunSuite {
     }
   }
 
+  test("tx_rouge: recalls bounded; clipped matches never exceed reference mass") {
+    val rows = run("tx_rouge").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("match1") <= r.getAs[Long]("ref_total1"))
+      assert(r.getAs[Long]("match2") <= r.getAs[Long]("ref_total2"))
+      assert(r.getAs[Double]("rouge1") >= 0.0 && r.getAs[Double]("rouge1") <= 1.0)
+      assert(r.getAs[Double]("rouge2") >= 0.0 && r.getAs[Double]("rouge2") <= 1.0)
+    }
+  }
+
+  test("dq_benford: digits partition, shares and expectations each sum to 1") {
+    val rows = run("dq_benford").collect()
+    assert(rows.map(_.getAs[Long]("d1")).sorted.toSeq == (1L to 9L).toSeq)
+    val nt = rows.head.getAs[Long]("nt")
+    assert(rows.map(_.getAs[Long]("n_d")).sum == nt)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("benford_p")).sum - 1.0) < 1e-12)
+    assert(rows.forall(_.getAs[Double]("chi_term") >= 0.0))
+  }
+
+  test("gr_clustering: coefficient in [0,1]; triangles close existing wedges") {
+    val r = run("gr_clustering").collect().head
+    val (tri, wed) = (r.getAs[Long]("n_tri"), r.getAs[Long]("n_wedges"))
+    assert(3 * tri <= wed, "each triangle contributes 3 closed wedges")
+    val c = r.getAs[Double]("c_global")
+    assert(c >= 0.0 && c <= 1.0)
+    assert(r.getAs[Long]("n_edges") > 0 && r.getAs[Long]("n_nodes") > 0)
+  }
+
   test("st_sk_hll: streaming register table equals the batch sketch") {
     val stream = run("st_sk_hll")
     val batch = run("sk_hll_users")
