@@ -859,14 +859,51 @@ object StatsOps {
              row_number() OVER (ORDER BY sum_qv / n_b, b) AS rk
       FROM g""")),
 
-    // Growth accounting — the weekly user-lifecycle ledger (new /
+    // Cohort LTV — the revenue companion to q28's retention matrix: per
+    // (first-seen-day cohort, day age), distinct actives and exact
+    // micro-revenue, with the running cumulative revenue each LTV curve
+    // plots riding as a cohort-partitioned window over the tiny
+    // (cohort × age) aggregate — never over the raw log. One user
+    // collapse for the cohort map, one user-keyed join back, one hash
+    // aggregate; all integers.
+    Q("sq_cohort_ltv", (s, d) => {
+      val ev = tbl(s, d, "events")
+        .select(col("user_id"), Q.tsBucket(col("ts"), 86400000000L).as("day"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum("qv").as("rev"))
+        .withColumn("cum_rev", sum("rev").over(
+          Window.partitionBy("cohort").orderBy("age")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(round(value * 1000000) AS BIGINT) AS qv
+        FROM events),
+      f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+      g AS (
+        SELECT f.cohort, ev.day - f.cohort AS age,
+               count(DISTINCT ev.user_id) AS n_users,
+               CAST(sum(ev.qv) AS BIGINT) AS rev
+        FROM ev JOIN f ON ev.user_id = f.user_id
+        GROUP BY 1, 2)
+      SELECT cohort, age, n_users, rev,
+             CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_rev
+      FROM g""")),
+
+    // Growth accounting — the DAILY user-lifecycle ledger (new /
     // retained / resurrected / churned) every growth team reads first:
-    // user-weeks collapse to a distinct relation (the one data-sized
-    // shuffle), a per-user lag/lead window classifies each active week,
-    // and churn posts to the FOLLOWING week (bounded by the corpus span
-    // via a broadcast max-week fold, so the ledger never invents a week
+    // user-days collapse to a distinct relation (the one data-sized
+    // shuffle), a per-user lag/lead window classifies each active day,
+    // and churn posts to the FOLLOWING day (bounded by the corpus span
+    // via a broadcast max-day fold, so the ledger never invents a day
     // after the data ends). The growth identities — active = new +
-    // retained + resurrected, churned(w) = active(w−1) − retained(w) —
+    // retained + resurrected, churned(d) = active(d−1) − retained(d) —
     // are spec-asserted; all counts exact.
     Q("sq_lifecycle", (s, d) => {
       val wk = Window.partitionBy("user_id").orderBy("day")

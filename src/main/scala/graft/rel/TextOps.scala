@@ -287,6 +287,77 @@ object TextOps {
     Q("dd_minhash_lsh", minhashCand,
       Some(MINHASH_CAND_SQL + " SELECT id_a, id_b FROM cand")),
 
+    // -- LSH banding tuning table --------------------------------------------
+    // The (bands × rows) S-curve trade MEASURED, which is how a dedup run
+    // is actually tuned: the same 8-slice minima banded three ways —
+    // 8×1 (aggressive recall), the production 4×2, and 2×4 (aggressive
+    // precision) — through ONE tagged band self-join; each config reports
+    // its candidate volume plus precision/recall proxies against the
+    // corpus's PLANTED twin pairs (doc_id +1000000 jittered copies). One
+    // signature pass feeds all configs; the join key is (cfg, band,
+    // bandval), so configs never cross-join.
+    Q("dd_lsh_tuning", (s, d) => {
+      import graft.functions.MinHashSlices.minhash_slices
+      val corpus = nearCorpusDf(s, d)
+      val mins = corpus
+        .select(col("doc_id"), minhash_slices(col("text")).as("mh"))
+        .filter(col("mh").isNotNull)
+        .select(col("doc_id") +:
+          (0 until 8).map(j => col("mh").getItem(j).as(s"mh$j")): _*)
+      val bands8 = (0 until 8).map(j =>
+        s"struct('b8r1' AS cfg, $j AS band, mh$j AS bandval)")
+      val bands4 = (0 until 4).map(j =>
+        s"struct('b4r2' AS cfg, $j AS band, concat(mh${2 * j}, mh${2 * j + 1}) AS bandval)")
+      val bands2 = (0 until 2).map(j =>
+        s"struct('b2r4' AS cfg, $j AS band, concat(mh${4 * j}, mh${4 * j + 1}, mh${4 * j + 2}, mh${4 * j + 3}) AS bandval)")
+      val sig = mins.select(col("doc_id"), explode(expr(
+        (bands8 ++ bands4 ++ bands2).mkString("array(", ", ", ")"))).as("x"))
+        .select(col("doc_id"), col("x.cfg").as("cfg"),
+          col("x.band").as("band"), col("x.bandval").as("bandval"))
+      val cand = sig.as("a").join(sig.as("b"), expr(
+          "a.cfg = b.cfg AND a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id"))
+        .select(col("a.cfg").as("cfg"), col("a.doc_id").as("id_a"),
+          col("b.doc_id").as("id_b"))
+        .distinct()
+      val planted = corpus.filter(col("doc_id") >= 1000000)
+        .groupBy().agg(count(lit(1)).as("n_planted"))
+      Caching.releaseAfterAction(
+        cand.groupBy("cfg")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("id_b") - col("id_a") === 1000000L &&
+              col("id_a") % 5 === 0, 1L).otherwise(0L)).as("n_twin"))
+          .crossJoin(broadcast(planted))
+          .withColumn("precision_proxy", expr("n_twin / n_pairs"))
+          .withColumn("recall_proxy", expr("n_twin / n_planted")),
+        mins)
+    }, Some(MINHASH_CAND_SQL + s""",
+      sig3 AS (
+        ${(0 until 8).map(j =>
+          s"SELECT doc_id, 'b8r1' AS cfg, $j AS band, mh$j AS bandval FROM mins")
+          .mkString("\n        UNION ALL ")}
+        UNION ALL ${(0 until 4).map(j =>
+          s"SELECT doc_id, 'b4r2', $j, mh${2 * j} || mh${2 * j + 1} FROM mins")
+          .mkString("\n        UNION ALL ")}
+        UNION ALL ${(0 until 2).map(j =>
+          s"SELECT doc_id, 'b2r4', $j, mh${4 * j} || mh${4 * j + 1} || mh${4 * j + 2} || mh${4 * j + 3} FROM mins")
+          .mkString("\n        UNION ALL ")}),
+      cand3 AS (
+        SELECT DISTINCT a.cfg, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig3 a JOIN sig3 b
+          ON a.cfg = b.cfg AND a.band = b.band AND a.bandval = b.bandval
+         AND a.doc_id < b.doc_id),
+      pl AS (SELECT count(*) AS n_planted FROM corpus WHERE doc_id >= 1000000),
+      g AS (
+        SELECT cfg, count(*) AS n_pairs,
+               CAST(sum(CASE WHEN id_b - id_a = 1000000 AND id_a % 5 = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_twin,
+               max(n_planted) AS n_planted
+        FROM cand3 CROSS JOIN pl GROUP BY cfg)
+      SELECT cfg, n_pairs, n_twin, n_planted,
+             n_twin / n_pairs AS precision_proxy,
+             n_twin / n_planted AS recall_proxy
+      FROM g""")),
+
     // -- n-gram Jaccard verification of LSH candidates -----------------------
     Q("dd_jaccard", (s, d) => {
       // shingle sets feed minhash candidate generation, the intersection

@@ -285,6 +285,39 @@ class Wave10Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_edges") > 0 && r.getAs[Long]("n_nodes") > 0)
   }
 
+  test("dd_lsh_tuning: the banding S-curve is monotone in both directions") {
+    val rows = run("dd_lsh_tuning").collect()
+      .map(r => r.getAs[String]("cfg") -> r).toMap
+    assert(rows.keySet == Set("b8r1", "b4r2", "b2r4"))
+    // more, narrower bands => more candidates and no worse recall
+    assert(rows("b8r1").getAs[Long]("n_pairs") >=
+      rows("b4r2").getAs[Long]("n_pairs"))
+    assert(rows("b4r2").getAs[Long]("n_pairs") >=
+      rows("b2r4").getAs[Long]("n_pairs"))
+    assert(rows("b8r1").getAs[Long]("n_twin") >=
+      rows("b4r2").getAs[Long]("n_twin"))
+    assert(rows("b4r2").getAs[Long]("n_twin") >=
+      rows("b2r4").getAs[Long]("n_twin"))
+    for (r <- rows.values)
+      assert(r.getAs[Long]("n_twin") <= r.getAs[Long]("n_planted"))
+  }
+
+  test("sq_cohort_ltv: cumulative revenue is monotone and conserves mass") {
+    val rows = run("sq_cohort_ltv").collect()
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort"))
+    for ((_, rs) <- byCohort) {
+      val ordered = rs.sortBy(_.getAs[Long]("age"))
+      val cums = ordered.map(_.getAs[Long]("cum_rev"))
+      assert(cums.zip(cums.drop(1)).forall { case (a, b) => b >= a })
+      assert(cums.last == ordered.map(_.getAs[Long]("rev")).sum)
+    }
+    val mass = spark.read.parquet(s"$sf/events.parquet")
+      .agg(sum(expr("CAST(round(value * 1000000) AS BIGINT)")))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("rev")).sum == mass,
+      "per-(cohort, age) revenue partitions the event mass")
+  }
+
   test("st_sk_hll: streaming register table equals the batch sketch") {
     val stream = run("st_sk_hll")
     val batch = run("sk_hll_users")
