@@ -859,6 +859,48 @@ object StatsOps {
              row_number() OVER (ORDER BY sum_qv / n_b, b) AS rk
       FROM g""")),
 
+    // Market-basket lift — the transactional sibling of tx_collocations:
+    // part pairs co-purchased in the same order, scored by lift carried
+    // as its exact integer components (co·N, n_a·n_b) plus the single
+    // division. Pair generation is a self-join ON THE ORDER KEY, so
+    // fan-out is bounded by lines-per-order (≤ 7 here) — the blocking
+    // that keeps basket mining linear in orders at any scale; the
+    // per-part frequency joins are key-partitioned and the order total
+    // is a broadcast 1-row fold. Support threshold co ≥ 3 prunes the
+    // pair tail before the frequency joins.
+    Q("sq_basket_lift", (s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          expr("a.ok = b.ok AND a.pk < b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 3)
+      val freq = li.groupBy("pk").agg(count(lit(1)).as("n"))
+      val nOrders = li.select("ok").distinct()
+        .groupBy().agg(count(lit(1)).as("n_orders"))
+      graft.Caching.releaseAfterAction(
+        pairs
+          .join(freq.select(col("pk").as("pa"), col("n").as("n_a")), "pa")
+          .join(freq.select(col("pk").as("pb"), col("n").as("n_b")), "pb")
+          .crossJoin(broadcast(nOrders))
+          .withColumn("lift", expr("co * n_orders / (n_a * n_b)")),
+        li)
+    }, Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      p AS (
+        SELECT a.pk AS pa, b.pk AS pb, count(*) AS co
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      f AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+      t AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
+      SELECT pa, pb, co, fa.n AS n_a, fb.n AS n_b, t.n_orders,
+             co * t.n_orders / (fa.n * fb.n) AS lift
+      FROM p JOIN f fa ON p.pa = fa.pk JOIN f fb ON p.pb = fb.pk
+      CROSS JOIN t""")),
+
     // Cohort LTV — the revenue companion to q28's retention matrix: per
     // (first-seen-day cohort, day age), distinct actives and exact
     // micro-revenue, with the running cumulative revenue each LTV curve

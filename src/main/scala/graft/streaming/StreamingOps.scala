@@ -1092,7 +1092,49 @@ object StreamingOps {
     UNION ALL
     SELECT user_id, cus AS click_us, pus AS purchase_us FROM um"""
 
+  /** Trigger.AvailableNow — the modern batch-drain contract (the
+    * replacement for the deprecated Trigger.Once that SPARK-36533 added
+    * precisely because Once ignored rate limits): the query drains
+    * everything that exists at start, RESPECTING maxFilesPerTrigger (4
+    * staged files → 4 micro-batches, each checkpointed), then terminates
+    * itself — the shape a scheduled incremental job runs nightly. The
+    * gate awaits self-termination rather than calling
+    * processAllAvailable, so the stop semantics themselves are under
+    * test; complete-mode snapshot vs the batch oracle proves the drain
+    * lost nothing.
+    */
+  def availableNowDrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val inv = sinkCounter.incrementAndGet()
+    val stageDir = graft.TempDirs.create(s"graft_avnow_stage_$inv")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .select(graft.rel.Q.tsBucket(col("ts"), 300000000L).as("bucket"),
+        col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+    ev.repartition(4).write.mode("overwrite").parquet(stageDir)
+    val qn = "st_avnow_sink_" + inv
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"), sum("qv").as("sum_qv"))
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(qn).start())
+    try {
+      val done = query.awaitTermination(300000)
+      require(done, "AvailableNow query did not self-terminate")
+    } finally if (query.isActive) query.stop()
+    s.table(qn)
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_available_now", availableNowDrain, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_qv
+      FROM events GROUP BY 1, 2""")),
     graft.rel.Q("st_late_data", lateData, Some(LATE_SQL)),
     graft.rel.Q("st_sk_hll", hllStream, Some(graft.rel.SketchRel.HLL_SQL)),
     graft.rel.Q("st_dedup_within_wm", dedupWithinWatermark, Some("""
