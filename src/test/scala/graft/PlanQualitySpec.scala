@@ -589,4 +589,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("BroadcastHashJoin"), s"degree joins missing:\n$p")
   }
+
+  test("vec_matryoshka: one broadcast corpus pass feeds both rankings") {
+    val p = plan("vec_matryoshka")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"expected exactly the one query-stratum broadcast:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"both rank windows must ride the same joined relation:\n$p")
+  }
+
+  test("geo_knn_join: candidates stay an equi-join, argmin windows per point") {
+    val p = plan("geo_knn_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"stencil join degenerated:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("sq_basket_lift: pair generation joins on the order key only") {
+    val p = plan("sq_basket_lift")
+    assert(!p.contains("CartesianProduct"), s"basket join went cartesian:\n$p")
+    assert(!p.contains("Window"), "basket mining must not window")
+  }
+
+  test("dd_lsh_tuning and sq_markov_removal avoid cartesians") {
+    for (q <- Seq("dd_lsh_tuning", "sq_markov_removal")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+  }
 }
