@@ -1128,7 +1128,75 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Checkpoint recovery, end to end — the exactly-once guarantee a
+    * production stream actually relies on: the SAME checkpoint drives TWO
+    * query incarnations over a growing source directory. Incarnation 1
+    * (Trigger.AvailableNow) drains the first half of the events into a
+    * parquet FILE SINK and terminates; more files then land in the source
+    * dir, and incarnation 2 — same checkpoint, same sink — resumes from
+    * the recorded offsets and processes ONLY the new files, with the file
+    * sink's _spark_metadata commit log keeping the output transactional
+    * across the restart. The final batch read of the sink (which honors
+    * the commit log) aggregates to exactly the full relation: a broken
+    * offset log would double the first half, a broken sink log would
+    * expose uncommitted files — either flips the hash.
+    */
+  def checkpointResume(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val inv = sinkCounter.incrementAndGet()
+    val stageDir = graft.TempDirs.create(s"graft_ckpt_stage_$inv")
+    val ckptDir = graft.TempDirs.create(s"graft_ckpt_log_$inv")
+    val sinkDir = graft.TempDirs.create(s"graft_ckpt_sink_$inv")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), graft.rel.Q.tsMicros(col("ts")).as("us"),
+        col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
+    def landInto(df: DataFrame): Unit = {
+      // stage through a scratch dir, then move the part files in — a new
+      // write into a dir an active source has SEEN must add files, never
+      // rewrite them (part names carry the job UUID, so no collisions)
+      val tmp = graft.TempDirs.create(s"graft_ckpt_tmp_${inv}_" +
+        sinkCounter.incrementAndGet())
+      df.repartition(3).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(s"$stageDir/${f.getName}").toPath)
+        }
+    }
+    def drain(): Unit = {
+      val q = StateSizing.startSized(s)(
+        s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start())
+      try require(q.awaitTermination(300000), "drain did not self-terminate")
+      finally if (q.isActive) q.stop()
+    }
+    landInto(ev.filter(col("event_id") % 2 === 0))
+    drain() // incarnation 1: first half, checkpoint written
+    landInto(ev.filter(col("event_id") % 2 =!= 0))
+    drain() // incarnation 2: SAME checkpoint resumes, new files only
+    s.read.parquet(sinkDir)
+      .withColumn("bucket", expr("us div 300000000"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"), sum("qv").as("sum_qv"))
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_checkpoint_resume", checkpointResume, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_qv
+      FROM events GROUP BY 1, 2""")),
     graft.rel.Q("st_available_now", availableNowDrain, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,

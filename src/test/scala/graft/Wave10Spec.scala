@@ -318,6 +318,17 @@ class Wave10Spec extends AnyFunSuite {
       "per-(cohort, age) revenue partitions the event mass")
   }
 
+  test("st_checkpoint_resume: the restarted incarnation neither drops nor doubles") {
+    val agg = run("st_checkpoint_resume")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    assert(agg.agg(sum("n")).collect().head.getLong(0) == events.count(),
+      "two incarnations over one checkpoint must cover the relation exactly once")
+    val mass = events
+      .agg(sum(expr("CAST(round(value * 1000000) AS BIGINT)")))
+      .collect().head.getLong(0)
+    assert(agg.agg(sum("sum_qv")).collect().head.getLong(0) == mass)
+  }
+
   test("st_sk_hll: streaming register table equals the batch sketch") {
     val stream = run("st_sk_hll")
     val batch = run("sk_hll_users")
