@@ -226,8 +226,46 @@ object Relabel3Rel {
     SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
     FROM lab WHERE gz = 1 GROUP BY gy, gx"""
 
+  /** 3D region properties — px_regionprops' volumetric sibling over the
+    * voxel relation: per (tile, label) voxel volume, the 3D bounding box,
+    * exact centroid numerators with single-division centroids, and
+    * extent (volume over bbox volume — the sphericity proxy a 3D
+    * morphology screen sorts by). One hash aggregate; voxels dedup
+    * explicitly here because the measurement counts cells, unlike tile
+    * assembly whose paint is idempotent.
+    */
+  def regionProps3(s: SparkSession, d: String): DataFrame =
+    pixels3(s, d)
+      .select("gz", "gy", "gx", "pz", "py", "px", "label")
+      .distinct()
+      .groupBy("gz", "gy", "gx", "label")
+      .agg(count(lit(1)).as("volume"),
+        min("pz").as("z0"), max("pz").as("z1"),
+        min("py").as("y0"), max("py").as("y1"),
+        min("px").as("x0"), max("px").as("x1"),
+        sum("pz").as("sz"), sum("py").as("sy"), sum("px").as("sx"))
+      .withColumn("cz", expr("sz / volume"))
+      .withColumn("cy", expr("sy / volume"))
+      .withColumn("cx", expr("sx / volume"))
+      .withColumn("extent", expr(
+        "volume / ((z1 - z0 + 1) * (y1 - y0 + 1) * (x1 - x0 + 1))"))
+
+  private val REGIONPROPS3_SQL: String = PIXELS3_SQL + s"""
+    SELECT gz, gy, gx, label, count(*) AS volume,
+           min(pz) AS z0, max(pz) AS z1, min(py) AS y0, max(py) AS y1,
+           min(px) AS x0, max(px) AS x1,
+           CAST(sum(pz) AS BIGINT) AS sz, CAST(sum(py) AS BIGINT) AS sy,
+           CAST(sum(px) AS BIGINT) AS sx,
+           CAST(sum(pz) AS BIGINT) / count(*) AS cz,
+           CAST(sum(py) AS BIGINT) / count(*) AS cy,
+           CAST(sum(px) AS BIGINT) / count(*) AS cx,
+           count(*) / ((max(pz) - min(pz) + 1) * (max(py) - min(py) + 1)
+                       * (max(px) - min(px) + 1)) AS extent
+    FROM lab GROUP BY gz, gy, gx, label"""
+
   def all: Seq[Q] = Seq(
     Q("px3_remove", remove3, Some(REMOVE3_SQL)),
     Q("px3_pipeline", pipeline3, Some(PIPELINE3_SQL)),
-    Q("px3_zarr_dsv2", zarrDsv23d, Some(ZARR_DSV2_3D_SQL)))
+    Q("px3_zarr_dsv2", zarrDsv23d, Some(ZARR_DSV2_3D_SQL)),
+    Q("px3_regionprops", regionProps3, Some(REGIONPROPS3_SQL)))
 }

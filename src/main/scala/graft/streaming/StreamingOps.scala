@@ -1190,7 +1190,69 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum("qv").as("sum_qv"))
   }
 
+  /** CHAINED stateful operators — the multi-stateful-pipeline support
+    * SPARK-42376 added: dropDuplicatesWithinWatermark feeding an
+    * event-time windowed aggregation inside ONE append-mode query (one
+    * watermark declaration serves both operators, correctly propagated
+    * between them). The feed is delivered twice (exact redelivery in a
+    * second micro-batch); the 360-hour horizon is sized so every
+    * duplicate id is still in dedup state when the redelivery arrives
+    * (state for id expires at et + horizon < watermark = max − horizon,
+    * i.e. only ids older than max − 2·horizon could leak — none, since
+    * the horizon is half the 30-day span). The aggregate then emits
+    * exactly the hourly windows the final watermark closed, over the
+    * relation exactly once — a dedup leak doubles counts, a watermark
+    * propagation bug changes the emitted window set; either flips the
+    * hash.
+    */
+  def chainedStateful(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val inv = sinkCounter.incrementAndGet()
+    val stageDir = graft.TempDirs.create(s"graft_chain_stage_$inv")
+    val ev = s.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), graft.rel.Q.tsMicros(col("ts")).as("us"),
+        col("event_type"))
+    def put(name: String, mtime: Long): Unit = {
+      val tmp = graft.TempDirs.create(s"graft_chain_tmp_${inv}_$name")
+      ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$stageDir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+      ()
+    }
+    val base = System.currentTimeMillis()
+    put("f1_feed", base - 200000)
+    put("f2_redelivery", base - 100000)
+    val qn = "st_chain_sink_" + inv
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .withColumn("et", expr("timestamp_micros(us)"))
+      .withWatermark("et", "360 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("et"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(window.start) div 3600000000").as("hour"),
+        col("event_type"), col("n"))
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("append").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_chained_stateful", chainedStateful, Some("""
+      WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+      wm AS (
+        SELECT ((max(us) // 1000) - 1296000000) * 1000 AS wm_us FROM e),
+      w AS (
+        SELECT us // 3600000000 AS hour, event_type, count(*) AS n
+        FROM e GROUP BY 1, 2)
+      SELECT hour, event_type, n FROM w, wm
+      WHERE (hour + 1) * 3600000000 < wm_us""")),
     graft.rel.Q("st_checkpoint_resume", checkpointResume, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,
