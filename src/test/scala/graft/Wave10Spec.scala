@@ -329,6 +329,36 @@ class Wave10Spec extends AnyFunSuite {
     assert(agg.agg(sum("sum_qv")).collect().head.getLong(0) == mass)
   }
 
+  test("px3_regionprops: volumes partition the voxels; centroids inside boxes") {
+    val rows = run("px3_regionprops").collect()
+    val voxels = rel.Relabel3Rel.pixels3(spark, sf)
+      .select("gz", "gy", "gx", "pz", "py", "px").distinct().count()
+    assert(rows.map(_.getAs[Long]("volume")).sum == voxels)
+    for (r <- rows) {
+      assert(r.getAs[Double]("cz") >= r.getAs[Long]("z0") &&
+        r.getAs[Double]("cz") <= r.getAs[Long]("z1"))
+      val ext = r.getAs[Double]("extent")
+      assert(ext > 0.0 && ext <= 1.0)
+    }
+  }
+
+  test("st_chained_stateful: emitted windows are exactly-once and subset-closed") {
+    val out = run("st_chained_stateful").persist()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(rel.Q.tsMicros(col("ts")).as("us"), col("event_type"))
+    val wm = ev.agg(((floor(max("us") / 1000) - 1296000000L) * 1000)
+      .as("wm")).collect().head.getLong(0)
+    val expect = ev
+      .select(expr("us div 3600000000").as("hour"), col("event_type"))
+      .groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+      .filter((col("hour") + 1) * 3600000000L < wm)
+    assert(out.exceptAll(expect).isEmpty && expect.exceptAll(out).isEmpty,
+      "dedup must collapse the redelivery and the watermark must close " +
+        "exactly the oracle's window set")
+    out.unpersist()
+    ()
+  }
+
   test("st_sk_hll: streaming register table equals the batch sketch") {
     val stream = run("st_sk_hll")
     val batch = run("sk_hll_users")
