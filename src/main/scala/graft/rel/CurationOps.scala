@@ -312,6 +312,64 @@ object CurationOps {
       FROM tr t JOIN ev e ON t.g = e.g
       GROUP BY t.doc_id, e.eval_id""")),
 
+    // -- decontamination n-gram-size sweep -----------------------------------
+    // THE methodological knob of eval decontamination, measured instead
+    // of assumed: exact n-gram overlap at n = 4 (aggressive — catches
+    // paraphrase-scale overlap and false-positives common phrases),
+    // n = 8 (the house gate's neighborhood) and n = 13 (the GPT-3 paper's
+    // canonical exact-match setting, near-zero false positives). One
+    // tokenized pass; each n is a generator + distinct + gram equi-join
+    // against the broadcast eval side, folded to contaminated-doc and
+    // contaminated-pair counts. Reading the three rows together is how
+    // the threshold is actually chosen.
+    Q("tx_decontam_sweep", (s, d) => {
+      val docs = tbl(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+      def gramsN(df: org.apache.spark.sql.DataFrame, idCol: String, n: Int) = df
+        .select(col("doc_id").as(idCol),
+          explode(expr(
+            s"""CASE WHEN size(words) >= $n
+                THEN transform(sequence(1, size(words) - ${n - 1}),
+                     i -> concat_ws(' ', slice(words, i, $n)))
+                ELSE array() END""")).as("g"))
+        .distinct()
+      Seq(4, 8, 13).map { n =>
+        val ev = gramsN(docs.filter(col("doc_id") % 100 === 0), "eval_id", n)
+        val tr = gramsN(docs.filter(col("doc_id") % 100 =!= 0), "doc_id", n)
+        tr.join(broadcast(ev), "g")
+          .select("doc_id", "eval_id").distinct()
+          .groupBy()
+          .agg(countDistinct(col("doc_id")).as("n_contam_docs"),
+            count(lit(1)).as("n_pairs"))
+          .select(lit(n.toLong).as("n"), col("n_contam_docs"), col("n_pairs"))
+      }.reduce(_ unionByName _)
+    }, Some(
+      Seq(4, 8, 13).map { n =>
+        s"""
+        SELECT CAST($n AS BIGINT) AS n,
+               count(DISTINCT doc_id) AS n_contam_docs,
+               count(*) AS n_pairs
+        FROM (
+          SELECT DISTINCT t.doc_id, e.eval_id
+          FROM (
+            SELECT DISTINCT doc_id, g FROM (
+              SELECT doc_id, unnest(list_transform(
+                       range(1, greatest(len(words) - ${n - 1}, 0) + 1),
+                       i -> array_to_string(words[i : i + ${n - 1}], ' '))) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents))
+            WHERE doc_id % 100 != 0) t
+          JOIN (
+            SELECT DISTINCT doc_id AS eval_id, g FROM (
+              SELECT doc_id, unnest(list_transform(
+                       range(1, greatest(len(words) - ${n - 1}, 0) + 1),
+                       i -> array_to_string(words[i : i + ${n - 1}], ' '))) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents))
+            WHERE eval_id % 100 = 0) e
+          ON t.g = e.g)"""
+      }.mkString("\n        UNION ALL\n"))),
+
     // -- within-document repetition signals (Gopher/MassiveText) -------------
     // The repetition quality gates from the Gopher filtering recipe: top-word
     // frequency and duplicate-bigram mass, per document. All counts are

@@ -859,6 +859,44 @@ object StatsOps {
              row_number() OVER (ORDER BY sum_qv / n_b, b) AS rk
       FROM g""")),
 
+    // DAU/MAU stickiness — the headline engagement ratio: daily actives
+    // over trailing-30-day actives, EXACT. The rolling distinct that
+    // makes MAU expensive is turned into an equi-shape: each user-day
+    // contributes the user to the 30 following days' windows (a bounded
+    // generator fan-out over the ALREADY-COLLAPSED user-day relation —
+    // ×30 of a distinct relation, not of the log), deduped per (user,
+    // window-day) and counted. Both counts are exact; the ratio is the
+    // single division. Days are reported where DAU exists (early windows
+    // are partial by definition, as every MAU series is).
+    Q("sq_stickiness", (s, d) => {
+      val uw = tbl(s, d, "events")
+        .select(col("user_id"),
+          Q.tsBucket(col("ts"), 86400000000L).as("day"))
+        .distinct()
+      val dau = uw.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = uw
+        .select(col("user_id"),
+          explode(expr("sequence(day, day + 29)")).as("md"))
+        .distinct()
+        .groupBy(col("md").as("day")).agg(count(lit(1)).as("mau"))
+      graft.Caching.releaseAfterAction(
+        dau.join(mau, "day")
+          .withColumn("stickiness", expr("dau / mau")),
+        uw)
+    }, Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM uw GROUP BY 1),
+      mau AS (
+        SELECT md AS day, count(*) AS mau FROM (
+          SELECT DISTINCT user_id, unnest(range(day, day + 30)) AS md
+          FROM uw)
+        GROUP BY 1)
+      SELECT dau.day, dau.dau, mau.mau, dau.dau / mau.mau AS stickiness
+      FROM dau JOIN mau ON dau.day = mau.day""")),
+
     // Market-basket lift — the transactional sibling of tx_collocations:
     // part pairs co-purchased in the same order, scored by lift carried
     // as its exact integer components (co·N, n_a·n_b) plus the single

@@ -359,6 +359,27 @@ class Wave10Spec extends AnyFunSuite {
     ()
   }
 
+  test("sq_stickiness: DAU never exceeds MAU; ratio in (0, 1]") {
+    val rows = run("sq_stickiness").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("mau"),
+        "a daily active is by definition a 30-day active")
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
+  test("tx_decontam_sweep: contamination is monotone non-increasing in n") {
+    val rows = run("tx_decontam_sweep").collect()
+      .map(r => r.getAs[Long]("n") -> r).toMap
+    assert(rows.keySet == Set(4L, 8L, 13L))
+    assert(rows(4L).getAs[Long]("n_pairs") >= rows(8L).getAs[Long]("n_pairs"))
+    assert(rows(8L).getAs[Long]("n_pairs") >= rows(13L).getAs[Long]("n_pairs"))
+    for (r <- rows.values)
+      assert(r.getAs[Long]("n_contam_docs") <= r.getAs[Long]("n_pairs"))
+  }
+
   test("st_sk_hll: streaming register table equals the batch sketch") {
     val stream = run("st_sk_hll")
     val batch = run("sk_hll_users")
