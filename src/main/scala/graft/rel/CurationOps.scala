@@ -16,6 +16,33 @@ import Q.tbl
   */
 object CurationOps {
 
+  /** The SCD2 interval table (q22's body) — also the STATIC dimension the
+    * streaming point-in-time lookup (st_scd_lookup) joins against.
+    */
+  private[graft] def scd2(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = tbl(s, d, "events").select(col("user_id"), col("event_type"),
+      Q.tsMillis(col("ts")).as("ts_ms"), col("event_id"))
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("event_id"))
+    val versioned = ev
+      .withColumn("chg", when(
+        lag(col("event_type"), 1).over(wOrd).isNull ||
+          lag(col("event_type"), 1).over(wOrd) =!= col("event_type"),
+        1L).otherwise(0L))
+      .withColumn("version", sum("chg").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = versioned.groupBy("user_id", "version")
+      .agg(min("event_type").as("event_type"),
+        min("ts_ms").as("valid_from"), count(lit(1)).as("n_events"))
+    val wVer = Window.partitionBy("user_id").orderBy("version")
+    runs.withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(wVer), lit(-1L)))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
+
   /** Shared tail of the dd_components oracle: recursive closure of the
     * minhash candidate graph -> per-doc component id.
     */
@@ -553,28 +580,7 @@ object CurationOps {
     // intervals (no-change suppression + lead-closed intervals). All three
     // windows and the aggregate share ONE partitioning on user_id — a single
     // shuffle no matter how many versions a user has.
-    Q("q22_scd2", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = tbl(s, d, "events").select(col("user_id"), col("event_type"),
-        Q.tsMillis(col("ts")).as("ts_ms"), col("event_id"))
-      val wOrd = Window.partitionBy("user_id")
-        .orderBy(col("ts_ms"), col("event_id"))
-      val versioned = ev
-        .withColumn("chg", when(
-          lag(col("event_type"), 1).over(wOrd).isNull ||
-            lag(col("event_type"), 1).over(wOrd) =!= col("event_type"),
-          1L).otherwise(0L))
-        .withColumn("version", sum("chg").over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val runs = versioned.groupBy("user_id", "version")
-        .agg(min("event_type").as("event_type"),
-          min("ts_ms").as("valid_from"), count(lit(1)).as("n_events"))
-      val wVer = Window.partitionBy("user_id").orderBy("version")
-      runs.withColumn("valid_to",
-          coalesce(lead(col("valid_from"), 1).over(wVer), lit(-1L)))
-        .select(col("user_id"), col("version"), col("event_type"),
-          col("valid_from"), col("valid_to"), col("n_events"))
-    }, Some("""
+    Q("q22_scd2", (s, d) => scd2(s, d), Some("""
       WITH ev AS (
         SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
         FROM events),

@@ -1243,7 +1243,82 @@ object StreamingOps {
     s.table(qn)
   }
 
+  /** Stream-static SCD2 point-in-time lookup — event-time-correct
+    * dimension enrichment on a stream: each purchase event joins the
+    * version of its user's SCD2 state that was valid AT the event's
+    * timestamp (range predicate on [valid_from, valid_to), open tail as
+    * −1). Stream-static joins run stateless and watermark-free — the
+    * static dimension is (re)planned per micro-batch, the stream side
+    * never buffers — which is exactly the production shape for slowly-
+    * changing enrichment at 100 TB/day: the dim is broadcast or
+    * key-partitioned by the optimizer, and the range predicate rides as
+    * residual on the user-key equi-join. The SCD2 intervals partition
+    * each user's timeline, so every event matches exactly one version;
+    * the batch oracle replays the same join.
+    */
+  def scdLookup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qn = "st_scd_sink_" + sinkCounter.incrementAndGet()
+    val dim = graft.rel.CurationOps.scd2(s, d)
+      .select(col("user_id").as("du"), col("version"),
+        col("event_type").as("state"), col("valid_from"), col("valid_to"))
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), graft.rel.Q.tsMillis(col("ts")).as("ts_ms"),
+        col("event_id"))
+      .join(dim,
+        col("user_id") === col("du") &&
+          col("ts_ms") >= col("valid_from") &&
+          (col("valid_to") === -1L || col("ts_ms") < col("valid_to")))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("version"), col("state"))
+    val query = StateSizing.startSized(s)(stream.writeStream
+      .outputMode("append").format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+  }
+
+  private val SCD_LOOKUP_SQL = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_type, ts_ms, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+    versioned AS (
+      SELECT user_id, event_type, ts_ms,
+             CAST(sum(chg) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
+      FROM flagged),
+    runs AS (
+      SELECT user_id, version, min(event_type) AS state,
+             min(ts_ms) AS valid_from
+      FROM versioned GROUP BY user_id, version),
+    dim AS (
+      SELECT user_id AS du, version, state, valid_from,
+             coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                             ORDER BY version),
+                      -1) AS valid_to
+      FROM runs),
+    p AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts_ms, dim.version, dim.state
+    FROM p JOIN dim
+      ON p.user_id = dim.du AND p.ts_ms >= dim.valid_from
+     AND (dim.valid_to = -1 OR p.ts_ms < dim.valid_to)"""
+
   def all: Seq[graft.rel.Q] = Seq(
+    graft.rel.Q("st_scd_lookup", scdLookup, Some(SCD_LOOKUP_SQL)),
     graft.rel.Q("st_chained_stateful", chainedStateful, Some("""
       WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
       wm AS (
