@@ -557,6 +557,30 @@ object CoreQueries {
                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS nd_types
-      FROM events"""))
+      FROM events""")),
+
+    // -- parameterized SQL ---------------------------------------------------
+    // Spark 3.4's named-parameter API (`spark.sql(text, args)`): the
+    // injection-safe templating surface a service layer calls instead of
+    // string-splicing literals — parameters bind as typed literals in the
+    // parsed plan, so constant folding and pushdown see them exactly as
+    // if written inline (which is what the literal-inlined oracle
+    // proves). The exact-decimal-sum-to-double discipline matches q1's.
+    Q("q39_parameterized", (s, d) => {
+      tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                    AS qty
+           FROM lineitem
+           WHERE l_quantity <= :qmax AND l_orderkey % :m = 0
+           GROUP BY l_returnflag""",
+        Map("qmax" -> 10, "m" -> 3))
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_quantity <= 10 AND l_orderkey % 3 = 0
+      GROUP BY l_returnflag"""))
   )
 }
