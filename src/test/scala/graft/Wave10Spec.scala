@@ -3,10 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** Wave-10 invariants beyond the hash gates: the CDC closure property
-  * replayed in-engine, modularity accounting identities, bounded-state
-  * dedup exactness under full-feed redelivery, outer-join null discipline,
-  * and streaming-vs-batch sketch parity.
+/** Invariants for the round-8 waves (10+) beyond their hash gates:
+  * closure properties replayed in-engine (CDC apply, Markov removal),
+  * accounting identities (modularity, growth ledger, cohort LTV, RFM
+  * mass), exactness under redelivery (bounded-state dedup, checkpoint
+  * resume, chained stateful), discipline checks (outer-join nulls,
+  * filtered-search predicates, Benford/ROUGE/clustering bounds, LSH
+  * S-curve monotonicity), and streaming-vs-batch parity (HLL sketch).
   */
 class Wave10Spec extends AnyFunSuite {
 
