@@ -103,6 +103,66 @@ object Kernels {
     maskClasses(tile, out)
   }
 
+  /** Overlap-sufficiency diagnostic: labels present on BOTH opposite margin
+    * faces of one expanded tile along some axis. That is the signature of an
+    * object spanning the tile's whole core plus both halos — wider than the
+    * overlap can cover — which the O3 parity rule then SILENTLY splits into
+    * two differently-owned fragments. The reference inherits this
+    * correctness constraint (objects must fit inside the overlap margin,
+    * `chunkops.py:25-89` assumes every object lies fully inside at least one
+    * expanded tile) but never detects a violation; this kernel makes the
+    * failure observable at any scale, per tile, before merge.
+    *
+    * A margin face only exists where a neighbor actually shipped a halo
+    * (`loc > 0` low side, `loc < grid-1` high side), so edge tiles cannot
+    * false-positive. Returns (axis, label) pairs, deduplicated, in
+    * deterministic (axis, label) order. One pass over the tile.
+    */
+  def marginSpanViolations(tile: Tile, overlaps: Array[Int]): Array[(Int, Long)] = {
+    val dims = tile.dims
+    val shape = tile.shape
+    val data = tile.data
+    val hasLow = Array.tabulate(dims)(a => tile.loc(a) > 0 && overlaps(a) > 0)
+    val hasHigh = Array.tabulate(dims)(a =>
+      tile.loc(a) < tile.grid(a) - 1 && overlaps(a) > 0)
+    if (!hasLow.exists(identity) && !hasHigh.exists(identity))
+      return Array.empty
+    val lowSeen = Array.fill(dims)(new java.util.HashSet[Long]())
+    val highSeen = Array.fill(dims)(new java.util.HashSet[Long]())
+    val strides = new Array[Int](dims)
+    if (dims > 0) {
+      strides(dims - 1) = 1
+      var a = dims - 2
+      while (a >= 0) { strides(a) = strides(a + 1) * shape(a + 1); a -= 1 }
+    }
+    var flat = 0
+    while (flat < data.length) {
+      val v = data(flat)
+      if (v != 0L) {
+        var a = 0
+        while (a < dims) {
+          val idx = (flat / strides(a)) % shape(a)
+          if (hasLow(a) && idx < overlaps(a)) lowSeen(a).add(v)
+          if (hasHigh(a) && idx >= shape(a) - overlaps(a)) highSeen(a).add(v)
+          a += 1
+        }
+      }
+      flat += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var a = 0
+    while (a < dims) {
+      if (hasLow(a) && hasHigh(a)) {
+        val it = lowSeen(a).iterator()
+        val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) { val l = it.next(); if (highSeen(a).contains(l)) hits += l }
+        hits.sorted.foreach(l => out += ((a, l)))
+      }
+      a += 1
+    }
+    out.toArray
+  }
+
   private def maskClasses(tile: Tile, out: Array[Long]): Tile = {
     val newClasses =
       if (!tile.hasClasses) tile.classes

@@ -123,6 +123,26 @@ object Relabel {
     tiles.map(t => Kernels.removeOverlapped(t, overlaps, threshold))
   }
 
+  /** Overlap-sufficiency diagnostic over prepared (halo-expanded, possibly
+    * segmented) tiles: one row per (tile, axis, label) whose pixels touch
+    * both opposite margin faces of that tile — objects larger than the
+    * overlap, which O3's parity rule will split SILENTLY (the reference's
+    * undetected correctness constraint, SURVEY §4.1). Run it on the stage
+    * feeding [[removeOverlappedLabels]] when validating an overlap setting:
+    * any row means `overlaps` is too small for the objects present. Tile-
+    * local (no shuffle); at 100 TB this is a free rider on the segmented
+    * stage, aggregable to a per-dataset violation count.
+    */
+  def overlapSufficiency(tiles: Dataset[Tile], overlaps: Array[Int])
+      : Dataset[(Long, Int, Long)] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.flatMap { t =>
+      Kernels.marginSpanViolations(t, overlaps).iterator
+        .map { case (axis, label) => (t.linearIndex, axis, label) }
+    }
+  }
+
   /** O4 `merge_overlapped_tiles` (`relabeling.py:79-99`): one neighbor
     * exchange + parity paint + halo trim. Output tiles are core-sized.
     */

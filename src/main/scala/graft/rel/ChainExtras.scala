@@ -90,6 +90,34 @@ object ChainExtras {
     }.toDF("gy", "gx", "py", "px", "rank")
   }
 
+  /** O10 through the DISTRIBUTED rank path ([[Relabel.sortLabelIndicesDistributed]]):
+    * the variant that survives billion-label spaces (range-partitioned sort
+    * + zipWithIndex + cogroup remap, no driver round-trip), driver-gated
+    * against the SAME oracle as the broadcast path so the scale-safe
+    * implementation is hash-checked, not just differential-spec'd. The
+    * pipeline output is persisted first — the distributed sort reads its
+    * input three times (rank build, join probe, sort sampling) and the
+    * label sets must be observed consistently across those passes.
+    */
+  def sortPixelsDistributed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merged = Relabel.image2labels(HaloRel.coreTiles(s, d), spec2,
+      HaloRel.BlockSegmentation(), Array(OV, OV), THRESHOLD)
+    // persist BEFORE the call: the distributed sort runs jobs eagerly
+    // (range sampling + zipWithIndex), so a lazy releaseAfterAction persist
+    // would land after those passes already recomputed the lineage
+    merged.persist()
+    val out = Relabel.sortLabelIndicesDistributed(merged).flatMap { t =>
+      val w = t.shape(1)
+      for {
+        y <- 0 until t.shape(0); x <- 0 until w
+        v = t.data(y * w + x)
+        if v != 0L
+      } yield (t.loc(0).toLong, t.loc(1).toLong, y.toLong, x.toLong, v)
+    }.toDF("gy", "gx", "py", "px", "rank")
+    graft.Caching.releaseAfterAction(out, merged)
+  }
+
   val SORT_SQL: String = s"""
     WITH full0 AS (${FullChainRel.SQL}),
     ranks AS (
@@ -98,6 +126,63 @@ object ChainExtras {
     SELECT f.gy, f.gx, f.py, f.px, r.rank
     FROM full0 f JOIN ranks r ON f.gid = r.gid
     WHERE r.rank != 0"""
+
+  /** Overlap-sufficiency diagnostic gate ([[Relabel.overlapSufficiency]]):
+    * the label field carries horizontal stripe objects 20 px tall — taller
+    * than the 16-px expanded tile (2 + 12 + 2), so some stripes touch BOTH
+    * y-margin faces of an interior tile: exactly the objects the parity
+    * rule would silently split because they exceed what the overlap can
+    * cover. The 3-px stripe width stays inside the x margins, so the x axis
+    * must report nothing — the oracle reconstructs both axes' face
+    * conditions over the expanded frame, pinning that a face only exists
+    * where a neighbor shipped a halo.
+    */
+  def overlapDiag(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tiles = s.range(GY.toLong * GX).map { k =>
+      val gy = (k / GX).toInt; val gx = (k % GX).toInt
+      val data = new Array[Long](L * L)
+      var i = 0
+      while (i < data.length) {
+        val yg = gy * L + i / L; val xg = gx * L + i % L
+        data(i) = (yg / 20).toLong * 16 + xg / 3 + 1
+        i += 1
+      }
+      Tile(Array(gy, gx), Array(GY, GX), Array(L, L), data)
+    }
+    val prepared = Relabel.prepareInput(tiles, spec2, Array(OV, OV))
+    Relabel.overlapSufficiency(prepared, Array(OV, OV))
+      .map { case (lin, axis, label) =>
+        (lin / GX, lin % GX, axis.toLong, label) }
+      .toDF("gy", "gx", "axis", "label")
+  }
+
+  val OVERLAP_DIAG_SQL: String = {
+    def low(g: String) = s"(CASE WHEN $g > 0 THEN $OV ELSE 0 END)"
+    s"""
+    WITH grid AS (
+      SELECT ty.y AS gy, tx.x AS gx
+      FROM range(0, $GY) ty(y), range(0, $GX) tx(x)),
+    epix AS (
+      SELECT g.gy, g.gx, py.e AS ey, px.e AS ex,
+             g.gy * $L + py.e - ${low("g.gy")} AS yg,
+             g.gx * $L + px.e - ${low("g.gx")} AS xg
+      FROM grid g, range(0, ${L + 2 * OV}) py(e), range(0, ${L + 2 * OV}) px(e)
+      WHERE py.e < $L + ${low("g.gy")} + (CASE WHEN g.gy < ${GY - 1} THEN $OV ELSE 0 END)
+        AND px.e < $L + ${low("g.gx")} + (CASE WHEN g.gx < ${GX - 1} THEN $OV ELSE 0 END)),
+    lab AS (
+      SELECT gy, gx, ey, ex, (yg // 20) * 16 + xg // 3 + 1 AS label
+      FROM epix)
+    SELECT gy, gx, CAST(0 AS BIGINT) AS axis, label FROM lab
+    GROUP BY gy, gx, label
+    HAVING count(*) FILTER (WHERE gy > 0 AND ey < $OV) > 0
+       AND count(*) FILTER (WHERE gy < ${GY - 1} AND ey >= ${low("gy")} + $L) > 0
+    UNION ALL
+    SELECT gy, gx, CAST(1 AS BIGINT) AS axis, label FROM lab
+    GROUP BY gy, gx, label
+    HAVING count(*) FILTER (WHERE gx > 0 AND ex < $OV) > 0
+       AND count(*) FILTER (WHERE gx < ${GX - 1} AND ex >= ${low("gx")} + $L) > 0"""
+  }
 
   /** Classes channel end-to-end: class = 1 + label % 2 at segmentation,
     * masked by survival and painted with the merge — so the final class at
@@ -135,5 +220,7 @@ object ChainExtras {
   def all: Seq[Q] = Seq(
     Q("px_segment_aux", segmentAux, Some(SEGMENT_AUX_SQL)),
     Q("px_sort", sortPixels, Some(SORT_SQL)),
+    Q("px_sort_dist", sortPixelsDistributed, Some(SORT_SQL)),
+    Q("px_overlap_diag", overlapDiag, Some(OVERLAP_DIAG_SQL)),
     Q("px_pipeline_classes", pipelineClasses, Some(PIPELINE_CLASSES_SQL)))
 }

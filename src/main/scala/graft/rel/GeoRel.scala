@@ -79,6 +79,25 @@ object GeoRel {
     annotationBboxes(ann.filter(_.geojson != null).toDF("loc_key", "geojson"))
   }
 
+  /** O9 end-to-end (`image2geojson`, `relabeling.py:279-309`): prepare ->
+    * segment -> remove(0.5) -> annotate through the single public
+    * composition entry point — the last public API without its own driver
+    * gate. The segmentation reads the instance ids straight off the
+    * halo-exchanged image values (the input IS pre-labeled, the
+    * `IdentitySegmentation` ingest shape), so the detected label field
+    * equals the O8 gate's and the SAME oracle applies; what this gate adds
+    * is the O9 composition itself — the `pre_overlapped = true` hand-off
+    * from segment into labels2geojson, previously covered only by the
+    * golden spec.
+    */
+  def image2geojsonGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ann = Relabel.image2geojson(labelTiles(s),
+      GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L)),
+      graft.ops.IdentitySegmentation(), Array(OV, OV))
+    annotationBboxes(ann.filter(_.geojson != null).toDF("loc_key", "geojson"))
+  }
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Staging dir for the streaming ingest, one per JVM, removed on exit. */
@@ -173,5 +192,6 @@ object GeoRel {
 
   def all: Seq[Q] = Seq(
     Q("geo_labels2geojson", labels2geojsonGate, Some(SQL)),
+    Q("geo_image2geojson", image2geojsonGate, Some(SQL)),
     Q("st_geo_labels2geojson", labels2geojsonStreamed, Some(SQL)))
 }

@@ -433,12 +433,15 @@ object GovernOps {
     Q("dq_referential", (s, d) => {
       def audit(fk: String, child: DataFrame, ck: String,
                 parent: DataFrame, pk: String): DataFrame = {
-        // ONE child scan: the key collapse feeds both the row-count fold
+        // ONE child scan: the key collapse feeds both the key-count fold
         // and the anti-join, and shrinks the anti-join's probe side from
-        // child-rows to distinct-keys before any join shuffle
+        // child-rows to distinct-keys before any join shuffle. child_keys
+        // counts DISTINCT keys (kc rows), the same unit as orphan_keys, so
+        // orphan_share is a share of the key space — not the former
+        // rows-over-keys unit mix
         val kc = child.groupBy(col(ck).as("k"))
           .agg(count(lit(1)).as("cnt"))
-        val rows = kc.groupBy().agg(sum("cnt").as("child_keys"))
+        val rows = kc.groupBy().agg(count(lit(1)).as("child_keys"))
         val orphans = kc
           .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
           .groupBy().agg(count(lit(1)).as("orphan_keys"),
@@ -460,14 +463,14 @@ object GovernOps {
     }, Some("""
       WITH a1 AS (
         SELECT 'lineitem.l_orderkey->orders' AS fk,
-               (SELECT count(*) FROM lineitem) AS child_keys,
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS child_keys,
                count(*) AS orphan_keys,
                coalesce(min(k), -1) AS first_orphan
         FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.k)),
       a2 AS (
         SELECT 'orders.o_custkey->customer_snapshot' AS fk,
-               (SELECT count(*) FROM orders) AS child_keys,
+               (SELECT count(DISTINCT o_custkey) FROM orders) AS child_keys,
                count(*) AS orphan_keys,
                coalesce(min(k), -1) AS first_orphan
         FROM (SELECT DISTINCT o_custkey AS k FROM orders) c

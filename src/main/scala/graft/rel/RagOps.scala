@@ -307,13 +307,16 @@ object RagOps {
     // synthetic START before each user's first event; reach is a 4-step
     // value iteration r(s) ← Σ_t n(s→t)·r(t) div n_from(s) carried as
     // EXACT parts-per-billion integers (all operands positive, so
-    // DuckDB's floor // and Spark's truncating div agree), unrolled for
-    // the full graph and each of the four channel removals. Every
-    // iteration is a join over the states-sized transition matrix (the
-    // ONE data-sized pass is the lag + count behind it — shared with
-    // sq_markov's shape); the removal variants are filters over the
-    // cached matrix, and the final removal share is one division of
-    // exact ints.
+    // DuckDB's floor // and Spark's truncating div agree), run for the
+    // full graph and each of the four channel removals. The ONE
+    // data-sized pass is the lag + count behind the transition matrix
+    // (shared with sq_markov's shape); the matrix itself is
+    // states²-bounded — |states| is the event-type vocabulary, fixed by
+    // the domain, not the data volume — so the value iteration folds
+    // DRIVER-SIDE over the collected matrix (the same
+    // bounded-by-construction round-trip as the BPE merge decision),
+    // replacing the former 4-step × 5-variant unroll of 20 tiny joins
+    // whose scheduling overhead dominated the query at every scale.
     Q("sq_markov_removal", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -330,38 +333,37 @@ object RagOps {
           .select(lit("START").as("prev"), mapped.as("next")))
         .groupBy("prev", "next").agg(count(lit(1)).as("n"))
       val nfrom = trans.groupBy("prev").agg(sum("n").as("n_from"))
+      // bounded collect: |rows| ≤ |states|² (event-type vocabulary squared)
       val tm = trans.join(nfrom, "prev")
-      val states = tm.select(col("prev").as("state"))
-        .unionByName(tm.select(col("next").as("state"))).distinct()
-      def reach(tmv: DataFrame): DataFrame = {
-        var r = states.withColumn("r",
-          when(col("state") === "conv", 1000000000L).otherwise(0L))
+        .select(col("prev"), col("next"), col("n"), col("n_from"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val states = (tm.map(_._1) ++ tm.map(_._2)).distinct
+      // exact ppb value iteration; truncating Long division on
+      // non-negative operands == DuckDB's floor // == Spark's div, so the
+      // driver fold reproduces the oracle's arithmetic bit-for-bit
+      def reach(rows: Array[(String, String, Long, Long)]): Long = {
+        var r = states.map(st =>
+          st -> (if (st == "conv") 1000000000L else 0L)).toMap
         for (_ <- 1 to 4) {
-          val acc = tmv.join(r, tmv("next") === r("state"))
-            .groupBy("prev")
-            .agg(expr("sum(n * r) div max(n_from)").as("acc"))
-          r = states
-            .join(acc.withColumnRenamed("prev", "state"), Seq("state"), "left")
-            .select(col("state"),
-              when(col("state") === "conv", 1000000000L)
-                .otherwise(coalesce(col("acc"), lit(0L))).as("r"))
+          val acc = rows.groupBy(_._1).map { case (p, ts) =>
+            p -> ts.map(t => t._3 * r(t._2)).sum / ts.head._4
+          }
+          r = states.map(st => st ->
+            (if (st == "conv") 1000000000L else acc.getOrElse(st, 0L))).toMap
         }
-        r
+        r.getOrElse("START", 0L)
       }
       val variants = ("full", tm) +: Seq("view", "click", "signup", "error")
-        .map(c => (s"no_$c", tm.filter(col("prev") =!= c && col("next") =!= c)))
-      val res = variants.map { case (name, tmv) =>
-        reach(tmv).filter(col("state") === "START")
-          .select(lit(name).as("variant"), col("r").as("reach_ppb"))
-      }.reduce(_ unionByName _)
-      val full = res.filter(col("variant") === "full")
-        .select(col("reach_ppb").as("full_ppb"))
-      graft.Caching.releaseAfterAction(
-        res.crossJoin(broadcast(full))
-          .withColumn("drop_share",
-            expr("(full_ppb - reach_ppb) / full_ppb"))
-          .select("variant", "reach_ppb", "full_ppb", "drop_share"),
-        tm, states, res)
+        .map(c => (s"no_$c", tm.filter(t => t._1 != c && t._2 != c)))
+      val fullPpb = reach(tm)
+      import s.implicits._
+      variants.map { case (name, rows) => (name, reach(rows)) }
+        .toDF("variant", "reach_ppb")
+        .withColumn("full_ppb", lit(fullPpb))
+        .withColumn("drop_share",
+          expr("(full_ppb - reach_ppb) / full_ppb"))
+        .select("variant", "reach_ppb", "full_ppb", "drop_share")
     }, Some(MARKOV_REMOVAL_SQL)),
 
     // Behavioral sequence construction — the events-to-training-sequences

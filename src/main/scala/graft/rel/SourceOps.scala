@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import Q.tbl
 
@@ -284,16 +284,27 @@ object SourceOps {
     // lives in the offsets, not the file). Everything numeric rides as
     // exact scaled integers, so the shared gate aggregate proves the
     // pad → slice → cast chain byte-faithful. Line-oriented text splits
-    // by newline, so the format is fully splittable at 100 TB.
+    // by newline, so the format is fully splittable at 100 TB. Every
+    // field is width-ASSERTED before padding: lpad silently truncates a
+    // value wider than its slot (a 9-digit user_id, a negative value
+    // whose '-' shifts digits), which would corrupt the round-trip with
+    // no error — over-width rows must fail the write loudly instead.
     Q("src_fixedwidth", (s, d) => {
       val dir = stage("fw")
+      def fwField(c: Column, w: Int, pad: String, left: Boolean): Column = {
+        val str = c.cast("string")
+        val padded = if (left) lpad(str, w, pad) else rpad(str, w, pad)
+        when(length(str) > w, raise_error(concat(
+          lit(s"fixed-width field overflow (> $w chars): "), str)))
+          .otherwise(padded)
+      }
       tbl(s, d, "events").select(concat(
-        lpad(col("event_id").cast("string"), 12, "0"),
-        lpad(Q.tsMicros(col("ts")).cast("string"), 20, "0"),
-        lpad(col("user_id").cast("string"), 8, "0"),
-        rpad(col("event_type"), 10, " "),
-        lpad(expr("CAST(round(value * 1000000) AS BIGINT)").cast("string"),
-          14, "0")).as("value"))
+        fwField(col("event_id"), 12, "0", left = true),
+        fwField(Q.tsMicros(col("ts")), 20, "0", left = true),
+        fwField(col("user_id"), 8, "0", left = true),
+        fwField(col("event_type"), 10, " ", left = false),
+        fwField(expr("CAST(round(value * 1000000) AS BIGINT)"),
+          14, "0", left = true)).as("value"))
         .write.mode(SaveMode.Overwrite).text(dir)
       s.read.text(dir)
         .select(

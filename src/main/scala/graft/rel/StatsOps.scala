@@ -148,26 +148,28 @@ object StatsOps {
     // fabricate zero samples. The series is aggregated BEFORE the
     // self-join, so the join touches KB regardless of input scale.
     Q("ts_autocorr", (s, d) => {
-      // persisted: referenced as both join sides — without it the event
-      // log would be scanned and aggregated twice for one tiny series
+      // persisted (via releaseAfterAction): referenced as both join sides
+      // — without it the event log would be scanned and aggregated twice
+      // for one tiny series
       val series = tbl(s, d, "events")
         .groupBy(Q.tsBucket(col("ts"), 300000000L).as("bucket"))
         .agg(count(lit(1)).as("x"))
-        .persist()
       val lagged = series
         .select(col("bucket"), col("x"),
           explode(sequence(lit(1L), lit(6L))).as("lag"))
         .withColumn("nb", col("bucket") + col("lag"))
-      lagged.as("a")
-        .join(broadcast(series).as("b"), col("a.nb") === col("b.bucket"))
-        .groupBy(col("a.lag").as("lag"))
-        .agg(count(lit(1)).as("np"),
-          sum(col("a.x")).as("sx"), sum(col("b.x")).as("sy"),
-          sum(col("a.x") * col("b.x")).as("sxy"),
-          sum(col("a.x") * col("a.x")).as("sxx"),
-          sum(col("b.x") * col("b.x")).as("syy"))
-        .withColumn("r", expr(
-          "(np*sxy - sx*sy) / (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy))"))
+      graft.Caching.releaseAfterAction(
+        lagged.as("a")
+          .join(broadcast(series).as("b"), col("a.nb") === col("b.bucket"))
+          .groupBy(col("a.lag").as("lag"))
+          .agg(count(lit(1)).as("np"),
+            sum(col("a.x")).as("sx"), sum(col("b.x")).as("sy"),
+            sum(col("a.x") * col("b.x")).as("sxy"),
+            sum(col("a.x") * col("a.x")).as("sxx"),
+            sum(col("b.x") * col("b.x")).as("syy"))
+          .withColumn("r", expr(
+            "(np*sxy - sx*sy) / (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy))")),
+        series)
     }, Some("""
       WITH srs AS (
         SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
@@ -392,12 +394,12 @@ object StatsOps {
     // broadcast-sized joins against the unigram table; min-count 5 prunes
     // the hapax tail before the join.
     Q("tx_collocations", (s, d) => {
-      // one corpus scan: the tokenized projection is persisted and feeds
-      // bigram counts, unigram counts, and the bigram total; the unigram
-      // table is persisted too (it is both broadcast join sides)
+      // one corpus scan: the tokenized projection is persisted (via
+      // releaseAfterAction) and feeds bigram counts, unigram counts, and
+      // the bigram total; the unigram table is persisted too (it is both
+      // broadcast join sides)
       val toks = tbl(s, d, "documents")
         .select(split(col("text"), " ").as("w"))
-        .persist()
       val bigrams = toks.filter(size(col("w")) >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i+1]))"))
@@ -407,19 +409,26 @@ object StatsOps {
         .filter(col("n_xy") >= 5)
       val uni = toks.select(explode(col("w")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n_w"))
-        .persist()
       val nTot = toks.select((size(col("w")) - 1).cast("long").as("nb"))
         .agg(sum("nb").as("n_big"))
-      bigrams
-        .join(broadcast(uni.withColumnRenamed("word", "w1")
-          .withColumnRenamed("n_w", "n_x")), "w1")
-        .join(broadcast(uni.withColumnRenamed("word", "w2")
-          .withColumnRenamed("n_w", "n_y")), "w2")
-        .crossJoin(broadcast(nTot))
-        .withColumn("lift", expr("n_xy * n_big / (n_x * n_y)"))
-        .orderBy(desc("lift"), col("w1"), col("w2"))
-        .limit(50)
-        .select("w1", "w2", "n_xy", "n_x", "n_y", "n_big", "lift")
+      graft.Caching.releaseAfterAction(
+        bigrams
+          .join(broadcast(uni.withColumnRenamed("word", "w1")
+            .withColumnRenamed("n_w", "n_x")), "w1")
+          .join(broadcast(uni.withColumnRenamed("word", "w2")
+            .withColumnRenamed("n_w", "n_y")), "w2")
+          .crossJoin(broadcast(nTot))
+          // widen the products through decimal(38,0) / HUGEINT before the
+          // double division: bigint·bigint wraps silently in Spark but
+          // raises in DuckDB, so at large scale the two engines would
+          // diverge asymmetrically; 38 digits holds any int64² exactly
+          .withColumn("lift", expr(
+            "CAST(CAST(n_xy AS DECIMAL(38,0)) * n_big AS DOUBLE) / " +
+              "CAST(CAST(n_x AS DECIMAL(38,0)) * n_y AS DOUBLE)"))
+          .orderBy(desc("lift"), col("w1"), col("w2"))
+          .limit(50)
+          .select("w1", "w2", "n_xy", "n_x", "n_y", "n_big", "lift"),
+        toks, uni)
     }, Some("""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       bg AS (
@@ -432,7 +441,8 @@ object StatsOps {
       uc AS (SELECT word, count(*) AS n_w FROM u GROUP BY 1),
       tot AS (SELECT CAST(sum(len(l) - 1) AS BIGINT) AS n_big FROM t)
       SELECT b.w1, b.w2, b.n_xy, x.n_w AS n_x, y.n_w AS n_y, tot.n_big,
-             b.n_xy * tot.n_big / (x.n_w * y.n_w) AS lift
+             CAST(b.n_xy * CAST(tot.n_big AS HUGEINT) AS DOUBLE) /
+               CAST(x.n_w * CAST(y.n_w AS HUGEINT) AS DOUBLE) AS lift
       FROM b JOIN uc x ON b.w1 = x.word JOIN uc y ON b.w2 = y.word
       CROSS JOIN tot
       ORDER BY lift DESC, b.w1, b.w2 LIMIT 50""")),
@@ -519,12 +529,12 @@ object StatsOps {
     // before the lag joins, so both joins touch a time-span-bounded
     // relation (720 hours) regardless of event volume.
     Q("ts_backtest", (s, d) => {
-      // persisted: the series feeds both sides of both lag joins — four
-      // references, which would otherwise be four full event-log scans
+      // persisted (via releaseAfterAction): the series feeds both sides
+      // of both lag joins — four references, which would otherwise be
+      // four full event-log scans
       val srs = tbl(s, d, "events")
         .groupBy(col("event_type"), Q.tsBucket(col("ts"), 3600000000L).as("b"))
         .agg(count(lit(1)).as("x"))
-        .persist()
       def scored(lagH: Int, err: String, act: String) = srs.as("a")
         .join(broadcast(srs).as("p"),
           col("a.event_type") === col("p.event_type") &&
@@ -532,10 +542,12 @@ object StatsOps {
         .groupBy(col("a.event_type").as("event_type"))
         .agg(sum(abs(col("a.x") - col("p.x"))).as(err),
           sum(col("a.x")).as(act))
-      scored(168, "err_w", "act_w")
-        .join(scored(24, "err_d", "act_d"), "event_type")
-        .withColumn("wape_weekly", expr("err_w / act_w"))
-        .withColumn("wape_daily", expr("err_d / act_d"))
+      graft.Caching.releaseAfterAction(
+        scored(168, "err_w", "act_w")
+          .join(scored(24, "err_d", "act_d"), "event_type")
+          .withColumn("wape_weekly", expr("err_w / act_w"))
+          .withColumn("wape_daily", expr("err_d / act_d")),
+        srs)
     }, Some("""
       WITH s AS (
         SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
@@ -579,13 +591,14 @@ object StatsOps {
           min("n_i").as("min_n"), max("n_i").as("max_n"),
           sum("n_i").as("rows_in"),
           sum(col("n_i") * col("n_i")).as("hhi_in"))
-        .persist() // folded into glob AND emitted — one key collapse
+      // persisted via releaseAfterAction: folded into glob AND emitted —
+      // one key collapse
       val glob = hist.groupBy()
         .agg(sum("n_keys").as("tot_keys"), sum("rows_in").as("tot_rows"),
           max("max_n").as("hot_n"), sum("hhi_in").as("hhi_num"))
         .withColumn("top1_share", expr("hot_n / tot_rows"))
         .withColumn("hhi", expr("hhi_num / (tot_rows * tot_rows)"))
-      hist.crossJoin(broadcast(glob))
+      graft.Caching.releaseAfterAction(hist.crossJoin(broadcast(glob)), hist)
     }, Some("""
       WITH k AS (SELECT user_id, count(*) AS n_i FROM events GROUP BY 1),
       h AS (
@@ -677,26 +690,29 @@ object StatsOps {
     // per-hour means and the grand mean ride along as their exact
     // numerator/denominator pairs.
     Q("ts_decompose", (s, d) => {
+      // persisted via releaseAfterAction — three references: trend
+      // window, hod means, grand fold
       val srs = tbl(s, d, "events")
         .groupBy(Q.tsBucket(col("ts"), 3600000000L).as("b"))
         .agg(count(lit(1)).as("x"))
-        .persist() // three references: trend window, hod means, grand fold
       val wTrend = Window.orderBy("b").rowsBetween(-12, 11)
       val hod = srs.groupBy(pmod(col("b"), lit(24L)).as("hod"))
         .agg(sum("x").as("sn"), count(lit(1)).as("sc"))
       val glob = srs.groupBy()
         .agg(sum("x").as("gs"), count(lit(1)).as("gn"))
-      srs
-        .withColumn("tn", sum("x").over(wTrend))
-        .withColumn("tc", count(lit(1)).over(wTrend))
-        .withColumn("hod", pmod(col("b"), lit(24L)))
-        .join(broadcast(hod), "hod")
-        .crossJoin(broadcast(glob))
-        .withColumn("trend", expr(TREND_EXPR))
-        .withColumn("seasonal", expr(SEAS_EXPR))
-        .withColumn("resid", expr(RESID_EXPR))
-        .select("b", "x", "hod", "tn", "tc", "sn", "sc", "gs", "gn",
-          "trend", "seasonal", "resid")
+      graft.Caching.releaseAfterAction(
+        srs
+          .withColumn("tn", sum("x").over(wTrend))
+          .withColumn("tc", count(lit(1)).over(wTrend))
+          .withColumn("hod", pmod(col("b"), lit(24L)))
+          .join(broadcast(hod), "hod")
+          .crossJoin(broadcast(glob))
+          .withColumn("trend", expr(TREND_EXPR))
+          .withColumn("seasonal", expr(SEAS_EXPR))
+          .withColumn("resid", expr(RESID_EXPR))
+          .select("b", "x", "hod", "tn", "tc", "sn", "sc", "gs", "gn",
+            "trend", "seasonal", "resid"),
+        srs)
     }, Some(s"""
       WITH srs AS (
         SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, count(*) AS x
@@ -727,10 +743,11 @@ object StatsOps {
     // window over the tiny pre-aggregated series; the scalars fold back in
     // as broadcast 1-row relations (the house scalar pattern).
     Q("ts_anomaly", (s, d) => {
+      // both persisted via releaseAfterAction: srs is referenced by the N
+      // fold, the median rank, and dv; dv by the MAD rank and the filter
       val srs = tbl(s, d, "events")
         .groupBy(Q.tsBucket(col("ts"), 3600000000L).as("b"))
         .agg(count(lit(1)).as("x"))
-        .persist() // referenced by the N fold, the median rank, and dv
       val n = srs.groupBy().agg(count(lit(1)).as("nn"))
       val med = srs
         .withColumn("rn", row_number().over(Window.orderBy("x", "b")))
@@ -739,15 +756,16 @@ object StatsOps {
         .select(col("x").as("med"))
       val dv = srs.crossJoin(broadcast(med))
         .withColumn("dev", abs(col("x") - col("med")))
-        .persist() // referenced by the MAD rank and the output filter
       val mad = dv
         .withColumn("rn", row_number().over(Window.orderBy("dev", "b")))
         .crossJoin(broadcast(n))
         .filter(col("rn") === expr("(nn + 1) div 2"))
         .select(col("dev").as("mad"))
-      dv.crossJoin(broadcast(mad))
-        .filter(col("dev") > lit(3L) * col("mad"))
-        .select("b", "x", "med", "mad", "dev")
+      graft.Caching.releaseAfterAction(
+        dv.crossJoin(broadcast(mad))
+          .filter(col("dev") > lit(3L) * col("mad"))
+          .select("b", "x", "med", "mad", "dev"),
+        srs, dv)
     }, Some("""
       WITH srs AS (
         SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, count(*) AS x
@@ -923,7 +941,11 @@ object StatsOps {
           .join(freq.select(col("pk").as("pa"), col("n").as("n_a")), "pa")
           .join(freq.select(col("pk").as("pb"), col("n").as("n_b")), "pb")
           .crossJoin(broadcast(nOrders))
-          .withColumn("lift", expr("co * n_orders / (n_a * n_b)")),
+          // decimal-widened products, same rationale as tx_collocations:
+          // Spark wraps int64 overflow silently where DuckDB raises
+          .withColumn("lift", expr(
+            "CAST(CAST(co AS DECIMAL(38,0)) * n_orders AS DOUBLE) / " +
+              "CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)")),
         li)
     }, Some("""
       WITH li AS (
@@ -935,7 +957,8 @@ object StatsOps {
       f AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
       t AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
       SELECT pa, pb, co, fa.n AS n_a, fb.n AS n_b, t.n_orders,
-             co * t.n_orders / (fa.n * fb.n) AS lift
+             CAST(co * CAST(t.n_orders AS HUGEINT) AS DOUBLE) /
+               CAST(fa.n * CAST(fb.n AS HUGEINT) AS DOUBLE) AS lift
       FROM p JOIN f fa ON p.pa = fa.pk JOIN f fb ON p.pb = fb.pk
       CROSS JOIN t""")),
 

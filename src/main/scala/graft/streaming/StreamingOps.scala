@@ -617,14 +617,16 @@ object StreamingOps {
     * ann_ivf: embedding vectors stream in, the centroid codebook is FIXED
     * (the deterministic strided 1% sample, collected driver-side — bounded
     * codebook metadata, same rationale as the RankOps scalar literals —
-    * and folded into the plan as array literals), and each micro-batch
-    * assigns its vectors to the max-dot centroid entirely MAP-SIDE via a
-    * greatest() fold over per-centroid (dot, -cid, cid) structs; the only
+    * and shipped to the executors as a BROADCAST VARIABLE, the 100 TB
+    * design: at a million centroids the plan stays one narrow map while a
+    * literal-folded codebook would bloat every serialized plan and blow
+    * codegen limits), and each micro-batch assigns its vectors to the
+    * max-dot centroid entirely MAP-SIDE via a per-row scan of the
+    * broadcast codebook (ties broken toward the lowest centroid id,
+    * matching the oracle's `ORDER BY cdot DESC, cid ASC`); the only
     * stateful operator is the final per-centroid complete-mode aggregate.
-    * At 100 TB the codebook rides a broadcast variable instead of
-    * literals, but the plan shape — narrow map, one k-group shuffle — is
-    * unchanged; this is how an online IVF ingest keeps cluster statistics
-    * current while the stream flows.
+    * This is how an online IVF ingest keeps cluster statistics current
+    * while the stream flows.
     */
   def vecAssign(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -636,17 +638,31 @@ object StreamingOps {
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
     val qn = "st_vec_assign_sink_" + sinkCounter.incrementAndGet()
-    val structs = cents.map { case (cid, cv) =>
-      struct(
-        graft.functions.VectorFunctions.long_dot(col("qv"), typedLit(cv))
-          .as("cdot"),
-        lit(-cid).as("nc"), lit(cid).as("cid"))
+    val bcCents = s.sparkContext.broadcast(cents)
+    // integer dot products (the quantized vectors are exact longs), so the
+    // argmax is deterministic across partitionings and micro-batchings
+    val assign = udf { (qv: Seq[Long]) =>
+      val cb = bcCents.value
+      var bestDot = Long.MinValue
+      var bestCid = Long.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val (cid, cv) = cb(c)
+        var dot = 0L
+        var i = 0
+        while (i < cv.length) { dot += qv(i) * cv(i); i += 1 }
+        if (dot > bestDot || (dot == bestDot && cid < bestCid)) {
+          bestDot = dot; bestCid = cid
+        }
+        c += 1
+      }
+      (bestCid, bestDot)
     }
     val agg = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(d)
       .selectExpr("vec_id", quant)
-      .select(col("vec_id"), greatest(structs: _*).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"), col("m.cdot").as("cdot"))
+      .select(col("vec_id"), assign(col("qv")).as("m"))
+      .select(col("vec_id"), col("m._1").as("cid"), col("m._2").as("cdot"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n"), sum("cdot").as("sum_dot"))
     val query = StateSizing.startSized(s)(agg.writeStream

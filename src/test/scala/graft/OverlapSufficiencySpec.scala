@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Kernels
+import graft.tiles.Tile
+
+/** Overlap-sufficiency diagnostic ([[Kernels.marginSpanViolations]]): the
+  * reference's silent correctness constraint — objects must fit inside the
+  * overlap margin (SURVEY §4.1; `chunkops.py:25-89` assumes every object
+  * lies fully within one expanded tile) — made detectable. An object
+  * touching BOTH opposite margin faces of one expanded tile is wider than
+  * core + both halos, so the parity rule will split it with no error; the
+  * kernel must flag exactly those labels, on exactly the axes they span,
+  * and must never flag a face the grid does not give a neighbor.
+  */
+class OverlapSufficiencySpec extends AnyFunSuite {
+
+  /** Interior 2D tile (has neighbors on all four sides): expanded shape
+    * (2+8+2) x (2+8+2) at loc (1,1) of a 3x3 grid, overlap 2.
+    */
+  private def interior(fill: (Int, Int) => Long): Tile = {
+    val h = 12; val w = 12
+    val data = Array.tabulate(h * w)(i => fill(i / w, i % w))
+    Tile(Array(1, 1), Array(3, 3), Array(h, w), data)
+  }
+
+  test("object spanning both y margin faces is flagged on axis 0 only") {
+    // a vertical bar through the full expanded height, 3 px wide: touches
+    // y-low (rows 0-1) and y-high (rows 10-11) but neither x face
+    val t = interior((y, x) => if (x >= 5 && x < 8) 7L else 0L)
+    assert(Kernels.marginSpanViolations(t, Array(2, 2)).toSeq ==
+      Seq((0, 7L)))
+  }
+
+  test("oversized blob spanning both axes is flagged twice") {
+    val t = interior((_, _) => 3L) // fills the whole expanded frame
+    assert(Kernels.marginSpanViolations(t, Array(2, 2)).toSeq ==
+      Seq((0, 3L), (1, 3L)))
+  }
+
+  test("object inside one margin face only is NOT flagged") {
+    // fits in the low-y halo band plus some core: never reaches y-high
+    // (x kept inside the core so the x faces stay clear too)
+    val t = interior((y, x) => if (y < 6 && x >= 4 && x < 7) 9L else 0L)
+    assert(Kernels.marginSpanViolations(t, Array(2, 2)).isEmpty)
+  }
+
+  test("edge tiles cannot false-positive on faces without neighbors") {
+    // corner tile (0,0) of a 2x2 grid: no low faces exist, so a label
+    // touching row 0 and the high face spans core+one halo = 10 px — big,
+    // but NOT provably wider than the overlap window; only tiles with
+    // BOTH faces can testify
+    val h = 10; val w = 10 // 8 core + high halo 2 on each axis
+    val data = Array.fill(h * w)(5L)
+    val t = Tile(Array(0, 0), Array(2, 2), Array(h, w), data)
+    assert(Kernels.marginSpanViolations(t, Array(2, 2)).isEmpty)
+  }
+
+  test("zero overlap on an axis disables that axis's faces") {
+    val t = interior((_, _) => 4L)
+    assert(Kernels.marginSpanViolations(t, Array(0, 2)).toSeq ==
+      Seq((1, 4L)))
+  }
+
+  test("multiple violating labels report sorted, deduplicated") {
+    // two full-height bars, labels 2 and 8
+    val t = interior((y, x) =>
+      if (x < 2) 8L else if (x >= 4 && x < 6) 2L else 0L)
+    assert(Kernels.marginSpanViolations(t, Array(2, 2)).toSeq ==
+      Seq((0, 2L), (0, 8L)))
+  }
+
+  test("3D: a z-spanning slab is flagged on axis 0") {
+    val d = 8; val h = 8; val w = 8 // 4 core + 2+2 halos per axis
+    val data = Array.tabulate(d * h * w) { i =>
+      val z = i / (h * w); val y = (i / w) % h; val x = i % w
+      // slab through all z at one (y, x) core column
+      if (y == 4 && x == 4) 6L else { val _ = z; 0L }
+    }
+    val t = Tile(Array(1, 1, 1), Array(3, 3, 3), Array(d, h, w), data)
+    assert(Kernels.marginSpanViolations(t, Array(2, 2, 2)).toSeq ==
+      Seq((0, 6L)))
+  }
+}
