@@ -12,6 +12,11 @@ import graft.tiles.{GridSpec, Tile}
   *    location) through `Relabel.segmentWithAux`.
   *  - `px_sort`: O10 dense re-rank through the engine's broadcast map over
   *    the full-pipeline output.
+  *  - `px_sort_dist`: the same oracle through the DISTRIBUTED O10 path
+  *    (billion-label spaces: no driver round-trip).
+  *  - `px_overlap_diag`: the overlap-sufficiency diagnostic — labels
+  *    wider than the overlap margin, which the parity rule silently
+  *    splits, detected per tile.
   *  - `px_pipeline_classes`: the classes channel carried through
   *    segment -> remove (survival mask) -> merge (paint mask) and verified
   *    against the class rule reconstructed from the global id.

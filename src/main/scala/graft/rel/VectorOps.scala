@@ -1602,37 +1602,42 @@ object VectorOps {
         .join(broadcast(marg.withColumnRenamed("dim", "j")
           .withColumnRenamed("s_dim", "s_j")), "j")
         .select(col("i"), col("j"), expr("n * s_ij - s_i * s_j").as("c"))
-      val gram = upper.unionByName(
-        upper.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("c")))
-      // every iterate is 64 rows but referenced twice (its max fold and
-      // the next matvec / final join) — cache each or the recomputation
-      // compounds geometrically back through the Gram aggregation
-      val deps = scala.collection.mutable.ArrayBuffer[DataFrame](gram)
-      def step(u: DataFrame): DataFrame = {
-        val v = gram.join(u, gram("j") === u("dim"))
-          .groupBy(col("i").as("vdim"))
-          .agg(sum(col("c").cast("decimal(20,0)") * col("u").cast("decimal(7,0)"))
-            .as("v"))
-        deps += v
-        val mv = v.agg(max(abs(col("v"))).as("mv"))
-        val un = v.crossJoin(broadcast(mv))
-          .select(col("vdim").as("dim"), expr(
-            """CAST((CASE WHEN v < 0 THEN -1 ELSE 1 END)
-                    * (CAST(abs(v) AS DECIMAL(30,0)) * 1000000 div mv)
-                 AS BIGINT)""").as("u"))
-        deps += un
-        un
+      // The ONE data-sized pass is the Gram aggregation above; everything
+      // after is d²-bounded (64×64 covariance cells + 64-row iterates), so
+      // the 3-step power iteration folds DRIVER-SIDE over the collected
+      // matrix — the same bounded-by-construction round-trip as the BPE
+      // merge decision and sq_markov_removal's value iteration, replacing
+      // 6 tiny cached jobs whose scheduling overhead dominated the query.
+      // All arithmetic is exact integers (BigInt matvec == the oracle's
+      // HUGEINT sums; floor-div on non-negative operands == DuckDB's //),
+      // so the fold reproduces the oracle bit-for-bit.
+      val up = upper.collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+      import s.implicits._
+      if (up.isEmpty) {
+        Seq.empty[(Long, Long, Long, Long)].toDF("dim", "u1", "u2", "u3")
+      } else {
+        val dims = up.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+        val dmax = dims.max
+        val g = Array.ofDim[Long](dmax + 1, dmax + 1)
+        up.foreach { case (i, j, c) => g(i)(j) = c; g(j)(i) = c }
+        def step(u: Map[Int, Long]): Map[Int, Long] = {
+          val v = dims.map { i =>
+            i -> dims.foldLeft(BigInt(0))((acc, j) =>
+              acc + BigInt(g(i)(j)) * u(j))
+          }.toMap
+          val mv = v.values.map(_.abs).max
+          v.map { case (i, x) =>
+            i -> ((if (x < 0) -1 else 1) * (x.abs * 1000000 / mv)).toLong
+          }
+        }
+        val u0 = dims.map(_ -> 1L).toMap
+        val u1 = step(u0)
+        val u2 = step(u1)
+        val u3 = step(u2)
+        dims.toSeq.map(i => (i.toLong, u1(i), u2(i), u3(i)))
+          .toDF("dim", "u1", "u2", "u3")
       }
-      val u0 = marg.select(col("dim"), lit(1L).as("u"))
-      val u1 = step(u0)
-      val u2 = step(u1)
-      val u3 = step(u2)
-      graft.Caching.releaseAfterAction(
-        u1.select(col("dim"), col("u").as("u1"))
-          .join(u2.select(col("dim"), col("u").as("u2")), "dim")
-          .join(u3.select(col("dim"), col("u").as("u3")), "dim"),
-        deps.toSeq: _*)
     }, Some(s"""
       WITH $QVEC_SQL,
       cells AS (

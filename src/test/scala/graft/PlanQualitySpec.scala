@@ -545,12 +545,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "the 1-row global fold must broadcast, not shuffle")
   }
 
-  test("vec_pca_power: iterations stay broadcast-scalar, never cartesian") {
+  test("vec_pca_power: iteration folds driver-side over the d²-bounded Gram") {
+    // the one data-sized pass (the Gram aggregation) runs at BUILD time;
+    // the returned relation is the 64-row iterate table — a LocalTableScan,
+    // proof the d²-bounded value iteration never became distributed jobs
     val p = plan("vec_pca_power")
-    assert(!p.contains("CartesianProduct"),
-      s"power iteration degenerated to a cartesian:\n$p")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3,
-      s"max-norm scalar folds not broadcast:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"expected the driver-folded iterate table:\n$p")
+    assert(!p.contains("Join"),
+      s"no join may survive the driver fold:\n$p")
   }
 
   test("dq_referential: anti-joins on collapsed keys, no window, no cartesian") {
@@ -618,5 +621,9 @@ class PlanQualitySpec extends AnyFunSuite {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
     }
+    // sq_markov_removal now folds its states²-bounded value iteration
+    // driver-side: the returned relation must be the 5-row local table
+    assert(plan("sq_markov_removal").contains("LocalTableScan"),
+      "expected the driver-folded variant table")
   }
 }
