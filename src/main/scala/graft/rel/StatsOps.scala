@@ -841,21 +841,25 @@ object StatsOps {
 
     // Deterministic half-sample uncertainty — the resampling CI without
     // the nondeterminism: 32 half-samples, membership of row r in sample
-    // b decided by one md5 nibble of "event_id:b" (both engines replay
-    // the hash byte-for-byte), each sample's mean an exact micro-sum over
-    // an exact count, and the spread read off a rank over the 32
-    // bit-identical means. The per-sample fan-out is a generator inside
-    // the scan (map-side combinable 32-way partial aggregate) — ONE pass
-    // over the log regardless of B; this is how a 100 TB pipeline prices
-    // "how sure are we" without a second job.
+    // b decided by the b-th hex nibble of ONE md5 of the event id (both
+    // engines replay the hash byte-for-byte; a 128-bit digest carries all
+    // 32 membership bits, so the scan hashes each row ONCE instead of
+    // once per sample — 32× less hashing, the difference that matters at
+    // 100 TB), each sample's mean an exact micro-sum over an exact count,
+    // and the spread read off a rank over the 32 bit-identical means. The
+    // per-sample fan-out is a generator inside the scan (map-side
+    // combinable 32-way partial aggregate) — ONE pass over the log
+    // regardless of B; this is how a 100 TB pipeline prices "how sure are
+    // we" without a second job.
     Q("ab_halfsample_ci", (s, d) => {
       val means = tbl(s, d, "events")
-        .select(col("event_id"),
+        .select(
           expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"),
+          md5(col("event_id").cast("string")).as("h"))
+        .select(col("qv"), col("h"),
           explode(sequence(lit(0L), lit(31L))).as("b"))
         .filter(expr(
-          """CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':',
-                                         CAST(b AS STRING))), 1, 1), 16, 10)
+          """CAST(conv(substr(h, CAST(b + 1 AS INT), 1), 16, 10)
               AS BIGINT) % 2 = 0"""))
         .groupBy("b")
         .agg(count(lit(1)).as("n_b"), sum("qv").as("sum_qv"))
@@ -864,15 +868,16 @@ object StatsOps {
         row_number().over(Window.orderBy(col("mean_b"), col("b"))).cast("long"))
     }, Some("""
       WITH f AS (
-        SELECT e.event_id, CAST(round(e.value * 1000000) AS BIGINT) AS qv,
-               b.b
-        FROM events e, (SELECT unnest(range(0, 32)) AS b) b
+        SELECT CAST(round(e.value * 1000000) AS BIGINT) AS qv,
+               md5(CAST(e.event_id AS VARCHAR)) AS h, b.b
+        FROM events e, (SELECT unnest(range(0, 32)) AS b) b),
+      m AS (
+        SELECT qv, b FROM f
         WHERE (instr('0123456789abcdef',
-                 substr(md5(CAST(e.event_id AS VARCHAR) || ':' ||
-                            CAST(b.b AS VARCHAR)), 1, 1)) - 1) % 2 = 0),
+                 substr(h, CAST(b + 1 AS INT), 1)) - 1) % 2 = 0),
       g AS (
         SELECT b, count(*) AS n_b, CAST(sum(qv) AS BIGINT) AS sum_qv
-        FROM f GROUP BY 1)
+        FROM m GROUP BY 1)
       SELECT b, n_b, sum_qv, sum_qv / n_b AS mean_b,
              row_number() OVER (ORDER BY sum_qv / n_b, b) AS rk
       FROM g""")),
