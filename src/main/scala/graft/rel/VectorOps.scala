@@ -26,6 +26,45 @@ object VectorOps {
   private def qvec(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "embeddings").select(col("vec_id"), expr(quant).as("qv"))
 
+  /** Exact upper-triangle Gram cells (i, j, n, s_ij) over the quantized
+    * corpus, one row per dim pair i ≤ j. Computed as a PER-PARTITION
+    * ACCUMULATOR (`mapPartitions` into a d² long array, one emit of 2080
+    * cells per partition): the former explode-of-2080-structs-per-row
+    * shape inflated the scan ×2080 and probed a hash-agg per cell; the
+    * tight two-level loop does the same exact int64 sums at array speed,
+    * and the shuffle stays d²·partitions regardless of row count — the
+    * 100 TB covariance-pass shape. Fails loudly on a malformed (non-64-d)
+    * vector instead of the SQL path's silent null-cell semantics; the
+    * corpus contract is fixed-width.
+    */
+  private def gramCells(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = 64
+    tbl(s, d, "embeddings").select(expr(quant).as("qv")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val sums = new Array[Long](D * D)
+        var n = 0L
+        it.foreach { v =>
+          require(v != null && v.length == D,
+            s"embedding is not $D-dimensional: ${if (v == null) "null" else v.length}")
+          n += 1
+          var i = 0
+          while (i < D) {
+            val vi = v(i)
+            var j = i
+            while (j < D) { sums(i * D + j) += vi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty
+        else (for { i <- 0 until D; j <- i until D }
+          yield ((i + 1).toLong, (j + 1).toLong, n, sums(i * D + j))).iterator
+      }
+      .toDF("i", "j", "pn", "ps")
+      .groupBy("i", "j")
+      .agg(sum("pn").as("n"), sum("ps").as("s_ij"))
+  }
+
   private[rel] val QVEC_SQL = """
     qv AS (SELECT vec_id,
                   list_transform(embedding,
@@ -1517,24 +1556,14 @@ object VectorOps {
     // whitening, and linear probes: for every dim pair i ≤ j, the exact
     // Σ qᵢqⱼ over the quantized corpus, with the marginal sums joined on
     // (64 rows, broadcast) so the centered covariance NUMERATOR
-    // n·Σqᵢqⱼ − Σqᵢ·Σqⱼ is itself an exact BIGINT. Per row the flat-map
-    // emits the d(d+1)/2 upper triangle (2080 cells at d=64) — the
-    // outer-product partial-aggregation shape whose communication is d²
-    // per partition regardless of row count, exactly how a 100 TB
-    // covariance pass must behave. (At extreme row counts the scaled
-    // products approach int64; the decimal(38) widening is the escape
-    // hatch, not needed at gate scale.)
+    // n·Σqᵢqⱼ − Σqᵢ·Σqⱼ is itself an exact BIGINT. The cells come from
+    // [[gramCells]]' per-partition d² accumulator — communication d² per
+    // partition regardless of row count, no row inflation, exactly how a
+    // 100 TB covariance pass must behave. (At extreme row counts the
+    // scaled products approach int64; the decimal(38) widening is the
+    // escape hatch, not needed at gate scale.)
     Q("vec_gram", (s, d) => {
-      val cells = tbl(s, d, "embeddings")
-        .select(expr(quant).as("qv"))
-        .select(explode(expr(
-          """flatten(transform(sequence(0, 63), i ->
-               transform(sequence(i, 63), j ->
-                 named_struct('i', i + 1, 'j', j + 1, 'p', qv[i] * qv[j]))))"""))
-          .as("c"))
-        .groupBy(col("c.i").cast("long").as("i"),
-          col("c.j").cast("long").as("j"))
-        .agg(count(lit(1)).as("n"), sum(col("c.p")).as("s_ij"))
+      val cells = gramCells(s, d)
       val marg = tbl(s, d, "embeddings")
         .select(posexplode(expr(quant)).as(Seq("pos", "q")))
         .groupBy((col("pos") + 1).cast("long").as("dim"))
@@ -1582,16 +1611,7 @@ object VectorOps {
     // 64-row vector, with the scalar max folded back as a broadcast 1-row
     // relation (the house scalar pattern).
     Q("vec_pca_power", (s, d) => {
-      val cells = tbl(s, d, "embeddings")
-        .select(expr(quant).as("qv"))
-        .select(explode(expr(
-          """flatten(transform(sequence(0, 63), i ->
-               transform(sequence(i, 63), j ->
-                 named_struct('i', i + 1, 'j', j + 1, 'p', qv[i] * qv[j]))))"""))
-          .as("c"))
-        .groupBy(col("c.i").cast("long").as("i"),
-          col("c.j").cast("long").as("j"))
-        .agg(count(lit(1)).as("n"), sum(col("c.p")).as("s_ij"))
+      val cells = gramCells(s, d)
       val marg = tbl(s, d, "embeddings")
         .select(posexplode(expr(quant)).as(Seq("pos", "q")))
         .groupBy((col("pos") + 1).cast("long").as("dim"))
