@@ -648,6 +648,12 @@ object PipelineOps {
     */
   def phashClusters(s: SparkSession, d: String): DataFrame = {
     val edges = phashPairs(s, d).select(col("id_a"), col("id_b")).persist()
+    // materialize the cache EAGERLY: the components mirror scans `edges`
+    // twice (both union branches), and un-materialized persisted lineage
+    // can run once per branch — for this pipeline each run is a full
+    // synthesize+decode pass over the image corpus, the most expensive
+    // lineage in the suite
+    edges.count()
     try
       graft.Caching.releaseAfterAction(
         graft.rel.GraphOps.connectedComponents(

@@ -47,6 +47,10 @@ object ComponentsScale {
     }
 
     var oldC = 0L; var newC = 0L
+    // force the DISTRIBUTED fixpoint: this probe exists to compare the
+    // fixpoint shapes, so the runtime driver-union-find shortcut (which
+    // would absorb this synthetic edge set) is disabled here
+    spark.conf.set(graft.rel.GraphOps.DriverCapKey, "0")
     (1 to 3).foreach { _ =>
       newC = time("new")(graft.rel.GraphOps.connectedComponents(vertices, edges))
       oldC = time("old")(OldGraphOps.connectedComponents(vertices, edges))

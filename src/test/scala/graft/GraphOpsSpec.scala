@@ -32,9 +32,19 @@ class GraphOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val vs = spark.range(n.toLong).toDF("doc_id")
     val es = edges.toDF("id_a", "id_b")
-    val got = GraphOps.connectedComponents(vs, es)
+    // both physical strategies must agree with the reference union-find:
+    // the runtime driver shortcut (default cap) AND the distributed
+    // fixpoint (cap 0 forces it)
+    val expected = unionFind(n, edges)
+    val gotDriver = GraphOps.connectedComponents(vs, es)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == unionFind(n, edges))
+    assert(gotDriver == expected, "driver union-find path diverges")
+    spark.conf.set(GraphOps.DriverCapKey, "0")
+    try {
+      val gotDist = GraphOps.connectedComponents(vs, es)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == expected, "distributed fixpoint path diverges")
+    } finally spark.conf.unset(GraphOps.DriverCapKey)
   }
 
   test("random sparse graph matches union-find") {
