@@ -55,6 +55,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(n <= 2, s"tile pipeline grew to $n exchanges:\n$p")
   }
 
+  test("px_overlap_diag adds NO exchange beyond the prepare halo shuffle") {
+    // the diagnostic is tile-local (a free rider on the prepared stage):
+    // one exchange from prepareInput, nothing from the margin-face scan
+    val p = plan("px_overlap_diag")
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n <= 1, s"overlap diagnostic grew to $n exchanges:\n$p")
+    assert(!p.contains("Join"), s"diagnostic must not join:\n$p")
+  }
+
+  test("px_sort_dist and geo_image2geojson avoid cartesians") {
+    for (q <- Seq("px_sort_dist", "geo_image2geojson")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a nested-loop join:\n$p")
+    }
+  }
+
   test("aj_asof plans the custom operator, one exchange per side, no explosion") {
     val p = plan("aj_asof")
     assert(p.contains("AsOfJoin"), s"custom as-of operator not planned:\n$p")
