@@ -68,6 +68,21 @@ object ShardStreamProfile {
     progress.forEach(p => println(s"[profile] $p"))
     progress.clear()
 
+    // phase 3b: same gate, checkpoint WAL + state store on tmpfs — does
+    // the ext4 fsync cost of offset/commit logs and state deltas set the
+    // per-trigger floor, or is it scheduling?
+    {
+      val shm = new java.io.File("/dev/shm/graft_ckpt_probe")
+      shm.mkdirs()
+      spark.conf.set("spark.sql.streaming.checkpointLocation", shm.toString)
+      time("st_px_zarr_shard_read ckpt on tmpfs") {
+        graft.streaming.StreamingOps.zarrShardStreamRead(spark, d).count()
+      }
+      spark.conf.unset("spark.sql.streaming.checkpointLocation")
+      progress.forEach(p => println(s"[profile] $p"))
+      progress.clear()
+    }
+
     // phase 4: same store, ALL shards in one trigger — isolates the
     // per-micro-batch machinery tax from the per-byte source work (a real
     // 100 TB shard is GBs, so one trigger per shard amortizes the same
