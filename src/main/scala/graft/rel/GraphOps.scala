@@ -9,46 +9,6 @@ import org.apache.spark.sql.functions._
 /** Relational graph operators for the dedup pipeline. */
 object GraphOps {
 
-  /** Connected components by Pregel-style min-label propagation with
-    * pointer-doubling hops: every round each vertex takes the minimum of
-    * its own label, its label's label (comp of comp — collapses chains in
-    * O(log diameter) rounds, applied twice per round), and its neighbors'
-    * labels. The fixpoint assigns every vertex the minimum vertex id of its
-    * component.
-    *
-    * Every round truncates lineage through the RDD layer: an iterative
-    * fixpoint whose rounds self-join the previous result doubles its
-    * LOGICAL PLAN per round if merely persisted — analysis cost goes
-    * exponential while the data stays tiny (measured 248s -> 10s at harness
-    * scale). `Dataset.localCheckpoint` is NOT enough: it preserves the
-    * checkpointed plan's STATISTICS, so join-size estimates compound
-    * 4^rounds into million-digit BigInts and the stats visitor hangs in
-    * BigInteger.multiply. Round-tripping `df.rdd.localCheckpoint()` resets
-    * both lineage and stats; blocks are reclaimed by the ContextCleaner as
-    * references drop.
-    *
-    * Round shape (round 5 tightened it from 5 joins to 3 + one agg): the
-    * PRE-ROUND component rides along as `oc` so the change count needs no
-    * extra comparison join, and the neighbor-min pass is one inner
-    * edges-join producing messages union'd with the self rows into a
-    * single min-aggregate — two fewer shuffles per round than the r4
-    * formulation, with identical semantics. (A co-partitioned RDD fixpoint
-    * — the GraphX shape, edges shuffled exactly once — was measured on the
-    * differential probe `tools/ComponentsScale` and LOST ~1.5x to this
-    * Tungsten formulation at harness scale: RDD tuple shuffles pay Java
-    * serialization while every exchange here stays in Tungsten binary.
-    * The probe keeps both shapes honest if the tradeoff shifts at cluster
-    * scale.)
-    *
-    * Only EDGE-TOUCHED vertices enter the fixpoint: an isolated vertex is
-    * its own component and can never change, so at corpus scale (where the
-    * overwhelming majority of documents touch no near-dup edge) the
-    * iteration runs over the small connected subgraph, not the corpus.
-    * The seed folds one neighbor-min pass into initialization.
-    *
-    * `vertices` must have a `doc_id` column; `edges` columns `id_a, id_b`
-    * (undirected; mirrored internally). Output: (doc_id, comp).
-    */
   /** Session conf key: edge-count cap (PAIRS, pre-mirroring) below which
     * the component labeling collapses to a driver-side union-find instead
     * of the distributed fixpoint. Default 1M pairs (~30 MB transient on
@@ -90,6 +50,46 @@ object GraphOps {
     out.toArray
   }
 
+  /** Connected components by Pregel-style min-label propagation with
+    * pointer-doubling hops: every round each vertex takes the minimum of
+    * its own label, its label's label (comp of comp — collapses chains in
+    * O(log diameter) rounds, applied twice per round), and its neighbors'
+    * labels. The fixpoint assigns every vertex the minimum vertex id of its
+    * component.
+    *
+    * Every round truncates lineage through the RDD layer: an iterative
+    * fixpoint whose rounds self-join the previous result doubles its
+    * LOGICAL PLAN per round if merely persisted — analysis cost goes
+    * exponential while the data stays tiny (measured 248s -> 10s at harness
+    * scale). `Dataset.localCheckpoint` is NOT enough: it preserves the
+    * checkpointed plan's STATISTICS, so join-size estimates compound
+    * 4^rounds into million-digit BigInts and the stats visitor hangs in
+    * BigInteger.multiply. Round-tripping `df.rdd.localCheckpoint()` resets
+    * both lineage and stats; blocks are reclaimed by the ContextCleaner as
+    * references drop.
+    *
+    * Round shape (round 5 tightened it from 5 joins to 3 + one agg): the
+    * PRE-ROUND component rides along as `oc` so the change count needs no
+    * extra comparison join, and the neighbor-min pass is one inner
+    * edges-join producing messages union'd with the self rows into a
+    * single min-aggregate — two fewer shuffles per round than the r4
+    * formulation, with identical semantics. (A co-partitioned RDD fixpoint
+    * — the GraphX shape, edges shuffled exactly once — was measured on the
+    * differential probe `tools/ComponentsScale` and LOST ~1.5x to this
+    * Tungsten formulation at harness scale: RDD tuple shuffles pay Java
+    * serialization while every exchange here stays in Tungsten binary.
+    * The probe keeps both shapes honest if the tradeoff shifts at cluster
+    * scale.)
+    *
+    * Only EDGE-TOUCHED vertices enter the fixpoint: an isolated vertex is
+    * its own component and can never change, so at corpus scale (where the
+    * overwhelming majority of documents touch no near-dup edge) the
+    * iteration runs over the small connected subgraph, not the corpus.
+    * The seed folds one neighbor-min pass into initialization.
+    *
+    * `vertices` must have a `doc_id` column; `edges` columns `id_a, id_b`
+    * (undirected; mirrored internally). Output: (doc_id, comp).
+    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
