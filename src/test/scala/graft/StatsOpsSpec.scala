@@ -190,6 +190,34 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_gram: accumulator cells equal brute-force sums over the corpus") {
+    // differential guard for the r9 per-partition d² accumulator: every
+    // (i, j, s_ij) must equal the naive per-vector product sum computed
+    // independently here (the oracle pins this too, but only through the
+    // full query — this isolates the accumulator's stride/index math)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val expected = Array.ofDim[Long](64, 64)
+    vecs.foreach { v =>
+      var i = 0
+      while (i < 64) {
+        var j = i
+        while (j < 64) { expected(i)(j) += v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    val got = run("vec_gram").collect()
+    assert(got.length == 64 * 65 / 2)
+    for (r <- got) {
+      val (i, j) = (r.getAs[Long]("i").toInt - 1, r.getAs[Long]("j").toInt - 1)
+      assert(r.getAs[Long]("s_ij") == expected(i)(j),
+        s"cell ($i, $j) diverges from the brute-force sum")
+      assert(r.getAs[Long]("n") == vecs.length)
+    }
+  }
+
   test("dq_gaps: islands are well-formed outage windows") {
     val rows = run("dq_gaps").collect()
     assert(rows.nonEmpty, "the sparse sf0.001 feed must have hourly gaps")
