@@ -70,6 +70,51 @@ class OverlapSufficiencySpec extends AnyFunSuite {
       Seq((0, 2L), (0, 8L)))
   }
 
+  test("random tiles match a brute-force face check (2D and 3D)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      dims <- Gen.oneOf(2, 3)
+      grid <- Gen.listOfN(dims, Gen.choose(1, 3)).map(_.toArray)
+      loc <- Gen.sequence[Array[Int], Int](
+        grid.toSeq.map(g => Gen.choose(0, g - 1)))
+      ov <- Gen.listOfN(dims, Gen.choose(0, 2)).map(_.toArray)
+      shape = Array.tabulate(dims) { a =>
+        4 + (if (loc(a) > 0) ov(a) else 0) +
+          (if (loc(a) < grid(a) - 1) ov(a) else 0)
+      }
+      data <- Gen.listOfN(shape.product, Gen.choose(0L, 3L)).map(_.toArray)
+    } yield Tile(loc, grid, shape, data)
+    (0 until 300).foreach { s =>
+      val t = gen.pureApply(org.scalacheck.Gen.Parameters.default, Seed(s.toLong))
+      val ov = Array.tabulate(t.dims)(a =>
+        // recover the overlap used for this tile: shape = 4 + present halos
+        (t.shape(a) - 4) / (((if (t.loc(a) > 0) 1 else 0) +
+          (if (t.loc(a) < t.grid(a) - 1) 1 else 0)).max(1)))
+      // brute force: enumerate coordinates, collect per-axis face sets
+      def coords(flat: Int): Array[Int] = {
+        var rem = flat
+        val c = new Array[Int](t.dims)
+        var a = t.dims - 1
+        while (a >= 0) { c(a) = rem % t.shape(a); rem /= t.shape(a); a -= 1 }
+        c
+      }
+      val expect = (0 until t.dims).flatMap { a =>
+        if (!(t.loc(a) > 0 && t.loc(a) < t.grid(a) - 1 && ov(a) > 0)) Nil
+        else {
+          val lows = t.data.indices.filter { f =>
+            t.data(f) != 0 && coords(f)(a) < ov(a) }.map(t.data).toSet
+          val highs = t.data.indices.filter { f =>
+            t.data(f) != 0 && coords(f)(a) >= t.shape(a) - ov(a) }.map(t.data).toSet
+          (lows intersect highs).toSeq.sorted.map(l => (a, l))
+        }
+      }
+      assert(Kernels.marginSpanViolations(t, ov).toSeq == expect,
+        s"seed $s: loc=${t.loc.mkString(",")} grid=${t.grid.mkString(",")} " +
+          s"ov=${ov.mkString(",")}")
+    }
+  }
+
   test("3D: a z-spanning slab is flagged on axis 0") {
     val d = 8; val h = 8; val w = 8 // 4 core + 2+2 halos per axis
     val data = Array.tabulate(d * h * w) { i =>
