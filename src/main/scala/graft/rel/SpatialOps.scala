@@ -228,6 +228,11 @@ object SpatialOps {
                xc -> transform(sequence((cy - r4) div $C, (cy + r2) div $C),
                                yc -> xc * 128 + yc)))) AS cell
       FROM polys""")
+    // the static side is re-evaluated by EVERY micro-batch's incremental
+    // plan; persist it so each batch re-broadcasts cached cells instead
+    // of re-scanning part + re-exploding the polygon stencils per trigger
+    polyCells.persist()
+    polyCells.count()
     val pts = s.readStream
       .schema("l_orderkey BIGINT, l_linenumber INT, l_partkey BIGINT, " +
         "l_suppkey BIGINT")
@@ -244,7 +249,10 @@ object SpatialOps {
       joined.writeStream.outputMode("append")
         .format("memory").queryName(qn).start())
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      polyCells.unpersist(blocking = false)
+    }
     s.table(qn)
   }
 

@@ -548,6 +548,10 @@ object StreamingOps {
     val idx = sig(s.read.parquet(s"$d/documents.parquet")
       .filter(col("doc_id") % 2 === 0))
       .withColumnRenamed("doc_id", "idx_id")
+    // static band index: persist eagerly so each micro-batch re-broadcasts
+    // cached signatures instead of re-minhashing the indexed corpus
+    idx.persist()
+    idx.count()
     val stream = sig(s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
       .filter(col("doc_id") % 2 =!= 0))
@@ -557,7 +561,10 @@ object StreamingOps {
     val query = StateSizing.startSized(s)(flagged.writeStream
       .outputMode("complete").format("memory").queryName(qn).start())
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      idx.unpersist(blocking = false)
+    }
     s.table(qn)
   }
 
@@ -597,6 +604,11 @@ object StreamingOps {
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id").as("eval_id"), explode(expr(gram)).as("g"))
       .distinct()
+    // static side of the stream-static join: every micro-batch re-plans
+    // it, so persist eagerly — each batch re-broadcasts cached gram rows
+    // instead of re-scanning + re-exploding + re-distincting the eval set
+    ev.persist()
+    ev.count()
     val tr = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
       .filter(col("doc_id") % 100 =!= 0)
@@ -609,7 +621,10 @@ object StreamingOps {
     val query = StateSizing.startSized(s)(flagged.writeStream
       .outputMode("complete").format("memory").queryName(qn).start())
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      ev.unpersist(blocking = false)
+    }
     s.table(qn)
   }
 
@@ -1278,6 +1293,11 @@ object StreamingOps {
     val dim = graft.rel.CurationOps.scd2(s, d)
       .select(col("user_id").as("du"), col("version"),
         col("event_type").as("state"), col("valid_from"), col("valid_to"))
+    // the SCD2 interval build (a windowed pass over events) would rerun
+    // in every micro-batch's incremental plan; persist the static dim so
+    // triggers re-broadcast cached versions
+    dim.persist()
+    dim.count()
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -1293,7 +1313,10 @@ object StreamingOps {
     val query = StateSizing.startSized(s)(stream.writeStream
       .outputMode("append").format("memory").queryName(qn).start())
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      dim.unpersist(blocking = false)
+    }
     s.table(qn)
   }
 
