@@ -90,6 +90,20 @@ object ScaleSmoke {
       ByteRelabel.image2labels(byteTiles, spec, CCLSegmentation(), Array(ov, ov), 0.05)
         .flatMap(_.data.distinct.iterator).distinct().count()
     }
+    // overlap-sufficiency diagnostic marginal cost: time the segmented
+    // stage alone, then segmented + diagnostic — the delta is what the
+    // margin-face scan adds when riding the pipeline (the blobs are
+    // radius-5 < overlap-16 and disjoint, so the violation count must be
+    // ZERO; a nonzero count here would mean the parity rule is silently
+    // splitting objects in this probe's own field)
+    def segmented = Relabel.segmentOverlappedInput(
+      Relabel.prepareInput(longTiles, spec, Array(ov, ov)), CCLSegmentation())
+    run("seg-only") { segmented.count(); 1L }
+    run("seg+diag") {
+      val v = Relabel.overlapSufficiency(segmented, Array(ov, ov)).count()
+      require(v == 0, s"diagnostic flagged $v margin-spanning labels")
+      1L
+    }
     spark.stop()
   }
 }
