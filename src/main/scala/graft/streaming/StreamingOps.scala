@@ -313,7 +313,10 @@ object StreamingOps {
           else latestPerUser(batch.unionByName(
             batch.sparkSession.read.parquet(current)))
         val next = s"$snapBase/gen${gen % 2}"
-        merged.write.mode("overwrite").parquet(next)
+        // single-file snapshot: the view is users-sized (tiny relative to
+        // the log); 8-way parallel writes of a KB-scale view cost more in
+        // file/footer overhead than the write itself, every generation
+        merged.coalesce(1).write.mode("overwrite").parquet(next)
         current = next
         gen += 1
         ()
@@ -369,7 +372,9 @@ object StreamingOps {
               .agg(sum("n").as("n"), sum("sum_qv").as("sum_qv"),
                 min("min_qv").as("min_qv"), max("max_qv").as("max_qv"))
           val next = s"$viewBase/gen${gen % 2}"
-          merged.write.mode("overwrite").parquet(next)
+          // single-file view: buckets×types-sized, same file/footer
+          // overhead rationale as the upsert snapshot below
+          merged.coalesce(1).write.mode("overwrite").parquet(next)
           current = next
           gen += 1
           lastApplied = batchId
