@@ -160,7 +160,8 @@ final class ZarrTable(dir: String, dims: Int) extends Table with SupportsRead
   override def schema(): StructType = ZarrTableProvider.schemaFor(dims)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(dir, meta, options.getBoolean("vectorized", true),
       options.getInt("maxChunksPerTrigger", 0),
@@ -1172,6 +1173,84 @@ final class ZarrWrite(dir: String, meta: ZarrIO.Meta, schema: StructType,
     val staging = ".staging-" + java.util.UUID.randomUUID().toString
     new ZarrBatchWrite(dir, staging, meta, schema, doTruncate, v3Meta)
   }
+
+  /** Native micro-batch sink (`df.writeStream.format("zarr")`) — the DSv2
+    * streaming face of the same append contract the foreachBatch gate
+    * documents: each epoch appends whole chunk objects, micro-batches own
+    * DISJOINT chunk regions (zarr's own independent-writer model;
+    * reference relabeling.py:319-322), and a redelivered epoch restages
+    * and re-moves byte-identical chunk files — idempotent, hence
+    * effectively exactly-once. Cross-epoch writes to the SAME chunk are a
+    * contract violation and resolve last-writer-wins, exactly as two
+    * concurrent batch writers would. Epoch staging dirs are DETERMINISTIC
+    * (`.staging-epoch-<id>`), so a re-executed epoch overwrites its own
+    * partial staging instead of leaking orphans. Metadata is written
+    * LAST on every epoch commit (idempotent byte-identical rewrite after
+    * the first), so a crash mid-commit never leaves a store whose
+    * metadata advertises chunks that are missing.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(v3Meta.forall(_.sharding.isEmpty),
+      "the streaming zarr sink cannot write the sharded layout: shard " +
+        "objects pack at COMMIT from all their inner chunks, but a stream " +
+        "appends chunks across epochs — write sharded stores with the " +
+        "batch writer's 'shards' option, or stream unsharded and rewrite")
+    require(!doTruncate,
+      "the streaming zarr sink is append-only (each epoch adds chunk " +
+        "objects); use the batch writer with mode(\"overwrite\") to " +
+        "replace a store")
+    StoreIO.mkdirs(StoreIO.hadoopConf, dir)
+    new ZarrStreamingWrite(dir, meta, schema, v3Meta)
+  }
+}
+
+final class ZarrStreamingWrite(dir: String, meta: ZarrIO.Meta,
+    schema: StructType, v3Meta: Option[Zarr3IO.Meta3])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def stagingFor(epochId: Long) = s".staging-epoch-$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    ZarrStreamingWriterFactory(dir, meta, schema.fieldNames,
+      StoreIO.ser(StoreIO.hadoopConf), v3Meta.isDefined)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = StoreIO.hadoopConf
+    val root = new Path(dir)
+    val stage = new Path(dir, stagingFor(epochId))
+    def move(p: Path, isFile: Boolean, rel: String): Unit =
+      if (!isFile)
+        StoreIO.list(conf, p.toString).foreach { c =>
+          val name = c.getPath.getName
+          move(c.getPath, c.isFile, if (rel.isEmpty) name else rel + "/" + name)
+        }
+      else StoreIO.moveInto(conf, p, root, rel) // replace = redelivery-safe
+    move(stage, isFile = false, "")
+    StoreIO.deleteRecursive(conf, stage.toString)
+    v3Meta match {
+      case Some(m3) => Zarr3IO.writeMeta(dir, m3)
+      case None => ZarrIO.writeMeta(dir, meta)
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    StoreIO.deleteRecursive(StoreIO.hadoopConf,
+      new Path(dir, stagingFor(epochId)).toString) // store untouched
+}
+
+/** Per-epoch delegation onto the batch writer: identical row -> chunk
+  * encoding, staged under the epoch's deterministic directory.
+  */
+final case class ZarrStreamingWriterFactory(dir: String, meta: ZarrIO.Meta,
+    columns: Array[String], sconf: SerializableConfiguration, v3: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    ZarrWriterFactory(new Path(dir, s".staging-epoch-$epochId").toString,
+      meta, columns, sconf, v3).createWriter(partitionId, taskId)
 }
 
 final class ZarrBatchWrite(dir: String, staging: String, meta: ZarrIO.Meta,
@@ -1300,6 +1379,11 @@ final case class ZarrWriterFactory(stageDir: String, meta: ZarrIO.Meta,
       private var curShape: Array[Int] = null
       private var curData: Array[Long] = null
       private var written = 0
+      // clustering sentinel: a REVISITED chunk key means the engine did
+      // not honor requiredDistribution/Ordering (or a caller bypassed it)
+      // — the revisit would silently overwrite the earlier flush with a
+      // partial chunk, so fail loudly instead. Bounded by chunks-per-task.
+      private val flushed = new java.util.HashSet[String]()
       // scratch for the per-row grid key: the writer sees every CELL, so
       // the hot loop must not allocate per row
       private val gBuf = new Array[Int](dims)
@@ -1314,6 +1398,11 @@ final case class ZarrWriterFactory(stageDir: String, meta: ZarrIO.Meta,
         val key =
           if (v3) Zarr3IO.chunkKey(curLoc, meta.separator)
           else curLoc.mkString(meta.separator)
+        if (!flushed.add(key)) throw new IllegalStateException(
+          s"zarr writer revisited chunk ${curLoc.mkString(",")}: input " +
+            "rows are not clustered by grid key — the write requires " +
+            "the engine-enforced distribution (one chunk, one task, " +
+            "contiguous rows)")
         StoreIO.write(sconf.value, new Path(stageDir, key).toString,
           ZarrIO.encodeChunk(curData, meta, curShape))
         written += 1

@@ -438,6 +438,48 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
   }
 
+  /** The NATIVE DSv2 streaming sink (`writeStream.format("zarr")`) doing
+    * what [[zarrStreamWrite]] does through foreachBatch: each micro-batch
+    * appends its disjoint chunk region through
+    * [[graft.sources.zarr.ZarrStreamingWrite]]'s epoch commit (stage ->
+    * move -> metadata last), with Spark's own offset log carrying
+    * exactly-once instead of hand-rolled batch-id guards. Same staging
+    * partitioning (each batch owns whole grid rows), same oracle — a hash
+    * match proves the epoch path's staging, move-replace redelivery
+    * semantics, and per-epoch metadata rewrite end-to-end.
+    */
+  def zarrStreamWriteNative(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.rel.RelabelRel
+    val inv = sinkCounter.incrementAndGet()
+    val stageDir = graft.TempDirs.create(s"graft_stzarrn_stage_$inv")
+    val storeDir = graft.TempDirs.create(s"graft_stzarrn_store_$inv")
+    val ckptDir = graft.TempDirs.create(s"graft_stzarrn_ckpt_$inv")
+    val gyL = RelabelRel.GY.toLong * RelabelRel.L
+    val gxL = RelabelRel.GX.toLong * RelabelRel.L
+    val px = RelabelRel.pixelsRaw(s, d)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+    px.repartition(4, col("g0")).write.mode("overwrite").parquet(stageDir)
+    val stream = s.readStream.schema(px.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val query = stream.writeStream
+      .format("zarr")
+      .option("shape", s"$gyL,$gxL")
+      .option("chunks", s"${RelabelRel.L},${RelabelRel.L}")
+      .option("dtype", "<u2").option("compressor", "zlib")
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .start(storeDir)
+    try query.processAllAvailable()
+    finally query.stop()
+    s.read.format("zarr").load(storeDir)
+      .filter(col("value") =!= 0)
+      .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
+      .groupBy("gy", "gx")
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+  }
+
   /** Streaming read of a zarr store through [[graft.sources.zarr
     * .ZarrMicroBatchStream]]: the synthetic label image is batch-written
     * through the DSv2 sink, then `readStream.format("zarr")` ingests it
@@ -1430,6 +1472,10 @@ object StreamingOps {
       SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
       FROM lab GROUP BY gy, gx""")),
     graft.rel.Q("st_px_zarr_write", zarrStreamWrite,
+      Some(graft.rel.RelabelRel.PIXELS_SQL + """
+      SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
+      FROM lab GROUP BY gy, gx""")),
+    graft.rel.Q("st_px_zarr_sink", zarrStreamWriteNative,
       Some(graft.rel.RelabelRel.PIXELS_SQL + """
       SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
       FROM lab GROUP BY gy, gx""")),

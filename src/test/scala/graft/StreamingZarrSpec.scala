@@ -32,6 +32,82 @@ class StreamingZarrSpec extends AnyFunSuite {
     assert(got == pixelAgg)
   }
 
+  test("the native DSv2 streaming sink reproduces the batch write") {
+    val got = StreamingOps.zarrStreamWriteNative(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == pixelAgg)
+  }
+
+  test("native sink: adversarial row order round-trips (engine re-clusters)") {
+    // rows deliberately interleaved across chunks and shuffled to one
+    // partition: the sink's requiredDistribution/Ordering must re-cluster
+    // them (the writer's revisit sentinel fails loudly if not)
+    val store = TempDirs.create("graft_stzarrn_adv")
+    val ckpt = TempDirs.create("graft_stzarrn_adv_ckpt")
+    val stage = TempDirs.create("graft_stzarrn_adv_stage")
+    val gyL = RelabelRel.GY.toLong * RelabelRel.L
+    val gxL = RelabelRel.GX.toLong * RelabelRel.L
+    val px = RelabelRel.pixelsRaw(spark, sf)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+      // adversarial: order by IN-CHUNK coordinates, so consecutive rows
+      // hop between chunks as often as possible
+      .orderBy("p0", "p1", "g1", "g0")
+      .coalesce(1)
+    px.write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(px.schema).parquet(stage)
+    val q = stream.writeStream.format("zarr")
+      .option("shape", s"$gyL,$gxL")
+      .option("chunks", s"${RelabelRel.L},${RelabelRel.L}")
+      .option("dtype", "<u2").option("compressor", "zlib")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(store)
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.read.format("zarr").load(store)
+      .filter(col("value") =!= 0)
+      .groupBy(col("g0").as("gy"), col("g1").as("gx"))
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == pixelAgg)
+  }
+
+  test("native sink rejects the sharded layout and truncation") {
+    val store = TempDirs.create("graft_stzarrn_rej")
+    val ckpt = TempDirs.create("graft_stzarrn_rej_ckpt")
+    val stage = TempDirs.create("graft_stzarrn_rej_stage")
+    val px = RelabelRel.pixelsRaw(spark, sf)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+    px.write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(px.schema).parquet(stage)
+    val gyL = RelabelRel.GY.toLong * RelabelRel.L
+    val gxL = RelabelRel.GX.toLong * RelabelRel.L
+    val e = intercept[Exception] {
+      val q = stream.writeStream.format("zarr")
+        .option("shape", s"$gyL,$gxL")
+        .option("chunks", s"${RelabelRel.L},${RelabelRel.L}")
+        .option("shards", s"${2 * RelabelRel.L},${2 * RelabelRel.L}")
+        .option("dtype", "uint16").option("compressor", "gzip")
+        .option("zarrFormat", "3")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start(store)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(e).contains("sharded") || rootMsg(e).contains("shard"),
+      s"unexpected error: ${rootMsg(e)}")
+  }
+
   test("a failed append leaves the prior committed batches readable") {
     val store = TempDirs.create("graft_stzarr_abort")
     val gyL = RelabelRel.GY.toLong * RelabelRel.L
