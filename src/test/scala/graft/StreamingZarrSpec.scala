@@ -75,6 +75,52 @@ class StreamingZarrSpec extends AnyFunSuite {
     assert(got == pixelAgg)
   }
 
+  test("native sink resumes from the checkpoint across query incarnations") {
+    // incarnation 1 ingests grid rows 0-1, stops; rows 2+ land while the
+    // query is DOWN; incarnation 2 on the SAME checkpoint must append
+    // exactly the new regions — the offset log carries the boundary, and
+    // the store ends byte-equivalent to one continuous run
+    val store = TempDirs.create("graft_stzarrn_resume")
+    val ckpt = TempDirs.create("graft_stzarrn_resume_ckpt")
+    val stage = TempDirs.create("graft_stzarrn_resume_stage")
+    val gyL = RelabelRel.GY.toLong * RelabelRel.L
+    val gxL = RelabelRel.GX.toLong * RelabelRel.L
+    val px = RelabelRel.pixelsRaw(spark, sf)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+    px.filter(col("g0") <= 1).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(px.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.format("zarr")
+        .option("shape", s"$gyL,$gxL")
+        .option("chunks", s"${RelabelRel.L},${RelabelRel.L}")
+        .option("dtype", "<u2").option("compressor", "zlib")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start(store)
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    runOnce()
+    val mid = spark.read.format("zarr").load(store)
+      .filter(col("value") =!= 0)
+      .select(col("g0")).distinct().collect().map(_.getLong(0)).toSet
+    assert(mid == Set(0L, 1L), s"incarnation 1 wrote rows $mid")
+    px.filter(col("g0") >= 2).coalesce(1)
+      .write.mode("append").parquet(stage)
+    runOnce()
+    val got = spark.read.format("zarr").load(store)
+      .filter(col("value") =!= 0)
+      .groupBy(col("g0").as("gy"), col("g1").as("gx"))
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == pixelAgg,
+      "resumed incarnation must append exactly the missed regions")
+  }
+
   test("native sink rejects the sharded layout and truncation") {
     val store = TempDirs.create("graft_stzarrn_rej")
     val ckpt = TempDirs.create("graft_stzarrn_rej_ckpt")
