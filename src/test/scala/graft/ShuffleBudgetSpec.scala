@@ -1,0 +1,62 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-volume regression guards: the scale arguments in the query
+  * docstrings ("only margins move", "communication is d² per partition",
+  * "candidates only, never all-pairs") asserted as MEASURED byte budgets,
+  * not prose. Each bound is ~4× the currently observed volume at
+  * sf0.001 — loose enough for partitioning jitter, tight enough that a
+  * regression to a data-sized shuffle (the failure mode each docstring
+  * rules out) blows through it by orders of magnitude.
+  */
+class ShuffleBudgetSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private val bytes = new AtomicLong(0)
+  private object listener extends SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null)
+        bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  /** Shuffle bytes written while materializing query `name` once. */
+  private def shuffleOf(name: String): Long = {
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      bytes.set(0)
+      SparkEntry.queries(name)(spark, sf).count()
+      // listener events drain asynchronously
+      Thread.sleep(800)
+      bytes.get()
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** (query, byte budget, which docstring claim the budget pins). */
+  private val budgets = Seq(
+    // two halo exchanges move MARGINS (ov=2 of 12px tiles), never tiles
+    ("px_pipeline", 2L << 20, "margins-only halo exchange"),
+    // Gram cells: d²·partitions rows, independent of vector count
+    ("vec_gram", 4L << 20, "d² per partition accumulator"),
+    // LSH: band-bucket candidates only — no all-pairs shuffle
+    ("dd_minhash_lsh", 8L << 20, "banded candidates, not all-pairs"),
+    // transition matrix: ONE data pass then states²-bounded relations
+    ("sq_markov_removal", 8L << 20, "states²-bounded value iteration"),
+    // per-tile kernel, no shuffle beyond the one prepare exchange
+    ("px_overlap_diag", 2L << 20, "tile-local diagnostic"))
+
+  for ((q, budget, claim) <- budgets)
+    test(s"$q stays under ${budget >> 20} MB of shuffle ($claim)") {
+      val b = shuffleOf(q)
+      info(s"$q shuffled ${b / 1024} KiB (budget ${budget >> 10} KiB)")
+      assert(b <= budget,
+        s"$q shuffled $b bytes — the '$claim' shape regressed")
+    }
+}
