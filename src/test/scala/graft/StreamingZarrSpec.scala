@@ -121,6 +121,64 @@ class StreamingZarrSpec extends AnyFunSuite {
       "resumed incarnation must append exactly the missed regions")
   }
 
+  test("incremental tile feed: native sink produces, streaming source consumes") {
+    // the contract both ends document: a producer appends whole chunk
+    // objects per epoch, a LIVE downstream streaming query discovers each
+    // region exactly once — including regions that land AFTER the
+    // consumer's first drain
+    val store = TempDirs.create("graft_feed_store")
+    val pCkpt = TempDirs.create("graft_feed_pckpt")
+    val stage = TempDirs.create("graft_feed_stage")
+    val gyL = RelabelRel.GY.toLong * RelabelRel.L
+    val gxL = RelabelRel.GX.toLong * RelabelRel.L
+    val px = RelabelRel.pixelsRaw(spark, sf)
+      .selectExpr("gy AS g0", "gx AS g1", "py AS p0", "px AS p1",
+        "label AS value")
+    def produce(): Unit = {
+      val q = spark.readStream.schema(px.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.format("zarr")
+        .option("shape", s"$gyL,$gxL")
+        .option("chunks", s"${RelabelRel.L},${RelabelRel.L}")
+        .option("dtype", "<u2").option("compressor", "zlib")
+        .option("checkpointLocation", pCkpt)
+        .outputMode("append")
+        .start(store)
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // producer round 1: grid rows 0-1
+    px.filter(col("g0") <= 1).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    produce()
+    // consumer starts and drains what exists so far
+    val qn = "feed_sink"
+    val consumer = graft.streaming.StateSizing.startSized(spark)(
+      spark.readStream.format("zarr")
+        .option("maxChunksPerTrigger", "2").load(store)
+        .filter(col("value") =!= 0)
+        .groupBy(col("g0").as("gy"), col("g1").as("gx"))
+        .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(qn).start())
+    try {
+      consumer.processAllAvailable()
+      val mid = spark.table(qn).select("gy").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(mid == Set(0L, 1L), s"consumer saw rows $mid before round 2")
+      // producer round 2 appends the remaining rows WHILE the consumer
+      // is live; the consumer's next drain must pick up exactly those
+      px.filter(col("g0") >= 2).coalesce(1)
+        .write.mode("append").parquet(stage)
+      produce()
+      consumer.processAllAvailable()
+      val got = spark.table(qn)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(got == pixelAgg, "live consumer must converge to the batch agg")
+    } finally consumer.stop()
+  }
+
   test("native sink rejects the sharded layout and truncation") {
     val store = TempDirs.create("graft_stzarrn_rej")
     val ckpt = TempDirs.create("graft_stzarrn_rej_ckpt")
