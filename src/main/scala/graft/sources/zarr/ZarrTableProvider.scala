@@ -1148,12 +1148,14 @@ final class ZarrWriteBuilder(dir: String, info: LogicalWriteInfo)
           s"compressor=${meta.compressor}) — prior chunks would decode as " +
           "garbage; use mode(\"overwrite\") to replace the store")
     }
-    new ZarrWrite(dir, meta, info.schema(), doTruncate, v3Meta)
+    new ZarrWrite(dir, meta, info.schema(), doTruncate, v3Meta,
+      info.queryId())
   }
 }
 
 final class ZarrWrite(dir: String, meta: ZarrIO.Meta, schema: StructType,
-    doTruncate: Boolean, v3Meta: Option[Zarr3IO.Meta3])
+    doTruncate: Boolean, v3Meta: Option[Zarr3IO.Meta3],
+    queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -1200,20 +1202,25 @@ final class ZarrWrite(dir: String, meta: ZarrIO.Meta, schema: StructType,
         "objects); use the batch writer with mode(\"overwrite\") to " +
         "replace a store")
     StoreIO.mkdirs(StoreIO.hadoopConf, dir)
-    new ZarrStreamingWrite(dir, meta, schema, v3Meta)
+    new ZarrStreamingWrite(dir, meta, schema, v3Meta, queryId)
   }
 }
 
 final class ZarrStreamingWrite(dir: String, meta: ZarrIO.Meta,
-    schema: StructType, v3Meta: Option[Zarr3IO.Meta3])
+    schema: StructType, v3Meta: Option[Zarr3IO.Meta3], queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
-  private def stagingFor(epochId: Long) = s".staging-epoch-$epochId"
+  // staging is deterministic per (query, epoch) — the queryId is stable
+  // across restarts (it lives in the checkpoint), so a re-executed epoch
+  // overwrites its own partial staging, while TWO concurrent streaming
+  // writers on one store (legal under zarr's independent-writer model if
+  // their chunk regions are disjoint) can never collide on epoch numbers
+  private def stagingFor(epochId: Long) = s".staging-epoch-$queryId-$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     ZarrStreamingWriterFactory(dir, meta, schema.fieldNames,
-      StoreIO.ser(StoreIO.hadoopConf), v3Meta.isDefined)
+      StoreIO.ser(StoreIO.hadoopConf), v3Meta.isDefined, queryId)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -1245,11 +1252,13 @@ final class ZarrStreamingWrite(dir: String, meta: ZarrIO.Meta,
   * encoding, staged under the epoch's deterministic directory.
   */
 final case class ZarrStreamingWriterFactory(dir: String, meta: ZarrIO.Meta,
-    columns: Array[String], sconf: SerializableConfiguration, v3: Boolean)
+    columns: Array[String], sconf: SerializableConfiguration, v3: Boolean,
+    queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    ZarrWriterFactory(new Path(dir, s".staging-epoch-$epochId").toString,
+    ZarrWriterFactory(
+      new Path(dir, s".staging-epoch-$queryId-$epochId").toString,
       meta, columns, sconf, v3).createWriter(partitionId, taskId)
 }
 
