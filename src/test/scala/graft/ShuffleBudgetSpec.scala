@@ -50,7 +50,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // transition matrix: ONE data pass then states²-bounded relations
     ("sq_markov_removal", 8L << 20, "states²-bounded value iteration"),
     // per-tile kernel, no shuffle beyond the one prepare exchange
-    ("px_overlap_diag", 2L << 20, "tile-local diagnostic"))
+    ("px_overlap_diag", 2L << 20, "tile-local diagnostic"),
+    // TypedImperativeAggregate sketches combine map-side: registers move,
+    // never events
+    ("sk_hll_users", 1L << 20, "sketch partial aggregation"),
+    // bucketed warehouse layout: the join itself is exchange-free; only
+    // the final fold's partial rows shuffle
+    ("q20_bucketed", 1L << 20, "zero-exchange co-located join"),
+    // hash-group dedup: the shuffle carries md5 keys + counts, not text
+    ("dd_exact", 4L << 20, "key-sized exact-dedup shuffle"))
 
   for ((q, budget, claim) <- budgets)
     test(s"$q stays under ${budget >> 20} MB of shuffle ($claim)") {
