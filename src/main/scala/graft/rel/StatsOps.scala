@@ -167,8 +167,10 @@ object StatsOps {
             sum(col("a.x") * col("b.x")).as("sxy"),
             sum(col("a.x") * col("a.x")).as("sxx"),
             sum(col("b.x") * col("b.x")).as("syy"))
+          // try_divide: a zero-variance lag group (tiny slices: every count
+          // equal) yields NULL like DuckDB's DOUBLE x/0 — not an ANSI error
           .withColumn("r", expr(
-            "(np*sxy - sx*sy) / (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy))")),
+            "try_divide(np*sxy - sx*sy, sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy))")),
         series)
     }, Some("""
       WITH srs AS (
@@ -480,7 +482,8 @@ object StatsOps {
           sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"),
           sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
           sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"))
-        .withColumn("theta", expr("(n*sxy - sx*sy) / (n*sxx - sx*sx)"))
+        // try_divide: zero pre-metric variance -> NULL theta (DuckDB parity)
+        .withColumn("theta", expr("try_divide(n*sxy - sx*sy, n*sxx - sx*sx)"))
         .withColumn("adj_diff", expr(
           """(sy0/n0 - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*(sx0/n0 - sx/n))
              - (sy1/(n-n0) - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*(sx1/(n-n0) - sx/n))"""))
@@ -810,8 +813,10 @@ object StatsOps {
           sum(col("a.x") * col("b.y")).as("sxy"),
           sum(col("a.x") * col("a.x")).as("sxx"),
           sum(col("b.y") * col("b.y")).as("syy"))
+        // try_divide: zero-variance lag group -> NULL (DuckDB DOUBLE x/0
+        // parity), not an ANSI divide-by-zero error at tiny slice sizes
         .withColumn("r", expr(
-          "(np*sxy - sx*sy) / (sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy))"))
+          "try_divide(np*sxy - sx*sy, sqrt(np*sxx - sx*sx) * sqrt(np*syy - sy*sy))"))
     }, Some("""
       WITH c AS (
         SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
