@@ -201,12 +201,20 @@ object CoreQueries {
       // Dataset.rollup trips Spark's ambiguous-self-join false positive on
       // this join chain; the SQL form plans identically (broadcast hints on
       // the dimension tables, Expand + partial/final hash aggregate).
-      s.sql(s"""
+      val base = s.sql(s"""
         SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name, count(*) AS n_cust
         FROM parquet.`$d/customer.parquet` c
         JOIN parquet.`$d/nation.parquet` n ON c_nationkey = n_nationkey
         JOIN parquet.`$d/region.parquet` r ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)""")
+      // SQL standard: ROLLUP's () grouping set aggregates the whole input,
+      // so ZERO input rows still produce the grand-total row (DuckDB does);
+      // Spark's Expand-based rollup emits nothing — restore the standard row
+      if (base.isEmpty)
+        s.sql("""SELECT CAST(NULL AS STRING) AS r_name,
+                        CAST(NULL AS STRING) AS n_name,
+                        CAST(0 AS BIGINT) AS n_cust""")
+      else base
     }, Some("""
       SELECT r_name, n_name, count(*) AS n_cust
       FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -565,9 +565,18 @@ object CurationOps {
     // (status, priority) plus the grouping id that disambiguates real NULLs
     // from subtotal rows — the OLAP primitive a reporting layer needs.
     Q("q24_cube", (s, d) => {
-      tbl(s, d, "orders")
+      val base = tbl(s, d, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      // SQL standard: CUBE's () grouping set aggregates the whole input, so
+      // an empty table still yields the grand-total row (gid 3, count 0);
+      // Spark's Expand emits nothing on zero rows — restore the standard row
+      if (base.isEmpty)
+        base.sparkSession.sql(
+          """SELECT CAST(NULL AS STRING) AS o_orderstatus,
+                    CAST(NULL AS STRING) AS o_orderpriority,
+                    CAST(0 AS BIGINT) AS n, CAST(3 AS BIGINT) AS gid""")
+      else base
     }, Some("""
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
              CAST(grouping(o_orderstatus) * 2

@@ -100,7 +100,7 @@ object GovernOps {
       val li = tbl(s, d, "lineitem")
       def prof(c: String, v: org.apache.spark.sql.Column) = struct(
         lit(c).as("col_name"),
-        sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+        coalesce(sum(when(v.isNull, 1L).otherwise(0L)), lit(0L)).as("n_null"),
         count_distinct(v).as("n_distinct"),
         min(v).cast("string").as("min_s"),
         max(v).cast("string").as("max_s"))
@@ -116,39 +116,42 @@ object GovernOps {
         .select(col("p.col_name"), col("n_rows"), col("p.n_null"),
           col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
     }, Some("""
+      -- global aggregates (scalar-subquery n_rows), not GROUP BY n_rows:
+      -- identical on any non-empty table, and an EMPTY table still yields
+      -- one profile row per column (count 0, NULL extrema) like the engine
       WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
-      SELECT 'l_orderkey' AS col_name, n_rows,
+      SELECT 'l_orderkey' AS col_name, (SELECT n_rows FROM n) AS n_rows,
              count(*) FILTER (l_orderkey IS NULL) AS n_null,
              count(DISTINCT l_orderkey) AS n_distinct,
              CAST(min(l_orderkey) AS VARCHAR) AS min_s,
              CAST(max(l_orderkey) AS VARCHAR) AS max_s
-      FROM lineitem, n GROUP BY n_rows
+      FROM lineitem
       UNION ALL
-      SELECT 'l_linenumber', n_rows,
+      SELECT 'l_linenumber', (SELECT n_rows FROM n),
              count(*) FILTER (l_linenumber IS NULL),
              count(DISTINCT l_linenumber),
              CAST(min(l_linenumber) AS VARCHAR),
              CAST(max(l_linenumber) AS VARCHAR)
-      FROM lineitem, n GROUP BY n_rows
+      FROM lineitem
       UNION ALL
-      SELECT 'l_returnflag', n_rows,
+      SELECT 'l_returnflag', (SELECT n_rows FROM n),
              count(*) FILTER (l_returnflag IS NULL),
              count(DISTINCT l_returnflag),
              min(l_returnflag), max(l_returnflag)
-      FROM lineitem, n GROUP BY n_rows
+      FROM lineitem
       UNION ALL
-      SELECT 'l_linestatus', n_rows,
+      SELECT 'l_linestatus', (SELECT n_rows FROM n),
              count(*) FILTER (l_linestatus IS NULL),
              count(DISTINCT l_linestatus),
              min(l_linestatus), max(l_linestatus)
-      FROM lineitem, n GROUP BY n_rows
+      FROM lineitem
       UNION ALL
-      SELECT 'l_shipdate', n_rows,
+      SELECT 'l_shipdate', (SELECT n_rows FROM n),
              count(*) FILTER (l_shipdate IS NULL),
              count(DISTINCT l_shipdate),
              CAST(min(epoch_us(l_shipdate)) AS VARCHAR),
              CAST(max(epoch_us(l_shipdate)) AS VARCHAR)
-      FROM lineitem, n GROUP BY n_rows""")),
+      FROM lineitem""")),
 
     // Expectation suite over events — the contract an ingest job asserts
     // before publishing a partition (Deequ/Great-Expectations shape):
@@ -162,13 +165,15 @@ object GovernOps {
       val ev = tbl(s, d, "events")
       val base = ev.agg(
         count(lit(1)).as("n"),
-        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("v_id_null"),
-        sum(when(!col("event_type").isin("click", "view", "purchase",
-          "signup", "logout"), 1L).otherwise(0L)).as("v_type_domain"),
-        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("v_value_neg"),
-        sum(when(Q.tsMicros(col("ts")) < 1704067200000000L ||
-          Q.tsMicros(col("ts")) >= 1706745600000000L, 1L).otherwise(0L))
-          .as("v_ts_range"))
+        coalesce(sum(when(col("event_id").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("v_id_null"),
+        coalesce(sum(when(!col("event_type").isin("click", "view", "purchase",
+          "signup", "logout"), 1L).otherwise(0L)), lit(0L)).as("v_type_domain"),
+        coalesce(sum(when(col("value") < 0.0, 1L).otherwise(0L)), lit(0L))
+          .as("v_value_neg"),
+        coalesce(sum(when(Q.tsMicros(col("ts")) < 1704067200000000L ||
+          Q.tsMicros(col("ts")) >= 1706745600000000L, 1L).otherwise(0L)),
+          lit(0L)).as("v_ts_range"))
       val uniq = ev.agg(
         (count(lit(1)) - count_distinct(col("event_id"))).as("v_id_dup"),
         count(lit(1)).as("n2"))
@@ -450,7 +455,9 @@ object GovernOps {
           rows.crossJoin(broadcast(orphans))
             .select(lit(fk).as("fk"), col("child_keys"), col("orphan_keys"),
               col("first_orphan"),
-              expr("orphan_keys / child_keys").as("orphan_share")),
+              // try_divide: a zero-row child table gives 0/0 -> NULL share
+              // (DuckDB DOUBLE division parity), not an ANSI error
+              expr("try_divide(orphan_keys, child_keys)").as("orphan_share")),
           kc)
       }
       val snap = tbl(s, d, "customer")

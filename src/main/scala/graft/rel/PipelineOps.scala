@@ -148,8 +148,24 @@ object PipelineOps {
     * invisible in the rows.
     */
   def zarrDsv2Complete(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
-    graft.sources.ZarrIO.write(tilesFromPixels(s, d), spec, zarrCompleteDir, "<u2", "zlib")
+    // DENSIFY before writing: assumeComplete asserts every nominal chunk
+    // file exists, so a writer claiming completeness must write all-fill
+    // chunks for tiles its input slice never touched (an empty slice is the
+    // extreme case: 24 explicit zero chunks, not a bare metadata file that
+    // violates the store's own declaration)
+    val fill = s.range(GY.toLong * GX).map { i =>
+      Tile(Array((i / GX).toInt, (i % GX).toInt), Array(GY, GX),
+        Array(L, L), new Array[Long](L * L))
+    }
+    val dense = tilesFromPixels(s, d).union(fill)
+      .groupByKey(_.linearIndex)
+      .mapGroups { (_, it) =>
+        val ts = it.toArray
+        ts.find(_.data.exists(_ != 0L)).getOrElse(ts.head)
+      }
+    graft.sources.ZarrIO.write(dense, spec, zarrCompleteDir, "<u2", "zlib")
     s.read.format("zarr").option("assumeComplete", true).load(zarrCompleteDir)
       .filter(col("g0") >= 1 && col("g0") <= 2 && col("value") =!= 0)
       .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
@@ -316,7 +332,15 @@ object PipelineOps {
         .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
         .groupBy("gy", "gx")
         .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
-      require(!grouped.queryExecution.executedPlan.toString.contains("Exchange"),
+      // the zero-exchange guard only applies when the store HAS chunk
+      // partitions: an empty slice writes a chunkless store, whose scan
+      // reports no key-grouped partitioning, and the (vacuous) fallback
+      // exchange over zero rows is not a scale regression
+      val hasChunks = new java.io.File(zarrWriteDir).listFiles() != null &&
+        new java.io.File(zarrWriteDir).listFiles()
+          .exists(f => !f.getName.startsWith(".") && f.getName != "zarr.json")
+      require(!hasChunks ||
+        !grouped.queryExecution.executedPlan.toString.contains("Exchange"),
         "storage-partitioned aggregate planned a shuffle")
       // materialize INSIDE the conf window: the plan is what we pinned
       val rows = grouped.collect()

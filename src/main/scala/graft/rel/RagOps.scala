@@ -354,15 +354,22 @@ object RagOps {
         }
         r.getOrElse("START", 0L)
       }
-      val variants = ("full", tm) +: Seq("view", "click", "signup", "error")
-        .map(c => (s"no_$c", tm.filter(t => t._1 != c && t._2 != c)))
+      // an empty slice has no journey graph: the oracle's variant CTEs all
+      // join against the empty transition table, so it emits ZERO rows —
+      // mirror that instead of fabricating five all-zero variants
+      val variants =
+        if (tm.isEmpty) Seq.empty
+        else ("full", tm) +: Seq("view", "click", "signup", "error")
+          .map(c => (s"no_$c", tm.filter(t => t._1 != c && t._2 != c)))
       val fullPpb = reach(tm)
       import s.implicits._
       variants.map { case (name, rows) => (name, reach(rows)) }
         .toDF("variant", "reach_ppb")
         .withColumn("full_ppb", lit(fullPpb))
+        // try_divide: a sliced graph with zero START→conv reach yields NULL
+        // like DuckDB's x/0, not an ANSI error
         .withColumn("drop_share",
-          expr("(full_ppb - reach_ppb) / full_ppb"))
+          expr("try_divide(full_ppb - reach_ppb, full_ppb)"))
         .select("variant", "reach_ppb", "full_ppb", "drop_share")
     }, Some(MARKOV_REMOVAL_SQL)),
 

@@ -558,13 +558,17 @@ object RankOps {
         val a = ed.join(hub, col("src") === col("node"))
           .groupBy("dst").agg(sum("h").as("a")).persist()
         deps += a
-        val amax = a.agg(max("a")).collect()(0).getLong(0)
+        // max over an empty slice is NULL; the divisor is then never applied
+        // to any row, so 1 keeps the fold total (result: zero hub/auth rows)
+        val amaxRow = a.agg(max("a")).collect()(0)
+        val amax = if (amaxRow.isNullAt(0)) 1L else amaxRow.getLong(0)
         auth = a.select(col("dst"), expr(s"(a * 1000000) div $amax").as("a"))
         val h = ed.join(auth.withColumnRenamed("dst", "dst2"),
             col("dst") === col("dst2"))
           .groupBy("src").agg(sum("a").as("h")).persist()
         deps += h
-        val hmax = h.agg(max("h")).collect()(0).getLong(0)
+        val hmaxRow = h.agg(max("h")).collect()(0)
+        val hmax = if (hmaxRow.isNullAt(0)) 1L else hmaxRow.getLong(0)
         hub = h.select(col("src").as("node"),
           expr(s"(h * 1000000) div $hmax").as("h"))
       }

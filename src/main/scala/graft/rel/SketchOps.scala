@@ -44,7 +44,13 @@ object SketchOps {
     // join reuses (releaseAfterAction's own persist is then a no-op, and it
     // still releases after the gate action)
     ev.persist()
-    val bf = ev.stat.bloomFilter("g", 1 << 20, 0.03)
+    // Spark's stat.bloomFilter NPEs on a zero-row input (its aggregate
+    // returns NULL bytes); an empty eval slice is legitimate at scale, so
+    // build the never-matching filter explicitly — nothing is contaminated
+    val bf =
+      if (ev.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(1 << 20, 0.03)
+      else ev.stat.bloomFilter("g", 1 << 20, 0.03)
     // codegen'd probe expression, not a ScalaUDF: the prefilter runs over
     // every training shingle by design, so it must stay in whole-stage
     // codegen (the probe hashes the incoming UTF8String's bytes — exactly

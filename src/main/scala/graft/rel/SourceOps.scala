@@ -549,9 +549,13 @@ object SourceOps {
     // only the slice a query touches.
     Q("src_partitioned_prune", (s, d) => {
       val partDir = stage("part")
-      ev(s, d).write.mode(SaveMode.Overwrite)
+      val src = ev(s, d)
+      src.write.mode(SaveMode.Overwrite)
         .partitionBy("event_type").parquet(partDir)
-      gateAgg(s.read.parquet(partDir)
+      // explicit schema: an all-empty write leaves only _SUCCESS, and a
+      // schema-less read of it fails — an empty slice of a partitioned
+      // dataset must read back as zero rows, not an inference error
+      gateAgg(s.read.schema(src.schema).parquet(partDir)
         .filter(col("event_type").isin("click", "purchase")))
     }, Some("""
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,

@@ -663,7 +663,10 @@ object StatsOps {
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("k1"),
           sum(when(col("arm") === 2, 1L).otherwise(0L)).as("k2"))
         .withColumn("chisq", expr(SRM_EXPR))
-        .withColumn("srm_flag", (col("chisq") > 13.8155).cast("long"))
+        // CASE-shaped, not a bare cast: a NULL chisq (empty slice) must flag
+        // 0 like the oracle's CASE WHEN, not propagate NULL
+        .withColumn("srm_flag",
+          when(col("chisq") > 13.8155, 1L).otherwise(0L))
     }, Some(s"""
       WITH u AS (
         SELECT (instr('0123456789abcdef',

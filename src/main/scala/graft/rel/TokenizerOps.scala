@@ -62,28 +62,42 @@ object TokenizerOps {
     val cached = scala.collection.mutable.Buffer[Dataset[_]](words)
     var syms = words
     var rows = Seq.empty[DataFrame]
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val pairs = pairCounts(syms)
       pairs.persist()
       cached += pairs
       // one row to the driver: the merge decision itself (BPE's driver-side
       // step); everything feeding it stayed distributed
-      val Row(wp1: String, wp2: String) = pairs
-        .orderBy(col("cnt").desc, col("p1"), col("p2"))
-        .limit(1).select(col("p1"), col("p2")).collect().headOption
-        .getOrElse(throw new IllegalStateException(
-          s"BPE round $r: corpus has no adjacent symbol pairs left " +
-            "(all words are single symbols) — fewer merges than requested"))
-      rows :+= pairs.filter(col("p1") === wp1 && col("p2") === wp2)
-        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
-          sum("cnt").cast("long").as("occ")))
-        .select(lit(r).as("round"), col("p1"), col("p2"), col("cnt"),
-          col("n_pairs"), col("occ"))
-      syms = syms.select(col("word"),
-        replace(col("sym"), lit("|" + wp1 + "||" + wp2 + "|"),
-          lit("|" + wp1 + wp2 + "|")).as("sym"),
-        col("wc"))
+      pairs.orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(1).select(col("p1"), col("p2")).collect().headOption match {
+        case Some(Row(wp1: String, wp2: String)) =>
+          rows :+= pairs.filter(col("p1") === wp1 && col("p2") === wp2)
+            .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
+              sum("cnt").cast("long").as("occ")))
+            .select(lit(r).as("round"), col("p1"), col("p2"), col("cnt"),
+              col("n_pairs"), col("occ"))
+          syms = syms.select(col("word"),
+            replace(col("sym"), lit("|" + wp1 + "||" + wp2 + "|"),
+              lit("|" + wp1 + wp2 + "|")).as("sym"),
+            col("wc"))
+        case _ =>
+          // no adjacent pairs left (every word a single symbol, or an empty
+          // corpus slice): stop with the merges learned so far — standard
+          // BPE semantics, and exactly what the SQL oracle's round CTEs do
+          // (each remaining round selects from an empty winner relation)
+          exhausted = true
+      }
     }
+    // zero learned merges: the per-round relations never materialized, so
+    // hand back the zero-row merge table in their shape
+    if (rows.isEmpty)
+      rows = Seq(pairCounts(words).limit(0)
+        .crossJoin(pairCounts(words).limit(0)
+          .agg(count(lit(1)).as("n_pairs"), sum("cnt").cast("long").as("occ")))
+        .select(lit(1).as("round"), col("p1"), col("p2"), col("cnt"),
+          col("n_pairs"), col("occ"))
+        .limit(0))
     (rows, syms, cached.toSeq)
   }
 

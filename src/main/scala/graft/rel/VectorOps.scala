@@ -275,7 +275,10 @@ object VectorOps {
       .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"))
     assign.write.partitionBy("cid").mode(SaveMode.Overwrite)
       .parquet(ivfDiskDir)
-    val index = s.read.parquet(ivfDiskDir)
+    // explicit schema (cid stays LONG instead of directory-name inference,
+    // erased by the cast below either way): an empty corpus writes only
+    // _SUCCESS, and the read-back must be zero rows, not an inference error
+    val index = s.read.schema(assign.schema).parquet(ivfDiskDir)
     val queries = index.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("id_q"), col("qv").as("query_qv"), col("cid"))
     index.withColumnRenamed("vec_id", "id_n")

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Zero-row-input contract: at 100 TB, empty slices are routine (a new
+  * partition, a filtered date range, a tenant with no data yet), and a
+  * query that CRASHES on one is an operational incident. This spec pins
+  * the degenerate-input behavior of every gate family that once crashed on
+  * an all-empty table set (found by sweeping all 289 gates over zero-row
+  * tables; each was also cross-checked hash-identical against its DuckDB
+  * oracle on the same empty tables):
+  *
+  *  - ANSI divide-by-zero on zero-variance groups (ts_xcorr, ab_cuped,
+  *    sq_markov_removal, dq_referential) -> try_divide NULL, like the
+  *    oracle's DOUBLE x/0
+  *  - NULL scalar folds from empty aggregates (gr_hits max) -> unused
+  *    divisor fallback, zero output rows
+  *  - Spark's stat.bloomFilter NPE on empty input (tx_decontam_bloom) ->
+  *    explicit never-matching filter
+  *  - BPE training demanding more merges than an exhausted/empty corpus
+  *    holds (tx_bpe_*) -> stop early, zero-row merge table
+  *  - schema inference over an all-empty partitioned parquet write
+  *    (src_partitioned_prune, ann_ivf_disk) -> explicit read schema
+  *  - assumeComplete zarr stores written sparsely (px_zarr_complete) ->
+  *    densified write (explicit all-fill chunks)
+  *  - SQL-standard grand-total grouping set on empty input (q13_rollup,
+  *    q24_cube) -> restored explicitly (Spark's Expand emits nothing)
+  *  - conditional-sum NULLs where the oracle's count(*) FILTER is 0
+  *    (dq_check, dq_profile, ab_srm) -> coalesce / CASE shape
+  */
+class EmptyInputSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  /** Zero-row copies of every table, schemas cloned from sf0.001. */
+  private lazy val emptyDir: String = {
+    val dir = TempDirs.create("graft_empty_sf")
+    val src = "/root/testdata/sf0.001"
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      spark.read.parquet(s"$src/$t.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    dir
+  }
+
+  private def rows(name: String): Long =
+    SparkEntry.queries(name)(spark, emptyDir).count()
+
+  test("formerly-crashing gates run on all-empty tables with oracle-shaped output") {
+    // zero-row families: each once threw (ANSI division, NULL scalar fold,
+    // bloom NPE, BPE exhaustion, schema inference, sparse complete store)
+    for (q <- Seq("ts_xcorr", "gr_hits", "tx_decontam_bloom", "tx_bpe_train",
+        "tx_bpe_apply", "sq_markov_removal", "src_partitioned_prune",
+        "ann_ivf_disk", "px_zarr_complete", "px_zarr_grouped"))
+      assert(rows(q) == 0L, s"$q should yield zero rows on empty input")
+    // grand-total families: one summary row even over nothing
+    assert(rows("q13_rollup") == 1L, "rollup keeps the () grouping set")
+    assert(rows("q24_cube") == 1L, "cube keeps the () grouping set")
+    assert(rows("ab_srm") == 1L)
+    // per-rule / per-column reports keep their full shape at count 0
+    assert(rows("dq_check") == 5L)
+    assert(rows("dq_profile") == 5L)
+    assert(rows("dq_referential") == 2L)
+  }
+
+  test("grand-total and report rows carry zeros, not NULL verdicts") {
+    val cube = SparkEntry.queries("q24_cube")(spark, emptyDir).collect()(0)
+    assert(cube.getAs[Long]("n") == 0L && cube.getAs[Long]("gid") == 3L)
+    val srm = SparkEntry.queries("ab_srm")(spark, emptyDir).collect()(0)
+    assert(srm.getAs[Long]("srm_flag") == 0L, "NULL chisq must flag 0")
+    val checks = SparkEntry.queries("dq_check")(spark, emptyDir).collect()
+    assert(checks.forall(r => r.getAs[Long]("violations") == 0L &&
+      r.getAs[Boolean]("pass")), "empty partition passes every expectation")
+  }
+}
