@@ -707,7 +707,9 @@ object CurationOps {
       graft.Caching.releaseAfterAction(
         e.groupBy().agg(count(lit(1)).as("n_edges"))
           .crossJoin(broadcast(tri)).crossJoin(broadcast(wed))
-          .withColumn("c_global", expr("3 * n_tri / n_wedges"))
+          // try_divide: a wedge-free candidate graph (single edge, isolated
+          // pairs) yields NULL like DuckDB's x/0, not an ANSI error
+          .withColumn("c_global", expr("try_divide(3 * n_tri, n_wedges)"))
           .select("n_edges", "n_tri", "n_wedges", "n_nodes", "c_global"),
         e)
     }, Some(TextOps.MINHASH_CAND_SQL + """,

@@ -24,12 +24,18 @@ object HaloRel {
     RelabelRel.pixelsRaw(s, d)
       .select("gy", "gx", "py", "px")
       .as[(Long, Long, Long, Long)]
+      // marker-row densify (py = -1): every grid cell yields a tile even on
+      // an input slice with pixel-free tiles — same contract as
+      // PipelineOps.tilesFromPixels
+      .union(s.range(GY.toLong * GX).map(i => (i / GX, i % GX, -1L, -1L)))
       .groupByKey { case (gy, gx, _, _) => gy * GX + gx }
       .mapGroups { (_, it) =>
         val rows = it.toArray
         val (gy, gx) = (rows.head._1.toInt, rows.head._2.toInt)
         val data = new Array[Long](L * L)
-        rows.foreach { case (_, _, py, px) => data(py.toInt * L + px.toInt) = 1L }
+        rows.foreach { case (_, _, py, px) =>
+          if (py >= 0) data(py.toInt * L + px.toInt) = 1L
+        }
         Tile(Array(gy, gx), Array(GY, GX), Array(L, L), data)
       }
   }

@@ -26,13 +26,19 @@ object PipelineOps {
     RelabelRel.pixelsRaw(s, d)
       .select("gy", "gx", "py", "px", "label")
       .as[(Long, Long, Long, Long, Long)]
+      // densify: one marker row (py = -1) per grid cell, so the tile frame
+      // is the DENSE dask array the reference pipelines over even when an
+      // input slice leaves tiles pixel-free (tiny slices, filtered regions).
+      // Markers ride the same groupByKey shuffle — one extra row per tile,
+      // no extra stage — and fill nothing
+      .union(s.range(GY.toLong * GX).map(i => (i / GX, i % GX, -1L, -1L, 0L)))
       .groupByKey { case (gy, gx, _, _, _) => gy * GX + gx }
       .mapGroups { (_, it) =>
         val rows = it.toArray
         val (gy, gx) = (rows.head._1.toInt, rows.head._2.toInt)
         val data = new Array[Long](L * L)
         rows.foreach { case (_, _, py, px, label) =>
-          data(py.toInt * L + px.toInt) = label
+          if (py >= 0) data(py.toInt * L + px.toInt) = label
         }
         Tile(Array(gy, gx), Array(GY, GX), Array(L, L), data)
       }
@@ -148,24 +154,12 @@ object PipelineOps {
     * invisible in the rows.
     */
   def zarrDsv2Complete(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
-    // DENSIFY before writing: assumeComplete asserts every nominal chunk
-    // file exists, so a writer claiming completeness must write all-fill
-    // chunks for tiles its input slice never touched (an empty slice is the
-    // extreme case: 24 explicit zero chunks, not a bare metadata file that
-    // violates the store's own declaration)
-    val fill = s.range(GY.toLong * GX).map { i =>
-      Tile(Array((i / GX).toInt, (i % GX).toInt), Array(GY, GX),
-        Array(L, L), new Array[Long](L * L))
-    }
-    val dense = tilesFromPixels(s, d).union(fill)
-      .groupByKey(_.linearIndex)
-      .mapGroups { (_, it) =>
-        val ts = it.toArray
-        ts.find(_.data.exists(_ != 0L)).getOrElse(ts.head)
-      }
-    graft.sources.ZarrIO.write(dense, spec, zarrCompleteDir, "<u2", "zlib")
+    // assumeComplete asserts every nominal chunk file exists;
+    // tilesFromPixels is dense by construction (marker-row densify), so the
+    // write covers the full grid on ANY input slice — including all-fill
+    // chunks for pixel-free tiles — honoring the store's own declaration
+    graft.sources.ZarrIO.write(tilesFromPixels(s, d), spec, zarrCompleteDir, "<u2", "zlib")
     s.read.format("zarr").option("assumeComplete", true).load(zarrCompleteDir)
       .filter(col("g0") >= 1 && col("g0") <= 2 && col("value") =!= 0)
       .select(col("g0").as("gy"), col("g1").as("gx"), col("value"))
@@ -199,10 +193,10 @@ object PipelineOps {
     * coordinate-only, so it pushes completely into [[ZarrAggScan]] — the
     * distributed shard-index scan answers it from ranged index reads with
     * ZERO payload I/O (asserted in-query: a silent pushdown regression
-    * would resurface as a plan without ZarrAggScan). The oracle derives
-    * tile presence from the same pixel relation: a tile exists iff its
-    * (gy, gx) group is non-empty, and every present tile is a full LxL
-    * inner chunk.
+    * would resurface as a plan without ZarrAggScan). Tile presence is
+    * STRUCTURAL: the dense writer covers the full grid on any input slice
+    * (marker-row densify in tilesFromPixels), so the oracle enumerates the
+    * grid — every tile a full LxL inner chunk.
     */
   def zarrShardMeta(s: SparkSession, d: String): DataFrame = {
     val spec = graft.tiles.GridSpec(Array(GY.toLong * L, GX.toLong * L), Array(L, L))
@@ -221,8 +215,11 @@ object PipelineOps {
 
   private lazy val zarrShardMetaDir: String = graft.TempDirs.create("graft_zarr_sm")
 
-  private val ZARR_SHARD_META_SQL: String = RelabelRel.PIXELS_SQL + s""",
-    tiles AS (SELECT DISTINCT gy, gx FROM lab)
+  private val ZARR_SHARD_META_SQL: String = s"""
+    WITH tiles AS (
+      SELECT ys.gy AS gy, xs.gx AS gx
+      FROM (SELECT unnest(range(0, $GY)) AS gy) ys,
+           (SELECT unnest(range(0, $GX)) AS gx) xs)
     SELECT gy, count(*) * ${L * L} AS n_cells, max(gx) AS max_g1,
            CAST(${L - 1} AS BIGINT) AS max_p0
     FROM tiles WHERE gy >= 1 GROUP BY gy"""

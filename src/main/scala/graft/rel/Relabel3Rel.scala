@@ -117,6 +117,12 @@ object Relabel3Rel {
     pixels3(s, d)
       .select("gz", "gy", "gx", "pz", "py", "px", "label")
       .as[(Long, Long, Long, Long, Long, Long, Long)]
+      // densify via marker rows (pz = -1), same contract as the 2D
+      // constructor: every grid cell yields a tile, markers fill nothing
+      .union(s.range(G(0).toLong * G(1) * G(2)).map { i =>
+        (i / (G(1).toLong * G(2)), (i / G(2)) % G(1), i % G(2),
+          -1L, -1L, -1L, 0L)
+      })
       .groupByKey { case (gz, gy, gx, _, _, _, _) =>
         (gz * G(1) + gy) * G(2) + gx
       }
@@ -125,7 +131,7 @@ object Relabel3Rel {
         val loc = Array(rows.head._1.toInt, rows.head._2.toInt, rows.head._3.toInt)
         val data = new Array[Long](L3 * L3 * L3)
         rows.foreach { case (_, _, _, pz, py, px, label) =>
-          data((pz.toInt * L3 + py.toInt) * L3 + px.toInt) = label
+          if (pz >= 0) data((pz.toInt * L3 + py.toInt) * L3 + px.toInt) = label
         }
         Tile(loc, G.clone(), Array(L3, L3, L3), data)
       }

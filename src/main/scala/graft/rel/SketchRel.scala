@@ -432,7 +432,13 @@ object SketchRel {
       .groupBy("event_type")
       .agg(max(when(col("period") === "a", col("kmin"))).as("ka"),
         max(when(col("period") === "b", col("kmin"))).as("kb"))
-      .withColumn("ku", expr(s"slice(array_sort(array_union(ka, kb)), 1, $K)"))
+      // coalesce: DuckDB's list concat treats a NULL side as empty (a
+      // period with no events still yields the other period's union
+      // sketch); Spark's array_union would return NULL instead
+      .withColumn("ku", expr(
+        s"""slice(array_sort(array_union(
+              coalesce(ka, cast(array() as array<string>)),
+              coalesce(kb, cast(array() as array<string>)))), 1, $K)"""))
       .select(col("event_type"),
         size(col("ka")).cast("bigint").as("na_kept"),
         size(col("kb")).cast("bigint").as("nb_kept"),

@@ -27,13 +27,20 @@ object StatsOps {
     * `C`/`N` the grand totals. int/int division yields DOUBLE in both
     * Spark SQL and DuckDB, and both cast the exact ints to double first.
     */
-  private def chiTerm(c: String, n: String): String =
-    s"""($c - $n*ct/nt)*($c - $n*ct/nt)/($n*ct/nt)
-       | + (($n-$c) - $n*(nt-ct)/nt)*(($n-$c) - $n*(nt-ct)/nt)/($n*(nt-ct)/nt)"""
-      .stripMargin.replace("\n", "")
+  private def chiTerm(c: String, n: String, spark: Boolean): String = {
+    // identical op tree in both engines; the OUTER division by the expected
+    // cell count goes through try_divide on the Spark side so an empty arm
+    // (expected 0) yields NULL like DuckDB's x/0 instead of an ANSI error
+    def div(a: String, b: String) =
+      if (spark) s"try_divide($a, $b)" else s"$a/$b"
+    div(s"($c - $n*ct/nt)*($c - $n*ct/nt)", s"($n*ct/nt)") +
+      " + " + div(s"(($n-$c) - $n*(nt-ct)/nt)*(($n-$c) - $n*(nt-ct)/nt)",
+        s"($n*(nt-ct)/nt)")
+  }
 
-  private val CHISQ_EXPR =
-    s"${chiTerm("c0", "n0")} + ${chiTerm("c1", "n1")} + ${chiTerm("c2", "n2")}"
+  private def chisqExpr(spark: Boolean): String =
+    s"${chiTerm("c0", "n0", spark)} + ${chiTerm("c1", "n1", spark)} + " +
+      chiTerm("c2", "n2", spark)
 
   def all: Seq[Q] = Seq(
 
@@ -64,7 +71,7 @@ object StatsOps {
           sum(when(col("arm") === 2, col("conv")).otherwise(0L)).as("c2"))
         .withColumn("nt", col("n0") + col("n1") + col("n2"))
         .withColumn("ct", col("c0") + col("c1") + col("c2"))
-        .withColumn("chisq", expr(CHISQ_EXPR))
+        .withColumn("chisq", expr(chisqExpr(spark = true)))
     }, Some(s"""
       WITH u AS (
         SELECT user_id, user_id % 3 AS arm,
@@ -79,7 +86,7 @@ object StatsOps {
                CAST(sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
                CAST(sum(CASE WHEN arm = 2 THEN conv ELSE 0 END) AS BIGINT) AS c2
         FROM u)
-      SELECT n0, c0, n1, c1, n2, c2, nt, ct, $CHISQ_EXPR AS chisq
+      SELECT n0, c0, n1, c1, n2, c2, nt, ct, ${chisqExpr(spark = false)} AS chisq
       FROM (SELECT *, n0+n1+n2 AS nt, c0+c1+c2 AS ct FROM g)""")),
 
     // A/B Welch's t — the continuous-metric test: arm = user_id % 2, metric
@@ -104,16 +111,22 @@ object StatsOps {
             .otherwise(lit(0).cast("decimal(37,12)"))).cast("double").as("s20"),
           sum(when(col("arm") === 1, col("v") * col("v"))
             .otherwise(lit(0).cast("decimal(37,12)"))).cast("double").as("s21"))
-        .withColumn("mean_diff", expr("s10/n0 - s11/n1"))
+        // try_divide throughout: an empty or single-user arm (n=0 or
+        // n-1=0) yields NULL like the oracle's x/0, not an ANSI error;
+        // every division keeps the oracle's exact operands, so non-
+        // degenerate doubles stay bit-identical
+        .withColumn("mean_diff",
+          expr("try_divide(s10, n0) - try_divide(s11, n1)"))
         .withColumn("t_stat", expr(
-          """(s10/n0 - s11/n1) /
-             sqrt(((s20 - s10*s10/n0)/(n0-1))/n0 +
-                  ((s21 - s11*s11/n1)/(n1-1))/n1)"""))
+          """try_divide(try_divide(s10, n0) - try_divide(s11, n1),
+             sqrt(try_divide(try_divide(s20 - try_divide(s10*s10, n0), n0-1), n0) +
+                  try_divide(try_divide(s21 - try_divide(s11*s11, n1), n1-1), n1)))"""))
         .withColumn("df_welch", expr(
-          """(((s20 - s10*s10/n0)/(n0-1))/n0 + ((s21 - s11*s11/n1)/(n1-1))/n1)
-             * (((s20 - s10*s10/n0)/(n0-1))/n0 + ((s21 - s11*s11/n1)/(n1-1))/n1)
-             / ((((s20 - s10*s10/n0)/(n0-1))/n0) * (((s20 - s10*s10/n0)/(n0-1))/n0) / (n0-1)
-                + (((s21 - s11*s11/n1)/(n1-1))/n1) * (((s21 - s11*s11/n1)/(n1-1))/n1) / (n1-1))"""))
+          """try_divide(
+             (try_divide(try_divide(s20 - try_divide(s10*s10, n0), n0-1), n0) + try_divide(try_divide(s21 - try_divide(s11*s11, n1), n1-1), n1))
+             * (try_divide(try_divide(s20 - try_divide(s10*s10, n0), n0-1), n0) + try_divide(try_divide(s21 - try_divide(s11*s11, n1), n1-1), n1)),
+             (try_divide(try_divide(try_divide(s20 - try_divide(s10*s10, n0), n0-1), n0) * try_divide(try_divide(s20 - try_divide(s10*s10, n0), n0-1), n0), n0-1)
+                + try_divide(try_divide(try_divide(s21 - try_divide(s11*s11, n1), n1-1), n1) * try_divide(try_divide(s21 - try_divide(s11*s11, n1), n1-1), n1), n1-1)))"""))
         .select("n0", "n1", "s10", "s11", "s20", "s21",
           "mean_diff", "t_stat", "df_welch")
     }, Some("""
@@ -484,12 +497,14 @@ object StatsOps {
           sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"))
         // try_divide: zero pre-metric variance -> NULL theta (DuckDB parity)
         .withColumn("theta", expr("try_divide(n*sxy - sx*sy, n*sxx - sx*sx)"))
+        // try_divide mirrors the oracle's x/0 -> NULL on an empty arm
+        // (n0 = 0 or n = n0) and zero variance; operands unchanged
         .withColumn("adj_diff", expr(
-          """(sy0/n0 - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*(sx0/n0 - sx/n))
-             - (sy1/(n-n0) - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*(sx1/(n-n0) - sx/n))"""))
+          """(try_divide(sy0, n0) - try_divide(n*sxy - sx*sy, n*sxx - sx*sx)*(try_divide(sx0, n0) - try_divide(sx, n)))
+             - (try_divide(sy1, n-n0) - try_divide(n*sxy - sx*sy, n*sxx - sx*sx)*(try_divide(sx1, n-n0) - try_divide(sx, n)))"""))
         .withColumn("var_reduction", expr(
-          """((n*sxy - sx*sy) / (n*sxx - sx*sx)) * ((n*sxy - sx*sy) / (n*sxx - sx*sx))
-             * (n*sxx - sx*sx) / (n*syy - sy*sy)"""))
+          """try_divide(try_divide(n*sxy - sx*sy, n*sxx - sx*sx) * try_divide(n*sxy - sx*sy, n*sxx - sx*sx)
+             * (n*sxx - sx*sx), n*syy - sy*sy)"""))
         .select("n", "n0", "sx", "sy", "sxx", "sxy", "syy",
           "theta", "adj_diff", "var_reduction")
     }, Some("""

@@ -393,11 +393,23 @@ object VectorOps {
       .filter(col("vec_id") % 7 === 3 && col("vec_id") <= 108)
       .select(col("vec_id"), col("qv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    val flat = new Array[Long](8 * 16 * 8)
-    for (((_, v), cid) <- cents.zipWithIndex; m <- 0 until 8; j <- 0 until 8)
-      flat((m * 16 + cid) * 8 + j) = v(m * 8 + j)
-    qvec(s, d).select(col("vec_id"),
-      pq_encode_word(col("qv"), lit(flat)).as("pqword"))
+    if (cents.isEmpty)
+      // an empty codebook encodes nothing: the oracle's argmin over zero
+      // centroids yields zero code rows — match it instead of encoding
+      // against a phantom all-zero codebook
+      qvec(s, d).select(col("vec_id"), lit(0L).as("pqword")).limit(0)
+    else {
+      // slots past the real codebook replicate the LAST centroid: the
+      // encoder's argmin keeps the smallest cid on ties, so replicas never
+      // win and a partial codebook encodes exactly like the oracle's
+      // argmin over the present centroids
+      val flat = new Array[Long](8 * 16 * 8)
+      for (cid <- 0 until 16; m <- 0 until 8; j <- 0 until 8)
+        flat((m * 16 + cid) * 8 + j) =
+          cents(math.min(cid, cents.length - 1))._2(m * 8 + j)
+      qvec(s, d).select(col("vec_id"),
+        pq_encode_word(col("qv"), lit(flat)).as("pqword"))
+    }
   }
 
   private val ANN_PQ_NATIVE_SQL = s"""
@@ -1644,21 +1656,28 @@ object VectorOps {
         val dmax = dims.max
         val g = Array.ofDim[Long](dmax + 1, dmax + 1)
         up.foreach { case (i, j, c) => g(i)(j) = c; g(j)(i) = c }
-        def step(u: Map[Int, Long]): Map[Int, Long] = {
-          val v = dims.map { i =>
-            i -> dims.foldLeft(BigInt(0))((acc, j) =>
-              acc + BigInt(g(i)(j)) * u(j))
-          }.toMap
-          val mv = v.values.map(_.abs).max
-          v.map { case (i, x) =>
-            i -> ((if (x < 0) -1 else 1) * (x.abs * 1000000 / mv)).toLong
+        // a degenerate Gram (e.g. a single vector: every centered cell 0)
+        // zeroes the iterate; DuckDB's `// 0` is NULL, and NULL then
+        // propagates through every later step — mirror with None so the
+        // fold still matches the oracle bit-for-bit (64 NULL rows, not a
+        // driver ArithmeticException)
+        def step(uo: Option[Map[Int, Long]]): Option[Map[Int, Long]] =
+          uo.flatMap { u =>
+            val v = dims.map { i =>
+              i -> dims.foldLeft(BigInt(0))((acc, j) =>
+                acc + BigInt(g(i)(j)) * u(j))
+            }.toMap
+            val mv = v.values.map(_.abs).max
+            if (mv == 0) None
+            else Some(v.map { case (i, x) =>
+              i -> ((if (x < 0) -1 else 1) * (x.abs * 1000000 / mv)).toLong
+            })
           }
-        }
-        val u0 = dims.map(_ -> 1L).toMap
-        val u1 = step(u0)
+        val u1 = step(Some(dims.map(_ -> 1L).toMap))
         val u2 = step(u1)
         val u3 = step(u2)
-        dims.toSeq.map(i => (i.toLong, u1(i), u2(i), u3(i)))
+        dims.toSeq.map(i => (i.toLong,
+            u1.map(_(i)), u2.map(_(i)), u3.map(_(i))))
           .toDF("dim", "u1", "u2", "u3")
       }
     }, Some(s"""

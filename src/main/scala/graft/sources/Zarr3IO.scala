@@ -272,24 +272,34 @@ object Zarr3IO {
     import spark.implicits._
     val v2 = meta.v2
     val grid = meta.spec.gridShape
-    val locs = listChunkLocs(dir, meta).filter(keep)
+    // absent chunk objects read as fill_value (zarr v3 semantics) — same
+    // dense-frame contract as the v2 tile reader
+    val present = listChunkLocs(dir, meta).map(_.mkString(",")).toSet
+    val work = ZarrIO.enumerateGrid(grid).filter(keep)
+      .map(l => (l.toSeq, present.contains(l.mkString(","))))
     val dims = meta.dims
     val sep = meta.separator
     val shape = meta.shape
     val chunks = meta.chunks
+    val fill = meta.fillValue
     val sconf = StoreIO.ser(StoreIO.hadoopConf)
-    spark.createDataset(locs.map(_.toSeq))
-      .repartition(math.max(1, math.min(locs.size,
+    spark.createDataset(work)
+      .repartition(math.max(1, math.min(work.size,
         spark.sparkContext.defaultParallelism)))
-      .map { locSeq =>
+      .map { case (locSeq, isPresent) =>
         val loc = locSeq.toArray
         val tileShape = Array.tabulate(dims) { a =>
           math.min(chunks(a).toLong, shape(a) - loc(a).toLong * chunks(a)).toInt
         }
-        val raw = StoreIO.readAllBytes(sconf.value,
-          new Path(dir, chunkKey(loc, sep)).toString)
-        Tile(loc, grid.clone(), tileShape,
-          ZarrIO.decodeChunk(raw, v2, loc, tileShape))
+        if (!isPresent)
+          Tile(loc, grid.clone(), tileShape,
+            Array.fill(tileShape.product)(fill))
+        else {
+          val raw = StoreIO.readAllBytes(sconf.value,
+            new Path(dir, chunkKey(loc, sep)).toString)
+          Tile(loc, grid.clone(), tileShape,
+            ZarrIO.decodeChunk(raw, v2, loc, tileShape))
+        }
       }
   }
 
@@ -315,15 +325,34 @@ object Zarr3IO {
     val sep = meta.separator
     val atEnd = sh.indexAtEnd
     val crc = sh.indexCrc
-    val work: Seq[(Seq[Int], Seq[Seq[Int]])] = listChunkLocs(dir, meta).flatMap { sl =>
-      val kept = innerLocsOf(sl, ips, innerGrid).filter(keep)
-      if (kept.isEmpty) None else Some((sl.toSeq, kept.map(_.toSeq)))
-    }
+    // absent SHARD objects and ABSENT index entries inside present shards
+    // both read as fill_value (v3 sharding semantics) — the dense frame a
+    // pipeline expects; a missing shard synthesizes its kept inners with
+    // zero I/O
+    val fill = meta.fillValue
+    val presentShards = listChunkLocs(dir, meta).map(_.mkString(",")).toSet
+    val shardGrid = meta.spec.gridShape
+    val work: Seq[(Seq[Int], Seq[Seq[Int]], Boolean)] =
+      ZarrIO.enumerateGrid(shardGrid).flatMap { sl =>
+        val kept = innerLocsOf(sl, ips, innerGrid).filter(keep)
+        if (kept.isEmpty) None
+        else Some((sl.toSeq, kept.map(_.toSeq),
+          presentShards.contains(sl.mkString(","))))
+      }
     val sconf = StoreIO.ser(StoreIO.hadoopConf)
+    def fillTile(il: Array[Int]): Tile = {
+      val tileShape = Array.tabulate(dims) { a =>
+        math.min(inner(a).toLong, shape(a) - il(a).toLong * inner(a)).toInt
+      }
+      Tile(il, innerGrid.clone(), tileShape,
+        Array.fill(tileShape.product)(fill))
+    }
     spark.createDataset(work)
       .repartition(math.max(1, math.min(work.size,
         spark.sparkContext.defaultParallelism)))
-      .flatMap { case (slSeq, keptSeq) =>
+      .flatMap { case (slSeq, keptSeq, isPresent) =>
+        if (!isPresent) keptSeq.map(il => fillTile(il.toArray))
+        else {
         val sl = slSeq.toArray
         val path = new Path(dir, chunkKey(sl, sep)).toString
         val idxSize = cps * 16 + (if (crc) 4 else 0)
@@ -339,7 +368,7 @@ object Zarr3IO {
             val il = ilSeq.toArray
             val pos = Array.tabulate(dims)(a => il(a) - sl(a) * ips(a))
             val k = graft.core.Regions.linearIndex(pos, ips).toInt
-            if (offs(k) == ABSENT && lens(k) == ABSENT) Nil
+            if (offs(k) == ABSENT && lens(k) == ABSENT) Seq(fillTile(il))
             else {
               require(offs(k) >= 0 && lens(k) >= 0 && lens(k) <= Int.MaxValue,
                 s"$path: inner chunk ${il.mkString(",")} has corrupt index " +
@@ -353,6 +382,7 @@ object Zarr3IO {
             }
           }
         } finally in.close()
+        }
       }
   }
 

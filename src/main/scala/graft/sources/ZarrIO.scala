@@ -231,26 +231,52 @@ object ZarrIO {
     import spark.implicits._
     val meta = readMeta(dir)
     val grid = meta.spec.gridShape
-    // driver sees names only; the separator "/" layout nests directories
-    val locs = listChunkLocs(dir, meta).filter(keep)
+    // driver sees names only; the separator "/" layout nests directories.
+    // Zarr semantics: a chunk OBJECT that does not exist still READS as
+    // fill_value — the tile dataset is the dense dask-array frame the
+    // reference pipelines over, so absent kept chunks become explicit fill
+    // tiles (cf. relabeling.py reading any zarr region). The dense
+    // enumeration is grid-sized driver work, same order as the listing
+    // itself; the DSv2 relational scan remains the sparse/pruned path.
+    val present = listChunkLocs(dir, meta).map(_.mkString(",")).toSet
+    val work = enumerateGrid(grid).filter(keep)
+      .map(l => (l.toSeq, present.contains(l.mkString(","))))
     val dims = meta.dims
     val sep = meta.separator
     val shape = meta.shape
     val chunks = meta.chunks
+    val fill = meta.fillValue
     val sconf = StoreIO.ser(StoreIO.hadoopConf)
-    spark.createDataset(locs.map(_.toSeq))
-      .repartition(math.max(1, math.min(locs.size,
+    spark.createDataset(work)
+      .repartition(math.max(1, math.min(work.size,
         spark.sparkContext.defaultParallelism)))
-      .map { locSeq =>
+      .map { case (locSeq, isPresent) =>
         val loc = locSeq.toArray
         val tileShape = Array.tabulate(dims) { a =>
           math.min(chunks(a).toLong, shape(a) - loc(a).toLong * chunks(a)).toInt
         }
-        val raw = StoreIO.readAllBytes(sconf.value,
-          new Path(dir, loc.mkString(sep)).toString)
-        Tile(loc, grid.clone(), tileShape,
-          decodeChunk(raw, meta, loc, tileShape))
+        if (!isPresent)
+          Tile(loc, grid.clone(), tileShape,
+            Array.fill(tileShape.product)(fill))
+        else {
+          val raw = StoreIO.readAllBytes(sconf.value,
+            new Path(dir, loc.mkString(sep)).toString)
+          Tile(loc, grid.clone(), tileShape,
+            decodeChunk(raw, meta, loc, tileShape))
+        }
       }
+  }
+
+  /** All grid locations in row-major order. */
+  private[sources] def enumerateGrid(grid: Array[Int]): Seq[Array[Int]] = {
+    val total = grid.foldLeft(1L)(_ * _)
+    (0L until total).map { i =>
+      val loc = new Array[Int](grid.length)
+      var rem = i
+      var a = grid.length - 1
+      while (a >= 0) { loc(a) = (rem % grid(a)).toInt; rem /= grid(a); a -= 1 }
+      loc
+    }
   }
 
   private[sources] def listChunkLocs(dir: String, meta: Meta): Seq[Array[Int]] = {

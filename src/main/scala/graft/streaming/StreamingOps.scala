@@ -705,25 +705,31 @@ object StreamingOps {
     // argmax is deterministic across partitionings and micro-batchings
     val assign = udf { (qv: Seq[Long]) =>
       val cb = bcCents.value
-      var bestDot = Long.MinValue
-      var bestCid = Long.MaxValue
-      var c = 0
-      while (c < cb.length) {
-        val (cid, cv) = cb(c)
-        var dot = 0L
-        var i = 0
-        while (i < cv.length) { dot += qv(i) * cv(i); i += 1 }
-        if (dot > bestDot || (dot == bestDot && cid < bestCid)) {
-          bestDot = dot; bestCid = cid
+      if (cb.isEmpty) None // no codebook: assign nothing, not a sentinel
+      else {
+        var bestDot = Long.MinValue
+        var bestCid = Long.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val (cid, cv) = cb(c)
+          var dot = 0L
+          var i = 0
+          while (i < cv.length) { dot += qv(i) * cv(i); i += 1 }
+          if (dot > bestDot || (dot == bestDot && cid < bestCid)) {
+            bestDot = dot; bestCid = cid
+          }
+          c += 1
         }
-        c += 1
+        Some((bestCid, bestDot))
       }
-      (bestCid, bestDot)
     }
     val agg = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(d)
       .selectExpr("vec_id", quant)
       .select(col("vec_id"), assign(col("qv")).as("m"))
+      // an empty centroid stratum assigns nothing — the oracle's centroid
+      // join over zero centroids yields zero rows
+      .filter(col("m").isNotNull)
       .select(col("vec_id"), col("m._1").as("cid"), col("m._2").as("cdot"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n"), sum("cdot").as("sum_dot"))

@@ -63,6 +63,35 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(rows("dq_referential") == 2L)
   }
 
+  /** Single-row copies: the off-by-one frontier (n-1 = 0 variances, lone
+    * arms, one-tile pixel grids, empty centroid strata).
+    */
+  private lazy val oneRowDir: String = {
+    val dir = TempDirs.create("graft_onerow_sf")
+    val src = "/root/testdata/sf0.001"
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      spark.read.parquet(s"$src/$t.parquet").limit(1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    dir
+  }
+
+  test("single-row tables: degenerate statistics go NULL, sparse grids densify") {
+    def run(name: String) = SparkEntry.queries(name)(spark, oneRowDir)
+    // one event: a lone arm (n=0 or n-1=0 variance) must yield NULL stats
+    // like DuckDB's x/0, not an ANSI error or a driver ArithmeticException
+    for (q <- Seq("ab_chisq", "ab_welch", "ab_cuped"))
+      assert(run(q).count() == 1L, s"$q should emit its summary row")
+    assert(run("vec_pca_power").count() == 64L,
+      "rank-deficient Gram: 64 NULL-iterate rows, not / by zero")
+    // one lineitem row populates ONE tile of the 6x4 pixel grid: the dense
+    // dask-array frame is restored by marker-row densify, and the lone
+    // object survives the full pipeline
+    assert(run("px_image2labels").count() == 1L)
+    // empty centroid / codebook strata assign and encode nothing
+    assert(run("ann_pq_native").count() == 0L)
+  }
+
   test("grand-total and report rows carry zeros, not NULL verdicts") {
     val cube = SparkEntry.queries("q24_cube")(spark, emptyDir).collect()(0)
     assert(cube.getAs[Long]("n") == 0L && cube.getAs[Long]("gid") == 3L)

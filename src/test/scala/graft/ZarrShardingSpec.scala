@@ -75,15 +75,22 @@ class ZarrShardingSpec extends AnyFunSuite {
     roundTrip(dir)
   }
 
-  test("absent inner chunks are skipped, present ones intact") {
+  test("absent inner chunks read as fill_value, present ones intact") {
     import spark.implicits._
     val dir = tmp("zarr3_shard_hole")
     val kept = allTiles.filterNot(_.loc.toSeq == Seq(1, 1))
     Zarr3IO.writeSharded(spark.createDataset(kept), spec, Array(4, 4),
       dir, "uint16", gzip = true)
+    // zarr sharding semantics: an ABSENT index entry is not a hole in the
+    // array, it's an all-fill region — the tile reader synthesizes it so
+    // the frame stays dense (the contract every pipeline stage assumes)
     val back = Zarr3IO.read(spark, dir).collect()
-    assert(back.length == kept.length)
-    assert(!back.exists(_.loc.toSeq == Seq(1, 1)))
+    assert(back.length == allTiles.length)
+    val hole = back.find(_.loc.toSeq == Seq(1, 1)).get
+    assert(hole.data.forall(_ == 0L), "absent inner must read as fill")
+    for (t <- back if t.loc.toSeq != Seq(1, 1))
+      assert(t.data.toSeq ==
+        kept.find(_.loc.toSeq == t.loc.toSeq).get.data.toSeq)
   }
 
   test("pruned read never touches a scrambled non-kept inner chunk") {
