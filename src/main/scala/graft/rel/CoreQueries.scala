@@ -311,7 +311,11 @@ object CoreQueries {
     Q("q21_quantile", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("event_type").orderBy(col("qv").asc, col("event_id").asc)
+      // percentiles are over OBSERVED measurements: NULL values are
+      // excluded in both engines (they would otherwise rank NULLS FIRST in
+      // Spark but NULLS LAST in DuckDB and silently shift every quantile)
       val ranked = tbl(s, d, "events")
+        .filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"),
           expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
         .withColumn("rn", row_number().over(w))
@@ -331,7 +335,7 @@ object CoreQueries {
                                   ORDER BY CAST(round(value * 1000000) AS BIGINT) ASC,
                                            event_id ASC) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n
-        FROM events)
+        FROM events WHERE value IS NOT NULL)
       SELECT event_type, n,
              CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN qv END) AS BIGINT) AS p50,
              CAST(max(CASE WHEN rn = ceil(n * 0.95) THEN qv END) AS BIGINT) AS p95,

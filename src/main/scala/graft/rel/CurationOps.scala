@@ -519,8 +519,11 @@ object CurationOps {
     // IEEE divisions of small exact integers, identical in both engines.
     Q("q23_window_suite", (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // NULLS LAST pinned explicitly on BOTH sides: Spark's ASC default is
+      // nulls-first, DuckDB's is nulls-last — unpinned, every window rank
+      // silently shifts the moment a price is missing
       val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .orderBy(col("o_totalprice").asc_nulls_last, col("o_orderkey"))
       tbl(s, d, "orders").filter(col("o_orderkey") % 20 === 0)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         .withColumn("rnk", rank().over(w).cast("long"))
@@ -538,7 +541,7 @@ object CurationOps {
              coalesce(lag(o_totalprice) OVER w, -1.0) AS prev_price
       FROM orders WHERE o_orderkey % 20 = 0
       WINDOW w AS (PARTITION BY o_orderpriority
-                   ORDER BY o_totalprice, o_orderkey)""")),
+                   ORDER BY o_totalprice NULLS LAST, o_orderkey)""")),
 
     // -- semi-structured VARIANT path ----------------------------------------
     // Spark 4's VARIANT type over the events props JSON: parse once into

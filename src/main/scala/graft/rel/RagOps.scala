@@ -153,7 +153,12 @@ object RagOps {
     Q("tx_pack_tokens", (s, d) => {
       tbl(s, d, "documents")
         .select(col("doc_id"), expr("doc_id div 50").as("sh"),
-          expr("concat(split(text, ' '), array('<eos>'))").as("tk"))
+          // a NULL-text doc still terminates: its stream is just <eos>
+          // (DuckDB's list_append(NULL, x) = [x]; Spark's concat would
+          // poison the whole shard's flatten with one NULL)
+          expr("""concat(coalesce(split(text, ' '),
+                         cast(array() as array<string>)),
+                  array('<eos>'))""").as("tk"))
         .groupBy("sh")
         .agg(expr(
           "flatten(transform(array_sort(collect_list(struct(doc_id, tk))), s -> s.tk))")
@@ -210,6 +215,7 @@ object RagOps {
         .filter(col("r_lex") <= 10)
         .select("q_id", "cand", "r_lex")
       val qv = tbl(s, d, "embeddings")
+        .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
         .select(col("vec_id"), expr(VectorOps.quant).as("qv"))
       val wv = Window.partitionBy("q_id")
         .orderBy(col("dot").desc, col("cand").asc)

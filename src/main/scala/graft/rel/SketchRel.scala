@@ -140,6 +140,10 @@ object SketchRel {
   def weightedMean(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     tbl(s, d, "events")
+      // a weighted mean is over rows that HAVE a measurement: NULL values
+      // are excluded in both engines (and the typed Long encoder is
+      // non-nullable by design — the contract is explicit, not an assert)
+      .filter(col("value").isNotNull)
       .selectExpr("event_type", "CAST(round(value * 1000000) AS BIGINT) AS qv",
         "user_id % 10 + 1 AS w")
       .as[(String, Long, Long)]
@@ -207,6 +211,9 @@ object SketchRel {
   def ddsketch(s: SparkSession, d: String): DataFrame =
     ddPost(
       tbl(s, d, "events")
+        // a sketch ingests measurements; NULL is not a measurement (and
+        // bins of NULL would fabricate a NULL bucket per type)
+        .filter(col("value").isNotNull)
         .select(col("event_type"),
           expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
         .select(col("event_type"),
@@ -246,7 +253,7 @@ object SketchRel {
   private[graft] val DDSKETCH_SQL = """
       WITH qv AS (
         SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS qv
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
       bins AS (
         SELECT event_type,
                (len(printf('%b', qv)) - 1) * 4 +
@@ -320,7 +327,7 @@ object SketchRel {
       SELECT event_type,
              CAST(CAST(sum(CAST(round(value * 1000000) AS BIGINT) * (user_id % 10 + 1)) AS BIGINT) AS DOUBLE) /
              CAST(CAST(sum(user_id % 10 + 1) AS BIGINT) AS DOUBLE) AS wmean
-      FROM events GROUP BY event_type""")),
+      FROM events WHERE value IS NOT NULL GROUP BY event_type""")),
     Q("js_salted", saltedJoin, Some("""
       WITH e AS (
         SELECT event_type, user_id, CAST(value AS DECIMAL(18,6)) AS v

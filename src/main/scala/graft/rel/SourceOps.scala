@@ -294,9 +294,12 @@ object SourceOps {
       def fwField(c: Column, w: Int, pad: String, left: Boolean): Column = {
         val str = c.cast("string")
         val padded = if (left) lpad(str, w, pad) else rpad(str, w, pad)
-        when(length(str) > w, raise_error(concat(
-          lit(s"fixed-width field overflow (> $w chars): "), str)))
-          .otherwise(padded)
+        // NULL encodes as the all-spaces slot (the classic fixed-width
+        // convention) so a missing measurement keeps its record intact
+        when(c.isNull, lit(" " * w))
+          .otherwise(when(length(str) > w, raise_error(concat(
+            lit(s"fixed-width field overflow (> $w chars): "), str)))
+            .otherwise(padded))
       }
       tbl(s, d, "events").select(concat(
         fwField(col("event_id"), 12, "0", left = true),
@@ -310,7 +313,10 @@ object SourceOps {
         .select(
           expr("CAST(substring(value, 13, 20) AS BIGINT)").as("us"),
           expr("rtrim(substring(value, 41, 10))").as("event_type"),
-          expr("CAST(substring(value, 51, 14) AS BIGINT)").as("vm"))
+          // all-spaces slot decodes back to NULL (nullif keeps ANSI casts
+          // from rejecting the empty string)
+          expr("CAST(nullif(trim(substring(value, 51, 14)), '') AS BIGINT)")
+            .as("vm"))
         .groupBy(expr("us div 300000000").as("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("vm").as("sum_micros"))
     }, Some("""

@@ -164,7 +164,9 @@ object TextOps {
     * reference in `MinHashSlicesSpec` and as the DuckDB CTEs below).
     */
   private def simhashDf(s: SparkSession, corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"),
+    // no text -> no signature: the oracle's words CTE unnests NULL to zero
+    // rows, so a NULL-text doc never reaches `sh` — mirror that here
+    corpus.filter(col("text").isNotNull).select(col("doc_id"),
       graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
 
   /** CTEs yielding `sh(doc_id, simhash)` over relation `src(doc_id, text)`;

@@ -23,8 +23,16 @@ object VectorOps {
   private[rel] val quant =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
+  /** NULL-vector contract (shared by every vector gate through this base
+    * and [[QVEC_SQL]]): a row with a missing embedding carries nothing a
+    * vector op can use — it is excluded HERE, once, in both engines, the
+    * same way SQL aggregates skip NULL. Without the filter each family
+    * fails differently (codegen'd dot NPEs, k-means sentinels, DuckDB's
+    * list_inner_product rejects NULL-bearing lists outright).
+    */
   private def qvec(s: SparkSession, d: String): DataFrame =
-    tbl(s, d, "embeddings").select(col("vec_id"), expr(quant).as("qv"))
+    tbl(s, d, "embeddings").filter(col("embedding").isNotNull)
+      .select(col("vec_id"), expr(quant).as("qv"))
 
   /** Exact upper-triangle Gram cells (i, j, n, s_ij) over the quantized
     * corpus, one row per dim pair i ≤ j. Computed as a PER-PARTITION
@@ -40,7 +48,8 @@ object VectorOps {
   private def gramCells(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val D = 64
-    tbl(s, d, "embeddings").select(expr(quant).as("qv")).as[Seq[Long]]
+    tbl(s, d, "embeddings").filter(col("embedding").isNotNull)
+      .select(expr(quant).as("qv")).as[Seq[Long]]
       .mapPartitions { it =>
         val sums = new Array[Long](D * D)
         var n = 0L
@@ -69,7 +78,8 @@ object VectorOps {
     qv AS (SELECT vec_id,
                   list_transform(embedding,
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-           FROM embeddings)"""
+           FROM embeddings
+           WHERE embedding IS NOT NULL)"""
 
   /** Native fused-loop Catalyst expression (graft.functions.LongDotProduct)
     * — codegen-friendly replacement for aggregate(zip_with(...)).
@@ -399,14 +409,18 @@ object VectorOps {
       // against a phantom all-zero codebook
       qvec(s, d).select(col("vec_id"), lit(0L).as("pqword")).limit(0)
     else {
-      // slots past the real codebook replicate the LAST centroid: the
-      // encoder's argmin keeps the smallest cid on ties, so replicas never
-      // win and a partial codebook encodes exactly like the oracle's
-      // argmin over the present centroids
+      // slot layout mirrors the oracle's cid = vec_id // 7 — a centroid
+      // vector dropped by the NULL-vector contract leaves a HOLE, filled
+      // with a far sentinel (1e7 per component: its squared distance is
+      // ~6e15, six orders beyond any real quantized distance and still
+      // overflow-safe in the encoder's int64 arithmetic), so holes never
+      // win the argmin and codes range over exactly the present slots
+      val bySlot = cents.map { case (vid, v) => (vid / 7).toInt -> v }.toMap
+      val FAR = 10000000L
       val flat = new Array[Long](8 * 16 * 8)
       for (cid <- 0 until 16; m <- 0 until 8; j <- 0 until 8)
         flat((m * 16 + cid) * 8 + j) =
-          cents(math.min(cid, cents.length - 1))._2(m * 8 + j)
+          bySlot.get(cid).map(_(m * 8 + j)).getOrElse(FAR)
       qvec(s, d).select(col("vec_id"),
         pq_encode_word(col("qv"), lit(flat)).as("pqword"))
     }
@@ -535,7 +549,9 @@ object VectorOps {
     * exact integer inequality 400*dot^2 >= 361*|a|^2*|b|^2 with dot >= 0.
     */
   private def nearCorpus(s: SparkSession, d: String): DataFrame = {
-    val base = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    // NULL-vector contract (see qvec): missing embeddings join no cluster
+    val base = tbl(s, d, "embeddings").filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
     base.unionByName(
       base.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
@@ -547,12 +563,14 @@ object VectorOps {
   private val NEAR_CORPUS_SQL = """
     corpus AS (
       SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
       UNION ALL
       SELECT v2 AS vec_id,
              list_transform(embedding,
                x -> x * CAST(1.0 + (vec_id % 7 - 3) * 0.001 AS FLOAT)) AS embedding
       FROM (SELECT vec_id, vec_id + 100000 AS v2, embedding
-            FROM embeddings WHERE vec_id % 20 = 0)),
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND vec_id % 20 = 0)),
     qv AS (SELECT vec_id,
                   list_transform(embedding,
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
@@ -1014,6 +1032,7 @@ object VectorOps {
 
   private def annRpBucket(s: SparkSession, d: String): DataFrame = {
     val coded = tbl(s, d, "embeddings")
+      .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
       .select(col("vec_id"), expr(RP_CODE).as("code"), expr(quant).as("qv"))
     val qs = coded.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("code"), col("qv").as("q_qv"))
@@ -1038,6 +1057,7 @@ object VectorOps {
                             THEN 1 ELSE -1 END)) AS BIGINT) AS proj
         FROM embeddings e, (SELECT unnest(range(0, 64)) AS j) j,
              (SELECT unnest(range(0, 8)) AS k) k
+        WHERE e.embedding IS NOT NULL
         GROUP BY e.vec_id, k.k),
       code AS (
         SELECT vec_id,
@@ -1200,6 +1220,7 @@ object VectorOps {
   def binaryAnn(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = tbl(s, d, "embeddings")
+      .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
       .select(col("vec_id"), expr(SIGN_SQL_SPARK).as("w"),
         expr(quant).as("qv"))
     val wq = Window.partitionBy("q_id")
@@ -1227,6 +1248,7 @@ object VectorOps {
   def binaryRecall(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = tbl(s, d, "embeddings")
+      .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
       .select(col("vec_id"), expr(SIGN_SQL_SPARK).as("w"),
         expr(quant).as("qv"))
     val joined = vecs.as("b")
@@ -1249,7 +1271,8 @@ object VectorOps {
   def all: Seq[Q] = Seq(
     Q("ann_binary_recall", binaryRecall, Some(s"""
       WITH $QVEC_SQL,
-      sw AS (SELECT vec_id, $SIGN_SQL_DUCK AS w FROM embeddings),
+      sw AS (SELECT vec_id, $SIGN_SQL_DUCK AS w FROM embeddings
+             WHERE embedding IS NOT NULL),
       v AS (SELECT q.vec_id, q.qv, s.w
             FROM qv q JOIN sw s ON q.vec_id = s.vec_id),
       pairs AS (
@@ -1275,7 +1298,7 @@ object VectorOps {
       WITH $QVEC_SQL,
       sw AS (
         SELECT vec_id, $SIGN_SQL_DUCK AS w
-        FROM embeddings),
+        FROM embeddings WHERE embedding IS NOT NULL),
       v AS (SELECT q.vec_id, q.qv, s.w
             FROM qv q JOIN sw s ON q.vec_id = s.vec_id),
       ham AS (
@@ -1580,6 +1603,7 @@ object VectorOps {
     Q("vec_gram", (s, d) => {
       val cells = gramCells(s, d)
       val marg = tbl(s, d, "embeddings")
+        .filter(col("embedding").isNotNull) // the oracle's marg reads FROM qv
         .select(posexplode(expr(quant)).as(Seq("pos", "q")))
         .groupBy((col("pos") + 1).cast("long").as("dim"))
         .agg(sum("q").as("s_dim"))
@@ -1628,6 +1652,7 @@ object VectorOps {
     Q("vec_pca_power", (s, d) => {
       val cells = gramCells(s, d)
       val marg = tbl(s, d, "embeddings")
+        .filter(col("embedding").isNotNull) // the oracle's marg reads FROM qv
         .select(posexplode(expr(quant)).as(Seq("pos", "q")))
         .groupBy((col("pos") + 1).cast("long").as("dim"))
         .agg(sum("q").as("s_dim"))

@@ -17,8 +17,13 @@ object StreamingOps {
   private val GAP_NS = 1800L * 1000 * 1000 * 1000 // 30 min session gap
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** One event in flight: (user, ts nanos, value micros). */
-  private type Ev = (Long, Long, Long)
+  /** One event in flight: (user, ts nanos, value micros). The value is
+    * Option-typed: a NULL measurement still exists as an event (it sets
+    * session boundaries and counts), it just contributes nothing to sums
+    * and maxes — exactly SQL aggregate semantics, so the batch oracles
+    * stay bit-identical on NULL-bearing slices.
+    */
+  private type Ev = (Long, Long, Option[Long])
 
   def sessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -42,14 +47,16 @@ object StreamingOps {
           // closes them on ProcessingTime timeouts.
           val evs = it.toArray.sortBy(_._2)
           val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, Long)]
+            .empty[(Long, Long, Long, Option[Long])]
           var start = 0
           var i = 1
           while (i <= evs.length) {
             if (i == evs.length || evs(i)._2 - evs(i - 1)._2 > GAP_NS) {
               val slice = evs.slice(start, i)
+              val vs = slice.flatMap(_._3)
+              // SQL sum: NULLs skipped, all-NULL -> NULL
               out += ((user, slice.head._2, slice.length.toLong,
-                slice.map(_._3).sum))
+                if (vs.isEmpty) None else Some(vs.sum)))
               start = i
             }
             i += 1
@@ -100,13 +107,18 @@ object StreamingOps {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .selectExpr("user_id", "CAST(round(value * 1000000) AS BIGINT) AS qv")
-      .as[(Long, Long)]
+      .as[(Long, Option[Long])]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
-        (user: Long, it: Iterator[(Long, Long)],
-         state: GroupState[(Long, Long)]) => {
-          var (mx, n) = state.getOption.getOrElse((Long.MinValue, 0L))
-          it.foreach { case (_, qv) => if (qv > mx) mx = qv; n += 1 }
+        (user: Long, it: Iterator[(Long, Option[Long])],
+         state: GroupState[(Option[Long], Long)]) => {
+          // SQL max: NULL measurements count as events but never win the
+          // max; a user with only NULLs reports a NULL max, not a sentinel
+          var (mx, n) = state.getOption.getOrElse((None: Option[Long], 0L))
+          it.foreach { case (_, qv) =>
+            if (qv.isDefined && mx.forall(_ < qv.get)) mx = qv
+            n += 1
+          }
           state.update((mx, n))
           (user, mx, n)
         })
@@ -695,6 +707,7 @@ object StreamingOps {
     val quant =
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv"
     val cents = s.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
       .filter(col("vec_id") % 100 === 7)
       .selectExpr("vec_id", quant)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -725,6 +738,7 @@ object StreamingOps {
     }
     val agg = s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
       .selectExpr("vec_id", quant)
       .select(col("vec_id"), assign(col("qv")).as("m"))
       // an empty centroid stratum assigns nothing — the oracle's centroid
@@ -744,7 +758,7 @@ object StreamingOps {
       WITH qv AS (
         SELECT vec_id, list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        FROM embeddings),
+        FROM embeddings WHERE embedding IS NOT NULL),
       cents AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id % 100 = 7),
       sc AS (
         SELECT b.vec_id, a.cid,
@@ -893,6 +907,7 @@ object StreamingOps {
     val qn = "st_dds_sink_" + sinkCounter.incrementAndGet()
     val hist = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      .filter(col("value").isNotNull) // sketches ingest measurements only
       .select(col("event_type"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
       .select(col("event_type"),

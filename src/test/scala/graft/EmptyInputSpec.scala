@@ -92,6 +92,45 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(run("ann_pq_native").count() == 0L)
   }
 
+  /** NULL-injected copies: keys intact, every 3rd/5th non-key value NULL
+    * (text, embedding, value, prices) — the real-data regime where custom
+    * expressions and typed encoders meet missing fields.
+    */
+  private lazy val nullDir: String = {
+    val dir = TempDirs.create("graft_null_sf")
+    val src = "/root/testdata/sf0.001"
+    def stage(t: String, proj: String): Unit =
+      spark.read.parquet(s"$src/$t.parquet").selectExpr(proj.split(";"): _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    stage("documents", "doc_id;IF(doc_id % 3 = 1, NULL, text) AS text;" +
+      "IF(doc_id % 5 = 2, NULL, lang) AS lang;source;n_chars")
+    stage("embeddings",
+      "vec_id;IF(vec_id % 3 = 1, NULL, embedding) AS embedding;label")
+    stage("events", "event_id;ts;user_id;event_type;" +
+      "IF(event_id % 3 = 1, NULL, value) AS value;props")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    dir
+  }
+
+  test("NULL-injected tables: measurements skip, signatures drop, encoders survive") {
+    def run(name: String) = SparkEntry.queries(name)(spark, nullDir)
+    // typed aggregator + sketch + quantile: NULL is not a measurement
+    assert(run("ag_weighted_mean").count() == 5L)
+    assert(run("q21_quantile").count() == 5L)
+    assert(run("sk_ddsketch").count() > 0L)
+    // NULL text -> no signature; NULL-text docs still terminate in packing
+    val sigs = run("dd_simhash").count()
+    assert(sigs > 0L && sigs < 500L, s"null-text docs must drop: $sigs")
+    assert(run("tx_pack_tokens").count() > 0L)
+    // fixed-width NULL slot round-trips (all-spaces encode/decode)
+    assert(run("src_fixedwidth").count() > 0L)
+    // NULL embeddings leave the vector ops' corpus
+    assert(run("vec_gram").count() == 2080L)
+  }
+
   test("grand-total and report rows carry zeros, not NULL verdicts") {
     val cube = SparkEntry.queries("q24_cube")(spark, emptyDir).collect()(0)
     assert(cube.getAs[Long]("n") == 0L && cube.getAs[Long]("gid") == 3L)
