@@ -21,9 +21,11 @@ object AsOfRel {
 
   def asofStates(s: SparkSession, d: String): DataFrame = {
     // SQL-equality parity: the operator's key matching is null-safe, the
-    // oracle's `e.user_id = s.user_id` is not — drop null keys up front
+    // oracle's `e.user_id = s.user_id` is not — drop null keys up front.
+    // The TIME key gets the same rule: an event with no timestamp cannot
+    // take part in an as-of merge (shared by all aj_* gates + oracles)
     val e = tbl(s, d, "events")
-      .filter(col("user_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), Q.tsNanos(col("ts")).as("t"),
         col("event_type"), col("value"))
     val states = e.filter(col("event_type") === "purchase")
@@ -47,7 +49,7 @@ object AsOfRel {
     */
   def asofInterp(s: SparkSession, d: String): DataFrame = {
     val ev = tbl(s, d, "events")
-      .filter(col("user_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), Q.tsNanos(col("ts")).as("t"),
         col("event_type"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
@@ -97,7 +99,7 @@ object AsOfRel {
     import org.apache.spark.sql.expressions.Window
     val HOUR = 3600L * 1000000000L
     val ev = tbl(s, d, "events")
-      .filter(col("user_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), Q.tsNanos(col("ts")).as("t"),
         col("value"))
       .groupBy("user_id", "t").agg(max("value").as("v"))
@@ -135,11 +137,11 @@ object AsOfRel {
   def pitFeatures(s: SparkSession, d: String): DataFrame = {
     val tol = 259200000000000L // 3 days in nanos
     val e = tbl(s, d, "events")
-      .filter(col("user_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), Q.tsNanos(col("ts")).as("t"),
         col("event_type"))
     val states = tbl(s, d, "events")
-      .filter(col("user_id").isNotNull &&
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type") === "purchase")
       .select(col("user_id"), Q.tsNanos(col("ts")).as("s_t"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("sqv"))
@@ -167,7 +169,7 @@ object AsOfRel {
   def trainingMatrix(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = tbl(s, d, "events")
-      .filter(col("user_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), Q.tsMicros(col("ts")).as("t"),
         col("event_id"), col("event_type"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
@@ -188,6 +190,7 @@ object AsOfRel {
     val quantSql =
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     val uvec = tbl(s, d, "embeddings")
+      .filter(col("embedding").isNotNull) // NULL-vector contract
       .select(col("vec_id"), expr(quantSql).as("qv"))
     val probe = uvec.filter(col("vec_id") === 0)
       .select(col("qv").as("pv"))
@@ -204,7 +207,7 @@ object AsOfRel {
       WITH e AS (
         SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
                CAST(round(value * 1000000) AS BIGINT) AS qv
-        FROM events WHERE user_id IS NOT NULL),
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       b AS (
         SELECT user_id, t, event_id, event_type,
                count(*) OVER (PARTITION BY user_id ORDER BY t
@@ -225,7 +228,7 @@ object AsOfRel {
                     list_transform(embedding,
                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
                       AS qv
-             FROM embeddings),
+             FROM embeddings WHERE embedding IS NOT NULL),
       probe AS (SELECT qv AS pv FROM qv WHERE vec_id = 0)
       SELECT p.user_id, p.t, p.event_id, p.f_n7d, p.f_click,
              CAST(list_dot_product(CAST(u.qv AS DOUBLE[]),
@@ -235,12 +238,12 @@ object AsOfRel {
     Q("aj_pit_features", pitFeatures, Some("""
       WITH e AS (
         SELECT user_id, epoch_ns(ts) AS t, event_type
-        FROM events WHERE user_id IS NOT NULL),
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       s AS (
         SELECT user_id, epoch_ns(ts) AS s_t,
                max(CAST(round(value * 1000000) AS BIGINT)) AS sqv
         FROM events
-        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
         GROUP BY 1, 2),
       j AS (
         SELECT e.user_id, e.t, e.event_type, s.s_t, s.sqv
@@ -256,7 +259,7 @@ object AsOfRel {
       WITH e AS (
         SELECT user_id, t, max(value) AS v
         FROM (SELECT user_id, epoch_ns(ts) AS t, value FROM events
-              WHERE user_id IS NOT NULL)
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL)
         GROUP BY user_id, t),
       b AS (
         SELECT (min(t) // 3600000000000) * 3600000000000 AS h0,
@@ -282,7 +285,7 @@ object AsOfRel {
       WITH e AS (
         SELECT user_id, epoch_ns(ts) AS t, event_type,
                CAST(round(value * 1000000) AS BIGINT) AS qv
-        FROM events WHERE user_id IS NOT NULL),
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       s AS (
         SELECT user_id, t AS s_t, max(qv) AS sqv
         FROM e WHERE event_type = 'purchase' GROUP BY user_id, t),
@@ -306,7 +309,7 @@ object AsOfRel {
     Q("aj_asof", asofStates, Some("""
       WITH e AS (
         SELECT user_id, epoch_ns(ts) AS t, event_type, value FROM events
-        WHERE user_id IS NOT NULL),
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       s AS (
         SELECT user_id, t AS s_t, max(value) AS s_value
         FROM e WHERE event_type = 'purchase' GROUP BY user_id, t)

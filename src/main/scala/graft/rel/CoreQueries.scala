@@ -130,8 +130,11 @@ object CoreQueries {
 
     // -- running aggregate (the O10 dense-rank family's windowed cousin) -----
     Q("q8_running", (s, d) => {
+      // NULLS LAST pinned: an unshipped line (NULL date) accumulates at the
+      // end of its supplier's running total in BOTH engines (Spark's ASC
+      // default is nulls-first, DuckDB's is nulls-last)
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        .orderBy(col("l_shipdate").asc_nulls_last, col("l_orderkey").asc,
           col("l_linenumber").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tbl(s, d, "lineitem")
@@ -143,7 +146,7 @@ object CoreQueries {
       SELECT l_suppkey, l_orderkey, l_linenumber,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
                OVER (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                     ORDER BY l_shipdate ASC NULLS LAST, l_orderkey ASC, l_linenumber ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       FROM lineitem WHERE l_suppkey % 10 = 0""")),
 
@@ -319,8 +322,12 @@ object CoreQueries {
         .select(col("event_id"), col("event_type"),
           expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
         .withColumn("rn", row_number().over(w))
-      val sized = ranked.groupBy("event_type").agg(count(lit(1)).as("n"))
-      ranked.join(sized, "event_type")
+        // group size via the same partition's window (the oracle's shape):
+        // the former count-then-equi-join silently LOST the NULL-type
+        // group (NULL keys never match an equi-join)
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+      ranked
         .groupBy(col("event_type"), col("n"))
         .agg(
           max(when(col("rn") === ceil(col("n") * 0.5), col("qv"))).as("p50"),
@@ -557,7 +564,10 @@ object CoreQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // time-ordered contract: an event with no timestamp has no place on
+      // the running timeline (Spark would rank it NULLS FIRST, DuckDB LAST)
       tbl(s, d, "events")
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
         .withColumn("nd_types",
@@ -569,7 +579,7 @@ object CoreQueries {
                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS nd_types
-      FROM events""")),
+      FROM events WHERE ts IS NOT NULL""")),
 
     // -- parameterized SQL ---------------------------------------------------
     // Spark 3.4's named-parameter API (`spark.sql(text, args)`): the

@@ -22,8 +22,11 @@ object CurationOps {
   private[graft] def scd2(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = tbl(s, d, "events").select(col("user_id"), col("event_type"),
-      Q.tsMillis(col("ts")).as("ts_ms"), col("event_id"))
+    // dimension versions need a valid time: un-timestamped events cannot
+    // open or close an interval (shared with the streaming SCD twin)
+    val ev = tbl(s, d, "events").filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        Q.tsMillis(col("ts")).as("ts_ms"), col("event_id"))
     val wOrd = Window.partitionBy("user_id")
       .orderBy(col("ts_ms"), col("event_id"))
     val versioned = ev
@@ -595,7 +598,7 @@ object CurationOps {
     Q("q22_scd2", (s, d) => scd2(s, d), Some("""
       WITH ev AS (
         SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       flagged AS (
         SELECT user_id, event_type, ts_ms, event_id,
                CASE WHEN lag(event_type) OVER w IS NULL

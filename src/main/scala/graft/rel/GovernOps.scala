@@ -273,7 +273,10 @@ object GovernOps {
       val ev = tbl(s, d, "events")
       agg(ev.filter(Q.tsMicros(col("ts")) < cut))
         .write.mode("overwrite").parquet(viewDir)
-      val delta = agg(ev.filter(Q.tsMicros(col("ts")) >= cut))
+      // the delta is everything NOT in the view — including rows with no
+      // timestamp (a bare >= would drop them from both sides of the merge)
+      val delta = agg(ev.filter(Q.tsMicros(col("ts")) >= cut ||
+        col("ts").isNull))
       s.read.parquet(viewDir).unionByName(delta)
         .groupBy("bucket", "event_type")
         .agg(sum("n").as("n"), sum("sum_qv").as("sum_qv"),

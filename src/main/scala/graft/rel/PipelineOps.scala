@@ -412,6 +412,9 @@ object PipelineOps {
     val qn = "st_sliding_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      // explicit: window() silently drops NULL-time rows; the filter keeps
+      // the time-ordered contract visible and matches the oracle's WHERE
+      .filter(col("ts").isNotNull)
       .withColumn("tts", col("ts"))
       .groupBy(window(col("tts"), "20 minutes", "5 minutes"),
         col("event_type"))
@@ -1121,6 +1124,7 @@ object PipelineOps {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events, range(0, 4) k(k)
+      WHERE ts IS NOT NULL
       GROUP BY 1, 2""")),
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
     Q("mm_sharpness", sharpness, Some(MM_SHARPNESS_SQL)),

@@ -283,7 +283,10 @@ object RagOps {
     Q("sq_markov", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      // journeys are TIME-ordered: an event with no timestamp has no place
+      // in the sequence (same rule across sq_*; oracle filters identically)
       val pairs = tbl(s, d, "events")
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
         .withColumn("prev", lag("event_type", 1).over(w))
@@ -297,7 +300,7 @@ object RagOps {
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
                  ORDER BY epoch_us(ts), event_id) AS prev
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       p AS (SELECT prev, event_type AS next, count(*) AS n
             FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
       t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS n_from
@@ -327,6 +330,7 @@ object RagOps {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
       val o = tbl(s, d, "events")
+        .filter(col("ts").isNotNull) // journeys are time-ordered (see sq_markov)
         .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
         .withColumn("prev", lag("event_type", 1).over(w))
@@ -390,6 +394,7 @@ object RagOps {
     // sequence string deterministic in both engines.
     Q("sq_user_seq", (s, d) => {
       tbl(s, d, "events")
+        .filter(col("ts").isNotNull) // journeys are time-ordered (see sq_markov)
         .select(col("user_id"), Q.tsMicros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
         .groupBy("user_id")
@@ -403,7 +408,7 @@ object RagOps {
              array_to_string(
                (list(event_type ORDER BY epoch_us(ts), event_id))[1:32],
                ',') AS seq
-      FROM events GROUP BY user_id""")))
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id""")))
 
   /** One unrolled value-iteration step for variant `v`: r_k(s) =
     * Σ_t n(s→t)·r_{k−1}(t) floor-div n_from(s), conv pinned at 10^9.
@@ -438,7 +443,7 @@ object RagOps {
         SELECT user_id, event_type,
                lag(event_type) OVER w AS prev,
                row_number() OVER w AS rn
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
       tr AS (
         SELECT prev, CASE WHEN event_type = 'purchase' THEN 'conv'

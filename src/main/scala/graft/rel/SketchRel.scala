@@ -309,8 +309,12 @@ object SketchRel {
       regs AS (
         SELECT s.event_type, s.bucket,
                CAST(coalesce(h.reg, 0) AS BIGINT) AS reg
+        -- IS NOT DISTINCT FROM: a NULL event_type is a GROUP (SQL GROUP
+        -- BY semantics, and what the engine's groupBy computes); a plain
+        -- equi-join would silently drop its 64 registers
         FROM scaffold s LEFT JOIN hits h
-          ON s.event_type = h.event_type AND s.bucket = h.bucket),
+          ON s.event_type IS NOT DISTINCT FROM h.event_type
+         AND s.bucket = h.bucket),
       stats AS (
         SELECT event_type,
                CAST(sum(CAST(1 AS BIGINT) << CAST(55 - reg AS INT))
@@ -318,7 +322,8 @@ object SketchRel {
         FROM regs GROUP BY 1)
       SELECT r.event_type, r.bucket, r.reg, t.s_sum,
              $HLL_NUM / CAST(t.s_sum AS DOUBLE) AS est_users
-      FROM regs r JOIN stats t ON r.event_type = t.event_type"""
+      FROM regs r JOIN stats t
+        ON r.event_type IS NOT DISTINCT FROM t.event_type"""
 
   def all: Seq[Q] = Seq(
     Q("sk_ddsketch", ddsketch, Some(DDSKETCH_SQL)),

@@ -242,7 +242,10 @@ object SourceOps {
         .csv(dir)
       raw
         .withColumn("bucket", Q.tsBucket(col("ts"), 300000000L))
-        .withColumn("et", coalesce(col("event_type"), lit("_corrupt")))
+        // the CAPTURE COLUMN is the corrupt marker — a legitimately NULL
+        // event_type must stay its own group, not be mislabeled corrupt
+        .withColumn("et", when(col("_corrupt").isNotNull, lit("_corrupt"))
+          .otherwise(col("event_type")))
         .groupBy("bucket", "et")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double")
@@ -311,8 +314,13 @@ object SourceOps {
         .write.mode(SaveMode.Overwrite).text(dir)
       s.read.text(dir)
         .select(
-          expr("CAST(substring(value, 13, 20) AS BIGINT)").as("us"),
-          expr("rtrim(substring(value, 41, 10))").as("event_type"),
+          // all-spaces slots decode back to NULL (nullif keeps ANSI casts
+          // from rejecting the empty string; fixed-width cannot represent
+          // an empty string distinctly from NULL — classic format limit)
+          expr("CAST(nullif(trim(substring(value, 13, 20)), '') AS BIGINT)")
+            .as("us"),
+          expr("nullif(rtrim(substring(value, 41, 10)), '')")
+            .as("event_type"),
           // all-spaces slot decodes back to NULL (nullif keeps ANSI casts
           // from rejecting the empty string)
           expr("CAST(nullif(trim(substring(value, 51, 14)), '') AS BIGINT)")
@@ -457,7 +465,11 @@ object SourceOps {
         .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
           "event_type STRING, value DOUBLE")
         .json(dir)
-        .filter(col("event_id").isNotNull && col("ts").isNotNull))
+        // event_id is the NOT-NULL key of the feed, so it alone separates
+        // DROPMALFORMED's residue from real rows: a real event with a NULL
+        // ts must keep its (NULL-bucket) group like the oracle, not be
+        // swept out with the garbage
+        .filter(col("event_id").isNotNull))
     }, Some(GATE_SQL)),
 
     // Small-file compaction — the lakehouse maintenance operator: a store
@@ -501,7 +513,10 @@ object SourceOps {
           java.nio.file.Paths.get(s"$dir/_manifest_v$v.txt"),
           fs.mkString("\n").getBytes)
       commit(1, dataFiles())
-      e.filter(Q.tsMicros(col("ts")) >= mid)
+      // commit 2 appends everything NOT in commit 1 — including rows with
+      // no timestamp (a bare >= filter would silently drop them from every
+      // version; the oracle's v2 is the whole table)
+      e.filter(Q.tsMicros(col("ts")) >= mid || col("ts").isNull)
         .write.mode(SaveMode.Append).parquet(dir)
       commit(2, dataFiles())
       def snap(v: Int): DataFrame = {
@@ -534,10 +549,12 @@ object SourceOps {
     // with value masked to the late stratum.
     Q("src_schema_evolution", (s, d) => {
       val dir = stage("evo")
-      ev(s, d).filter(col("event_type") =!= "purchase")
+      // null-safe split: the two writes must PARTITION the feed — a plain
+      // != would drop NULL-type rows from both strata
+      ev(s, d).filter(!(col("event_type") <=> "purchase"))
         .select("event_id", "ts", "user_id", "event_type")
         .write.mode(SaveMode.Append).parquet(dir)
-      ev(s, d).filter(col("event_type") === "purchase")
+      ev(s, d).filter(col("event_type") <=> "purchase")
         .write.mode(SaveMode.Append).parquet(dir)
       gateAgg(s.read.option("mergeSchema", "true").parquet(dir))
     }, Some("""

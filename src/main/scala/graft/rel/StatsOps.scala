@@ -165,6 +165,7 @@ object StatsOps {
       // — without it the event log would be scanned and aggregated twice
       // for one tiny series
       val series = tbl(s, d, "events")
+        .filter(col("ts").isNotNull) // a time series has no NULL instant
         .groupBy(Q.tsBucket(col("ts"), 300000000L).as("bucket"))
         .agg(count(lit(1)).as("x"))
       val lagged = series
@@ -189,7 +190,7 @@ object StatsOps {
       WITH srs AS (
         SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
                count(*) AS x
-        FROM events GROUP BY 1),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
       p AS (
         SELECT l.lag, a.x AS ax, b.x AS bx
         FROM srs a
@@ -219,6 +220,7 @@ object StatsOps {
     Q("ts_changepoint", (s, d) => {
       val wOrd = Window.orderBy("bucket")
       val series = tbl(s, d, "events")
+        .filter(col("ts").isNotNull) // a time series has no NULL instant
         .groupBy(Q.tsBucket(col("ts"), 300000000L).as("bucket"))
         .agg(count(lit(1)).as("x"))
       val scored = series
@@ -239,7 +241,7 @@ object StatsOps {
       WITH srs AS (
         SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
                count(*) AS x
-        FROM events GROUP BY 1),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
       sc AS (
         SELECT bucket,
                row_number() OVER (ORDER BY bucket) AS t,
@@ -359,7 +361,10 @@ object StatsOps {
     Q("sq_funnel_time", (s, d) => {
       val wu = Window.partitionBy("user_id").orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // time-ordered analytics exclude un-timestamped events (the shared
+      // sq_*/ts_* contract; oracles filter identically)
       val deltas = tbl(s, d, "events")
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"), col("event_type"),
           Q.tsMicros(col("ts")).as("us"))
         .withColumn("last_click_us",
@@ -379,7 +384,7 @@ object StatsOps {
     }, Some("""
       WITH e AS (
         SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       c AS (
         SELECT *, max(CASE WHEN event_type = 'click' THEN us END)
                  OVER (PARTITION BY user_id ORDER BY us, event_id
@@ -714,6 +719,7 @@ object StatsOps {
       // persisted via releaseAfterAction — three references: trend
       // window, hod means, grand fold
       val srs = tbl(s, d, "events")
+        .filter(col("ts").isNotNull) // a time series has no NULL instant
         .groupBy(Q.tsBucket(col("ts"), 3600000000L).as("b"))
         .agg(count(lit(1)).as("x"))
       val wTrend = Window.orderBy("b").rowsBetween(-12, 11)
@@ -737,7 +743,7 @@ object StatsOps {
     }, Some(s"""
       WITH srs AS (
         SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, count(*) AS x
-        FROM events GROUP BY 1),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
       tr AS (
         SELECT b, x, b % 24 AS hod,
                CAST(sum(x) OVER w AS BIGINT) AS tn,
@@ -767,6 +773,7 @@ object StatsOps {
       // both persisted via releaseAfterAction: srs is referenced by the N
       // fold, the median rank, and dv; dv by the MAD rank and the filter
       val srs = tbl(s, d, "events")
+        .filter(col("ts").isNotNull) // a time series has no NULL instant
         .groupBy(Q.tsBucket(col("ts"), 3600000000L).as("b"))
         .agg(count(lit(1)).as("x"))
       val n = srs.groupBy().agg(count(lit(1)).as("nn"))
@@ -790,7 +797,7 @@ object StatsOps {
     }, Some("""
       WITH srs AS (
         SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, count(*) AS x
-        FROM events GROUP BY 1),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
       n AS (SELECT count(*) AS nn FROM srs),
       med AS (
         SELECT x AS med FROM
@@ -916,6 +923,7 @@ object StatsOps {
     // are partial by definition, as every MAU series is).
     Q("sq_stickiness", (s, d) => {
       val uw = tbl(s, d, "events")
+        .filter(col("ts").isNotNull) // time-ordered contract (see sq_funnel_time)
         .select(col("user_id"),
           Q.tsBucket(col("ts"), 86400000000L).as("day"))
         .distinct()
@@ -933,7 +941,7 @@ object StatsOps {
       WITH uw AS (
         SELECT DISTINCT user_id,
                CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       dau AS (SELECT day, count(*) AS dau FROM uw GROUP BY 1),
       mau AS (
         SELECT md AS day, count(*) AS mau FROM (
@@ -999,6 +1007,7 @@ object StatsOps {
     // aggregate; all integers.
     Q("sq_cohort_ltv", (s, d) => {
       val ev = tbl(s, d, "events")
+        .filter(col("ts").isNotNull) // time-ordered contract (see sq_funnel_time)
         .select(col("user_id"), Q.tsBucket(col("ts"), 86400000000L).as("day"),
           expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
       val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
@@ -1013,7 +1022,7 @@ object StatsOps {
       WITH ev AS (
         SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
                CAST(round(value * 1000000) AS BIGINT) AS qv
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
       g AS (
         SELECT f.cohort, ev.day - f.cohort AS age,
@@ -1039,6 +1048,7 @@ object StatsOps {
     Q("sq_lifecycle", (s, d) => {
       val wk = Window.partitionBy("user_id").orderBy("day")
       val uw = tbl(s, d, "events")
+        .filter(col("ts").isNotNull) // time-ordered contract (see sq_funnel_time)
         .select(col("user_id"),
           Q.tsBucket(col("ts"), 86400000000L).as("day"))
         .distinct()
@@ -1065,7 +1075,7 @@ object StatsOps {
       WITH uw AS (
         SELECT DISTINCT user_id,
                CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       base AS (
         SELECT user_id, day,
                lag(day) OVER w AS prevw, lead(day) OVER w AS nextw
@@ -1135,6 +1145,7 @@ object StatsOps {
         .rowsBetween(Window.unboundedPreceding, -1)
       val wAll = Window.partitionBy("user_id")
       tbl(s, d, "events")
+        .filter(col("ts").isNotNull) // time-ordered contract (see sq_funnel_time)
         .select(col("user_id"), col("event_id"), col("event_type"),
           Q.tsMicros(col("ts")).as("us"))
         .withColumn("pit_us",
@@ -1151,7 +1162,7 @@ object StatsOps {
     }, Some("""
       WITH e AS (
         SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       f AS (
         SELECT user_id, event_id, event_type, us,
                max(CASE WHEN event_type = 'click' THEN us END)

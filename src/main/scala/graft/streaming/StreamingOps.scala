@@ -31,6 +31,9 @@ object StreamingOps {
     val qn = "st_sessionize_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      // sessions are time-ordered: un-timestamped events are excluded
+      // (same contract as the batch sq_* family; oracle filters too)
+      .filter(col("ts").isNotNull)
       // tsNanos: the micro-precision timestamp as a nano-epoch long,
       // bit-identical to DuckDB's epoch_ns() over the same parquet
       .select(col("user_id"), graft.rel.Q.tsNanos(col("ts")).as("ts"),
@@ -76,7 +79,7 @@ object StreamingOps {
     WITH e AS (
       SELECT user_id, epoch_ns(ts) AS tns,
              CAST(round(value * 1000000) AS BIGINT) AS qv
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     d AS (
       SELECT user_id, tns, qv,
              CASE WHEN lag(tns) OVER w IS NULL
@@ -158,7 +161,10 @@ object StreamingOps {
         : Iterator[(Long, Long, Long)] = {
       var n: Long = if (nEvents.exists()) nEvents.get() else 0L
       rows.foreach { case (_, et) =>
-        types.updateValue(et, java.lang.Boolean.TRUE); n += 1
+        // SQL count(DISTINCT) semantics: a NULL type counts as an event
+        // but never as a distinct key (MapState rejects null keys anyway)
+        if (et != null) types.updateValue(et, java.lang.Boolean.TRUE)
+        n += 1
       }
       nEvents.update(n)
       var k = 0L
@@ -845,6 +851,9 @@ object StreamingOps {
     val qn = "st_session_window_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      // explicit: session_window SILENTLY drops NULL-time rows; the filter
+      // makes the time-ordered contract visible and keeps the oracle honest
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("ts").cast("timestamp").as("tts"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
       .groupBy(col("user_id"),
@@ -876,6 +885,7 @@ object StreamingOps {
     val qn = "st_session_dyn_sink_" + sinkCounter.incrementAndGet()
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      .filter(col("ts").isNotNull) // see sessionWindow: explicit drop
       .select(col("user_id"), col("ts").cast("timestamp").as("tts"),
         col("event_type"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("qv"))
@@ -931,7 +941,7 @@ object StreamingOps {
              CASE WHEN event_type = 'purchase' THEN 3600000000
                   ELSE 900000000 END AS gap,
              CAST(round(value * 1000000) AS BIGINT) AS qv
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     d AS (
       SELECT user_id, tus, gap, qv,
              CASE WHEN max(tus + gap) OVER (PARTITION BY user_id
@@ -956,7 +966,7 @@ object StreamingOps {
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS tus,
              CAST(round(value * 1000000) AS BIGINT) AS qv
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     d AS (
       SELECT user_id, tus, qv,
              CASE WHEN lag(tus) OVER w IS NULL
@@ -1369,7 +1379,8 @@ object StreamingOps {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .filter(col("event_type") === "purchase")
+      // probe side: an un-timestamped purchase cannot address an interval
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
       .select(col("user_id"), graft.rel.Q.tsMillis(col("ts")).as("ts_ms"),
         col("event_id"))
       .join(dim,
@@ -1391,7 +1402,7 @@ object StreamingOps {
   private val SCD_LOOKUP_SQL = """
     WITH ev AS (
       SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     flagged AS (
       SELECT user_id, event_type, ts_ms, event_id,
              CASE WHEN lag(event_type) OVER w IS NULL
@@ -1418,7 +1429,7 @@ object StreamingOps {
       FROM runs),
     p AS (
       SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
-      WHERE event_type = 'purchase')
+      WHERE event_type = 'purchase' AND ts IS NOT NULL)
     SELECT p.user_id, p.event_id, p.ts_ms, dim.version, dim.state
     FROM p JOIN dim
       ON p.user_id = dim.du AND p.ts_ms >= dim.valid_from

@@ -131,6 +131,51 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(run("vec_gram").count() == 2080L)
   }
 
+  /** NULL KEYS — timestamps and group keys: the regime where engine
+    * defaults diverge silently (Spark windows order NULLS FIRST, DuckDB
+    * LAST; equi-joins drop NULL keys; streaming windows drop NULL times).
+    */
+  private lazy val nullKeyDir: String = {
+    val dir = TempDirs.create("graft_nullkey_sf")
+    val src = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$src/events.parquet").selectExpr(
+      "event_id", "IF(event_id % 7 = 4, NULL, ts) AS ts", "user_id",
+      "IF(event_id % 11 = 5, NULL, event_type) AS event_type",
+      "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.read.parquet(s"$src/orders.parquet").selectExpr(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "IF(o_orderkey % 9 = 4, NULL, o_orderdate) AS o_orderdate",
+      "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"$src/lineitem.parquet").selectExpr(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus",
+      "IF(l_orderkey % 9 = 4, NULL, l_shipdate) AS l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    dir
+  }
+
+  test("NULL time/group keys: time-ordered ops exclude them, groups keep them") {
+    def run(name: String) = SparkEntry.queries(name)(spark, nullKeyDir)
+    // journeys/versions/as-of merges operate on timestamped events only
+    for (q <- Seq("sq_markov", "sq_user_seq", "aj_asof", "q22_scd2"))
+      assert(run(q).count() > 0L, s"$q must run on null-key input")
+    // a NULL group key IS a group: quantiles must not lose it through an
+    // equi-join (6 type groups = 5 named + NULL)
+    assert(run("q21_quantile").count() == 6L)
+    assert(run("sk_hll_users").count() == 6 * 64L)
+    // split-writes must PARTITION the feed (null-safe splits, and the
+    // second time-travel commit carries the un-timestamped rows): both
+    // versions see all 6 type groups, NULL included
+    assert(run("src_time_travel").count() == 12L)
+  }
+
   test("grand-total and report rows carry zeros, not NULL verdicts") {
     val cube = SparkEntry.queries("q24_cube")(spark, emptyDir).collect()(0)
     assert(cube.getAs[Long]("n") == 0L && cube.getAs[Long]("gid") == 3L)
