@@ -644,4 +644,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("sq_markov_removal").contains("LocalTableScan"),
       "expected the driver-folded variant table")
   }
+
+  test("degenerate-input contracts push their not-null predicates to the scan") {
+    // the time-ordered contract (ts IS NOT NULL) and the NULL-vector
+    // contract (embedding IS NOT NULL) must be FREE at scale: pushed
+    // into the parquet scan, not a post-scan residual filter only
+    val mk = plan("sq_markov")
+    assert(mk.contains("IsNotNull(ts)"),
+      s"ts not-null predicate not pushed:\n$mk")
+    val vg = plan("vec_gram")
+    assert(vg.contains("IsNotNull(embedding)"),
+      s"embedding not-null predicate not pushed:\n$vg")
+  }
+
+  test("marker-row densification adds no exchange to the pixel pipeline") {
+    // tilesFromPixels unions one marker row per grid cell INTO the
+    // existing groupByKey shuffle; a second exchange would mean the
+    // densify grew its own stage
+    val p = plan("px_segment")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"px_segment grew extra exchanges ($exchanges):\n$p")
+  }
 }
