@@ -212,8 +212,17 @@ object CoreQueries {
         GROUP BY ROLLUP(r_name, n_name)""")
       // SQL standard: ROLLUP's () grouping set aggregates the whole input,
       // so ZERO input rows still produce the grand-total row (DuckDB does);
-      // Spark's Expand-based rollup emits nothing — restore the standard row
-      if (base.isEmpty)
+      // Spark's Expand-based rollup emits nothing — restore the standard row.
+      // The probe runs on the PRE-AGGREGATION join (LIMIT-1 short-circuit),
+      // not on `base`: probing the rollup itself would execute the Expand +
+      // full aggregation once for the probe and again on the real action.
+      val inputEmpty = s.sql(s"""
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */ 1
+        FROM parquet.`$d/customer.parquet` c
+        JOIN parquet.`$d/nation.parquet` n ON c_nationkey = n_nationkey
+        JOIN parquet.`$d/region.parquet` r ON n_regionkey = r_regionkey
+        LIMIT 1""").isEmpty
+      if (inputEmpty)
         s.sql("""SELECT CAST(NULL AS STRING) AS r_name,
                         CAST(NULL AS STRING) AS n_name,
                         CAST(0 AS BIGINT) AS n_cust""")

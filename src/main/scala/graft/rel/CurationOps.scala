@@ -576,8 +576,10 @@ object CurationOps {
         .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
       // SQL standard: CUBE's () grouping set aggregates the whole input, so
       // an empty table still yields the grand-total row (gid 3, count 0);
-      // Spark's Expand emits nothing on zero rows — restore the standard row
-      if (base.isEmpty)
+      // Spark's Expand emits nothing on zero rows — restore the standard row.
+      // Probe the raw TABLE (LIMIT-1 scan), not `base`: probing the cube
+      // would run the Expand + full aggregation twice per invocation.
+      if (tbl(s, d, "orders").limit(1).isEmpty)
         base.sparkSession.sql(
           """SELECT CAST(NULL AS STRING) AS o_orderstatus,
                     CAST(NULL AS STRING) AS o_orderpriority,

@@ -11,8 +11,13 @@ object GraphOps {
 
   /** Session conf key: edge-count cap (PAIRS, pre-mirroring) below which
     * the component labeling collapses to a driver-side union-find instead
-    * of the distributed fixpoint. Default 1M pairs (~30 MB transient on
-    * the driver) — a runtime-bounded round-trip in the AQE spirit
+    * of the distributed fixpoint. Default 1M pairs: the mirrored edge list
+    * collects as per-partition PRIMITIVE long arrays (2M rows = ~32 MB,
+    * no boxed tuples) and the union-find runs over open-addressed
+    * primitive tables sized to the DISTINCT vertices actually seen —
+    * worst-case (every endpoint distinct) ~120 MB transient, typical
+    * near-dup graphs far less — a runtime-bounded round-trip in the AQE
+    * spirit
     * (decide the physical strategy from the observed size): at harness
     * scale the near-dup edge sets are 10³-10⁵ pairs, and ~4 fixpoint
     * rounds × 4 jobs of pure scheduling cost an order of magnitude more
@@ -25,29 +30,108 @@ object GraphOps {
     */
   val DriverCapKey = "graft.graph.componentsDriverMaxEdges"
 
-  /** Driver union-find over the mirrored edge list: same output contract
-    * as the fixpoint — every edge-touched vertex labeled with the MINIMUM
-    * vertex id of its component.
+  /** Allocation-lean union-find over long vertex ids: an open-addressed
+    * (linear-probe, load factor <= 0.5, doubling) primitive hash table maps
+    * ids to dense indices; the parent forest is a plain Array[Int]. No
+    * boxing anywhere on the hot path, and memory tracks the DISTINCT
+    * vertices actually seen, not a worst-case bound.
     */
-  private def driverComponents(sym: Array[(Long, Long)]): Array[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
+  private[graft] final class LongUnionFind(initialCap: Int = 1 << 12) {
+    require(initialCap >= 4 && (initialCap & (initialCap - 1)) == 0,
+      "initialCap must be a power of two")
+    private var mask = initialCap - 1
+    private var keys = new Array[Long](initialCap)
+    private var slots = new Array[Int](initialCap)
+    private var used = new Array[Boolean](initialCap)
+    private var ids = new Array[Long](initialCap / 2)
+    private var parent = new Array[Int](initialCap / 2)
+    private var n = 0
+
+    def size: Int = n
+
+    private def rehash(): Unit = {
+      val ncap = (mask + 1) << 1
+      val nk = new Array[Long](ncap)
+      val ns = new Array[Int](ncap)
+      val nu = new Array[Boolean](ncap)
+      val nm = ncap - 1
+      var i = 0
+      while (i <= mask) {
+        if (used(i)) {
+          var j = (java.lang.Long.hashCode(keys(i)) * 0x9E3779B9) & nm
+          while (nu(j)) j = (j + 1) & nm
+          nu(j) = true; nk(j) = keys(i); ns(j) = slots(i)
+        }
+        i += 1
+      }
+      keys = nk; slots = ns; used = nu; mask = nm
+    }
+
+    /** Dense index of `k`, inserting it as its own singleton on first sight. */
+    private def indexOf(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k) * 0x9E3779B9) & mask
+      while (used(i)) {
+        if (keys(i) == k) return slots(i)
+        i = (i + 1) & mask
+      }
+      used(i) = true; keys(i) = k; slots(i) = n
+      if (n == ids.length) {
+        ids = java.util.Arrays.copyOf(ids, n * 2)
+        parent = java.util.Arrays.copyOf(parent, n * 2)
+      }
+      ids(n) = k; parent(n) = n; n += 1
+      if (n.toLong * 2 > mask) rehash()
+      n - 1
+    }
+
+    private def find(x: Int): Int = {
       var r = x
-      while (parent.get(r) != r) r = parent.get(r)
+      while (parent(r) != r) r = parent(r)
       var c = x
-      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      while (parent(c) != r) { val t = parent(c); parent(c) = r; c = t }
       r
     }
-    sym.foreach { case (a, b) =>
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(indexOf(a))
+      val rb = find(indexOf(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val it = parent.keySet().iterator()
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    while (it.hasNext) { val v = it.next(); out += ((v, find(v))) }
-    out.toArray
+
+    /** (vertex id, MINIMUM id of its component) for every vertex seen —
+      * roots are min-DENSE-INDEX, so a final min-id sweep restores the
+      * min-id contract regardless of insertion order.
+      */
+    def labels(): Array[(Long, Long)] = {
+      val minId = new Array[Long](n)
+      java.util.Arrays.fill(minId, Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val r = find(i)
+        if (ids(i) < minId(r)) minId(r) = ids(i)
+        i += 1
+      }
+      val out = new Array[(Long, Long)](n)
+      i = 0
+      while (i < n) { out(i) = (ids(i), minId(find(i))); i += 1 }
+      out
+    }
+  }
+
+  /** Driver union-find over the mirrored edge list: same output contract
+    * as the fixpoint — every edge-touched vertex labeled with the MINIMUM
+    * vertex id of its component. Edges arrive as per-partition primitive
+    * long-array pairs (see the collect site) so the driver never holds a
+    * boxed row per edge.
+    */
+  private def driverComponents(
+      parts: Array[(Array[Long], Array[Long])]): Array[(Long, Long)] = {
+    val uf = new LongUnionFind()
+    parts.foreach { case (srcs, dsts) =>
+      var i = 0
+      while (i < srcs.length) { uf.union(srcs(i), dsts(i)); i += 1 }
+    }
+    uf.labels()
   }
 
   /** Connected components by Pregel-style min-label propagation with
@@ -101,8 +185,17 @@ object GraphOps {
     val nSym = sym.count()
     val cap = spark.conf.getOption(DriverCapKey).map(_.toLong).getOrElse(1000000L)
     if (nSym <= 2 * cap) {
-      val labels = driverComponents(
-        sym.as[(Long, Long)].collect()).toSeq.toDF("doc_id", "comp")
+      // collect as per-partition primitive arrays: 16 bytes/edge transient
+      // on the driver instead of a boxed (Long, Long) row per edge
+      val parts = sym.select(col("src"), col("dst")).rdd
+        .mapPartitions { it =>
+          val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+          val db = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { r => sb += r.getLong(0); db += r.getLong(1) }
+          Iterator.single((sb.result(), db.result()))
+        }.collect()
+      val labels =
+        driverComponents(parts).toSeq.toDF("doc_id", "comp")
       val untouched = vertices.select(col("doc_id"))
         .join(labels.select(col("doc_id").as("td")),
           col("doc_id") === col("td"), "left_anti")

@@ -25,6 +25,31 @@ object SourceOps {
   private def stage(kind: String): String =
     s"$stageRoot/${kind}_${invocation.incrementAndGet()}"
 
+  /** One fixed-width column slice. Sign-aware zero padding: a negative
+    * value keeps its '-' at the FRONT of the slot ("-0000000000005"),
+    * which trims and casts back exactly; a naive lpad would yield
+    * "0000000000000-5" — silent corruption the width assert cannot see,
+    * surfacing only as a confusing decode-cast failure far from the
+    * write. NULL encodes as the all-spaces slot (the classic fixed-width
+    * convention); any value wider than its slot fails the write loudly
+    * (lpad/rpad would silently truncate).
+    */
+  private[graft] def fwField(c: Column, w: Int, pad: String,
+      left: Boolean): Column = {
+    val str = c.cast("string")
+    val padded =
+      if (left && pad == "0")
+        when(str.startsWith("-"),
+          concat(lit("-"), lpad(substring(str, 2, w), w - 1, pad)))
+          .otherwise(lpad(str, w, pad))
+      else if (left) lpad(str, w, pad)
+      else rpad(str, w, pad)
+    when(c.isNull, lit(" " * w))
+      .otherwise(when(length(str) > w, raise_error(concat(
+        lit(s"fixed-width field overflow (> $w chars): "), str)))
+        .otherwise(padded))
+  }
+
   /** Events projected to the columns whose text/binary round-trip is
     * format-exact: longs, strings, the micro-precision timestamp (written
     * with an explicit 6-digit fraction pattern on the text formats), and
@@ -294,16 +319,6 @@ object SourceOps {
     // no error — over-width rows must fail the write loudly instead.
     Q("src_fixedwidth", (s, d) => {
       val dir = stage("fw")
-      def fwField(c: Column, w: Int, pad: String, left: Boolean): Column = {
-        val str = c.cast("string")
-        val padded = if (left) lpad(str, w, pad) else rpad(str, w, pad)
-        // NULL encodes as the all-spaces slot (the classic fixed-width
-        // convention) so a missing measurement keeps its record intact
-        when(c.isNull, lit(" " * w))
-          .otherwise(when(length(str) > w, raise_error(concat(
-            lit(s"fixed-width field overflow (> $w chars): "), str)))
-            .otherwise(padded))
-      }
       tbl(s, d, "events").select(concat(
         fwField(col("event_id"), 12, "0", left = true),
         fwField(Q.tsMicros(col("ts")), 20, "0", left = true),

@@ -21,7 +21,9 @@ import graft.tiles.{GridSpec, Tile}
   * read and written on executors; [[readBox]]-style pruning composes via
   * [[read]]'s predicate overload.
   */
-object Zarr3IO {
+// Serializable for the same reason as ZarrIO: executor closures call the
+// lifted local fillTile, capturing the stateless singleton.
+object Zarr3IO extends Serializable {
 
   /** v3 data_type -> v2 dtype string understood by the shared chunk codec. */
   private val DTYPES = Map(
@@ -273,32 +275,37 @@ object Zarr3IO {
     val v2 = meta.v2
     val grid = meta.spec.gridShape
     // absent chunk objects read as fill_value (zarr v3 semantics) — same
-    // dense-frame contract as the v2 tile reader
+    // dense-frame contract as the v2 tile reader. As in ZarrIO.readPruned,
+    // the nominal grid is never materialized on the driver: executors decode
+    // their own row-major index range against a broadcast presence set, so
+    // driver memory stays O(present chunks) on sparse stores.
     val present = listChunkLocs(dir, meta).map(_.mkString(",")).toSet
-    val work = ZarrIO.enumerateGrid(grid).filter(keep)
-      .map(l => (l.toSeq, present.contains(l.mkString(","))))
+    val presentB = spark.sparkContext.broadcast(present)
     val dims = meta.dims
     val sep = meta.separator
     val shape = meta.shape
     val chunks = meta.chunks
     val fill = meta.fillValue
     val sconf = StoreIO.ser(StoreIO.hadoopConf)
-    spark.createDataset(work)
-      .repartition(math.max(1, math.min(work.size,
-        spark.sparkContext.defaultParallelism)))
-      .map { case (locSeq, isPresent) =>
-        val loc = locSeq.toArray
-        val tileShape = Array.tabulate(dims) { a =>
-          math.min(chunks(a).toLong, shape(a) - loc(a).toLong * chunks(a)).toInt
-        }
-        if (!isPresent)
-          Tile(loc, grid.clone(), tileShape,
-            Array.fill(tileShape.product)(fill))
+    val total = grid.foldLeft(1L)(_ * _)
+    val par = spark.sparkContext.defaultParallelism
+    spark.range(0L, total, 1L, math.max(1L, math.min(total, par.toLong)).toInt)
+      .flatMap { i =>
+        val loc = ZarrIO.locOfIndex(i, grid)
+        if (!keep(loc)) None
         else {
-          val raw = StoreIO.readAllBytes(sconf.value,
-            new Path(dir, chunkKey(loc, sep)).toString)
-          Tile(loc, grid.clone(), tileShape,
-            ZarrIO.decodeChunk(raw, v2, loc, tileShape))
+          val tileShape = Array.tabulate(dims) { a =>
+            math.min(chunks(a).toLong, shape(a) - loc(a).toLong * chunks(a)).toInt
+          }
+          if (!presentB.value.contains(loc.mkString(",")))
+            Some(Tile(loc, grid.clone(), tileShape,
+              Array.fill(tileShape.product)(fill)))
+          else {
+            val raw = StoreIO.readAllBytes(sconf.value,
+              new Path(dir, chunkKey(loc, sep)).toString)
+            Some(Tile(loc, grid.clone(), tileShape,
+              ZarrIO.decodeChunk(raw, v2, loc, tileShape)))
+          }
         }
       }
   }
@@ -328,17 +335,15 @@ object Zarr3IO {
     // absent SHARD objects and ABSENT index entries inside present shards
     // both read as fill_value (v3 sharding semantics) — the dense frame a
     // pipeline expects; a missing shard synthesizes its kept inners with
-    // zero I/O
+    // zero I/O. Driver work is O(present shards): the shard grid is walked
+    // executor-side (each task decodes its own row-major index range), and
+    // per-shard inner enumeration never touches the driver at all.
     val fill = meta.fillValue
     val presentShards = listChunkLocs(dir, meta).map(_.mkString(",")).toSet
+    val presentB = spark.sparkContext.broadcast(presentShards)
     val shardGrid = meta.spec.gridShape
-    val work: Seq[(Seq[Int], Seq[Seq[Int]], Boolean)] =
-      ZarrIO.enumerateGrid(shardGrid).flatMap { sl =>
-        val kept = innerLocsOf(sl, ips, innerGrid).filter(keep)
-        if (kept.isEmpty) None
-        else Some((sl.toSeq, kept.map(_.toSeq),
-          presentShards.contains(sl.mkString(","))))
-      }
+    val shardTotal = shardGrid.foldLeft(1L)(_ * _)
+    val par = spark.sparkContext.defaultParallelism
     val sconf = StoreIO.ser(StoreIO.hadoopConf)
     def fillTile(il: Array[Int]): Tile = {
       val tileShape = Array.tabulate(dims) { a =>
@@ -347,13 +352,15 @@ object Zarr3IO {
       Tile(il, innerGrid.clone(), tileShape,
         Array.fill(tileShape.product)(fill))
     }
-    spark.createDataset(work)
-      .repartition(math.max(1, math.min(work.size,
-        spark.sparkContext.defaultParallelism)))
-      .flatMap { case (slSeq, keptSeq, isPresent) =>
-        if (!isPresent) keptSeq.map(il => fillTile(il.toArray))
+    spark.range(0L, shardTotal, 1L,
+        math.max(1L, math.min(shardTotal, par.toLong)).toInt)
+      .flatMap { si =>
+        val sl = ZarrIO.locOfIndex(si, shardGrid)
+        val keptSeq = innerLocsOf(sl, ips, innerGrid).filter(keep)
+        val isPresent = presentB.value.contains(sl.mkString(","))
+        if (keptSeq.isEmpty) Seq.empty[Tile]
+        else if (!isPresent) keptSeq.map(fillTile)
         else {
-        val sl = slSeq.toArray
         val path = new Path(dir, chunkKey(sl, sep)).toString
         val idxSize = cps * 16 + (if (crc) 4 else 0)
         val idxOff =
@@ -364,8 +371,7 @@ object Zarr3IO {
         try {
           val (offs, lens) =
             decodeShardIndex(StoreIO.readRange(in, idxOff, idxSize), cps, crc, path)
-          keptSeq.flatMap { ilSeq =>
-            val il = ilSeq.toArray
+          keptSeq.flatMap { il =>
             val pos = Array.tabulate(dims)(a => il(a) - sl(a) * ips(a))
             val k = graft.core.Regions.linearIndex(pos, ips).toInt
             if (offs(k) == ABSENT && lens(k) == ABSENT) Seq(fillTile(il))

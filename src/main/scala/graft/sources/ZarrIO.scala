@@ -35,7 +35,9 @@ import graft.tiles.{GridSpec, Tile}
   * plain JVM cluster cannot assume). Chunks are stored full-size in C
   * order, edge chunks padded with `fill_value` — both per the v2 spec.
   */
-object ZarrIO {
+// Serializable: stateless codec object; executor closures reference its
+// lifted local helpers (buildTile), which captures the singleton itself.
+object ZarrIO extends Serializable {
 
   final case class Meta(
       shape: Array[Long],
@@ -218,6 +220,16 @@ object ZarrIO {
   def read(spark: SparkSession, dir: String): Dataset[Tile] =
     readPruned(spark, dir, _ => true)
 
+  /** Sparse read: only the chunks that exist as objects — no fill-tile
+    * synthesis for absent grid cells. For a mostly-empty store this keeps
+    * the driver work AND the job size O(present chunks) instead of
+    * O(nominal grid); use it when downstream logic treats absence as
+    * absence (e.g. compaction, GC, re-sharding) rather than as the dense
+    * fill_value frame a pipeline read expects.
+    */
+  def readPresent(spark: SparkSession, dir: String): Dataset[Tile] =
+    readPruned(spark, dir, _ => true, includeFill = false)
+
   /** Read only the chunks whose grid coordinates fall in `[lo, hi]`
     * (inclusive) — chunk-level pruning before any payload I/O.
     */
@@ -227,56 +239,76 @@ object ZarrIO {
       loc => loc.indices.forall(a => loc(a) >= lo(a) && loc(a) <= hi(a)))
 
   private def readPruned(spark: SparkSession, dir: String,
-      keep: Array[Int] => Boolean): Dataset[Tile] = {
+      keep: Array[Int] => Boolean, includeFill: Boolean = true): Dataset[Tile] = {
     import spark.implicits._
     val meta = readMeta(dir)
     val grid = meta.spec.gridShape
     // driver sees names only; the separator "/" layout nests directories.
     // Zarr semantics: a chunk OBJECT that does not exist still READS as
-    // fill_value — the tile dataset is the dense dask-array frame the
-    // reference pipelines over, so absent kept chunks become explicit fill
-    // tiles (cf. relabeling.py reading any zarr region). The dense
-    // enumeration is grid-sized driver work, same order as the listing
-    // itself; the DSv2 relational scan remains the sparse/pruned path.
+    // fill_value — the dense tile dataset is the dask-array frame the
+    // reference pipelines over (cf. relabeling.py reading any zarr region).
+    // Driver-side cost is O(present chunks) in BOTH modes: the dense path
+    // never materializes the nominal grid — executors decode their own
+    // row-major index range and check presence in a broadcast set.
     val present = listChunkLocs(dir, meta).map(_.mkString(",")).toSet
-    val work = enumerateGrid(grid).filter(keep)
-      .map(l => (l.toSeq, present.contains(l.mkString(","))))
     val dims = meta.dims
     val sep = meta.separator
     val shape = meta.shape
     val chunks = meta.chunks
     val fill = meta.fillValue
     val sconf = StoreIO.ser(StoreIO.hadoopConf)
-    spark.createDataset(work)
-      .repartition(math.max(1, math.min(work.size,
-        spark.sparkContext.defaultParallelism)))
-      .map { case (locSeq, isPresent) =>
-        val loc = locSeq.toArray
-        val tileShape = Array.tabulate(dims) { a =>
-          math.min(chunks(a).toLong, shape(a) - loc(a).toLong * chunks(a)).toInt
-        }
-        if (!isPresent)
-          Tile(loc, grid.clone(), tileShape,
-            Array.fill(tileShape.product)(fill))
-        else {
-          val raw = StoreIO.readAllBytes(sconf.value,
-            new Path(dir, loc.mkString(sep)).toString)
-          Tile(loc, grid.clone(), tileShape,
-            decodeChunk(raw, meta, loc, tileShape))
-        }
+    val par = spark.sparkContext.defaultParallelism
+
+    def buildTile(loc: Array[Int], isPresent: Boolean): Tile = {
+      val tileShape = Array.tabulate(dims) { a =>
+        math.min(chunks(a).toLong, shape(a) - loc(a).toLong * chunks(a)).toInt
       }
+      if (!isPresent)
+        Tile(loc, grid.clone(), tileShape,
+          Array.fill(tileShape.product)(fill))
+      else {
+        val raw = StoreIO.readAllBytes(sconf.value,
+          new Path(dir, loc.mkString(sep)).toString)
+        Tile(loc, grid.clone(), tileShape,
+          decodeChunk(raw, meta, loc, tileShape))
+      }
+    }
+
+    if (!includeFill) {
+      // O(present) end to end: parallelize the listing itself.
+      val locs = present.toSeq.sorted
+        .map(_.split(',').map(_.toInt)).filter(keep).map(_.toSeq)
+      spark.createDataset(locs)
+        .repartition(math.max(1, math.min(locs.size, par)))
+        .map(l => buildTile(l.toArray, isPresent = true))
+    } else {
+      val total = grid.foldLeft(1L)(_ * _)
+      val presentB = spark.sparkContext.broadcast(present)
+      spark.range(0L, total, 1L, math.max(1L, math.min(total, par.toLong)).toInt)
+        .flatMap { i =>
+          val loc = locOfIndex(i, grid)
+          if (!keep(loc)) None
+          else Some(buildTile(loc, presentB.value.contains(loc.mkString(","))))
+        }
+    }
   }
 
-  /** All grid locations in row-major order. */
+  /** Row-major decode of a flat grid index into grid coordinates. */
+  private[sources] def locOfIndex(i: Long, grid: Array[Int]): Array[Int] = {
+    val loc = new Array[Int](grid.length)
+    var rem = i
+    var a = grid.length - 1
+    while (a >= 0) { loc(a) = (rem % grid(a)).toInt; rem /= grid(a); a -= 1 }
+    loc
+  }
+
+  /** All grid locations in row-major order (driver-side helper; read paths
+    * use [[locOfIndex]] on executors so the nominal grid is never a
+    * driver-memory structure).
+    */
   private[sources] def enumerateGrid(grid: Array[Int]): Seq[Array[Int]] = {
     val total = grid.foldLeft(1L)(_ * _)
-    (0L until total).map { i =>
-      val loc = new Array[Int](grid.length)
-      var rem = i
-      var a = grid.length - 1
-      while (a >= 0) { loc(a) = (rem % grid(a)).toInt; rem /= grid(a); a -= 1 }
-      loc
-    }
+    (0L until total).map(locOfIndex(_, grid))
   }
 
   private[sources] def listChunkLocs(dir: String, meta: Meta): Seq[Array[Int]] = {

@@ -73,6 +73,36 @@ class GraphOpsSpec extends AnyFunSuite {
     check(25, Seq.empty)
   }
 
+  test("LongUnionFind: agrees with naive union-find across grows, any ids") {
+    // ids chosen to stress the open-addressed table: negatives, zero,
+    // Long extremes, and enough distinct vertices to force several
+    // rehash doublings past the 4096 initial capacity
+    val rnd = new scala.util.Random(17)
+    val ids = (0 until 6000).map(_ => rnd.nextLong()) ++
+      Seq(0L, -1L, Long.MinValue, Long.MaxValue, 42L)
+    val edges = (0 until 9000).map { _ =>
+      (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length)))
+    } ++ Seq((Long.MinValue, Long.MaxValue), (0L, -1L))
+    val uf = new GraphOps.LongUnionFind()
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    val got = uf.labels().toMap
+    // naive reference over boxed longs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("tx_mix_apply spends each source's budget without overshooting") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("tx_mix_apply")(spark, "/root/testdata/sf0.001")

@@ -24,17 +24,25 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
 
-  /** Shuffle bytes written while materializing query `name` once. */
+  /** Shuffle bytes written while materializing query `name` once. The
+    * counter is only meaningful because suites run serially against the
+    * shared session (build.sbt `Test / parallelExecution := false`) — a
+    * concurrent suite's tasks would land in the same global listener.
+    */
   private def shuffleOf(name: String): Long = {
-    spark.sparkContext.addSparkListener(listener)
+    val sc = spark.sparkContext
+    // deterministic drain: no events from before this measurement linger
+    org.apache.spark.ListenerDrain.drain(sc)
+    sc.addSparkListener(listener)
     try {
       bytes.set(0)
       SparkEntry.queries(name)(spark, sf).count()
-      // listener events drain asynchronously
-      Thread.sleep(800)
+      // block until the bus has dispatched every posted event — a fixed
+      // sleep either truncates the count (slow bus) or wastes wall-clock
+      org.apache.spark.ListenerDrain.drain(sc)
       bytes.get()
     } finally {
-      spark.sparkContext.removeSparkListener(listener)
+      sc.removeSparkListener(listener)
       spark.catalog.clearCache()
     }
   }

@@ -109,4 +109,31 @@ class ZarrSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("u1 range") ||
       Option(ex.getCause).exists(_.getMessage.contains("u1 range")))
   }
+
+  test("sparse store: dense read synthesizes fill, readPresent skips it") {
+    import spark.implicits._
+    val spec = GridSpec(Array(6L, 8L), Array(3, 4))
+    val tiles = (for (gy <- 0 until 2; gx <- 0 until 2) yield
+      Tile(Array(gy, gx), Array(2, 2), Array(3, 4),
+        Array.fill(12)((gy * 2 + gx + 1).toLong))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("zarr_sparse").toString
+    ZarrIO.write(spark.createDataset(tiles), spec, dir, "<i4", "")
+    // punch a hole: delete chunk (1,0) so the store is genuinely sparse
+    val sep = ZarrIO.readMeta(dir).separator
+    val hole = new java.io.File(dir, Seq(1, 0).mkString(sep))
+    assert(hole.delete(), s"could not delete $hole")
+
+    val dense = ZarrIO.read(spark, dir).collect()
+    assert(dense.length == 4, "dense frame keeps the nominal grid")
+    val filled = dense.find(_.loc.toSeq == Seq(1, 0)).get
+    assert(filled.data.forall(_ == 0L), "absent chunk reads as fill_value")
+
+    val present = ZarrIO.readPresent(spark, dir).collect()
+    assert(present.length == 3, "sparse read is O(present chunks)")
+    assert(!present.exists(_.loc.toSeq == Seq(1, 0)))
+    present.foreach { t =>
+      val orig = tiles.find(_.loc.toSeq == t.loc.toSeq).get
+      assert(t.data.toSeq == orig.data.toSeq)
+    }
+  }
 }
