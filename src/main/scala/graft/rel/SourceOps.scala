@@ -113,6 +113,69 @@ object SourceOps {
              min(morton) AS m_lo, max(morton) AS m_hi
       FROM z GROUP BY 1"""
 
+  /** One Lam–Shapiro Hilbert step as a CTE pair (quadrant bits, then
+    * rotate + accumulate) — the relational twin of one iteration of
+    * [[graft.functions.HilbertIndex]]'s generated loop.
+    */
+  private def hilbertStep(s: Long, k: Int, from: String): String = {
+    val flip = (1L << 16) - 1 // n-1 for the order-16 grid
+    // everything is ARITHMETIC on the 0/1 quadrant bits, never CASE: a
+    // NULL key must propagate to a NULL index exactly as the Spark
+    // expression's null-safe eval does, and CASE WHEN would swallow the
+    // NULL comparison as false. 3rx + ry - 2rxry == (3*rx) XOR ry on
+    // {0,1}²; the rotate is the same convex-combination trick.
+    s"""
+      hr$k AS (SELECT x0, y0, x, y, d,
+                      CAST((x & $s) > 0 AS INTEGER) AS rx,
+                      CAST((y & $s) > 0 AS INTEGER) AS ry
+               FROM $from),
+      h$k AS (SELECT x0, y0,
+                     ry * x + (1 - ry) *
+                       ((1 - rx) * y + rx * ($flip - y)) AS x,
+                     ry * y + (1 - ry) *
+                       ((1 - rx) * x + rx * ($flip - x)) AS y,
+                     d + CAST(${s * s} AS BIGINT) *
+                         (3 * rx + ry - 2 * rx * ry) AS d
+              FROM hr$k)"""
+  }
+
+  /** The full 16-iteration Hilbert unroll over 16-bit (x, y) from
+    * lineitem keys; ends with relation h16(x0, y0, d).
+    */
+  private val HILBERT_CTES = {
+    val sb = new StringBuilder(s"""
+      WITH h0 AS (
+        SELECT l_orderkey & 65535 AS x0, l_partkey & 65535 AS y0,
+               l_orderkey & 65535 AS x, l_partkey & 65535 AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM lineitem)""")
+    var k = 1
+    var s = 1L << 15
+    while (s > 0) {
+      sb.append(",").append(hilbertStep(s, k, s"h${k - 1}"))
+      k += 1; s >>= 1
+    }
+    sb.toString
+  }
+
+  /** 16-bit-domain Morton twin of HILBERT_CTES (same x0/y0 inputs), for
+    * the head-to-head locality comparison; ends with m(x0, y0, code).
+    */
+  private val MORTON16_CTES = {
+    def step(mask: Long, shift: Int, from: String): String =
+      s"""
+      SELECT x0, y0, ((sx | (sx << $shift)) & $mask) AS sx,
+                     ((sy | (sy << $shift)) & $mask) AS sy FROM $from"""
+    s""",
+      m0 AS (SELECT x0, y0, x0 AS sx, y0 AS sy FROM h0),
+      m1 AS (${step(281470681808895L, 16, "m0")}),
+      m2 AS (${step(71777214294589695L, 8, "m1")}),
+      m3 AS (${step(1085102592571150095L, 4, "m2")}),
+      m4 AS (${step(3689348814741910323L, 2, "m3")}),
+      m5 AS (${step(6148914691236517205L, 1, "m4")}),
+      m AS (SELECT x0, y0, (sx | (sy << 1)) AS code FROM m5)"""
+  }
+
   def all: Seq[Q] = Seq(
 
     // Z-order layout: Morton-interleave (l_orderkey, l_partkey) with the
@@ -161,6 +224,82 @@ object SourceOps {
     }, Some(ZORDER_CTES + """
       SELECT ok, pk, morton FROM z
       WHERE ok BETWEEN 1000 AND 3000 AND pk BETWEEN 20 AND 150""")),
+
+    // Hilbert layout: the order-16 Hilbert index of (l_orderkey & 65535,
+    // l_partkey & 65535) via the codegen'd HilbertIndex expression; the
+    // per-index-range key envelopes are the file statistics a store gets
+    // after a Hilbert OPTIMIZE. min/max of the index per bucket pins every
+    // bit of the 16-iteration rotate/accumulate loop through the hash gate
+    // against the 32-CTE unrolled oracle.
+    Q("lo_hilbert", (s, d) => {
+      tbl(s, d, "lineitem")
+        .select(expr("l_orderkey & 65535").as("x"),
+          expr("l_partkey & 65535").as("y"))
+        .withColumn("h",
+          graft.functions.HilbertIndex.hilbert(col("x"), col("y")))
+        .groupBy(expr("shiftright(h, 16)").as("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_lo"), max("x").as("x_hi"),
+          min("y").as("y_lo"), max("y").as("y_hi"),
+          min("h").as("h_lo"), max("h").as("h_hi"))
+    }, Some(HILBERT_CTES + """
+      SELECT d >> 16 AS hbucket, count(*) AS n,
+             min(x0) AS x_lo, max(x0) AS x_hi,
+             min(y0) AS y_lo, max(y0) AS y_hi,
+             min(d) AS h_lo, max(d) AS h_hi
+      FROM h16 GROUP BY 1""")),
+
+    // Curve-locality head-to-head: bucket the SAME 16-bit key pairs by
+    // their top-8 curve bits under Morton and under Hilbert, and total the
+    // per-bucket bounding-box areas — the quantity min/max file skipping
+    // actually pays for. Hilbert's unit-step traversal yields strictly
+    // tighter envelopes than Morton's power-of-two jumps (HilbertSpec
+    // asserts the inequality; this gate pins both totals exactly). All
+    // integer arithmetic; one data pass computes both codes, the two
+    // roll-ups aggregate 256-row relations.
+    Q("lo_locality", (s, d) => {
+      val coded = tbl(s, d, "lineitem")
+        .select(expr("l_orderkey & 65535").as("x"),
+          expr("l_partkey & 65535").as("y"))
+        .withColumn("morton",
+          graft.functions.InterleaveBits.zorder(col("x"), col("y")))
+        .withColumn("hil",
+          graft.functions.HilbertIndex.hilbert(col("x"), col("y")))
+        .persist()
+      def rollup(curve: String, bucket: Column): DataFrame = coded
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("xlo"), max("x").as("xhi"),
+          min("y").as("ylo"), max("y").as("yhi"))
+        .agg(count(lit(1)).as("n_buckets"), sum("n").as("n_rows"),
+          sum((col("xhi") - col("xlo") + 1) * (col("yhi") - col("ylo") + 1))
+            .as("total_area"))
+        .select(lit(curve).as("curve"), col("n_buckets"), col("n_rows"),
+          col("total_area"))
+      graft.Caching.releaseAfterAction(
+        rollup("hilbert", expr("shiftright(hil, 24)"))
+          .unionByName(rollup("morton", expr("shiftright(morton, 24)"))),
+        coded)
+    }, Some(HILBERT_CTES + MORTON16_CTES + """
+      , henv AS (
+        SELECT d >> 24 AS b, count(*) AS n, min(x0) AS xlo, max(x0) AS xhi,
+               min(y0) AS ylo, max(y0) AS yhi
+        FROM h16 GROUP BY 1),
+      menv AS (
+        SELECT code >> 24 AS b, count(*) AS n, min(x0) AS xlo, max(x0) AS xhi,
+               min(y0) AS ylo, max(y0) AS yhi
+        FROM m GROUP BY 1)
+      SELECT 'hilbert' AS curve, count(*) AS n_buckets,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum((xhi - xlo + 1) * (yhi - ylo + 1)) AS BIGINT)
+               AS total_area
+      FROM henv
+      UNION ALL
+      SELECT 'morton' AS curve, count(*) AS n_buckets,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum((xhi - xlo + 1) * (yhi - ylo + 1)) AS BIGINT)
+               AS total_area
+      FROM menv""")),
 
     // Parquet under zstd — the codec a modern lakehouse actually deploys
     // (better ratio than snappy at comparable decode speed): the same

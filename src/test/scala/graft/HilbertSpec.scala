@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.HilbertIndex
+
+/** The order-16 Hilbert index: bijection + unit-step curve properties, the
+  * Catalyst expression against the reference Scala loop (both codegen and
+  * interpreted paths), and the locality claim the lo_locality gate ships —
+  * Hilbert envelopes are tighter than Morton's on identical keys.
+  */
+class HilbertSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+
+  test("inverse(index(x, y)) == (x, y) on random and boundary points") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (1L, 0L), (0L, 1L), (32768L, 32767L)) ++
+      Seq.fill(2000)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    pts.foreach { case (x, y) =>
+      val d = HilbertIndex.index(x, y)
+      assert(0 <= d && d < (1L << 32), s"index in range for ($x,$y)")
+      assert(HilbertIndex.inverse(d) == ((x, y)), s"bijection at ($x,$y)")
+    }
+  }
+
+  test("consecutive indices are unit Manhattan steps (space-filling curve)") {
+    val rnd = new scala.util.Random(11)
+    // random windows of the curve, plus the corners of the first quadrant
+    val starts = Seq(0L, (1L << 32) - 300L) ++
+      Seq.fill(50)(math.abs(rnd.nextLong()) % ((1L << 32) - 300))
+    starts.foreach { d0 =>
+      var (px, py) = HilbertIndex.inverse(d0)
+      (d0 + 1 to d0 + 299).foreach { d =>
+        val (x, y) = HilbertIndex.inverse(d)
+        assert(math.abs(x - px) + math.abs(y - py) == 1,
+          s"non-unit step at d=$d: ($px,$py) -> ($x,$y)")
+        px = x; py = y
+      }
+    }
+  }
+
+  test("expression matches the Scala loop; masks to 16 bits; NULL-safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(500)((rnd.nextLong(), rnd.nextLong())) :+
+      (0L, 0L) :+ (-1L, -1L) :+ (Long.MaxValue, Long.MinValue)
+    val df = rows.toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+      HilbertIndex.hilbert(col("x"), col("y")).as("h")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == HilbertIndex.index(r.getLong(0), r.getLong(1)))
+    }
+    // NULL input -> NULL index (the contract the arithmetic oracle mirrors)
+    val n = spark.sql("SELECT CAST(NULL AS BIGINT) AS x, CAST(2 AS BIGINT) AS y")
+      .select(HilbertIndex.hilbert(col("x"), col("y")).as("h")).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("lo_locality: hilbert total envelope area <= morton's, rows conserved") {
+    val df = SparkEntry.queries("lo_locality")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (hb, hr, ha) = df("hilbert")
+    val (mb, mr, ma) = df("morton")
+    assert(hr == mr, "both curves cover the same rows")
+    assert(hb > 0 && mb > 0)
+    assert(ha <= ma,
+      s"hilbert envelopes ($ha) must be no looser than morton's ($ma)")
+  }
+}
