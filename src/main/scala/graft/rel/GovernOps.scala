@@ -553,5 +553,61 @@ object GovernOps {
       graft.Caching.releaseAfterAction(applied, delta)
     }, Some(s"""
       WITH ${snapshotSql("nw", NewLo, NewHi)}
-      SELECT user_id, n, st FROM nw""")))
+      SELECT user_id, n, st FROM nw""")),
+
+    // Robust outlier screen — median/MAD, the estimator that survives the
+    // contamination it is hunting (a mean/stddev z-score moves with every
+    // outlier it should flag; the 50% breakdown point of the median does
+    // not). Per event_type over exact value micros: med, the median
+    // absolute deviation, and the count beyond the classic
+    // 3σ-equivalent fence 3·1.4826·MAD. Float discipline: micros stay
+    // BIGINT until ONE median interpolation (both engines compute
+    // lo + (hi-lo)·0.5 in DOUBLE) and ONE fence multiply — no
+    // order-dependent double sums anywhere. Scale shape: group-keyed
+    // aggregates plus BROADCAST joins of the group-sized med/mad
+    // relations back onto the stream — never a data-sized window; the
+    // NULL event_type group is kept through null-safe join keys. Honest
+    // cost note: EXACT medians mean the Percentile aggregation buffers
+    // carry per-group value lists through the shuffle (the price of
+    // matching the oracle bit-for-bit); the 100 TB screen swaps in
+    // approx_percentile / the DDSketch aggregate (sk_ddsketch) with the
+    // identical plan shape and sketch-sized buffers.
+    Q("dq_outliers", (s, d) => {
+      val vm = tbl(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"))
+      val med = vm.groupBy("event_type")
+        .agg(expr("median(vm)").as("med"))
+      val dev = vm.as("v")
+        .join(broadcast(med.as("m")),
+          col("v.event_type") <=> col("m.event_type"))
+        .select(col("v.event_type").as("event_type"), col("vm"),
+          col("med"), abs(col("vm") - col("med")).as("adev"))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("median(adev)").as("mad"))
+      dev.as("d")
+        .join(broadcast(mad.as("a")),
+          col("d.event_type") <=> col("a.event_type"))
+        .groupBy(col("d.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"), min("med").as("med"),
+          min("mad").as("mad"),
+          sum(when(col("adev") > lit(4.4478d) * col("mad"), 1L)
+            .otherwise(0L)).as("n_out"))
+    }, Some("""
+      WITH vm AS (
+        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events),
+      med AS (SELECT event_type, median(vm) AS med FROM vm GROUP BY 1),
+      dev AS (
+        SELECT v.event_type, v.vm, m.med, abs(v.vm - m.med) AS adev
+        FROM vm v JOIN med m
+          ON v.event_type IS NOT DISTINCT FROM m.event_type),
+      mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+      SELECT d.event_type, count(*) AS n, min(d.med) AS med,
+             min(a.mad) AS mad,
+             CAST(sum(CASE WHEN d.adev > 4.4478 * a.mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_out
+      FROM dev d JOIN mad a
+        ON d.event_type IS NOT DISTINCT FROM a.event_type
+      GROUP BY 1""")))
 }

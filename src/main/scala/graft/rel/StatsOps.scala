@@ -1179,7 +1179,56 @@ object StatsOps {
                AS BIGINT) AS n_leaky,
              CAST(sum(CASE WHEN naive_us > us THEN 1 ELSE 0 END) AS BIGINT)
                / count(*) AS leak_share
-      FROM f WHERE event_type = 'purchase' GROUP BY 1""")))
+      FROM f WHERE event_type = 'purchase' GROUP BY 1""")),
+
+    // Deterministic epoch reshuffle — the op every training run performs
+    // on the full corpus, once per epoch: a seeded pseudorandom
+    // PERMUTATION of the documents, reproducible across reruns and
+    // different across epochs, materialized as (shard, rank-within-
+    // shard). Scale shape: shard assignment comes FIRST (a hash digit of
+    // the per-epoch key), so the only window is partitioned by
+    // (epoch, shard) — 100 TB ranks in parallel across shards, never one
+    // global data-sized sort. The permutation key is md5 of doc_id:epoch
+    // (identical hex in both engines), so the gate pins the exact order:
+    // chk = sum(rank * doc_id) changes if ANY two docs swap places.
+    Q("ft_epoch_shuffle", (s, d) => {
+      val epochs = broadcast(s.range(0, 2).select(col("id").as("epoch")))
+      val w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+      tbl(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id").isNotNull) // key contract: NULL ids excluded
+        .crossJoin(epochs)
+        .withColumn("k", md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))))
+        .withColumn("shard", expr(
+          "CAST((locate(substr(k, 1, 1), '0123456789abcdef') - 1) % 8 AS BIGINT)"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("sum_ids"),
+          sum(col("rn") * col("doc_id")).as("chk"),
+          min("k").as("k_lo"), max("k").as("k_hi"))
+    }, Some("""
+      WITH e AS (SELECT CAST(0 AS BIGINT) AS epoch
+                 UNION ALL SELECT CAST(1 AS BIGINT)),
+      k AS (
+        SELECT doc_id, epoch,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+                 AS k
+        FROM documents, e WHERE doc_id IS NOT NULL),
+      sh AS (
+        SELECT doc_id, epoch, k,
+               CAST((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % 8
+                 AS BIGINT) AS shard
+        FROM k),
+      r AS (
+        SELECT *, row_number()
+                 OVER (PARTITION BY epoch, shard ORDER BY k, doc_id) AS rn
+        FROM sh)
+      SELECT epoch, shard, count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(rn * doc_id) AS BIGINT) AS chk,
+             min(k) AS k_lo, max(k) AS k_hi
+      FROM r GROUP BY 1, 2""")))
 
   /** RFM band edges — business constants, shared text. Recency in hours
     * since the corpus watermark; monetary in value micros.

@@ -666,4 +666,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 2,
       s"px_segment grew extra exchanges ($exchanges):\n$p")
   }
+
+  test("lo_hilbert: index fused into the scan projection, 1 exchange, no join") {
+    val p = plan("lo_hilbert")
+    // the curve index must be a plain projected expression over the pruned
+    // scan (codegen fuses it at runtime; AQE's pre-execution string hides
+    // the WholeStageCodegen markers) — never a join or extra stage
+    assert(p.contains("hilbertindex("), s"expression not planned natively:\n$p")
+    assert(!p.contains("Join"), s"pure layout pass must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"layout pass is one aggregate exchange:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_quantity"),
+      s"scan not pruned to the two key columns:\n$read")
+  }
+
+  test("ft_epoch_shuffle windows on (epoch, shard), never a global sort") {
+    val p = plan("ft_epoch_shuffle")
+    // the only exchanges are the (epoch, shard) window partitioning and
+    // the final group-by — no range partitioning (a global sort would
+    // serialize the corpus through one ordering)
+    assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"epoch fan-out must broadcast the 2-row epochs side:\n$p")
+  }
+
+  test("dq_outliers broadcasts the group-sized med/mad relations") {
+    // three BHJ instances: the dev subtree (events ⋈ med) appears once on
+    // the probe side and again inside mad's aggregation — a deliberate
+    // recompute (stateless scans) rather than caching a data-sized
+    // relation; every join build side is a group-sized median relation
+    val p = plan("dq_outliers")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj == 3, s"expected 3 broadcast joins, got $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"group-sized side degenerated to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: the deterministic epoch reshuffle and the
+  * median/MAD outlier screen, checked from first principles (not just
+  * against the DuckDB oracle).
+  */
+class Wave11Spec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ft_epoch_shuffle: reproducible permutation, different per epoch") {
+    val rows = SparkEntry.queries("ft_epoch_shuffle")(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getLong(0))
+    assert(byEpoch.keySet == Set(0L, 1L))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(count(lit(1)), sum("doc_id")).collect()(0)
+    byEpoch.foreach { case (e, shards) =>
+      // every epoch is a PERMUTATION: all docs present exactly once
+      assert(shards.map(_.getLong(2)).sum == corpus.getLong(0), s"epoch $e")
+      assert(shards.map(_.getLong(3)).sum == corpus.getLong(1), s"epoch $e")
+      assert(shards.map(_.getLong(1)).toSet.size == shards.length,
+        s"epoch $e shard ids distinct")
+    }
+    // ...but a DIFFERENT permutation per epoch: the order checksum moves
+    val chk0 = byEpoch(0L).map(r => r.getLong(1) -> r.getLong(4)).toMap
+    val chk1 = byEpoch(1L).map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(chk0 != chk1, "epoch 0 and 1 must shuffle differently")
+    // and reruns agree bit-for-bit (seeded, no RNG state)
+    val again = SparkEntry.queries("ft_epoch_shuffle")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet)
+  }
+
+  test("dq_outliers matches a first-principles median/MAD computation") {
+    val got = SparkEntry.queries("dq_outliers")(spark, sf).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else s(n / 2 - 1) + (s(n / 2) - s(n / 2 - 1)) * 0.5
+    }
+    raw.groupBy(_._1).foreach { case (et, rows) =>
+      val vs = rows.flatMap(_._2).map(_.toDouble).toSeq
+      val (n, med, mad, nOut) = got(et)
+      assert(n == rows.length, s"$et n")
+      if (vs.nonEmpty) {
+        val m = median(vs)
+        val devs = vs.map(v => math.abs(v - m))
+        val md = median(devs)
+        assert(med == m, s"$et median")
+        assert(mad == md, s"$et mad")
+        assert(nOut == devs.count(_ > 4.4478 * md), s"$et outlier count")
+        assert(nOut < n, s"$et: median/MAD cannot flag a majority")
+      }
+    }
+  }
+}
