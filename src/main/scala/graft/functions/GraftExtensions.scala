@@ -37,6 +37,16 @@ object GraftFunctions {
             s"k must be an int literal, got $other")
         }
     })
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "interleave_bits", {
+      children =>
+        require(children.length == 2, "interleave_bits takes 2 arguments")
+        InterleaveBits(children.head, children(1))
+    })
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "hilbert_index", {
+      children =>
+        require(children.length == 2, "hilbert_index takes 2 arguments")
+        HilbertIndex(children.head, children(1))
+    })
   }
 }
 
@@ -69,6 +79,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other =>
             throw new IllegalArgumentException(s"k must be an int literal, got $other")
         }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "interleave_bits takes 2 arguments")
+        InterleaveBits(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "hilbert_index takes 2 arguments")
+        HilbertIndex(children.head, children(1))
       }))
   }
 }

@@ -19,6 +19,28 @@ import Q.tbl
   */
 object AsOfRel {
 
+  /** Oracle twin of [[prevNext]]: DuckDB's native ASOF joins bracket each
+    * event with the previous and next purchase state; shared by the
+    * aj_interp and aj_nearest oracles (relation `n`).
+    */
+  private val PREVNEXT_CTES = """
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) AS t, event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS qv
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      s AS (
+        SELECT user_id, t AS s_t, max(qv) AS sqv
+        FROM e WHERE event_type = 'purchase' GROUP BY user_id, t),
+      p AS (
+        SELECT e.user_id, e.t, s.s_t AS prev_t, s.sqv AS qv0
+        FROM (SELECT user_id, t FROM e) e ASOF LEFT JOIN s
+          ON e.user_id = s.user_id AND e.t >= s.s_t),
+      n AS (
+        SELECT p.user_id, p.t, p.prev_t, p.qv0, s.s_t AS next_t,
+               s.sqv AS qv1
+        FROM p ASOF LEFT JOIN s
+          ON p.user_id = s.user_id AND p.t <= s.s_t)"""
+
   def asofStates(s: SparkSession, d: String): DataFrame = {
     // SQL-equality parity: the operator's key matching is null-safe, the
     // oracle's `e.user_id = s.user_id` is not — drop null keys up front.
@@ -47,7 +69,13 @@ object AsOfRel {
     * parenthesization both engines) so the doubles agree bit-for-bit.
     * DuckDB's native ASOF LEFT JOIN in both directions is the oracle.
     */
-  def asofInterp(s: SparkSession, d: String): DataFrame = {
+  /** Shared prev/next bracketing pass: for every event, the user's latest
+    * purchase state at-or-before it AND the earliest at-or-after it — two
+    * runs of the custom as-of operator (the forward direction rides the
+    * same backward merge over negated time). Feeds both the interpolation
+    * (aj_interp) and the nearest-match (aj_nearest) surfaces.
+    */
+  private def prevNext(s: SparkSession, d: String): DataFrame = {
     val ev = tbl(s, d, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), Q.tsNanos(col("ts")).as("t"),
@@ -61,11 +89,15 @@ object AsOfRel {
       .toDF("user_id", "t", "u2", "prev_t", "qv0").drop("u2")
     val nextStates = states.select(col("user_id"),
       (-col("s_t")).as("n_t"), col("sqv"))
-    val both = AsOf.join(prev.withColumn("nt", -col("t")), nextStates,
+    AsOf.join(prev.withColumn("nt", -col("t")), nextStates,
         Seq("user_id"), "nt", "n_t")
       .toDF("user_id", "t", "prev_t", "qv0", "nt", "u3", "n_t2", "qv1")
       .select(col("user_id"), col("t"), col("prev_t"), col("qv0"),
         (-col("n_t2")).as("next_t"), col("qv1"))
+  }
+
+  def asofInterp(s: SparkSession, d: String): DataFrame = {
+    val both = prevNext(s, d)
     both.select(col("user_id"), col("t"), col("prev_t"), col("next_t"),
       col("qv0"), col("qv1"),
       when(col("prev_t").isNull || col("next_t").isNull,
@@ -76,6 +108,33 @@ object AsOfRel {
             + col("qv1").cast("double") * (col("t") - col("prev_t")).cast("double"))
             / (col("next_t") - col("prev_t")).cast("double"))
         .as("interp"))
+  }
+
+  /** merge_asof direction='nearest': every event takes the purchase state
+    * CLOSEST in time, either side, tie to the earlier one (pandas'
+    * convention). Composition of the same two custom as-of merges as
+    * aj_interp — nearest is prev/next bracketing plus an integer distance
+    * argmin, so no third pass and no new shuffle. One-sided brackets fall
+    * back to the side that exists; a user with no purchases yields NULLs
+    * (left-outer contract).
+    */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    prevNext(s, d).select(col("user_id"), col("t"),
+      when(col("prev_t").isNull && col("next_t").isNull,
+        lit(null).cast("long"))
+        .when(col("next_t").isNull, col("prev_t"))
+        .when(col("prev_t").isNull, col("next_t"))
+        .when(col("t") - col("prev_t") <= col("next_t") - col("t"),
+          col("prev_t"))
+        .otherwise(col("next_t")).as("near_t"),
+      when(col("prev_t").isNull && col("next_t").isNull,
+        lit(null).cast("long"))
+        .when(col("next_t").isNull, col("qv0"))
+        .when(col("prev_t").isNull, col("qv1"))
+        .when(col("t") - col("prev_t") <= col("next_t") - col("t"),
+          col("qv0"))
+        .otherwise(col("qv1")).as("near_qv"))
+      .withColumn("dist", abs(col("t") - col("near_t")))
   }
 
   /** Regular-grid resample with gap fill — the downsampling pass a metrics
@@ -281,23 +340,7 @@ object AsOfRel {
                  RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW) AS n_1h
         FROM allr)
       SELECT user_id, t AS gt, fill_v, n_1h FROM w WHERE is_grid = 1""")),
-    Q("aj_interp", asofInterp, Some("""
-      WITH e AS (
-        SELECT user_id, epoch_ns(ts) AS t, event_type,
-               CAST(round(value * 1000000) AS BIGINT) AS qv
-        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-      s AS (
-        SELECT user_id, t AS s_t, max(qv) AS sqv
-        FROM e WHERE event_type = 'purchase' GROUP BY user_id, t),
-      p AS (
-        SELECT e.user_id, e.t, s.s_t AS prev_t, s.sqv AS qv0
-        FROM (SELECT user_id, t FROM e) e ASOF LEFT JOIN s
-          ON e.user_id = s.user_id AND e.t >= s.s_t),
-      n AS (
-        SELECT p.user_id, p.t, p.prev_t, p.qv0, s.s_t AS next_t,
-               s.sqv AS qv1
-        FROM p ASOF LEFT JOIN s
-          ON p.user_id = s.user_id AND p.t <= s.s_t)
+    Q("aj_interp", asofInterp, Some(PREVNEXT_CTES + """
       SELECT user_id, t, prev_t, next_t, qv0, qv1,
              CASE WHEN prev_t IS NULL OR next_t IS NULL THEN NULL
                   WHEN next_t = prev_t THEN CAST(qv0 AS DOUBLE)
@@ -306,6 +349,22 @@ object AsOfRel {
                        / CAST(next_t - prev_t AS DOUBLE)
              END AS interp
       FROM n""")),
+    Q("aj_nearest", asofNearest, Some(PREVNEXT_CTES + """
+      , pick AS (
+        SELECT user_id, t,
+               CASE WHEN prev_t IS NULL AND next_t IS NULL THEN NULL
+                    WHEN next_t IS NULL THEN prev_t
+                    WHEN prev_t IS NULL THEN next_t
+                    WHEN t - prev_t <= next_t - t THEN prev_t
+                    ELSE next_t END AS near_t,
+               CASE WHEN prev_t IS NULL AND next_t IS NULL THEN NULL
+                    WHEN next_t IS NULL THEN qv0
+                    WHEN prev_t IS NULL THEN qv1
+                    WHEN t - prev_t <= next_t - t THEN qv0
+                    ELSE qv1 END AS near_qv
+        FROM n)
+      SELECT user_id, t, near_t, near_qv, abs(t - near_t) AS dist
+      FROM pick""")),
     Q("aj_asof", asofStates, Some("""
       WITH e AS (
         SELECT user_id, epoch_ns(ts) AS t, event_type, value FROM events

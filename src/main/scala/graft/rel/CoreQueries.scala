@@ -233,6 +233,30 @@ object CoreQueries {
                     JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)""")),
 
+    // -- equi-width histogram --------------------------------------------------
+    // The profiling primitive behind every distribution dashboard: 16
+    // equal-width buckets between the observed min and max of the exact
+    // value micros. Bucketing is PURE INTEGER — ((vm-mn)*16) div (mx-mn+1)
+    // — so the edges cannot drift between engines the way a float
+    // width_bucket would; the bounds reach the plan as a broadcast 1-row
+    // aggregate (never collected literals), and NULL values form their own
+    // NULL-bucket group in both engines.
+    Q("q40_histogram", (s, d) => {
+      val vm = tbl(s, d, "events")
+        .select(expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"))
+      val bounds = vm.agg(min("vm").as("mn"), max("vm").as("mx"))
+      vm.crossJoin(broadcast(bounds))
+        .groupBy(expr("((vm - mn) * 16) div (mx - mn + 1)").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("vm").as("v_lo"), max("vm").as("v_hi"))
+    }, Some("""
+      WITH vm AS (
+        SELECT CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+      b AS (SELECT min(vm) AS mn, max(vm) AS mx FROM vm)
+      SELECT ((vm - mn) * 16) // (mx - mn + 1) AS bucket, count(*) AS n,
+             min(vm) AS v_lo, max(vm) AS v_hi
+      FROM vm CROSS JOIN b GROUP BY 1""")),
+
     // -- event-time tumbling window (batch form; streaming twin in
     //    StreamingOps) ---------------------------------------------------------
     Q("q14_tumbling", (s, d) => {

@@ -59,6 +59,17 @@ class HilbertSpec extends AnyFunSuite {
     assert(n(0).isNullAt(0))
   }
 
+  test("hilbert_index and interleave_bits are SQL-callable after register") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT hilbert_index(3L, 4L) AS h, interleave_bits(3L, 4L) AS m")
+      .collect()(0)
+    assert(r.getLong(0) == HilbertIndex.index(3L, 4L))
+    assert(r.getLong(1) ==
+      (graft.functions.InterleaveBits.spread(3L) |
+        (graft.functions.InterleaveBits.spread(4L) << 1)))
+  }
+
   test("lo_locality: hilbert total envelope area <= morton's, rows conserved") {
     val df = SparkEntry.queries("lo_locality")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) ->

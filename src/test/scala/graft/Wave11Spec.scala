@@ -35,6 +35,26 @@ class Wave11Spec extends AnyFunSuite {
     assert(again == rows.map(_.toSeq).toSet)
   }
 
+  test("aj_nearest matches a brute-force nearest-state scan, tie to prev") {
+    val got = SparkEntry.queries("aj_nearest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), graft.rel.Q.tsNanos(col("ts")).as("t"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val states = ev.filter(_._3 == "purchase")
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    ev.foreach { case (u, t, _) =>
+      val expect = states.get(u).filter(_.nonEmpty).map { ss =>
+        // min distance, tie broken toward the EARLIER state
+        ss.minBy(s => (math.abs(t - s), s))
+      }
+      assert(got((u, t)) == expect, s"user $u t $t")
+    }
+  }
+
   test("dq_outliers matches a first-principles median/MAD computation") {
     val got = SparkEntry.queries("dq_outliers")(spark, sf).collect()
       .map(r => Option(r.getString(0)) ->
