@@ -1093,6 +1093,45 @@ object StatsOps {
         WHERE (nextw IS NULL OR nextw > day + 1) AND day + 1 <= maxday)
       SELECT day, state, count(*) AS n FROM states GROUP BY 1, 2""")),
 
+    // Discrete survival/hazard table — the Kaplan-Meier ingredients over
+    // user lifetimes, kept EXACT: per observed lifetime k (hours between a
+    // user's first and last event), the risk set (users surviving >= k),
+    // the churn count at k, and the hazard d_k/n_k in integer ppm. The
+    // survival curve itself is the running product of (1 - hazard) — a
+    // float chain both engines would order identically but downstream
+    // consumers rebuild it trivially, so the gate pins the exact integer
+    // ingredients instead. Shape: one user collapse (the only data-sized
+    // shuffle), then a lifetime-domain-sized relation; the risk set is a
+    // reverse cumulative sum over that tiny domain, never over users.
+    Q("sq_hazard", (s, d) => {
+      val life = tbl(s, d, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), Q.tsBucket(col("ts"), 3600000000L).as("hr"))
+        .groupBy("user_id")
+        .agg((max("hr") - min("hr")).as("k"))
+      val byK = life.groupBy("k").agg(count(lit(1)).as("n_churn"))
+      val wRisk = Window.orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byK.withColumn("n_risk", sum("n_churn").over(wRisk))
+        .select(col("k"), col("n_churn"), col("n_risk"),
+          expr("(n_churn * 1000000) div n_risk").as("hazard_ppm"))
+    }, Some("""
+      WITH life AS (
+        SELECT user_id,
+               max(CAST(floor(epoch(ts) / 3600) AS BIGINT))
+                 - min(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS k
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id),
+      byk AS (SELECT k, count(*) AS n_churn FROM life GROUP BY 1)
+      SELECT k, n_churn,
+             CAST(sum(n_churn) OVER (ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk,
+             (n_churn * 1000000) // CAST(sum(n_churn) OVER (ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS hazard_ppm
+      FROM byk""")),
+
     // RFM segmentation — the classic recency/frequency/monetary customer
     // grid with FIXED business band edges (the production form: edges are
     // policy constants, not data quantiles — exact data quantiles of a

@@ -55,6 +55,28 @@ class Wave11Spec extends AnyFunSuite {
     }
   }
 
+  test("sq_hazard: risk sets telescope, hazards bounded, users conserved") {
+    val rows = SparkEntry.queries("sq_hazard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    // the risk set at the smallest lifetime is the whole cohort, and it
+    // telescopes: n_risk(k) = n_churn(k) + n_risk(next k)
+    assert(rows.head._3 == nUsers, "everyone is at risk at the start")
+    rows.sliding(2).foreach {
+      case Array((_, d0, n0, _), (_, _, n1, _)) =>
+        assert(n0 == d0 + n1, "risk set must telescope")
+      case _ =>
+    }
+    assert(rows.last._2 == rows.last._3, "longest survivors all churn there")
+    rows.foreach { case (k, d, n, ppm) =>
+      assert(k >= 0 && d >= 1 && d <= n, s"k=$k")
+      assert(ppm == d * 1000000L / n && ppm <= 1000000L, s"hazard at k=$k")
+    }
+  }
+
   test("dq_outliers matches a first-principles median/MAD computation") {
     val got = SparkEntry.queries("dq_outliers")(spark, sf).collect()
       .map(r => Option(r.getString(0)) ->
