@@ -124,3 +124,63 @@ object HilbertIndex {
   def hilbert(x: Column, y: Column): Column =
     Bridge.column(HilbertIndex(Bridge.expression(x), Bridge.expression(y)))
 }
+
+/** Hilbert-interval decomposition of a 2-D box query — the READ side of the
+  * Hilbert layout, mirroring [[ZInterval]] for Morton: a rectangle becomes
+  * a small OR of contiguous index ranges that a Hilbert-sorted store
+  * answers from min/max statistics alone, with the exact box filter as
+  * residual (the cover may overshoot, never undershoot).
+  *
+  * Contiguity fact the cover rests on: every grid-ALIGNED `2^b x 2^b`
+  * subsquare is one contiguous segment of the order-16 curve, entered and
+  * left at subsquare corners — so the segment is
+  * `[min(index of the 4 corners), min + 4^b - 1]`. (HilbertSpec checks the
+  * segment bound over random cells.) Unlike Morton, emission order is NOT
+  * index order, so intervals are sorted before merging.
+  */
+object HInterval {
+
+  /** Cover of the box by aligned quadtree cells — same descend-until-
+    * inside-or-small policy as [[ZInterval.cover]] (cells stop at 1/8 of
+    * the box's short side), then sort-and-merge. Inclusive index ranges
+    * over the order-16 domain.
+    */
+  def cover(xlo: Long, xhi: Long, ylo: Long, yhi: Long): Seq[(Long, Long)] = {
+    val max = HilbertIndex.Side - 1
+    require(0 <= xlo && xlo <= xhi && xhi <= max &&
+      0 <= ylo && ylo <= yhi && yhi <= max, "box out of the 16-bit key domain")
+    val short = math.min(xhi - xlo + 1, yhi - ylo + 1) >> 3
+    val minBits =
+      if (short <= 1L) 0
+      else 63 - java.lang.Long.numberOfLeadingZeros(short)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def go(x0: Long, y0: Long, bits: Int): Unit = {
+      val size = 1L << bits
+      val x1 = x0 + size - 1
+      val y1 = y0 + size - 1
+      if (x1 < xlo || x0 > xhi || y1 < ylo || y0 > yhi) return
+      if ((x0 >= xlo && x1 <= xhi && y0 >= ylo && y1 <= yhi) ||
+          bits <= minBits) {
+        val corners = Seq((x0, y0), (x1, y0), (x0, y1), (x1, y1))
+          .map { case (x, y) => HilbertIndex.index(x, y) }
+        out += ((corners.min, corners.min + (1L << (2 * bits)) - 1))
+      } else {
+        val h = 1L << (bits - 1)
+        go(x0, y0, bits - 1)
+        go(x0 + h, y0, bits - 1)
+        go(x0, y0 + h, bits - 1)
+        go(x0 + h, y0 + h, bits - 1)
+      }
+    }
+    go(0L, 0L, 16)
+    val sorted = out.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for (iv <- sorted) {
+      if (merged.nonEmpty && iv._1 <= merged.last._2 + 1)
+        merged(merged.length - 1) =
+          (merged.last._1, math.max(merged.last._2, iv._2))
+      else merged += iv
+    }
+    merged.toSeq
+  }
+}

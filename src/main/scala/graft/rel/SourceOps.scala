@@ -225,6 +225,34 @@ object SourceOps {
       SELECT ok, pk, morton FROM z
       WHERE ok BETWEEN 1000 AND 3000 AND pk BETWEEN 20 AND 150""")),
 
+    // Hilbert-range scan: the read side of the Hilbert layout, the exact
+    // mirror of lo_zscan — write hilbert-sorted (range-partitioned so
+    // every file carries a tight min/max index envelope), decompose the
+    // 2-D box into contiguous Hilbert ranges driver-side (HInterval.cover,
+    // pure math on the query literals), OR them in as pushable range
+    // predicates, keep the exact box filter as residual. The oracle
+    // answers the same box off the raw table — hash equality proves the
+    // cover overshoots only, never undershoots.
+    Q("lo_hscan", (s, d) => {
+      val dir = stage("hsort")
+      tbl(s, d, "lineitem")
+        .select(expr("l_orderkey & 65535").as("x"),
+          expr("l_partkey & 65535").as("y"))
+        .withColumn("h",
+          graft.functions.HilbertIndex.hilbert(col("x"), col("y")))
+        .repartitionByRange(8, col("h"))
+        .sortWithinPartitions("h")
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      val ivs = graft.functions.HInterval.cover(1000L, 3000L, 20L, 150L)
+      val hpred = ivs.map { case (a, b) => col("h").between(a, b) }
+        .reduce(_ || _)
+      s.read.parquet(dir)
+        .filter(hpred &&
+          col("x").between(1000L, 3000L) && col("y").between(20L, 150L))
+    }, Some(HILBERT_CTES + """
+      SELECT x0 AS x, y0 AS y, d AS h FROM h16
+      WHERE x0 BETWEEN 1000 AND 3000 AND y0 BETWEEN 20 AND 150""")),
+
     // Hilbert layout: the order-16 Hilbert index of (l_orderkey & 65535,
     // l_partkey & 65535) via the codegen'd HilbertIndex expression; the
     // per-index-range key envelopes are the file statistics a store gets

@@ -70,6 +70,58 @@ class HilbertSpec extends AnyFunSuite {
         (graft.functions.InterleaveBits.spread(4L) << 1)))
   }
 
+  test("aligned subsquares are contiguous curve segments entered at corners") {
+    val rnd = new scala.util.Random(19)
+    for (_ <- 1 to 200) {
+      val bits = 1 + rnd.nextInt(6)
+      val size = 1L << bits
+      val x0 = (rnd.nextInt(65536) >> bits).toLong << bits
+      val y0 = (rnd.nextInt(65536) >> bits).toLong << bits
+      val corners = Seq((x0, y0), (x0 + size - 1, y0), (x0, y0 + size - 1),
+        (x0 + size - 1, y0 + size - 1)).map { case (x, y) =>
+        graft.functions.HilbertIndex.index(x, y)
+      }
+      val base = corners.min
+      // sample interior points: all indices must land inside the segment
+      for (_ <- 1 to 30) {
+        val d = graft.functions.HilbertIndex.index(
+          x0 + rnd.nextInt(size.toInt), y0 + rnd.nextInt(size.toInt))
+        assert(d >= base && d < base + size * size,
+          s"cell ($x0,$y0)+$size not contiguous from $base")
+      }
+    }
+  }
+
+  test("HInterval.cover includes every box point and bounds the overshoot") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 50) {
+      val xlo = rnd.nextInt(60000).toLong
+      val ylo = rnd.nextInt(60000).toLong
+      val xhi = math.min(65535L, xlo + 1 + rnd.nextInt(4000))
+      val yhi = math.min(65535L, ylo + 1 + rnd.nextInt(4000))
+      val ivs = graft.functions.HInterval.cover(xlo, xhi, ylo, yhi)
+      assert(ivs.nonEmpty)
+      // sorted, disjoint, merged
+      ivs.sliding(2).foreach {
+        case Seq((_, e0), (s1, _)) => assert(s1 > e0 + 1)
+        case _ =>
+      }
+      // inclusion: sampled box points land in some interval
+      for (_ <- 1 to 100) {
+        val x = xlo + (math.abs(rnd.nextLong()) % (xhi - xlo + 1))
+        val y = ylo + (math.abs(rnd.nextLong()) % (yhi - ylo + 1))
+        val d = graft.functions.HilbertIndex.index(x, y)
+        assert(ivs.exists { case (a, b) => d >= a && d <= b },
+          s"point ($x,$y) of box [$xlo,$xhi]x[$ylo,$yhi] escaped the cover")
+      }
+      // overshoot stays a small multiple of the box area (residual absorbs)
+      val covered = ivs.map { case (a, b) => b - a + 1 }.sum
+      val area = (xhi - xlo + 1) * (yhi - ylo + 1)
+      assert(covered <= 8 * area + 512,
+        s"cover $covered blew past box area $area")
+    }
+  }
+
   test("lo_locality: hilbert total envelope area <= morton's, rows conserved") {
     val df = SparkEntry.queries("lo_locality")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) ->
