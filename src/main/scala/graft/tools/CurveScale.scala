@@ -1,0 +1,104 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Layout-pruning probe: how many BYTES does a 2-D box query actually read
+  * under three physical layouts of the same table — unsorted, Morton-sorted,
+  * Hilbert-sorted — each range-partitioned into the same file count so
+  * per-file min/max statistics (and parquet row-group stats inside them) are
+  * the only difference. The query pushes the curve-interval cover
+  * (ZInterval/HInterval) plus the exact box residual; input bytes come from
+  * the task input metrics, so parquet's stats-based skipping shows up
+  * directly.
+  *
+  * `sbt "runMain graft.tools.CurveScale 4000000 64"` → 4M rows, 64 files per
+  * layout. Expectation at any scale: both curves read a small fraction of
+  * the unsorted bytes, and Hilbert ≤ Morton (tighter envelopes, the
+  * lo_locality gate's measured claim).
+  */
+object CurveScale {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 4000000L
+    val files = if (args.length > 1) args(1).toInt else 64
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // synthetic 16-bit keys with mild correlation (realistic: co-clustered
+    // dimensions prune better than independent ones, either curve)
+    val base = spark.range(n).selectExpr(
+      "CAST(pmod(hash(id), 65536) AS BIGINT) & 65535 AS x",
+      "CAST(pmod(hash(id * 31 + 7), 65536) AS BIGINT) & 65535 AS y",
+      "id AS payload")
+      .withColumn("morton",
+        graft.functions.InterleaveBits.zorder(col("x"), col("y")))
+      .withColumn("h",
+        graft.functions.HilbertIndex.hilbert(col("x"), col("y")))
+
+    val root = graft.TempDirs.create("graft_curvescale")
+    def write(sortCol: Option[String], name: String): String = {
+      val dir = s"$root/$name"
+      val df = sortCol match {
+        case Some(c) =>
+          base.repartitionByRange(files, col(c)).sortWithinPartitions(c)
+        case None => base.repartition(files)
+      }
+      df.write.mode(SaveMode.Overwrite).parquet(dir)
+      dir
+    }
+    val unsorted = write(None, "unsorted")
+    val bymorton = write(Some("morton"), "morton")
+    val byhilbert = write(Some("h"), "hilbert")
+
+    // records materialized OUT of parquet (after row-group/page skipping,
+    // before the Spark-side filter) — the direct measure of what the
+    // min/max statistics pruned; bytesRead at probe scale is dominated by
+    // per-file footers and the extra curve column
+    val recs = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    // the same 2-D box through each layout's natural predicate
+    val (xlo, xhi, ylo, yhi) = (20000L, 24000L, 40000L, 46000L)
+    def measure(label: String, q: DataFrame): (String, Long, Long) = {
+      org.apache.spark.ListenerDrainTool.drain(spark.sparkContext)
+      recs.set(0)
+      val rows = q.count()
+      org.apache.spark.ListenerDrainTool.drain(spark.sparkContext)
+      (label, rows, recs.get())
+    }
+    val boxFilter = col("x").between(xlo, xhi) && col("y").between(ylo, yhi)
+    val zpred = graft.functions.ZInterval.cover(xlo, xhi, ylo, yhi)
+      .map { case (a, b) => col("morton").between(a, b) }.reduce(_ || _)
+    val hpred = graft.functions.HInterval.cover(xlo, xhi, ylo, yhi)
+      .map { case (a, b) => col("h").between(a, b) }.reduce(_ || _)
+    val runs = Seq(
+      measure("unsorted ", spark.read.parquet(unsorted).filter(boxFilter)),
+      measure("morton   ", spark.read.parquet(bymorton)
+        .filter(zpred && boxFilter)),
+      measure("hilbert  ", spark.read.parquet(byhilbert)
+        .filter(hpred && boxFilter)))
+    val rowCounts = runs.map(_._2).distinct
+    require(rowCounts.size == 1,
+      s"layouts disagree on the box answer: $rowCounts")
+    val baseRecs = runs.head._3.toDouble
+    println(f"rows=$n%d files=$files%d box rows=${runs.head._2}%d")
+    runs.foreach { case (label, _, r) =>
+      println(f"$label recordsRead=$r%12d  (${r / baseRecs * 100}%6.2f%% of unsorted)")
+    }
+  }
+}
