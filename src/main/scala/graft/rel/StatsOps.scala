@@ -152,6 +152,47 @@ object StatsOps {
                 + (((s21 - s11*s11/n1)/(n1-1))/n1) * (((s21 - s11*s11/n1)/(n1-1))/n1) / (n1-1)) AS df_welch
       FROM g""")),
 
+    // Experiment DESIGN, not analysis: Lehr's rule of thumb per event_type
+    // — the sample size that powers a 2% relative lift at 80% power / 5%
+    // two-sided alpha (n ≈ 16 σ²/Δ²) and the minimum detectable effect at
+    // the arm size the data already has (Δ ≈ 4 σ/√n). Same float
+    // discipline as ab_welch: exact DECIMAL sums down to one shared DOUBLE
+    // expression tree; try_divide so a 0/1-row type degenerates to NULL
+    // like the oracle's x/0. The whole query is one grouped aggregate.
+    Q("ab_power", (s, d) => {
+      tbl(s, d, "events")
+        .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
+        .groupBy("event_type")
+        .agg(count(col("v")).as("n"),
+          sum(col("v")).cast("double").as("s1"),
+          sum(col("v") * col("v")).cast("double").as("s2"))
+        .withColumn("mean", expr("try_divide(s1, n)"))
+        .withColumn("variance",
+          expr("try_divide(s2 - try_divide(s1*s1, n), n-1)"))
+        .withColumn("n_for_2pct", expr(
+          """CAST(ceil(try_divide(16 * try_divide(s2 - try_divide(s1*s1, n), n-1),
+               (0.02 * try_divide(s1, n)) * (0.02 * try_divide(s1, n))))
+             AS BIGINT)"""))
+        .withColumn("mde_rel", expr(
+          """try_divide(4 * sqrt(try_divide(
+               try_divide(s2 - try_divide(s1*s1, n), n-1), n)),
+             try_divide(s1, n))"""))
+    }, Some("""
+      WITH e AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events),
+      g AS (
+        SELECT event_type, count(v) AS n,
+               CAST(sum(v) AS DOUBLE) AS s1,
+               CAST(sum(v*v) AS DOUBLE) AS s2
+        FROM e GROUP BY 1)
+      SELECT event_type, n, s1, s2,
+             s1/n AS mean,
+             (s2 - s1*s1/n)/(n-1) AS variance,
+             CAST(ceil(16 * ((s2 - s1*s1/n)/(n-1))
+               / ((0.02 * (s1/n)) * (0.02 * (s1/n)))) AS BIGINT) AS n_for_2pct,
+             4 * sqrt(((s2 - s1*s1/n)/(n-1))/n) / (s1/n) AS mde_rel
+      FROM g""")),
+
     // Series autocorrelation — traffic periodicity detection: the event
     // log collapsed to a 5-minute count series (bounded by the TIME SPAN,
     // not the data volume — 30 days = 8640 points at any SF), then Pearson
