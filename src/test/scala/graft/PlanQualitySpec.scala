@@ -691,6 +691,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"epoch fan-out must broadcast the 2-row epochs side:\n$p")
   }
 
+  test("lo_hscan pushes the hilbert interval cover into the parquet scan") {
+    val p = plan("lo_hscan")
+    // the OR'd index ranges must reach PushedFilters (that's the entire
+    // point of the layout: min/max stats answer them before any page
+    // read); the plan string truncates the tree, so assert the OR chain
+    // follows the box's not-null filters inside the pushed list
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse("")
+    assert(pushed.contains("PushedFilters: [IsNotNull(x), IsNotNull(y), Or("),
+      s"hilbert interval cover not pushed:\n$pushed")
+    assert(!p.contains("Join"), s"pruned scan must not join:\n$p")
+  }
+
+  test("sq_hazard: one data-sized shuffle, the rest lifetime-domain-sized") {
+    val p = plan("sq_hazard")
+    // user collapse (data-sized) + k collapse + the single-partition
+    // window over the tiny lifetime domain — nothing else
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n <= 3, s"hazard table grew to $n exchanges:\n$p")
+    assert(!p.contains("Join"), s"hazard table must not join:\n$p")
+  }
+
+  test("ab_power is one grouped aggregate: no join, minimal exchange") {
+    val p = plan("ab_power")
+    assert(!p.contains("Join"), s"design calculator must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"expected the single aggregate exchange:\n$p")
+  }
+
   test("dq_outliers broadcasts the group-sized med/mad relations") {
     // three BHJ instances: the dev subtree (events ⋈ med) appears once on
     // the probe side and again inside mad's aggregation — a deliberate
