@@ -47,6 +47,17 @@ object GraftFunctions {
         require(children.length == 2, "hilbert_index takes 2 arguments")
         HilbertIndex(children.head, children(1))
     })
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "topk_pairs", {
+      children =>
+        require(children.length == 3,
+          "topk_pairs(ord, id, k) takes 3 arguments")
+        children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+            TopKPairs(children.head, children(1), k).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"k must be an int literal, got $other")
+        }
+    })
   }
 }
 

@@ -257,6 +257,35 @@ object CoreQueries {
              min(vm) AS v_lo, max(vm) AS v_hi
       FROM vm CROSS JOIN b GROUP BY 1""")),
 
+    // -- top-k per group WITHOUT a window sort ---------------------------------
+    // q7_topk gates the idiomatic row_number window form; this gates the
+    // SCALE form: a bounded-buffer TypedImperativeAggregate (TopKPairs)
+    // that keeps O(k) pairs per group, combines map-side (each task ships
+    // at most k pairs per group into the shuffle), and never orders the
+    // losers — where the window form sorts every row of every partition
+    // first. Hash-identical to the row_number oracle by construction
+    // (value DESC, id ASC rank order; NULL values skipped like any SQL
+    // aggregate, so the oracle filters them pre-rank).
+    Q("q41_topk_agg", (s, d) => {
+      tbl(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"),
+          col("event_id"))
+        .groupBy("event_type")
+        .agg(graft.functions.TopKPairs(col("vm"), col("event_id"), 3).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.v").as("vm"), col("col.id").as("event_id"))
+    }, Some("""
+      SELECT event_type, rn AS rnk, vm, event_id FROM (
+        SELECT event_type, vm, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY vm DESC, event_id) AS rn
+        FROM (SELECT event_type,
+                     CAST(round(value * 1000000) AS BIGINT) AS vm, event_id
+              FROM events WHERE value IS NOT NULL) t) r
+      WHERE rn <= 3""")),
+
     // -- event-time tumbling window (batch form; streaming twin in
     //    StreamingOps) ---------------------------------------------------------
     Q("q14_tumbling", (s, d) => {

@@ -720,6 +720,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the single aggregate exchange:\n$p")
   }
 
+  test("q41_topk_agg: no window, no sort — bounded-buffer aggregation only") {
+    val p = plan("q41_topk_agg")
+    assert(!p.contains("Window"), s"top-k degraded to a window:\n$p")
+    assert(!p.contains("Sort"), s"top-k is sorting the losers:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the typed aggregate:\n$p")
+    assert(p.contains("partial_topk_pairs"),
+      s"map-side partial aggregation lost:\n$p")
+  }
+
   test("dq_outliers broadcasts the group-sized med/mad relations") {
     // three BHJ instances: the dev subtree (events ⋈ med) appears once on
     // the probe side and again inside mad's aggregation — a deliberate

@@ -77,6 +77,41 @@ class Wave11Spec extends AnyFunSuite {
     }
   }
 
+  test("TopKPairs matches the window formulation on adversarial data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // heavy ties (values drawn from 10 distinct), many groups, negatives,
+    // and enough rows across 16 partitions to force partial-buffer merges
+    // and the serialize/deserialize path
+    val rows = (0 until 20000).map { i =>
+      (rnd.nextInt(20).toLong, (rnd.nextInt(10) - 5).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id").repartition(16)
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKPairs(col("v"), col("id"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), col("pos"), col("col.v"), col("col.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(t => (t._2, t._3)).sortBy { case (v, i) => (-v, i) }
+        .take(5).zipWithIndex
+        .map { case ((v, i), pos) => (g, pos, v, i) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("topk_pairs is SQL-callable after register") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT g, tk FROM (
+           SELECT id % 3 AS g, topk_pairs(id * 7 % 11, id, 2) AS tk
+           FROM range(30) GROUP BY 1)""")
+      .selectExpr("g", "inline(tk)").collect()
+    assert(rows.length == 6, "3 groups x k=2")
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) * 7 % 11))
+  }
+
   test("dq_outliers matches a first-principles median/MAD computation") {
     val got = SparkEntry.queries("dq_outliers")(spark, sf).collect()
       .map(r => Option(r.getString(0)) ->
