@@ -66,7 +66,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // the final fold's partial rows shuffle
     ("q20_bucketed", 1L << 20, "zero-exchange co-located join"),
     // hash-group dedup: the shuffle carries md5 keys + counts, not text
-    ("dd_exact", 4L << 20, "key-sized exact-dedup shuffle"))
+    ("dd_exact", 4L << 20, "key-sized exact-dedup shuffle"),
+    // bounded-buffer top-k: each task ships <= k pairs per group — the
+    // shuffle must stay group-count-sized, never event-sized (the window
+    // form q7_topk deliberately gates would shuffle every row)
+    ("q41_topk_agg", 256L << 10, "k-bounded top-k partial aggregation"))
 
   for ((q, budget, claim) <- budgets)
     test(s"$q stays under ${budget >> 20} MB of shuffle ($claim)") {
