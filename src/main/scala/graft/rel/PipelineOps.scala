@@ -398,6 +398,38 @@ object PipelineOps {
     s.table(qn)
   }
 
+  /** Streaming top-k: the TopKPairs bounded-buffer aggregate running INSIDE
+    * Structured Streaming's stateful aggregation — per (5-min bucket,
+    * event_type), the top-2 (value-micros, event_id) pairs, complete-mode
+    * memory sink. The state store holds the SERIALIZED O(k) buffer per
+    * group (TypedImperativeAggregate.serialize), so streaming top-k state
+    * is k-bounded exactly like the batch shuffle — the property that makes
+    * a continuous leaderboard viable at stream scale. Batch row_number
+    * oracle.
+    */
+  def topkStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val qn = "st_topk_sink_" + sinkCounter.incrementAndGet()
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("bucket", Q.tsBucket(col("ts"), 300000000L))
+      .select(col("bucket"), col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"),
+        col("event_id"))
+      .groupBy("bucket", "event_type")
+      .agg(graft.functions.TopKPairs(col("vm"), col("event_id"), 2).as("tk"))
+    val query = graft.streaming.StateSizing.startSized(s)(
+      stream.writeStream.outputMode("complete")
+        .format("memory").queryName(qn).start())
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(qn)
+      .select(col("bucket"), col("event_type"), posexplode(col("tk")))
+      .select(col("bucket"), col("event_type"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.v").as("vm"), col("col.id").as("event_id"))
+  }
+
   /** Sliding-window streaming aggregate — the surface st_tumbling does NOT
     * cover: Spark's `window(ts, '20 minutes', '5 minutes')` assigns every
     * event to its 4 overlapping windows (state fan-out W/S per row, the
@@ -1126,6 +1158,16 @@ object PipelineOps {
       FROM events, range(0, 4) k(k)
       WHERE ts IS NOT NULL
       GROUP BY 1, 2""")),
+    Q("st_topk", topkStream, Some("""
+      SELECT bucket, event_type, rn AS rnk, vm, event_id FROM (
+        SELECT bucket, event_type, vm, event_id,
+               row_number() OVER (PARTITION BY bucket, event_type
+                                  ORDER BY vm DESC, event_id) AS rn
+        FROM (SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+                     event_type,
+                     CAST(round(value * 1000000) AS BIGINT) AS vm, event_id
+              FROM events WHERE value IS NOT NULL) t) r
+      WHERE rn <= 2""")),
     Q("mm_decode_meta", decodeMeta, Some(MM_DECODE_META_SQL)),
     Q("mm_sharpness", sharpness, Some(MM_SHARPNESS_SQL)),
     Q("mm_phash", phash, Some(MM_PHASH_SQL)),
