@@ -155,17 +155,25 @@ object StatsOps {
     // Experiment DESIGN, not analysis: Lehr's rule of thumb per event_type
     // — the sample size that powers a 2% relative lift at 80% power / 5%
     // two-sided alpha (n ≈ 16 σ²/Δ²) and the minimum detectable effect at
-    // the arm size the data already has (Δ ≈ 4 σ/√n). Same float
-    // discipline as ab_welch: exact DECIMAL sums down to one shared DOUBLE
-    // expression tree; try_divide so a 0/1-row type degenerates to NULL
-    // like the oracle's x/0. The whole query is one grouped aggregate.
+    // the arm size the data already has (Δ ≈ 4 σ/√n); both are unit-free
+    // ratios, so the moments ride in exact integer MICROS. Float
+    // discipline, one step past ab_welch's: the exact sums are DECIMALs of
+    // SCALE 0 — a scale-12 decimal whose scaled integer exceeds 2^53 casts
+    // to DOUBLE through two roundings in DuckDB (int128→double, then
+    // ÷10¹²) and can land one ulp off Spark's correctly-rounded
+    // BigDecimal conversion (observed on this very gate at sf0.01); at
+    // scale 0 both engines make ONE correctly-rounded conversion.
+    // try_divide so a 0/1-row type degenerates to NULL like the oracle's
+    // x/0. The whole query is one grouped aggregate.
     Q("ab_power", (s, d) => {
       tbl(s, d, "events")
-        .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
+        .select(col("event_type"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("vm"))
         .groupBy("event_type")
-        .agg(count(col("v")).as("n"),
-          sum(col("v")).cast("double").as("s1"),
-          sum(col("v") * col("v")).cast("double").as("s2"))
+        .agg(count(col("vm")).as("n"),
+          sum(col("vm").cast("decimal(38,0)")).cast("double").as("s1"),
+          sum(expr("CAST(vm AS DECIMAL(19,0)) * CAST(vm AS DECIMAL(19,0))"))
+            .cast("double").as("s2"))
         .withColumn("mean", expr("try_divide(s1, n)"))
         .withColumn("variance",
           expr("try_divide(s2 - try_divide(s1*s1, n), n-1)"))
@@ -179,11 +187,13 @@ object StatsOps {
              try_divide(s1, n))"""))
     }, Some("""
       WITH e AS (
-        SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events),
       g AS (
-        SELECT event_type, count(v) AS n,
-               CAST(sum(v) AS DOUBLE) AS s1,
-               CAST(sum(v*v) AS DOUBLE) AS s2
+        SELECT event_type, count(vm) AS n,
+               CAST(sum(CAST(vm AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(vm AS DECIMAL(19,0)) * CAST(vm AS DECIMAL(19,0)))
+                 AS DOUBLE) AS s2
         FROM e GROUP BY 1)
       SELECT event_type, n, s1, s2,
              s1/n AS mean,
