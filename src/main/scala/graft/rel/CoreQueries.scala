@@ -260,12 +260,16 @@ object CoreQueries {
     // -- top-k per group WITHOUT a window sort ---------------------------------
     // q7_topk gates the idiomatic row_number window form; this gates the
     // SCALE form: a bounded-buffer TypedImperativeAggregate (TopKPairs)
-    // that keeps O(k) pairs per group, combines map-side (each task ships
-    // at most k pairs per group into the shuffle), and never orders the
-    // losers — where the window form sorts every row of every partition
-    // first. Hash-identical to the row_number oracle by construction
-    // (value DESC, id ASC rank order; NULL values skipped like any SQL
-    // aggregate, so the oracle filters them pre-rank).
+    // that keeps O(k) pairs per group and never orders the losers. Honest
+    // comparison vs Spark 4's own window plan: the optimizer's partial
+    // WindowGroupLimit already bounds the window form's SHUFFLE to k rows
+    // per group per task, but only after a full per-partition Sort on
+    // (key, value) — O(n log n) over every input row, twice (partial +
+    // final). The aggregate replaces both sorts with an O(n log k) heap
+    // and stays in a hash aggregate. Hash-identical to the row_number
+    // oracle by construction (value DESC, id ASC rank order; NULL values
+    // skipped like any SQL aggregate, so the oracle filters them
+    // pre-rank).
     Q("q41_topk_agg", (s, d) => {
       tbl(s, d, "events")
         .select(col("event_type"),
