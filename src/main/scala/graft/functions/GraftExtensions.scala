@@ -105,5 +105,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "hilbert_index takes 2 arguments")
         HilbertIndex(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "topk_pairs(ord, id, k) takes 3 arguments")
+        children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+            TopKPairs(children.head, children(1), k).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"k must be an int literal, got $other")
+        }
+      }))
   }
 }
