@@ -79,6 +79,18 @@ object SourceOps {
     .agg(count(lit(1)).as("n"),
       sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
 
+  /** All-nullable union schema for the avro round-trip: any column may be
+    * NULL in the degenerate mirrors, and avro encodes absence only through
+    * the null branch of a union.
+    */
+  private val AVRO_SCHEMA = """{
+    "type": "record", "name": "Event", "fields": [
+      {"name": "event_id",   "type": ["null", "long"],   "default": null},
+      {"name": "ts_us",      "type": ["null", "long"],   "default": null},
+      {"name": "user_id",    "type": ["null", "long"],   "default": null},
+      {"name": "event_type", "type": ["null", "string"], "default": null},
+      {"name": "value",      "type": ["null", "double"], "default": null}]}"""
+
   private val GATE_SQL = """
       SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
              count(*) AS n,
@@ -344,6 +356,85 @@ object SourceOps {
     // ORC: Spark's second built-in columnar format, with its own codec and
     // type mapping; predicate pushdown and column pruning apply to the
     // read-back scan exactly as for parquet.
+    // Avro: the row-oriented interchange format of every Kafka/ingest
+    // pipeline. The spark-avro connector is not on this classpath, but the
+    // REAL Apache Avro library is — so the round-trip drives avro's own
+    // object-container format directly (DataFileWriter/Reader, deflate
+    // codec, all-nullable union schema): one container file per partition
+    // through the distributed write, file-parallel reads, NULLs riding as
+    // avro null-branch unions, ts as micro-exact long. Same shared gate
+    // aggregate as every other format.
+    Q("src_avro_roundtrip", (s, d) => {
+      import s.implicits._
+      val dir = stage("avro")
+      graft.sources.StoreIO.mkdirs(graft.sources.StoreIO.hadoopConf, dir)
+      val sconf = graft.sources.StoreIO.ser(graft.sources.StoreIO.hadoopConf)
+      val schemaJson = AVRO_SCHEMA
+      ev(s, d)
+        .select(col("event_id"), Q.tsMicros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(8).rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          val bos = new java.io.ByteArrayOutputStream()
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(1))
+          w.create(schema, bos)
+          var n = 0L
+          it.foreach { r =>
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            if (!r.isNullAt(0)) rec.put("event_id", r.getLong(0))
+            if (!r.isNullAt(1)) rec.put("ts_us", r.getLong(1))
+            if (!r.isNullAt(2)) rec.put("user_id", r.getLong(2))
+            if (!r.isNullAt(3)) rec.put("event_type", r.getString(3))
+            if (!r.isNullAt(4)) rec.put("value", r.getDouble(4))
+            w.append(rec)
+            n += 1
+          }
+          w.close()
+          // an empty partition writes no container at all (the empty
+          // regime must read back as zero files, not eight headers)
+          if (n == 0) Iterator.empty
+          else {
+            graft.sources.StoreIO.write(sconf.value,
+              s"$dir/part-$pid.avro", bos.toByteArray)
+            Iterator.single(n)
+          }
+        }.count()
+      val files = graft.sources.StoreIO
+        .list(graft.sources.StoreIO.hadoopConf, dir)
+        .map(_.getPath.toString).filter(_.endsWith(".avro")).sorted
+      val back = s.sparkContext
+        .parallelize(files, math.max(1, files.size))
+        .flatMap { p =>
+          val bytes = graft.sources.StoreIO.readAllBytes(sconf.value, p)
+          val rd = new org.apache.avro.file.DataFileReader(
+            new org.apache.avro.file.SeekableByteArrayInput(bytes),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          val out = scala.collection.mutable.ArrayBuffer[
+            (Option[Long], Option[Long], Option[Long], Option[String],
+              Option[Double])]()
+          while (rd.hasNext) {
+            val rec = rd.next()
+            def g(f: String): Option[AnyRef] = Option(rec.get(f))
+            out += ((g("event_id").map(_.asInstanceOf[java.lang.Long].longValue),
+              g("ts_us").map(_.asInstanceOf[java.lang.Long].longValue),
+              g("user_id").map(_.asInstanceOf[java.lang.Long].longValue),
+              g("event_type").map(_.toString),
+              g("value").map(_.asInstanceOf[java.lang.Double].doubleValue)))
+          }
+          rd.close()
+          out
+        }
+      gateAgg(back.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .select(col("event_id"),
+          expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)").as("ts"),
+          col("user_id"), col("event_type"), col("value")))
+    }, Some(GATE_SQL)),
+
     Q("src_orc_roundtrip", (s, d) => {
       val orcDir = stage("orc")
       ev(s, d).write.mode(SaveMode.Overwrite).orc(orcDir)
