@@ -435,6 +435,48 @@ object SourceOps {
           col("user_id"), col("event_type"), col("value")))
     }, Some(GATE_SQL)),
 
+    // Hadoop SequenceFile: the original splittable key-value container,
+    // still the interchange of legacy Hadoop estates — driven through
+    // Spark core's native saveAsSequenceFile / sc.sequenceFile with gzip
+    // record compression. Values pack the five fields with 
+    // separators; NULL rides as an empty slot (the classic format limit:
+    // like fixed-width, this cannot represent an empty STRING distinctly
+    // from NULL), and the double travels as raw IEEE bits
+    // (doubleToRawLongBits) so the round-trip is bit-exact with no
+    // shortest-rendering dependence.
+    Q("src_seqfile_roundtrip", (s, d) => {
+      import s.implicits._
+      val dir = stage("seq")
+      def pk(r: org.apache.spark.sql.Row, i: Int): String =
+        if (r.isNullAt(i)) ""
+        else r.get(i) match {
+          case d: Double => java.lang.Double.doubleToRawLongBits(d).toString
+          case v => v.toString
+        }
+      ev(s, d)
+        .select(col("event_id"), Q.tsMicros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(8).rdd
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          (0 until 5).map(pk(r, _)).mkString("")))
+        .saveAsSequenceFile(dir,
+          Some(classOf[org.apache.hadoop.io.compress.GzipCodec]))
+      val back = s.sparkContext.sequenceFile[Long, String](dir)
+        .map { case (_, v) =>
+          // -1 keeps every separator: a trailing NULL slot must survive
+          val f = v.split("", -1)
+          def ol(i: Int): Option[Long] =
+            if (f(i).isEmpty) None else Some(f(i).toLong)
+          (ol(0), ol(1), ol(2),
+            if (f(3).isEmpty) None else Some(f(3)),
+            ol(4).map(java.lang.Double.longBitsToDouble))
+        }
+      gateAgg(back.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .select(col("event_id"),
+          expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)").as("ts"),
+          col("user_id"), col("event_type"), col("value")))
+    }, Some(GATE_SQL)),
+
     Q("src_orc_roundtrip", (s, d) => {
       val orcDir = stage("orc")
       ev(s, d).write.mode(SaveMode.Overwrite).orc(orcDir)
