@@ -435,6 +435,100 @@ object SourceOps {
           col("user_id"), col("event_type"), col("value")))
     }, Some(GATE_SQL)),
 
+    // Avro schema EVOLUTION — the feature avro exists for (the Kafka-world
+    // twin of src_schema_evolution's parquet mergeSchema): containers
+    // written under the v1 writer schema are read through a v2 READER
+    // schema that adds a defaulted column and drops another. Avro's
+    // resolution rules supply the default for the missing field and skip
+    // the dropped one record-by-record — no rewrite of the old files, the
+    // exact contract a schema-registry deployment relies on. The oracle
+    // replays the same resolution relationally (constant default column,
+    // user_id projected away).
+    Q("src_avro_evolution", (s, d) => {
+      import s.implicits._
+      val dir = stage("avroev")
+      graft.sources.StoreIO.mkdirs(graft.sources.StoreIO.hadoopConf, dir)
+      val sconf = graft.sources.StoreIO.ser(graft.sources.StoreIO.hadoopConf)
+      val writerJson = AVRO_SCHEMA
+      // v2: user_id dropped, schema_tag added with a default
+      val readerJson = """{
+        "type": "record", "name": "Event", "fields": [
+          {"name": "event_id",   "type": ["null", "long"],   "default": null},
+          {"name": "ts_us",      "type": ["null", "long"],   "default": null},
+          {"name": "event_type", "type": ["null", "string"], "default": null},
+          {"name": "value",      "type": ["null", "double"], "default": null},
+          {"name": "schema_tag", "type": "string", "default": "v1-legacy"}]}"""
+      ev(s, d)
+        .select(col("event_id"), Q.tsMicros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(4).rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val schema = new org.apache.avro.Schema.Parser().parse(writerJson)
+          val bos = new java.io.ByteArrayOutputStream()
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          w.create(schema, bos)
+          var n = 0L
+          it.foreach { r =>
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            if (!r.isNullAt(0)) rec.put("event_id", r.getLong(0))
+            if (!r.isNullAt(1)) rec.put("ts_us", r.getLong(1))
+            if (!r.isNullAt(2)) rec.put("user_id", r.getLong(2))
+            if (!r.isNullAt(3)) rec.put("event_type", r.getString(3))
+            if (!r.isNullAt(4)) rec.put("value", r.getDouble(4))
+            w.append(rec)
+            n += 1
+          }
+          w.close()
+          if (n == 0) Iterator.empty
+          else {
+            graft.sources.StoreIO.write(sconf.value,
+              s"$dir/part-$pid.avro", bos.toByteArray)
+            Iterator.single(n)
+          }
+        }.count()
+      val files = graft.sources.StoreIO
+        .list(graft.sources.StoreIO.hadoopConf, dir)
+        .map(_.getPath.toString).filter(_.endsWith(".avro")).sorted
+      val back = s.sparkContext
+        .parallelize(files, math.max(1, files.size))
+        .flatMap { p =>
+          val reader = new org.apache.avro.Schema.Parser().parse(readerJson)
+          val bytes = graft.sources.StoreIO.readAllBytes(sconf.value, p)
+          // writer schema comes from the container header; the reader
+          // schema drives avro's resolution (defaults + skips)
+          val rd = new org.apache.avro.file.DataFileReader(
+            new org.apache.avro.file.SeekableByteArrayInput(bytes),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord](null, reader))
+          val out = scala.collection.mutable.ArrayBuffer[
+            (Option[Long], Option[Long], Option[String], Option[Double],
+              String)]()
+          while (rd.hasNext) {
+            val rec = rd.next()
+            def g(f: String): Option[AnyRef] = Option(rec.get(f))
+            out += ((g("event_id").map(_.asInstanceOf[java.lang.Long].longValue),
+              g("ts_us").map(_.asInstanceOf[java.lang.Long].longValue),
+              g("event_type").map(_.toString),
+              g("value").map(_.asInstanceOf[java.lang.Double].doubleValue),
+              rec.get("schema_tag").toString))
+          }
+          rd.close()
+          out
+        }
+      back.toDF("event_id", "ts_us", "event_type", "value", "schema_tag")
+        .groupBy(expr("ts_us div 300000000").as("bucket"),
+          col("event_type"), col("schema_tag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+    }, Some("""
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+             'v1-legacy' AS schema_tag, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2""")),
+
     // Hadoop SequenceFile: the original splittable key-value container,
     // still the interchange of legacy Hadoop estates — driven through
     // Spark core's native saveAsSequenceFile / sc.sequenceFile with gzip
