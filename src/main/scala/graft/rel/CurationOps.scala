@@ -69,12 +69,12 @@ object CurationOps {
     * pure instr arithmetic — the hex-cast-free construction both engines
     * evaluate identically (DuckDB has no hex->int cast).
     */
-  private def bucket(idExpr: String) = {
+  private[graft] def bucket(idExpr: String) = {
     def nb(k: Int) =
       s"(instr('0123456789abcdef', substr(md5(CAST($idExpr AS STRING)), $k, 1)) - 1)"
     s"(${nb(1)} * 16 + ${nb(2)})"
   }
-  private def bucketSql(idExpr: String) = {
+  private[graft] def bucketSql(idExpr: String) = {
     def nb(k: Int) =
       s"(instr('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $k, 1)) - 1)"
     s"(${nb(1)} * 16 + ${nb(2)})"

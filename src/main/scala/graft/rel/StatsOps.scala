@@ -1318,7 +1318,137 @@ object StatsOps {
              CAST(sum(doc_id) AS BIGINT) AS sum_ids,
              CAST(sum(rn * doc_id) AS BIGINT) AS chk,
              min(k) AS k_lo, max(k) AS k_hi
-      FROM r GROUP BY 1, 2""")))
+      FROM r GROUP BY 1, 2""")),
+
+    // Grouped k-fold assignment — the leakage-safe split for user-keyed
+    // training data: the fold is a pure function of the USER (md5 head
+    // byte % 5, same cross-engine bucket as tx_sample_split), so every
+    // event of a user lands in exactly one fold — the grouped-CV contract
+    // that keeps a user's own history out of both train AND validation of
+    // the same fold (tx_sample_split is the doc-level cousin; the GROUP
+    // key is what changes here). Pure-function assignment = join-free:
+    // any shard of a 100 TB event log folds independently, and the only
+    // shuffles are the per-fold aggregate and the distinct-user collapse
+    // the fold-size report itself requires. A NULL user_id folds to the
+    // NULL group in both engines (md5(NULL) is NULL end to end).
+    Q("ft_kfold", (s, d) => {
+      tbl(s, d, "events")
+        .withColumn("fold", expr(s"${CurationOps.bucket("user_id")} % 5"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purch"))
+        .withColumn("purch_share", expr("n_purch / n_events"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT ${CurationOps.bucketSql("user_id")} % 5 AS fold,
+               user_id, event_type
+        FROM events)
+      SELECT fold, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purch,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) / count(*) AS purch_share
+      FROM f GROUP BY fold""")),
+
+    // Out-of-fold target encoding — the leakage-safe categorical encoding
+    // (mean label per category, each row's own fold EXCLUDED so no row
+    // sees its own label): enc(source, fold) = (c_tot - c_fold) /
+    // (n_tot - n_fold) over label = n_chars >= corpus-median, fold from
+    // ft_kfold's md5 bucket of the doc id. Scale shape: ONE data-sized
+    // pass (the per-(source, fold) conditional aggregate, map-side
+    // combinable); the OOF complement is a window over the AGGREGATED
+    // relation — K sources x 5 folds rows, never the data — and the
+    // smoothing prior is a broadcast 1-row fold of the same tiny
+    // relation. enc_oof rides try_divide so a single-fold source yields
+    // NULL like the oracle's x/0; enc_smooth's denominator is always
+    // positive (m = 20).
+    Q("ft_target_encode", (s, d) => {
+      val perFold = tbl(s, d, "documents")
+        .withColumn("fold", expr(s"${CurationOps.bucket("doc_id")} % 5"))
+        .withColumn("y", when(col("n_chars") >= 306L, 1L).otherwise(0L))
+        .groupBy("source", "fold")
+        .agg(count(lit(1)).as("n_in"), sum("y").as("c_in"))
+      val prior = perFold.groupBy()
+        .agg(sum("n_in").as("nt"), sum("c_in").as("ct"))
+      val w = Window.partitionBy("source")
+      perFold
+        .withColumn("n_oof", sum("n_in").over(w) - col("n_in"))
+        .withColumn("c_oof", sum("c_in").over(w) - col("c_in"))
+        .crossJoin(broadcast(prior))
+        .withColumn("enc_oof", expr("try_divide(c_oof, n_oof)"))
+        .withColumn("enc_smooth",
+          expr("(c_oof + 20 * (ct / nt)) / (n_oof + 20)"))
+        .select("source", "fold", "n_in", "c_in", "n_oof", "c_oof",
+          "enc_oof", "enc_smooth")
+    }, Some(s"""
+      WITH b AS (
+        SELECT source, ${CurationOps.bucketSql("doc_id")} % 5 AS fold,
+               CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END AS y
+        FROM documents),
+      pf AS (
+        SELECT source, fold, count(*) AS n_in,
+               CAST(sum(y) AS BIGINT) AS c_in
+        FROM b GROUP BY 1, 2),
+      pr AS (
+        SELECT CAST(sum(n_in) AS BIGINT) AS nt,
+               CAST(sum(c_in) AS BIGINT) AS ct
+        FROM pf),
+      oof AS (
+        SELECT source, fold, n_in, c_in,
+               sum(n_in) OVER (PARTITION BY source) - n_in AS n_oof,
+               sum(c_in) OVER (PARTITION BY source) - c_in AS c_oof
+        FROM pf)
+      SELECT source, fold, n_in, c_in,
+             CAST(n_oof AS BIGINT) AS n_oof, CAST(c_oof AS BIGINT) AS c_oof,
+             c_oof / n_oof AS enc_oof,
+             (c_oof + 20 * (ct / nt)) / (n_oof + 20) AS enc_smooth
+      FROM oof CROSS JOIN pr""")),
+
+    // Bayesian A/B — the conjugate Beta(1,1)-Binomial read of the same
+    // user-level conversion table as ab_chisq (arm = user_id % 3, conv =
+    // any high-value purchase): posterior Beta(1 + c, 1 + n - c) mean,
+    // variance, and the normal-approximation 95% credible interval per
+    // arm. Same two-aggregate shape as ab_chisq (user collapse is the
+    // only data-sized shuffle); the posterior moments ride as DOUBLES
+    // from the start (a BIGINT (a+b)^3 overflows at billions of users —
+    // the double tree is the 100 TB-safe form and both engines evaluate
+    // the identical spliced text). Denominators are never zero: the
+    // prior makes a1, b1 >= 1.
+    Q("ab_bayes", (s, d) => {
+      tbl(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") >= 150.0, 1L).otherwise(0L)).as("conv"))
+        .withColumn("arm", pmod(col("user_id"), lit(3L)))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+        .withColumn("a1", expr("CAST(1 + c AS DOUBLE)"))
+        .withColumn("b1", expr("CAST(1 + n - c AS DOUBLE)"))
+        .withColumn("post_mean", expr(BAYES_MEAN))
+        .withColumn("post_var", expr(BAYES_VAR))
+        .withColumn("ci_lo", expr(s"$BAYES_MEAN - 1.96 * sqrt($BAYES_VAR)"))
+        .withColumn("ci_hi", expr(s"$BAYES_MEAN + 1.96 * sqrt($BAYES_VAR)"))
+        .select("arm", "n", "c", "post_mean", "post_var", "ci_lo", "ci_hi")
+    }, Some(s"""
+      WITH u AS (
+        SELECT user_id, user_id % 3 AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+        FROM u GROUP BY arm),
+      x AS (
+        SELECT arm, n, c, CAST(1 + c AS DOUBLE) AS a1,
+               CAST(1 + n - c AS DOUBLE) AS b1
+        FROM g)
+      SELECT arm, n, c, $BAYES_MEAN AS post_mean, $BAYES_VAR AS post_var,
+             $BAYES_MEAN - 1.96 * sqrt($BAYES_VAR) AS ci_lo,
+             $BAYES_MEAN + 1.96 * sqrt($BAYES_VAR) AS ci_hi
+      FROM x""")))
 
   /** RFM band edges — business constants, shared text. Recency in hours
     * since the corpus watermark; monetary in value micros.
@@ -1337,6 +1467,13 @@ object StatsOps {
   private val SRM_EXPR =
     """(k0 - nt/3)*(k0 - nt/3)/(nt/3) + (k1 - nt/3)*(k1 - nt/3)/(nt/3)
        + (k2 - nt/3)*(k2 - nt/3)/(nt/3)""".stripMargin.replace("\n", "")
+
+  /** Beta-posterior moments over the double-cast counts — one text,
+    * spliced into both engines so the IEEE op tree is identical.
+    */
+  private val BAYES_MEAN = "a1 / (a1 + b1)"
+  private val BAYES_VAR =
+    "a1 * b1 / ((a1 + b1) * (a1 + b1) * (a1 + b1 + 1))"
 
   private val TREND_EXPR = "tn / tc"
   private val SEAS_EXPR = "sn / sc - gs / gn"

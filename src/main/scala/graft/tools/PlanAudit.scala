@@ -36,6 +36,7 @@ object PlanAudit {
     "dd_embed_cos", "dd_embed_lsh_verify", "dd_lsh_recall",
     "dd_lsh_tuning", "dd_semantic", "dd_simhash_pairs", "dq_benford",
     "dq_check", "dq_referential", "dq_skew", "ft_epoch_shuffle",
+    "ft_target_encode", // broadcast of the 1-row smoothing-prior fold
     "ft_training_matrix", "gr_clustering", "gr_modularity",
     "km_assign_quality", "km_cluster", "q40_histogram", "rag_rrf",
     "rl_count", "rl_merge", "rl_remove", "rl_sort", "sq_basket_lift",

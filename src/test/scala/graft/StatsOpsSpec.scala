@@ -234,6 +234,58 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ft_kfold: grouped split — no user straddles folds, events conserved") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    // the property a hash match can't see: fold is a function of the USER,
+    // so recomputing it per-event must give one fold per user
+    val perEvent = events.filter(col("user_id").isNotNull)
+      .withColumn("fold", expr(
+        rel.CurationOps.bucket("user_id") + " % 5"))
+    assert(perEvent.groupBy("user_id")
+      .agg(countDistinct("fold").as("nf"))
+      .filter(col("nf") =!= 1).count() == 0,
+      "grouped k-fold: every user's events land in exactly one fold")
+    val rows = run("ft_kfold").collect()
+    assert(rows.forall { r =>
+      r.isNullAt(r.fieldIndex("fold")) ||
+        (0 until 5).contains(r.getAs[Int]("fold"))
+    })
+    assert(rows.map(_.getAs[Long]("n_events")).sum == events.count())
+    assert(rows.map(_.getAs[Long]("n_users")).sum ==
+      events.filter(col("user_id").isNotNull)
+        .select("user_id").distinct().count(),
+      "grouped split: fold user counts partition the user set")
+  }
+
+  test("ft_target_encode: OOF complement excludes exactly the own fold") {
+    val rows = run("ft_target_encode").collect()
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("source"))) {
+      val totN = rs.map(_.getAs[Long]("n_in")).sum
+      val totC = rs.map(_.getAs[Long]("c_in")).sum
+      for (r <- rs) {
+        assert(r.getAs[Long]("n_oof") == totN - r.getAs[Long]("n_in"))
+        assert(r.getAs[Long]("c_oof") == totC - r.getAs[Long]("c_in"))
+        val enc = r.getAs[Double]("enc_smooth")
+        assert(enc > 0.0 && enc < 1.0,
+          "smoothing keeps the encoding strictly inside (0,1)")
+      }
+    }
+  }
+
+  test("ab_bayes: conjugate posterior moments are consistent") {
+    for (r <- run("ab_bayes").collect()) {
+      val (n, c) = (r.getAs[Long]("n"), r.getAs[Long]("c"))
+      val mean = r.getAs[Double]("post_mean")
+      assert(math.abs(mean - (1.0 + c) / (2.0 + n)) < 1e-12,
+        "Beta(1,1) posterior mean is (1+c)/(n+2)")
+      assert(r.getAs[Double]("post_var") > 0.0)
+      assert(r.getAs[Double]("ci_lo") < mean && mean < r.getAs[Double]("ci_hi"))
+      // the normal approximation stays inside the variance envelope
+      assert(math.abs(r.getAs[Double]("ci_hi") - r.getAs[Double]("ci_lo") -
+        2 * 1.96 * math.sqrt(r.getAs[Double]("post_var"))) < 1e-12)
+    }
+  }
+
   test("dq_ldiv: every flagged class is genuinely below l = 3") {
     val flagged = run("dq_ldiv")
     assert(flagged.filter(col("l_div") >= 3).count() == 0)
