@@ -420,7 +420,47 @@ object SketchRel {
                   ELSE CAST(${K - 1} AS DOUBLE) * CAST($SCALE AS DOUBLE) /
                        CAST(${duckNibbleSum("union_kth")} AS DOUBLE)
              END AS est_union
-      FROM x""")))
+      FROM x""")),
+    Q("sk_kmv_diff", kmvDiff, Some(s"""
+      WITH h AS (
+        SELECT DISTINCT event_type,
+               CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS period,
+               md5(CAST(user_id AS VARCHAR)) AS hh
+        FROM events),
+      sk AS (
+        SELECT event_type, period,
+               (list(hh ORDER BY hh))[1 : $K] AS kmin
+        FROM h GROUP BY event_type, period),
+      ab AS (
+        SELECT event_type,
+               coalesce(max(CASE WHEN period = 'a' THEN kmin END),
+                        CAST([] AS VARCHAR[])) AS ka,
+               coalesce(max(CASE WHEN period = 'b' THEN kmin END),
+                        CAST([] AS VARCHAR[])) AS kb
+        FROM sk GROUP BY event_type),
+      u AS (
+        SELECT event_type, ka, kb,
+               list_sort(list_distinct(ka || kb))[1 : $K] AS ku
+        FROM ab),
+      x AS (
+        SELECT event_type,
+               CASE WHEN len(ku) >= $K THEN ku[$K] END AS union_kth,
+               CAST(len(list_filter(ku, x -> list_contains(ka, x)
+                        AND NOT list_contains(kb, x))) AS BIGINT) AS k_a_only,
+               CAST(len(list_filter(ku, x -> list_contains(kb, x)
+                        AND NOT list_contains(ka, x))) AS BIGINT) AS k_b_only
+        FROM u),
+      e AS (
+        SELECT event_type, k_a_only, k_b_only, union_kth,
+               CASE WHEN union_kth IS NULL THEN NULL
+                    ELSE CAST(${K - 1} AS DOUBLE) * CAST($SCALE AS DOUBLE) /
+                         CAST(${duckNibbleSum("union_kth")} AS DOUBLE)
+               END AS est_union
+        FROM x)
+      SELECT event_type, k_a_only, k_b_only, union_kth, est_union,
+             k_a_only / $K * est_union AS est_diff_ab,
+             k_b_only / $K * est_union AS est_diff_ba
+      FROM e""")))
 
   /** KMV set operations across two event periods (even/odd event_id — the
     * "this crawl vs last crawl" split; a timestamp boundary is the same
@@ -463,5 +503,50 @@ object SketchRel {
           .otherwise(lit((K - 1).toDouble) * lit(SCALE).cast("double") /
             expr("CAST(conv(substr(union_kth, 1, 15), 16, 10) AS BIGINT)")
               .cast("double")))
+  }
+
+  /** KMV set-DIFFERENCE algebra over the same two-period sketches as
+    * `kmvOverlap` — |A \ B| and |B \ A| ("users lost since last crawl" /
+    * "users gained"). The membership test is EXACT within the union
+    * sample: the union's kth min is <= each side's kth min, so any union
+    * k-min that belongs to a side is inside that side's kept set — absence
+    * from the kept set proves absence from the side below the threshold.
+    * est(A \ B) = (a-only fraction of the union sample) * est(union); an
+    * empty period coalesces to the empty sketch in BOTH engines so the
+    * whole union counts as the other side's difference (a NULL side would
+    * instead null the membership predicate and zero the count). Same one
+    * pass, O(k) state per (type, period) as the other KMV gates.
+    */
+  def kmvDiff(s: SparkSession, d: String): DataFrame = {
+    tbl(s, d, "events")
+      .select(col("event_type"),
+        when(col("event_id") % 2 === 0, "a").otherwise("b").as("period"),
+        md5(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type", "period")
+      .agg(KMinStrings(col("h"), K).as("kmin"))
+      .groupBy("event_type")
+      .agg(max(when(col("period") === "a", col("kmin"))).as("ka0"),
+        max(when(col("period") === "b", col("kmin"))).as("kb0"))
+      .withColumn("ka", expr("coalesce(ka0, cast(array() as array<string>))"))
+      .withColumn("kb", expr("coalesce(kb0, cast(array() as array<string>))"))
+      .withColumn("ku", expr(
+        s"slice(array_sort(array_union(ka, kb)), 1, $K)"))
+      .withColumn("union_kth",
+        when(size(col("ku")) >= K, element_at(col("ku"), K)))
+      .withColumn("k_a_only", expr(
+        """CAST(size(filter(ku, x -> array_contains(ka, x)
+                                 AND NOT array_contains(kb, x))) AS BIGINT)"""))
+      .withColumn("k_b_only", expr(
+        """CAST(size(filter(ku, x -> array_contains(kb, x)
+                                 AND NOT array_contains(ka, x))) AS BIGINT)"""))
+      .withColumn("est_union",
+        when(col("union_kth").isNull, lit(null).cast("double"))
+          .otherwise(lit((K - 1).toDouble) * lit(SCALE).cast("double") /
+            expr("CAST(conv(substr(union_kth, 1, 15), 16, 10) AS BIGINT)")
+              .cast("double")))
+      .withColumn("est_diff_ab", expr(s"k_a_only / $K * est_union"))
+      .withColumn("est_diff_ba", expr(s"k_b_only / $K * est_union"))
+      .select("event_type", "k_a_only", "k_b_only", "union_kth",
+        "est_union", "est_diff_ab", "est_diff_ba")
   }
 }

@@ -78,4 +78,27 @@ class KMinStringsSpec extends AnyFunSuite {
         .count() == 0)
     } finally ov.unpersist()
   }
+
+  test("sk_kmv_diff: a-only/b-only/shared partition the union sample") {
+    val sf = "/root/testdata/sf0.001"
+    val diff = SparkEntry.queries("sk_kmv_diff")(spark, sf)
+      .withColumnRenamed("union_kth", "d_kth").cache()
+    try {
+      val ov = SparkEntry.queries("sk_kmv_overlap")(spark, sf)
+        .select(col("event_type"), col("union_kth"), col("k_shared"))
+      val j = diff.join(ov, "event_type").cache()
+      // same sketches → same union threshold, and the three membership
+      // classes tile the union sample exactly (membership is exact below
+      // the union threshold — the property the estimator rests on)
+      assert(j.filter(not(col("d_kth") <=> col("union_kth"))).count() == 0)
+      assert(j.filter(col("d_kth").isNotNull &&
+        col("k_a_only") + col("k_b_only") + col("k_shared") =!= 8).count() == 0,
+        "a-only + b-only + shared must cover all k union minima")
+      // difference estimates are non-negative and bounded by the union
+      assert(diff.filter(col("est_diff_ab") < 0 ||
+        col("est_diff_ab") > col("est_union") ||
+        col("est_diff_ba") < 0 ||
+        col("est_diff_ba") > col("est_union")).count() == 0)
+    } finally diff.unpersist()
+  }
 }
