@@ -20,10 +20,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * hash aggregate: partial update → k-bounded merge → final eval.
   *
   * Order: value DESC, id ASC on ties — `row_number` rank order, so the
-  * exploded result is hash-identical to the window oracle. NULL values are
-  * skipped like every SQL aggregate (the oracle filters them before
-  * ranking); NULL ids are rejected loudly (a ranked pair without an
-  * identity is a data bug upstream).
+  * exploded result is hash-identical to the window oracle. The buffer is a
+  * bounded MULTISET (pair → count), so an input containing the SAME
+  * (value, id) pair twice returns it twice, exactly as `row_number` ranks
+  * each duplicate row — set semantics would silently shrink the top-k for
+  * such callers of the registered SQL function. NULL values are skipped
+  * like every SQL aggregate (the oracle filters them before ranking); NULL
+  * ids are rejected loudly (a ranked pair without an identity is a data
+  * bug upstream).
   */
 case class TopKPairs(
     ord: Expression,
@@ -31,7 +35,7 @@ case class TopKPairs(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]] {
+  extends TypedImperativeAggregate[TopKPairs.TopKBuffer] {
 
   require(k >= 1, s"k must be >= 1, got $k")
 
@@ -52,76 +56,68 @@ case class TopKPairs(
           s"topk_pairs expects bigint x bigint, got $a x $b")
     }
 
-  /** Rank order as a natural ordering: better pairs FIRST. (v desc, id asc)
-    * — encoded so TreeSet.first is the best and .last the currently-worst
-    * kept pair.
-    */
-  private val rankOrd: Ordering[(Long, Long)] =
-    Ordering.by[(Long, Long), (Long, Long)] { case (v, i) => (-v, i) }
+  override def createAggregationBuffer(): TopKPairs.TopKBuffer =
+    new TopKPairs.TopKBuffer(k)
 
-  override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
-    new java.util.TreeSet[(Long, Long)](rankOrd)
-
-  private def add(buf: java.util.TreeSet[(Long, Long)],
-      p: (Long, Long)): Unit =
-    if (buf.size < k) { buf.add(p); () }
-    else if (rankOrd.compare(p, buf.last) < 0 && buf.add(p)) {
-      // p displaced the worst kept pair (add=false would mean a duplicate
-      // pair — removing the last then would silently shrink the top-k)
-      buf.remove(buf.last)
-      ()
-    }
-
-  override def update(buf: java.util.TreeSet[(Long, Long)],
-      input: InternalRow): java.util.TreeSet[(Long, Long)] = {
+  override def update(buf: TopKPairs.TopKBuffer,
+      input: InternalRow): TopKPairs.TopKBuffer = {
     val v = ord.eval(input)
     if (v != null) {
       val i = id.eval(input)
       require(i != null, "topk_pairs: NULL id for a non-NULL ranked value")
-      add(buf, (v.asInstanceOf[Long], i.asInstanceOf[Long]))
+      buf.add((v.asInstanceOf[Long], i.asInstanceOf[Long]), 1L)
     }
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[(Long, Long)],
-      other: java.util.TreeSet[(Long, Long)]): java.util.TreeSet[(Long, Long)] = {
-    val it = other.iterator()
-    while (it.hasNext) add(buf, it.next())
+  override def merge(buf: TopKPairs.TopKBuffer,
+      other: TopKPairs.TopKBuffer): TopKPairs.TopKBuffer = {
+    val it = other.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.add(e.getKey, e.getValue)
+    }
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[(Long, Long)]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: TopKPairs.TopKBuffer): Any = {
+    val out = new Array[Any](buf.n.toInt)
+    val it = buf.m.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
-      val (v, d) = it.next()
-      out(i) = InternalRow(v, d)
-      i += 1
+      val e = it.next()
+      val (v, d) = e.getKey
+      var c = e.getValue
+      while (c > 0) { out(i) = InternalRow(v, d); i += 1; c -= 1 }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[(Long, Long)]): Array[Byte] = {
+  override def serialize(buf: TopKPairs.TopKBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.iterator()
+    out.writeInt(buf.m.size)
+    val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
-      val (v, d) = it.next()
+      val e = it.next()
+      val (v, d) = e.getKey
       out.writeLong(v)
       out.writeLong(d)
+      out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): TopKPairs.TopKBuffer = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
-    val n = in.readInt()
+    val entries = in.readInt()
     var i = 0
-    while (i < n) { buf.add((in.readLong(), in.readLong())); i += 1 }
+    while (i < entries) {
+      buf.add((in.readLong(), in.readLong()), in.readLong())
+      i += 1
+    }
     buf
   }
 
@@ -136,6 +132,54 @@ case class TopKPairs(
 }
 
 object TopKPairs {
+
+  /** Rank order: better pairs FIRST — (v desc, id asc). Overflow-safe:
+    * `java.lang.Long.compare`, never negation (`-Long.MinValue` overflows
+    * back to `Long.MinValue`, which would rank the SMALLEST possible value
+    * as the best pair).
+    */
+  val rankOrd: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val byV = java.lang.Long.compare(b._1, a._1)
+      if (byV != 0) byV else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  /** Bounded multiset of the best <= k pairs, ordered by [[rankOrd]]: a
+    * TreeMap pair → count plus the total count `n`. `m.firstKey` is the
+    * best kept pair, `m.lastKey` the currently-worst.
+    */
+  final class TopKBuffer(val k: Int) {
+    val m = new java.util.TreeMap[(Long, Long), Long](rankOrd)
+    /** Total pairs kept (sum of counts); invariant n <= k. */
+    var n = 0L
+
+    private def bump(p: (Long, Long), by: Long): Unit = {
+      val cur = m.get(p)
+      m.put(p, if (cur == null) by else cur + by)
+    }
+
+    /** Add `count` copies of `p`, evicting worst units to stay at k. */
+    def add(p: (Long, Long), count: Long): Unit = {
+      var c = count
+      // fill the free room in one step
+      if (n < k) {
+        val take = math.min(c, k - n)
+        bump(p, take)
+        n += take
+        c -= take
+      }
+      // displace worst units one-for-one while p strictly outranks them
+      while (c > 0 && rankOrd.compare(p, m.lastKey()) < 0) {
+        bump(p, 1L)
+        val worst = m.lastKey()
+        val wc = m.get(worst)
+        if (wc == 1L) m.remove(worst) else m.put(worst, wc - 1)
+        c -= 1
+      }
+    }
+  }
+
   /** Column-API entry: `topk_pairs(vm, event_id, 3)` → array<struct<v,id>>
     * in rank order.
     */

@@ -74,7 +74,7 @@ object StatsOps {
         .withColumn("chisq", expr(chisqExpr(spark = true)))
     }, Some(s"""
       WITH u AS (
-        SELECT user_id, user_id % 3 AS arm,
+        SELECT user_id, ((user_id % 3) + 3) % 3 AS arm,
                max(CASE WHEN event_type = 'purchase' AND value >= 150.0
                         THEN 1 ELSE 0 END) AS conv
         FROM events GROUP BY 1, 2),
@@ -131,7 +131,7 @@ object StatsOps {
           "mean_diff", "t_stat", "df_welch")
     }, Some("""
       WITH e AS (
-        SELECT user_id % 2 AS arm, CAST(value AS DECIMAL(18,6)) AS v
+        SELECT ((user_id % 2) + 2) % 2 AS arm, CAST(value AS DECIMAL(18,6)) AS v
         FROM events),
       g AS (
         SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
@@ -565,7 +565,7 @@ object StatsOps {
           "theta", "adj_diff", "var_reduction")
     }, Some("""
       WITH u AS (
-        SELECT user_id, user_id % 2 AS arm,
+        SELECT user_id, ((user_id % 2) + 2) % 2 AS arm,
                CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
                  THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
                  AS BIGINT) // 1000 AS x,
@@ -1357,18 +1357,37 @@ object StatsOps {
     // (mean label per category, each row's own fold EXCLUDED so no row
     // sees its own label): enc(source, fold) = (c_tot - c_fold) /
     // (n_tot - n_fold) over label = n_chars >= corpus-median, fold from
-    // ft_kfold's md5 bucket of the doc id. Scale shape: ONE data-sized
-    // pass (the per-(source, fold) conditional aggregate, map-side
-    // combinable); the OOF complement is a window over the AGGREGATED
+    // ft_kfold's md5 bucket of the doc id. The median is COMPUTED, not a
+    // constant: pass 1 aggregates per-n_chars counts (map-side
+    // combinable, output bounded by the distinct-length cardinality, not
+    // the data), a cumulative window over that tiny relation finds the
+    // two middle order statistics, and their mean broadcasts back as a
+    // 1-row relation — so the operator is callable on any corpus, same
+    // pattern as q40_histogram's bounds. Scale shape: TWO data-sized
+    // passes (median counts, then the per-(source, fold) conditional
+    // aggregate); the OOF complement is a window over the AGGREGATED
     // relation — K sources x 5 folds rows, never the data — and the
     // smoothing prior is a broadcast 1-row fold of the same tiny
     // relation. enc_oof rides try_divide so a single-fold source yields
     // NULL like the oracle's x/0; enc_smooth's denominator is always
     // positive (m = 20).
     Q("ft_target_encode", (s, d) => {
-      val perFold = tbl(s, d, "documents")
+      val docs = tbl(s, d, "documents")
+      // interpolated corpus median of n_chars from per-value counts:
+      // positions (n+1) div 2 and (n+2) div 2 of the sorted multiset
+      // (equal when n is odd), averaged — matching DuckDB's median()
+      val cum = docs.groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("v"), sum("cnt").over(Window.orderBy("v")).as("cc"))
+        .withColumn("n", max("cc").over(Window.partitionBy()))
+      val thr = cum.groupBy()
+        .agg(((min(when(expr("cc >= (n + 1) div 2"), col("v"))) +
+          min(when(expr("cc >= (n + 2) div 2"), col("v")))) / lit(2.0))
+          .as("thr"))
+      val perFold = docs
+        .crossJoin(broadcast(thr))
         .withColumn("fold", expr(s"${CurationOps.bucket("doc_id")} % 5"))
-        .withColumn("y", when(col("n_chars") >= 306L, 1L).otherwise(0L))
+        .withColumn("y", when(col("n_chars") >= col("thr"), 1L).otherwise(0L))
         .groupBy("source", "fold")
         .agg(count(lit(1)).as("n_in"), sum("y").as("c_in"))
       val prior = perFold.groupBy()
@@ -1384,10 +1403,20 @@ object StatsOps {
         .select("source", "fold", "n_in", "c_in", "n_oof", "c_oof",
           "enc_oof", "enc_smooth")
     }, Some(s"""
-      WITH b AS (
+      WITH vc AS (
+        SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1),
+      cum0 AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM vc),
+      cum AS (
+        SELECT v, cc, max(cc) OVER () AS n FROM cum0),
+      thr AS (
+        SELECT (min(CASE WHEN cc >= (n + 1) // 2 THEN v END)
+              + min(CASE WHEN cc >= (n + 2) // 2 THEN v END)) / 2.0 AS thr
+        FROM cum),
+      b AS (
         SELECT source, ${CurationOps.bucketSql("doc_id")} % 5 AS fold,
-               CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END AS y
-        FROM documents),
+               CASE WHEN n_chars >= thr THEN 1 ELSE 0 END AS y
+        FROM documents CROSS JOIN thr),
       pf AS (
         SELECT source, fold, count(*) AS n_in,
                CAST(sum(y) AS BIGINT) AS c_in
@@ -1416,7 +1445,11 @@ object StatsOps {
     // from the start (a BIGINT (a+b)^3 overflows at billions of users —
     // the double tree is the 100 TB-safe form and both engines evaluate
     // the identical spliced text). Denominators are never zero: the
-    // prior makes a1, b1 >= 1.
+    // prior makes a1, b1 >= 1. Arm assignment is pmod on the Spark side
+    // and ((x % 3) + 3) % 3 in the oracle — identical even for negative
+    // user_ids (DuckDB's plain % takes the dividend's sign; pmod never
+    // goes negative), so the gate does not rest on the corpus happening
+    // to have non-negative ids. Same convention across all ab_* gates.
     Q("ab_bayes", (s, d) => {
       tbl(s, d, "events")
         .groupBy(col("user_id"))
@@ -1434,7 +1467,7 @@ object StatsOps {
         .select("arm", "n", "c", "post_mean", "post_var", "ci_lo", "ci_hi")
     }, Some(s"""
       WITH u AS (
-        SELECT user_id, user_id % 3 AS arm,
+        SELECT user_id, ((user_id % 3) + 3) % 3 AS arm,
                max(CASE WHEN event_type = 'purchase' AND value >= 150.0
                         THEN 1 ELSE 0 END) AS conv
         FROM events GROUP BY 1, 2),

@@ -101,6 +101,32 @@ class Wave11Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("TopKPairs: duplicate pairs rank like row_number, not set-deduped") {
+    import spark.implicits._
+    // the SAME (v, id) pair repeated — row_number gives each duplicate its
+    // own rank, so top-3 of {(9,1)x2, (5,2)x3} is (9,1),(9,1),(5,2)
+    val df = Seq((0L, 9L, 1L), (0L, 9L, 1L), (0L, 5L, 2L), (0L, 5L, 2L),
+      (0L, 5L, 2L), (0L, 1L, 3L)).toDF("g", "v", "id").repartition(4)
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKPairs(col("v"), col("id"), 3).as("tk"))
+      .selectExpr("inline(tk)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((9L, 1L), (9L, 1L), (5L, 2L)))
+  }
+
+  test("TopKPairs: Long.MinValue ranks worst (no negation overflow)") {
+    import spark.implicits._
+    // -Long.MinValue == Long.MinValue, so a negating comparator would rank
+    // the SMALLEST value best; the compare-based order must rank it last
+    val df = Seq((0L, Long.MinValue, 1L), (0L, -3L, 2L), (0L, 7L, 3L),
+      (0L, Long.MaxValue, 4L)).toDF("g", "v", "id")
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKPairs(col("v"), col("id"), 3).as("tk"))
+      .selectExpr("inline(tk)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((Long.MaxValue, 4L), (7L, 3L), (-3L, 2L)))
+  }
+
   test("topk_pairs is SQL-callable after register") {
     graft.functions.GraftFunctions.register(spark)
     val rows = spark.sql(
