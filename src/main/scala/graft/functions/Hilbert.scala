@@ -125,6 +125,176 @@ object HilbertIndex {
     Bridge.column(HilbertIndex(Bridge.expression(x), Bridge.expression(y)))
 }
 
+/** 3-D Hilbert curve index (order 10: each input masked to its low 10
+  * bits, output in [0, 2^30)) — the N-dimensional companion of
+  * [[HilbertIndex]] for data laid out on a 3-D key (the tile engine's own
+  * `grid_z/grid_y/grid_x` is the natural consumer; the gate drives it over
+  * three lineitem keys so the DuckDB oracle can replay it bit-for-bit).
+  *
+  * The Lam–Shapiro quadrant loop does not generalize past 2-D, so this is
+  * Skilling's transform (J. Skilling, "Programming the Hilbert curve",
+  * AIP Conf. Proc. 707, 2004 — the standard public N-D construction):
+  * axes → transposed Hilbert coordinates by 9 rounds of invert-or-exchange
+  * against the leading axis, a Gray encode, then a bit interleave with the
+  * leading axis contributing the high bit of each 3-bit group. Pure
+  * integer arithmetic, fused into whole-stage codegen; the relational twin
+  * unrolls the same rounds as CTEs ([[graft.rel.SourceOps.HILBERT3_CTES]])
+  * so the oracle proves the generated code exactly. [[Hilbert3.inverse3]]
+  * is the reverse transform, used by the spec to prove bijection and the
+  * unit-step walk (the defining Hilbert property).
+  */
+case class HilbertIndex3(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects bigint x bigint x bigint, got $a x $b x $c")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Hilbert3.index3(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, z) => {
+      val a = ctx.freshName("ha")
+      val b = ctx.freshName("hb")
+      val c = ctx.freshName("hc")
+      val q = ctx.freshName("hq")
+      val p = ctx.freshName("hp")
+      val t = ctx.freshName("ht")
+      val j = ctx.freshName("hj")
+      val g2 = ctx.freshName("hg2")
+      val g1 = ctx.freshName("hg1")
+      val g0 = ctx.freshName("hg0")
+      val mask = Hilbert3.Side - 1
+      val half = Hilbert3.Side >> 1
+      // same rounds as Hilbert3.index3 — real Java loops, far under the
+      // JIT method-size limit. Every loop body is braced and every
+      // statement simple: janino misparses a parenthesized shift inside a
+      // brace-less loop body as a cast ("... is not a type") and Spark
+      // would silently fall back to interpreted eval.
+      s"""
+         |long $a = $x & ${mask}L;
+         |long $b = $y & ${mask}L;
+         |long $c = $z & ${mask}L;
+         |for (long $q = ${half}L; $q > 1L; $q >>= 1) {
+         |  long $p = $q - 1L;
+         |  if (($a & $q) != 0L) $a ^= $p;
+         |  if (($b & $q) != 0L) $a ^= $p;
+         |  else { long $t = ($a ^ $b) & $p; $a ^= $t; $b ^= $t; }
+         |  if (($c & $q) != 0L) $a ^= $p;
+         |  else { long $t = ($a ^ $c) & $p; $a ^= $t; $c ^= $t; }
+         |}
+         |$b ^= $a;
+         |$c ^= $b;
+         |long $t = 0L;
+         |for (long $q = ${half}L; $q > 1L; $q >>= 1) {
+         |  if (($c & $q) != 0L) $t ^= $q - 1L;
+         |}
+         |$a ^= $t; $b ^= $t; $c ^= $t;
+         |${ev.value} = 0L;
+         |for (int $j = ${Hilbert3.Bits - 1}; $j >= 0; $j--) {
+         |  long $g2 = ($a >> $j) & 1L;
+         |  long $g1 = ($b >> $j) & 1L;
+         |  long $g0 = ($c >> $j) & 1L;
+         |  ${ev.value} = (${ev.value} << 3) | ($g2 << 2) | ($g1 << 1) | $g0;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): HilbertIndex3 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object Hilbert3 {
+
+  /** Bits per dimension (order 10): 3 x 10 = 30-bit index. */
+  val Bits: Int = 10
+
+  /** Side length of the curve's cubic grid. */
+  val Side: Long = 1L << Bits
+
+  /** Skilling axes→index for 3 dims; inputs masked to [[Bits]] bits. */
+  def index3(x0: Long, y0: Long, z0: Long): Long = {
+    var a = x0 & (Side - 1)
+    var b = y0 & (Side - 1)
+    var c = z0 & (Side - 1)
+    // inverse undo: invert-or-exchange low bits against the leading axis
+    var q = Side >> 1
+    while (q > 1) {
+      val p = q - 1
+      if ((a & q) != 0L) a ^= p
+      if ((b & q) != 0L) a ^= p
+      else { val t = (a ^ b) & p; a ^= t; b ^= t }
+      if ((c & q) != 0L) a ^= p
+      else { val t = (a ^ c) & p; a ^= t; c ^= t }
+      q >>= 1
+    }
+    // Gray encode
+    b ^= a
+    c ^= b
+    var t = 0L
+    q = Side >> 1
+    while (q > 1) {
+      if ((c & q) != 0L) t ^= q - 1
+      q >>= 1
+    }
+    a ^= t; b ^= t; c ^= t
+    // interleave the transpose: a is the high bit of each 3-bit group
+    var d = 0L
+    var j = Bits - 1
+    while (j >= 0) {
+      d = (d << 3) | (((a >> j) & 1L) << 2) |
+        (((b >> j) & 1L) << 1) | ((c >> j) & 1L)
+      j -= 1
+    }
+    d
+  }
+
+  /** Inverse (index→axes) — used only by tests to prove bijection and
+    * unit steps; not part of any query plan.
+    */
+  def inverse3(d: Long): (Long, Long, Long) = {
+    var a = 0L; var b = 0L; var c = 0L
+    var j = 0
+    while (j < Bits) {
+      a |= ((d >> (3 * j + 2)) & 1L) << j
+      b |= ((d >> (3 * j + 1)) & 1L) << j
+      c |= ((d >> (3 * j)) & 1L) << j
+      j += 1
+    }
+    // Gray decode
+    val t0 = c >> 1
+    c ^= b; b ^= a; a ^= t0
+    // undo excess work (reverse round order, reverse axis order)
+    var q = 2L
+    while (q < Side) {
+      val p = q - 1
+      if ((c & q) != 0L) a ^= p
+      else { val w = (a ^ c) & p; a ^= w; c ^= w }
+      if ((b & q) != 0L) a ^= p
+      else { val w = (a ^ b) & p; a ^= w; b ^= w }
+      if ((a & q) != 0L) a ^= p
+      q <<= 1
+    }
+    (a, b, c)
+  }
+
+  /** Column wrapper: `hilbert3(x, y, z)` — 30-bit Hilbert index. */
+  def hilbert3(x: Column, y: Column, z: Column): Column =
+    Bridge.column(HilbertIndex3(Bridge.expression(x), Bridge.expression(y),
+      Bridge.expression(z)))
+}
+
 /** Hilbert-interval decomposition of a 2-D box query — the READ side of the
   * Hilbert layout, mirroring [[ZInterval]] for Morton: a rectangle becomes
   * a small OR of contiguous index ranges that a Hilbert-sorted store

@@ -170,6 +170,69 @@ object SourceOps {
     sb.toString
   }
 
+  /** The relational twin of [[graft.functions.Hilbert3.index3]]: Skilling's
+    * 3-D transform unrolled as CTEs over 10-bit (x, y, z) from three
+    * lineitem keys; ends with relation h3(x0, y0, z0, d). Each round is
+    * three invert-or-exchange sub-steps against the leading axis `a` —
+    * arithmetic on 0/1 condition bits (never CASE, so a NULL key
+    * propagates to a NULL index like the Spark expression's null-safe
+    * eval): when the condition bit is 1 the mask is P, else it is the
+    * exchange delta, and the two are mutually exclusive so `+` composes
+    * them under one xor.
+    */
+  private[graft] val HILBERT3_CTES: String = {
+    val bits = graft.functions.Hilbert3.Bits
+    val side = graft.functions.Hilbert3.Side
+    val sb = new StringBuilder(s"""
+      WITH s0 AS (
+        SELECT l_orderkey & ${side - 1} AS x0, l_partkey & ${side - 1} AS y0,
+               l_suppkey & ${side - 1} AS z0,
+               l_orderkey & ${side - 1} AS a, l_partkey & ${side - 1} AS b,
+               l_suppkey & ${side - 1} AS c
+        FROM lineitem)""")
+    var k = 0
+    var q = side >> 1
+    while (q > 1) {
+      val p = q - 1
+      sb.append(s""",
+      s${k + 1} AS (SELECT x0, y0, z0,
+        xor(a, CAST((a & $q) > 0 AS BIGINT) * $p) AS a, b, c FROM s$k),
+      s${k + 2} AS (SELECT x0, y0, z0,
+        xor(a, CAST((b & $q) > 0 AS BIGINT) * $p
+             + (1 - CAST((b & $q) > 0 AS BIGINT)) * (xor(a, b) & $p)) AS a,
+        xor(b, (1 - CAST((b & $q) > 0 AS BIGINT)) * (xor(a, b) & $p)) AS b,
+        c FROM s${k + 1}),
+      s${k + 3} AS (SELECT x0, y0, z0,
+        xor(a, CAST((c & $q) > 0 AS BIGINT) * $p
+             + (1 - CAST((c & $q) > 0 AS BIGINT)) * (xor(a, c) & $p)) AS a,
+        b,
+        xor(c, (1 - CAST((c & $q) > 0 AS BIGINT)) * (xor(a, c) & $p)) AS c
+        FROM s${k + 2})""")
+      k += 3
+      q >>= 1
+    }
+    // Gray encode: b ^= a, then c ^= (new) b
+    sb.append(s""",
+      sg AS (SELECT x0, y0, z0, a, xor(b, a) AS b, xor(c, xor(b, a)) AS c
+             FROM s$k)""")
+    // t = xor-fold of (Q - 1) over the set bits of the last axis
+    val terms = Iterator.iterate(side >> 1)(_ >> 1).takeWhile(_ > 1)
+      .map(qq => s"CAST((c & $qq) > 0 AS BIGINT) * ${qq - 1}").toSeq
+    val tFold = terms.reduce((acc, t) => s"xor($acc, $t)")
+    sb.append(s""",
+      st AS (SELECT x0, y0, z0, a, b, c, $tFold AS t FROM sg)""")
+    // final xor with t, then the 3-way bit interleave (a = high bit)
+    val il = (0 until bits).flatMap { j =>
+      Seq(s"((xor(a, t) >> $j) & 1) * ${1L << (3 * j + 2)}",
+        s"((xor(b, t) >> $j) & 1) * ${1L << (3 * j + 1)}",
+        s"((xor(c, t) >> $j) & 1) * ${1L << (3 * j)}")
+    }
+    sb.append(s""",
+      h3 AS (SELECT x0, y0, z0,
+             CAST(${il.mkString(" + ")} AS BIGINT) AS d FROM st)""")
+    sb.toString
+  }
+
   /** 16-bit-domain Morton twin of HILBERT_CTES (same x0/y0 inputs), for
     * the head-to-head locality comparison; ends with m(x0, y0, code).
     */
@@ -288,6 +351,35 @@ object SourceOps {
              min(y0) AS y_lo, max(y0) AS y_hi,
              min(d) AS h_lo, max(d) AS h_hi
       FROM h16 GROUP BY 1""")),
+
+    // 3-D Hilbert layout: the order-10 Skilling index of three lineitem
+    // keys via the codegen'd HilbertIndex3 expression — the layout
+    // primitive for data clustered on THREE keys at once (the tile
+    // engine's own grid_z/grid_y/grid_x being the in-house consumer).
+    // Per-index-range envelopes over all three dimensions are the file
+    // statistics a store gets after a 3-key Hilbert OPTIMIZE; min/max of
+    // the index per bucket pins every bit of the 9 invert-or-exchange
+    // rounds + Gray encode + interleave against the CTE-unrolled oracle.
+    Q("lo_hilbert3", (s, d) => {
+      tbl(s, d, "lineitem")
+        .select(expr("l_orderkey & 1023").as("x"),
+          expr("l_partkey & 1023").as("y"),
+          expr("l_suppkey & 1023").as("z"))
+        .withColumn("h", graft.functions.Hilbert3.hilbert3(
+          col("x"), col("y"), col("z")))
+        .groupBy(expr("shiftright(h, 18)").as("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_lo"), max("x").as("x_hi"),
+          min("y").as("y_lo"), max("y").as("y_hi"),
+          min("z").as("z_lo"), max("z").as("z_hi"),
+          min("h").as("h_lo"), max("h").as("h_hi"))
+    }, Some(HILBERT3_CTES + """
+      SELECT d >> 18 AS hbucket, count(*) AS n,
+             min(x0) AS x_lo, max(x0) AS x_hi,
+             min(y0) AS y_lo, max(y0) AS y_hi,
+             min(z0) AS z_lo, max(z0) AS z_hi,
+             min(d) AS h_lo, max(d) AS h_hi
+      FROM h3 GROUP BY 1""")),
 
     // Curve-locality head-to-head: bucket the SAME 16-bit key pairs by
     // their top-8 curve bits under Morton and under Hilbert, and total the
