@@ -79,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.DotProductFusion)
+    ext.injectOptimizerRule(_ => graft.plans.HilbertBoxCover)
     ext.injectFunction((
       new FunctionIdentifier("kmin_strings"),
       new ExpressionInfo(classOf[KMinStrings].getName, "kmin_strings"),

@@ -328,6 +328,36 @@ object SourceOps {
       SELECT x0 AS x, y0 AS y, d AS h FROM h16
       WHERE x0 BETWEEN 1000 AND 3000 AND y0 BETWEEN 20 AND 150""")),
 
+    // Hilbert-range scan, AUTOMATIC form: the same hilbert-sorted layout
+    // as lo_hscan, but the USER QUERY is the plain 2-D box filter — no
+    // hand-built OR'd ranges. The HilbertBoxCover optimizer rule (told
+    // the layout once via spark.graft.hilbert.layout = "bx,by,bh", the
+    // relational analogue of a table clustering property) ANDs the
+    // HInterval.cover decomposition into the filter, and
+    // FileSourceStrategy pushes the ranges into the parquet scan for
+    // min/max pruning. The oracle answers the same box off the raw
+    // table, so hash equality proves the injected cover is a true
+    // superset; HilbertCoverRuleSpec pins the plan shape (ranges in
+    // PushedFilters) and the pruning win.
+    Q("lo_hscan_auto", (s, d) => {
+      val dir = stage("hsort_auto")
+      tbl(s, d, "lineitem")
+        .select(expr("l_orderkey & 65535").as("bx"),
+          expr("l_partkey & 65535").as("by"))
+        .withColumn("bh",
+          graft.functions.HilbertIndex.hilbert(col("bx"), col("by")))
+        .repartitionByRange(8, col("bh"))
+        .sortWithinPartitions("bh")
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      graft.plans.HilbertBoxCover.ensureInstalled(s)
+      s.conf.set("spark.graft.hilbert.layout", "bx,by,bh")
+      s.read.parquet(dir)
+        .filter(col("bx").between(1000L, 3000L) &&
+          col("by").between(20L, 150L))
+    }, Some(HILBERT_CTES + """
+      SELECT x0 AS bx, y0 AS by, d AS bh FROM h16
+      WHERE x0 BETWEEN 1000 AND 3000 AND y0 BETWEEN 20 AND 150""")),
+
     // Hilbert layout: the order-16 Hilbert index of (l_orderkey & 65535,
     // l_partkey & 65535) via the codegen'd HilbertIndex expression; the
     // per-index-range key envelopes are the file statistics a store gets

@@ -1,0 +1,194 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HilbertIndex, HInterval}
+import graft.plans.HilbertBoxCover
+
+/** The automatic Hilbert box-filter pushdown: the rule injects the
+  * HInterval.cover ranges into a plain box filter's plan (visible in the
+  * parquet scan's PushedFilters), results are unchanged, the scan reads
+  * fewer rows, and the rule declines every case it must not touch
+  * (index column already referenced, half-bounded boxes, missing layout
+  * declaration, out-of-domain boxes).
+  */
+class HilbertCoverRuleSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+  private val ConfKey = "spark.graft.hilbert.layout"
+
+  // 32 range-partitioned files so each carries a TIGHT bh min/max
+  // envelope — the pruning-win assertion needs file-level granularity
+  // finer than the box
+  private lazy val dir: String = {
+    val d = TempDirs.create("hcover_spec")
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(expr("l_orderkey & 65535").as("bx"),
+        expr("l_partkey & 65535").as("by"))
+      .withColumn("bh", HilbertIndex.hilbert(col("bx"), col("by")))
+      .repartitionByRange(32, col("bh"))
+      .sortWithinPartitions("bh")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def withLayout[T](v: String)(body: => T): T = {
+    HilbertBoxCover.ensureInstalled(spark)
+    spark.conf.set(ConfKey, v)
+    try body finally spark.conf.unset(ConfKey)
+  }
+
+  private def boxDf = spark.read.parquet(dir)
+    .filter(col("bx").between(100L, 900L) && col("by").between(50L, 300L))
+
+  test("rule injects cover ranges into PushedFilters; results unchanged") {
+    val plain = boxDf.collect().map(_.toSeq).toSet
+    val (got, pushed) = withLayout("bx,by,bh") {
+      val df = boxDf
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+      // metadata is the UNtruncated source of the explain string
+      (df.collect().map(_.toSeq).toSet,
+        scans.map(_.metadata("PushedFilters")).mkString)
+    }
+    assert(got == plain, "cover must be a superset — results identical")
+    assert(got.nonEmpty)
+    // the scan carries bh range predicates the user never wrote
+    assert(pushed.contains("GreaterThanOrEqual(bh") &&
+      pushed.contains("LessThanOrEqual(bh"),
+      s"expected bh ranges in PushedFilters:\n$pushed")
+    // and the optimized filter really contains the OR'd ranges
+    val opt = withLayout("bx,by,bh")(boxDf.queryExecution.optimizedPlan)
+    val ors = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case org.apache.spark.sql.catalyst.expressions.Or(_, _) => 1
+        }.size
+    }.sum
+    assert(ors > 0, "optimized filter should hold the OR'd range cover")
+  }
+
+  test("injected ranges equal HInterval.cover of the box") {
+    val opt = withLayout("bx,by,bh")(boxDf.queryExecution.optimizedPlan)
+    val got = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case org.apache.spark.sql.catalyst.expressions.And(
+            org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+              a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+              org.apache.spark.sql.catalyst.expressions.Literal(lo: Long, _)),
+            org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+              b: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+              org.apache.spark.sql.catalyst.expressions.Literal(hi: Long, _)))
+            if a.name == "bh" && b.name == "bh" => (lo, hi)
+        }
+    }.flatten.toSet
+    assert(got == HInterval.cover(100L, 900L, 50L, 300L).toSet)
+  }
+
+  test("the cover actually prunes: fewer rows scanned than a full read") {
+    def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    }
+    // a small box -> a narrow cover -> most of the 32 file envelopes are
+    // disjoint from every range and get skipped outright
+    def smallBox = spark.read.parquet(dir)
+      .filter(col("bx").between(100L, 300L) && col("by").between(50L, 150L))
+    val total = spark.read.parquet(dir).count()
+    val withRule = withLayout("bx,by,bh")(scannedRows(smallBox))
+    assert(withRule < total / 3,
+      s"expected file/row-group pruning: scanned $withRule of $total")
+    // never worse than the raw box (whose bx/by min/max stats also prune
+    // here — hilbert clustering makes every file's x/y envelope tight,
+    // which is the layout's whole point)
+    val rawBox = scannedRows(smallBox)
+    assert(withRule <= rawBox, s"rule made the scan worse: $withRule > $rawBox")
+    // the 100 TB claim the rule exists for: the injected SORT-KEY ranges
+    // alone prune as hard as per-column stats on both keys — at scale the
+    // store can keep min/max (or a range index) on the ONE clustered
+    // column and still answer any box on the keys it encodes
+    val coverOnly = HInterval.cover(100L, 300L, 50L, 150L)
+      .map { case (a, b) => col("bh").between(a, b) }.reduce(_ || _)
+    val coverScan = scannedRows(spark.read.parquet(dir).filter(coverOnly))
+    assert(coverScan == withRule,
+      s"bh ranges alone must match box-stats pruning: $coverScan vs $withRule")
+  }
+
+  test("declines: no layout conf, wrong arity, missing columns") {
+    // no conf -> untouched plan
+    HilbertBoxCover.ensureInstalled(spark)
+    val none = boxDf.queryExecution.optimizedPlan.toString
+    assert(!none.contains("bh >="), "no rewrite without the declaration")
+    // arity != 3 -> untouched
+    val bad = withLayout("bx,by")(boxDf.queryExecution.optimizedPlan.toString)
+    assert(!bad.contains("bh >="))
+    // layout names a column the relation lacks -> untouched
+    val miss = withLayout("bx,nope,bh")(
+      boxDf.queryExecution.optimizedPlan.toString)
+    assert(!miss.contains("bh >="))
+  }
+
+  test("declines: half-bounded box and index column already referenced") {
+    val half = withLayout("bx,by,bh") {
+      spark.read.parquet(dir)
+        .filter(col("bx") >= 100L && col("by").between(50L, 300L))
+        .queryExecution.optimizedPlan
+    }
+    val halfOrs = half.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case org.apache.spark.sql.catalyst.expressions.Or(_, _) => 1
+        }.size
+    }.sum
+    assert(halfOrs == 0, "no cover for a half-bounded box")
+    // a hand-built cover referencing bh must not get a second cover added
+    val hand = withLayout("bx,by,bh") {
+      val ivs = HInterval.cover(100L, 900L, 50L, 300L)
+      val pred = ivs.map { case (a, b) => col("bh").between(a, b) }
+        .reduce(_ || _)
+      spark.read.parquet(dir)
+        .filter(pred && col("bx").between(100L, 900L) &&
+          col("by").between(50L, 300L))
+        .queryExecution.optimizedPlan
+    }
+    val handRanges = hand.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+            _) if a.name == "bh" => 1
+        }.size
+    }.sum
+    assert(handRanges == HInterval.cover(100L, 900L, 50L, 300L).size,
+      "hand-built cover left exactly as written")
+  }
+
+  test("strict and reversed comparisons normalize to the same closed box") {
+    val a = withLayout("bx,by,bh") {
+      spark.read.parquet(dir)
+        .filter(col("bx") > 99L && col("bx") < 901L &&
+          lit(50L) <= col("by") && lit(300L) >= col("by"))
+        .queryExecution.optimizedPlan
+    }
+    val got = a.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case org.apache.spark.sql.catalyst.expressions.And(
+            org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+              x: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+              org.apache.spark.sql.catalyst.expressions.Literal(lo: Long, _)),
+            org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+              y: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+              org.apache.spark.sql.catalyst.expressions.Literal(hi: Long, _)))
+            if x.name == "bh" && y.name == "bh" => (lo, hi)
+        }
+    }.flatten.toSet
+    assert(got == HInterval.cover(100L, 900L, 50L, 300L).toSet)
+  }
+}
