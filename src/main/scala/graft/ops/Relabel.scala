@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions.col
+import org.apache.spark.util.LongAccumulator
 import graft.core.{CCL, Kernels}
 import graft.tiles.{GridSpec, Tile}
 
@@ -252,12 +253,33 @@ object Relabel {
   /** O7 `image2labels` (`relabeling.py:195-242`): the flagship composition.
     * Exactly two shuffles end-to-end (the two halo exchanges), like the
     * reference's two neighbor-communication stages.
+    *
+    * `overlapViolations`, when given, counts the objects whose pixels span
+    * both opposite margin faces of a tile — objects LARGER than the
+    * overlap, which O3's parity rule will split silently (the reference's
+    * undetected correctness constraint, SURVEY §4.1; [[overlapSufficiency]]
+    * is the standalone row-per-violation form). It rides the segmented
+    * stage for free — no extra pass, no shuffle — and fills when the
+    * returned Dataset's ACTION runs (standard Spark accumulator
+    * semantics: read it after the write/collect, treat it as at-least-once
+    * under task retries — a diagnostic trigger, not an exact metric; any
+    * value > 0 means `overlaps` is too small for the objects present).
     */
   def image2labels(tiles: Dataset[Tile], spec: GridSpec, segFn: SegmentationFn,
-                   overlaps: Array[Int], threshold: Double = 0.05): Dataset[Tile] = {
+                   overlaps: Array[Int], threshold: Double = 0.05,
+                   overlapViolations: Option[LongAccumulator] = None): Dataset[Tile] = {
     val prepared = prepareInput(tiles, spec, overlaps)
     val segmented = segmentOverlappedInput(prepared, segFn)
-    val removed = removeOverlappedLabels(segmented, overlaps, threshold)
+    val audited = overlapViolations.fold(segmented) { acc =>
+      val spark = segmented.sparkSession
+      import spark.implicits._
+      segmented.map { t =>
+        val v = Kernels.marginSpanViolations(t, overlaps).length
+        if (v > 0) acc.add(v.toLong)
+        t
+      }
+    }
+    val removed = removeOverlappedLabels(audited, overlaps, threshold)
     val merged = mergeOverlappedTiles(removed, overlaps)
     cropToImage(merged, spec)
   }

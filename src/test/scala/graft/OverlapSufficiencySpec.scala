@@ -126,4 +126,45 @@ class OverlapSufficiencySpec extends AnyFunSuite {
     assert(Kernels.marginSpanViolations(t, Array(2, 2, 2)).toSeq ==
       Seq((0, 6L)))
   }
+
+  test("image2labels surfaces the violation count through its accumulator") {
+    val spark = SparkTest.session
+    import spark.implicits._
+    import graft.ops.{CCLSegmentation, Relabel}
+    import graft.tiles.GridSpec
+    // 12x4 image in 4x4 chunks (3x1 grid), overlap 1: a vertical bar down
+    // ALL 12 rows is wider than core + both halos of the middle tile, so
+    // its pixels touch both axis-0 margin faces there -> one violation
+    val grid = Array(3, 1)
+    def tile(row: Int, f: (Int, Int) => Long): graft.tiles.Tile =
+      graft.tiles.Tile(Array(row, 0), grid, Array(4, 4),
+        Array.tabulate(16)(i => f(i / 4, i % 4)))
+    val oversized = Seq(
+      tile(0, (_, x) => if (x == 1 || x == 2) 5L else 0L),
+      tile(1, (_, x) => if (x == 1 || x == 2) 5L else 0L),
+      tile(2, (_, x) => if (x == 1 || x == 2) 5L else 0L)).toDS()
+    val spec = GridSpec(Array(12L, 4L), Array(4, 4))
+    val acc = spark.sparkContext.longAccumulator("overlap_violations")
+    val out = Relabel.image2labels(oversized, spec, CCLSegmentation(),
+      Array(1, 1), 0.05, Some(acc))
+    assert(acc.value == 0L, "accumulator fills at action time, not plan time")
+    val tilesOut = out.collect()
+    assert(tilesOut.length == 3)
+    assert(acc.value > 0L,
+      "an object larger than the overlap must raise the violation count")
+
+    // a well-overlapped input reports zero and the pipeline result is
+    // byte-identical to the undiagnosed run
+    val small = Seq(
+      tile(0, (y, x) => if (y == 1 && x == 1) 3L else 0L),
+      tile(1, (_, _) => 0L),
+      tile(2, (y, x) => if (y == 2 && x == 2) 9L else 0L)).toDS()
+    val acc2 = spark.sparkContext.longAccumulator("overlap_violations")
+    val audited = Relabel.image2labels(small, spec, CCLSegmentation(),
+      Array(1, 1), 0.05, Some(acc2)).collect()
+    val plain = Relabel.image2labels(small, spec, CCLSegmentation(),
+      Array(1, 1), 0.05).collect()
+    assert(acc2.value == 0L, "no oversized objects -> zero violations")
+    Goldens.assertSameTiles(audited.toSeq, plain.toSeq)
+  }
 }
