@@ -27,11 +27,17 @@ import graft.functions.{HilbertIndex, HInterval}
   * `spark.graft.hilbert.layout = "xcol,ycol,hcol"` names the two 16-bit
   * key columns and the order-16 index column written by the layout job
   * (the relational analogue of a table clustering property — plain
-  * parquet has nowhere durable to carry it). The rule fires only on a
-  * Filter whose child carries ALL THREE columns and whose predicate
-  * conjunctively bounds both keys with integral literals; a predicate
-  * already referencing the index column is left untouched (idempotence,
-  * and hand-built covers like lo_hscan's keep their exact form).
+  * parquet has nowhere durable to carry it). A FOUR-name layout
+  * `"xcol,ycol,zcol,hcol"` declares the order-10 3-D curve instead
+  * ([[graft.functions.Hilbert3]]), rewritten through the octree
+  * [[HInterval.cover3]]; several layouts separate with `;` (one session
+  * can serve tables clustered on different keys — each Filter is matched
+  * against each declared layout in turn, first complete match fires).
+  * The rule fires only on a Filter whose child carries ALL the layout's
+  * columns and whose predicate conjunctively bounds every key with
+  * integral literals; a predicate already referencing the index column is
+  * left untouched (idempotence, and hand-built covers like lo_hscan's
+  * keep their exact form).
   *
   * Scale note: the rewrite is pure driver-side math on the query
   * literals — the cover of a box is O(perimeter / cell) intervals,
@@ -47,29 +53,28 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
   private val MaxRanges = 256
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val layout = conf.getConfString(ConfKey, "")
-    if (layout.isEmpty) return plan
-    val names = layout.split(",").map(_.trim)
-    if (names.length != 3) return plan
-    val Array(xName, yName, hName) = names
+    val layouts = conf.getConfString(ConfKey, "").split(";")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .filter(n => n.length == 3 || n.length == 4)
+    if (layouts.isEmpty) return plan
 
     plan transform {
       case f @ Filter(cond, child) =>
-        val resolve = (n: String) => child.output.find(a => conf.resolver(a.name, n))
-        (resolve(xName), resolve(yName), resolve(hName)) match {
-          case (Some(x), Some(y), Some(h))
-              if !cond.references.contains(h) =>
-            val conjuncts = splitConjuncts(cond)
-            (boxBounds(conjuncts, x), boxBounds(conjuncts, y)) match {
-              case (Some((xlo, xhi)), Some((ylo, yhi))) =>
-                coverPred(h, xlo, xhi, ylo, yhi) match {
-                  case Some(pred) => Filter(And(pred, cond), child)
-                  case None => f
-                }
-              case _ => f
-            }
-          case _ => f
-        }
+        val resolve = (n: String) =>
+          child.output.find(a => conf.resolver(a.name, n))
+        layouts.iterator.flatMap { names =>
+          val keys = names.init.flatMap(resolve(_))
+          resolve(names.last) match {
+            case Some(h) if keys.length == names.length - 1 &&
+                !cond.references.contains(h) =>
+              val conjuncts = splitConjuncts(cond)
+              val bounds = keys.flatMap(boxBounds(conjuncts, _)).toSeq
+              if (bounds.length == keys.length)
+                coverPred(h, bounds).map(p => Filter(And(p, cond), child))
+              else None
+            case _ => None
+          }
+        }.nextOption().getOrElse(f)
     }
   }
 
@@ -122,17 +127,26 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
     for (l <- lo; u <- hi) yield (l, u)
   }
 
-  /** The OR'd h-range predicate for the box clamped to the curve domain,
+  /** The OR'd h-range predicate for the box clamped to the curve domain
+    * (2 bounds → 2-D order-16 quadtree cover, 3 → 3-D order-10 octree),
     * or None when the clamped box is empty / degenerate / too coarse to
     * be worth the predicate bloat.
     */
-  private def coverPred(h: Attribute, xlo0: Long, xhi0: Long,
-      ylo0: Long, yhi0: Long): Option[Expression] = {
-    val max = HilbertIndex.Side - 1
-    val xlo = math.max(xlo0, 0L); val xhi = math.min(xhi0, max)
-    val ylo = math.max(ylo0, 0L); val yhi = math.min(yhi0, max)
-    if (xlo > xhi || ylo > yhi) return None
-    val ranges = HInterval.cover(xlo, xhi, ylo, yhi)
+  private def coverPred(h: Attribute,
+      bounds: Seq[(Long, Long)]): Option[Expression] = {
+    val max = (if (bounds.length == 3) graft.functions.Hilbert3.Side
+      else HilbertIndex.Side) - 1
+    val clamped = bounds.map { case (lo, hi) =>
+      (math.max(lo, 0L), math.min(hi, max))
+    }
+    if (clamped.exists { case (lo, hi) => lo > hi }) return None
+    val ranges = clamped match {
+      case Seq((xlo, xhi), (ylo, yhi)) =>
+        HInterval.cover(xlo, xhi, ylo, yhi)
+      case Seq((xlo, xhi), (ylo, yhi), (zlo, zhi)) =>
+        HInterval.cover3(xlo, xhi, ylo, yhi, zlo, zhi)
+      case _ => Seq.empty
+    }
     if (ranges.isEmpty || ranges.size > MaxRanges) return None
     Some(ranges.map { case (a, b) =>
       And(GreaterThanOrEqual(h, Literal(a, LongType)),

@@ -411,6 +411,36 @@ object SourceOps {
              min(d) AS h_lo, max(d) AS h_hi
       FROM h3 GROUP BY 1""")),
 
+    // 3-D Hilbert-range scan, AUTOMATIC form: lo_hscan_auto one dimension
+    // up — hilbert3-sorted layout, user query is the plain 3-D box
+    // filter, and a FOUR-name spark.graft.hilbert.layout declaration
+    // routes HilbertBoxCover through the octree HInterval.cover3 (the
+    // suppkey dimension is a thin slab at every SF, so this also drives
+    // the cover's escalation policy: ~115 merged ranges, ~1.2x volume
+    // overshoot, ~0.5% of the curve domain actually read). Hash equality
+    // against the raw-table oracle proves the injected cover is a true
+    // superset of the box; HilbertCoverRuleSpec pins the 3-D plan shape.
+    Q("lo_hscan3_auto", (s, d) => {
+      val dir = stage("h3sort_auto")
+      tbl(s, d, "lineitem")
+        .select(expr("l_orderkey & 1023").as("cx"),
+          expr("l_partkey & 1023").as("cy"),
+          expr("l_suppkey & 1023").as("cz"))
+        .withColumn("ch", graft.functions.Hilbert3.hilbert3(
+          col("cx"), col("cy"), col("cz")))
+        .repartitionByRange(8, col("ch"))
+        .sortWithinPartitions("ch")
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      graft.plans.HilbertBoxCover.ensureInstalled(s)
+      s.conf.set("spark.graft.hilbert.layout", "cx,cy,cz,ch")
+      s.read.parquet(dir)
+        .filter(col("cx").between(100L, 400L) &&
+          col("cy").between(50L, 300L) && col("cz").between(5L, 60L))
+    }, Some(HILBERT3_CTES + """
+      SELECT x0 AS cx, y0 AS cy, z0 AS cz, d AS ch FROM h3
+      WHERE x0 BETWEEN 100 AND 400 AND y0 BETWEEN 50 AND 300
+        AND z0 BETWEEN 5 AND 60""")),
+
     // Curve-locality head-to-head: bucket the SAME 16-bit key pairs by
     // their top-8 curve bits under Morton and under Hilbert, and total the
     // per-bucket bounding-box areas — the quantity min/max file skipping

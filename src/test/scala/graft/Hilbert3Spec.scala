@@ -100,4 +100,65 @@ class Hilbert3Spec extends AnyFunSuite {
       .collect()
     assert(n(0).isNullAt(0))
   }
+
+  test("aligned cubes are contiguous curve segments entered at a corner") {
+    // the fact cover3 rests on: an aligned 2^b cube holds exactly the
+    // indices [min(8 corner indices), min + 8^b - 1]
+    val rnd = new scala.util.Random(29)
+    (1 to 60).foreach { _ =>
+      val bbits = 1 + rnd.nextInt(3)
+      val sz = 1L << bbits
+      def base = (rnd.nextInt((side / sz).toInt) * sz)
+      val (x0, y0, z0) = (base, base, base)
+      val idxs = for (i <- 0L until sz; j <- 0L until sz; k <- 0L until sz)
+        yield Hilbert3.index3(x0 + i, y0 + j, z0 + k)
+      val corners = for (i <- Seq(0L, sz - 1); j <- Seq(0L, sz - 1);
+        k <- Seq(0L, sz - 1)) yield Hilbert3.index3(x0 + i, y0 + j, z0 + k)
+      assert(idxs.min == corners.min, s"min not at a corner of ($x0,$y0,$z0)+$sz")
+      assert(idxs.max - idxs.min == sz * sz * sz - 1 &&
+        idxs.distinct.size == idxs.size,
+        s"cube at ($x0,$y0,$z0) size $sz not a contiguous segment")
+    }
+  }
+
+  test("cover3: sorted disjoint ranges, no undershoot, bounded overshoot") {
+    import graft.functions.HInterval
+    val rnd = new scala.util.Random(31)
+    def checkBox(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+        zlo: Long, zhi: Long): Seq[(Long, Long)] = {
+      val ranges = HInterval.cover3(xlo, xhi, ylo, yhi, zlo, zhi)
+      assert(ranges.nonEmpty && ranges.size <= 256, s"${ranges.size} ranges")
+      // sorted, disjoint, non-adjacent (fully merged)
+      ranges.sliding(2).foreach {
+        case Seq((_, b1), (a2, _)) => assert(a2 > b1 + 1, "unmerged/overlap")
+        case _ =>
+      }
+      // no undershoot: every sampled in-box cell's index is covered
+      (1 to 200).foreach { _ =>
+        def pick(lo: Long, hi: Long) = lo + math.abs(rnd.nextLong()) % (hi - lo + 1)
+        val d = Hilbert3.index3(pick(xlo, xhi), pick(ylo, yhi), pick(zlo, zhi))
+        assert(ranges.exists { case (a, b) => a <= d && d <= b },
+          s"in-box cell index $d escapes the cover")
+      }
+      ranges
+    }
+    // fat boxes (no escalation): overshoot stays within 3x the box volume
+    // (the 1/4-short-side stopping policy lands ~1.2-1.3x mid-domain)
+    (1 to 15).foreach { _ =>
+      def span = { val a = rnd.nextInt(side.toInt - 320)
+        val w = 64 + rnd.nextInt(256); (a.toLong, math.min(a.toLong + w, side - 1)) }
+      val (xlo, xhi) = span; val (ylo, yhi) = span; val (zlo, zhi) = span
+      val ranges = checkBox(xlo, xhi, ylo, yhi, zlo, zhi)
+      val boxVol = (xhi - xlo + 1) * (yhi - ylo + 1) * (zhi - zlo + 1)
+      val covVol = ranges.map { case (a, b) => b - a + 1 }.sum
+      assert(covVol >= boxVol && covVol <= 3 * boxVol,
+        s"cover volume $covVol vs box $boxVol out of policy")
+    }
+    // thin slabs (escalation path): the range budget holds, the overshoot
+    // concentrates in the thin dimension, and the read stays a tiny
+    // fraction of the domain — the contract the rule's injection relies on
+    val slab = checkBox(100L, 400L, 20L, 150L, 2L, 8L)
+    val slabVol = slab.map { case (a, b) => b - a + 1 }.sum
+    assert(slabVol < total / 500, s"thin-slab cover reads $slabVol of $total")
+  }
 }

@@ -169,6 +169,70 @@ class HilbertCoverRuleSpec extends AnyFunSuite {
       "hand-built cover left exactly as written")
   }
 
+  // hilbert3-sorted twin store for the 3-D layout tests
+  private lazy val dir3: String = {
+    val d = TempDirs.create("hcover3_spec")
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(expr("l_orderkey & 1023").as("cx"),
+        expr("l_partkey & 1023").as("cy"),
+        expr("l_suppkey & 1023").as("cz"))
+      .withColumn("ch", graft.functions.Hilbert3.hilbert3(
+        col("cx"), col("cy"), col("cz")))
+      .repartitionByRange(32, col("ch"))
+      .sortWithinPartitions("ch")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  // sf0.001 key spreads: suppkey 0..9, partkey&1023 0..199 — the box must
+  // intersect them (the suppkey slab also exercises cover3's escalation)
+  private def boxDf3 = spark.read.parquet(dir3)
+    .filter(col("cx").between(100L, 400L) && col("cy").between(20L, 150L) &&
+      col("cz").between(2L, 8L))
+
+  test("four-name layout routes through cover3; results unchanged") {
+    val plain = boxDf3.collect().map(_.toSeq).toSet
+    val got = withLayout("cx,cy,cz,ch")(boxDf3.collect().map(_.toSeq).toSet)
+    assert(got == plain && got.nonEmpty, "3-D cover must be a superset")
+    val opt = withLayout("cx,cy,cz,ch")(boxDf3.queryExecution.optimizedPlan)
+    val ranges = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case org.apache.spark.sql.catalyst.expressions.And(
+            org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+              a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+              org.apache.spark.sql.catalyst.expressions.Literal(lo: Long, _)),
+            org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+              b: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+              org.apache.spark.sql.catalyst.expressions.Literal(hi: Long, _)))
+            if a.name == "ch" && b.name == "ch" => (lo, hi)
+        }
+    }.flatten.toSet
+    assert(ranges ==
+      HInterval.cover3(100L, 400L, 20L, 150L, 2L, 8L).toSet,
+      "injected ranges equal the octree cover")
+  }
+
+  test("multi-layout declaration: each table matches its own layout") {
+    // one session serving BOTH stores: the 2-D layout fires on the 2-D
+    // table, the 3-D layout on the 3-D table, neither cross-fires
+    def rangeCols(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Set[String] = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+            org.apache.spark.sql.catalyst.expressions.Literal(_, _))
+            if a.name == "bh" || a.name == "ch" => a.name
+        }
+    }.flatten.toSet
+    withLayout("bx,by,bh;cx,cy,cz,ch") {
+      assert(rangeCols(boxDf.queryExecution.optimizedPlan) == Set("bh"))
+      assert(rangeCols(boxDf3.queryExecution.optimizedPlan) == Set("ch"))
+      assert(boxDf3.count() > 0)
+    }
+  }
+
   test("strict and reversed comparisons normalize to the same closed box") {
     val a = withLayout("bx,by,bh") {
       spark.read.parquet(dir)
