@@ -341,17 +341,15 @@ object SourceOps {
     // PushedFilters) and the pruning win.
     Q("lo_hscan_auto", (s, d) => {
       val dir = stage("hsort_auto")
-      tbl(s, d, "lineitem")
-        .select(expr("l_orderkey & 65535").as("bx"),
-          expr("l_partkey & 65535").as("by"))
-        .withColumn("bh",
-          graft.functions.HilbertIndex.hilbert(col("bx"), col("by")))
-        .repartitionByRange(8, col("bh"))
-        .sortWithinPartitions("bh")
-        .write.mode(SaveMode.Overwrite).parquet(dir)
-      graft.plans.HilbertBoxCover.ensureInstalled(s)
-      s.conf.set("spark.graft.hilbert.layout", "bx,by,bh")
-      s.read.parquet(dir)
+      // GraftLayout: sorted write + `_graft_layout.json` sidecar; the
+      // read installs the layout declaration, so the box filter below is
+      // ALL the caller writes — no conf, no hand-built ranges
+      graft.plans.GraftLayout.writeHilbert(
+        tbl(s, d, "lineitem")
+          .select(expr("l_orderkey & 65535").as("bx"),
+            expr("l_partkey & 65535").as("by")),
+        dir, "bx", "by", "bh", 8)
+      graft.plans.GraftLayout.read(s, dir)
         .filter(col("bx").between(1000L, 3000L) &&
           col("by").between(20L, 150L))
     }, Some(HILBERT_CTES + """
@@ -422,18 +420,13 @@ object SourceOps {
     // superset of the box; HilbertCoverRuleSpec pins the 3-D plan shape.
     Q("lo_hscan3_auto", (s, d) => {
       val dir = stage("h3sort_auto")
-      tbl(s, d, "lineitem")
-        .select(expr("l_orderkey & 1023").as("cx"),
-          expr("l_partkey & 1023").as("cy"),
-          expr("l_suppkey & 1023").as("cz"))
-        .withColumn("ch", graft.functions.Hilbert3.hilbert3(
-          col("cx"), col("cy"), col("cz")))
-        .repartitionByRange(8, col("ch"))
-        .sortWithinPartitions("ch")
-        .write.mode(SaveMode.Overwrite).parquet(dir)
-      graft.plans.HilbertBoxCover.ensureInstalled(s)
-      s.conf.set("spark.graft.hilbert.layout", "cx,cy,cz,ch")
-      s.read.parquet(dir)
+      graft.plans.GraftLayout.writeHilbert3(
+        tbl(s, d, "lineitem")
+          .select(expr("l_orderkey & 1023").as("cx"),
+            expr("l_partkey & 1023").as("cy"),
+            expr("l_suppkey & 1023").as("cz")),
+        dir, "cx", "cy", "cz", "ch", 8)
+      graft.plans.GraftLayout.read(s, dir)
         .filter(col("cx").between(100L, 400L) &&
           col("cy").between(50L, 300L) && col("cz").between(5L, 60L))
     }, Some(HILBERT3_CTES + """

@@ -100,5 +100,36 @@ object CurveScale {
     runs.foreach { case (label, _, r) =>
       println(f"$label recordsRead=$r%12d  (${r / baseRecs * 100}%6.2f%% of unsorted)")
     }
+
+    // ---- 3-D: the same probe one dimension up (order-10 keys, octree
+    // cover3, via the GraftLayout sidecar + rule — the lo_hscan3_auto
+    // path end to end, so the measured pruning covers the AUTOMATIC form)
+    val base3 = spark.range(n).selectExpr(
+      "CAST(pmod(hash(id), 1024) AS BIGINT) & 1023 AS cx",
+      "CAST(pmod(hash(id * 31 + 7), 1024) AS BIGINT) & 1023 AS cy",
+      "CAST(pmod(hash(id * 131 + 3), 1024) AS BIGINT) & 1023 AS cz",
+      "id AS payload")
+    val un3 = s"$root/unsorted3"
+    base3.repartition(files).write.mode(SaveMode.Overwrite).parquet(un3)
+    val h3dir = s"$root/hilbert3"
+    graft.plans.GraftLayout.writeHilbert3(
+      base3, h3dir, "cx", "cy", "cz", "ch", files)
+    val (bxlo, bxhi, bylo, byhi, bzlo, bzhi) =
+      (300L, 420L, 600L, 700L, 100L, 260L)
+    val box3 = col("cx").between(bxlo, bxhi) &&
+      col("cy").between(bylo, byhi) && col("cz").between(bzlo, bzhi)
+    val runs3 = Seq(
+      measure("unsorted3", spark.read.parquet(un3).filter(box3)),
+      measure("hilbert3 ", graft.plans.GraftLayout.read(spark, h3dir)
+        .filter(box3)))
+    require(runs3.map(_._2).distinct.size == 1,
+      s"3-D layouts disagree: ${runs3.map(_._2)}")
+    val cov3 = graft.functions.HInterval.cover3(
+      bxlo, bxhi, bylo, byhi, bzlo, bzhi)
+    val base3Recs = runs3.head._3.toDouble
+    println(f"3-D box rows=${runs3.head._2}%d cover ranges=${cov3.size}%d")
+    runs3.foreach { case (label, _, r) =>
+      println(f"$label recordsRead=$r%12d  (${r / base3Recs * 100}%6.2f%% of unsorted)")
+    }
   }
 }
