@@ -312,17 +312,31 @@ object HInterval {
 
   /** Cover of the box by aligned quadtree cells — same descend-until-
     * inside-or-small policy as [[ZInterval.cover]] (cells stop at 1/8 of
-    * the box's short side), then sort-and-merge. Inclusive index ranges
-    * over the order-16 domain.
+    * the box's short side), then sort-and-merge, ESCALATING the cell size
+    * one bit at a time while the merged cover exceeds `maxRanges` (same
+    * contract as [[cover3]] — a 60000x3 slab is useless at the
+    * short-side policy but a perfectly good ~60-range cover at +5 bits).
+    * Inclusive index ranges over the order-16 domain.
     */
-  def cover(xlo: Long, xhi: Long, ylo: Long, yhi: Long): Seq[(Long, Long)] = {
+  def cover(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+      maxRanges: Int = 256): Seq[(Long, Long)] = {
     val max = HilbertIndex.Side - 1
     require(0 <= xlo && xlo <= xhi && xhi <= max &&
       0 <= ylo && ylo <= yhi && yhi <= max, "box out of the 16-bit key domain")
     val short = math.min(xhi - xlo + 1, yhi - ylo + 1) >> 3
-    val minBits =
+    var minBits =
       if (short <= 1L) 0
       else 63 - java.lang.Long.numberOfLeadingZeros(short)
+    var merged = coverAt(xlo, xhi, ylo, yhi, minBits)
+    while (merged.size > maxRanges && minBits < 16) {
+      minBits += 1
+      merged = coverAt(xlo, xhi, ylo, yhi, minBits)
+    }
+    merged
+  }
+
+  private def coverAt(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+      minBits: Int): Seq[(Long, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     def go(x0: Long, y0: Long, bits: Int): Unit = {
       val size = 1L << bits

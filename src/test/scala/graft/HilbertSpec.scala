@@ -122,6 +122,28 @@ class HilbertSpec extends AnyFunSuite {
     }
   }
 
+  test("cover escalates on thin slabs: range budget held, no undershoot") {
+    import graft.functions.{HilbertIndex, HInterval}
+    // a 60001x3 slab at the short-side policy would emit tens of
+    // thousands of unit-cell ranges; escalation must coarsen it under
+    // the budget while still covering every slab cell
+    val (xlo, xhi, ylo, yhi) = (100L, 60100L, 7L, 9L)
+    val ivs = HInterval.cover(xlo, xhi, ylo, yhi)
+    assert(ivs.nonEmpty && ivs.size <= 256, s"${ivs.size} ranges")
+    val rnd = new scala.util.Random(41)
+    (1 to 300).foreach { _ =>
+      val x = xlo + math.abs(rnd.nextLong()) % (xhi - xlo + 1)
+      val y = ylo + math.abs(rnd.nextLong()) % (yhi - ylo + 1)
+      val d = HilbertIndex.index(x, y)
+      assert(ivs.exists { case (a, b) => a <= d && d <= b },
+        s"slab cell ($x,$y) escapes the escalated cover")
+    }
+    // still a useful cover: a small fraction of the full curve domain
+    val covered = ivs.map { case (a, b) => b - a + 1 }.sum
+    assert(covered < (1L << 32) / 100,
+      s"escalated slab cover reads $covered of ${1L << 32}")
+  }
+
   test("lo_locality: hilbert total envelope area <= morton's, rows conserved") {
     val df = SparkEntry.queries("lo_locality")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) ->
