@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
 
 import graft.functions.{Hilbert3, HilbertIndex}
 
@@ -22,13 +22,25 @@ import graft.functions.{Hilbert3, HilbertIndex}
   *    index columns. The underscore prefix makes the sidecar invisible to
   *    Spark's file index (same convention as `_SUCCESS`), so the
   *    directory stays a perfectly ordinary parquet table for ANY reader.
-  *  - [[read]] opens the directory, and if the sidecar is present,
-  *    installs the rule and appends the layout to the session conf
-  *    (deduplicated, `;`-separated — one session can hold many layouts).
-  *    A directory without a sidecar reads as plain parquet, nothing
-  *    installed. A malformed sidecar fails CLOSED: the read proceeds,
-  *    the layout is simply not declared (the rewrite is an optimization;
+  *    The write FAILS LOUDLY on a key outside the curve domain (the index
+  *    is computed from masked bits, so an out-of-domain key would break
+  *    the key→index containment the cover relies on) — the check rides
+  *    the write's own pass, no extra scan.
+  *  - [[read]] opens the directory; if the sidecar is present and its
+  *    columns all exist in the store's schema, it installs the rule and
+  *    registers the layout PATH-SCOPED: [[HilbertBoxCover]] applies it
+  *    only to filters over a file scan rooted at this exact directory —
+  *    an unrelated relation that merely reuses the column names is never
+  *    touched (the session-conf route remains for by-hand declarations,
+  *    with its documented name-matching semantics). A directory without
+  *    a sidecar reads as plain parquet, nothing registered. A malformed,
+  *    stale, or hostile sidecar fails CLOSED: the read proceeds, the
+  *    layout is simply not registered (the rewrite is an optimization;
   *    correctness never depends on it).
+  *
+  * Registration lives for the JVM (the registry caches what the on-disk
+  * sidecar says); overwriting a registered directory with NON-layout
+  * data of the same column names in the same JVM should call [[forget]].
   *
   * Scale note: the sidecar is one tiny driver-side file per store, via
   * the Hadoop FileSystem API — works unchanged against HDFS/object
@@ -37,7 +49,20 @@ import graft.functions.{Hilbert3, HilbertIndex}
 object GraftLayout {
 
   val SidecarName = "_graft_layout.json"
-  private val ConfKey = "spark.graft.hilbert.layout"
+
+  /** Qualified-root-path → declared columns (keys..., index). */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Path-scoped layouts for a scan rooted at any of `paths`. */
+  private[plans] def layoutsFor(paths: Seq[String]): Seq[Seq[String]] =
+    paths.flatMap(p => Option(registry.get(p))).distinct
+
+  /** Drop a registration (e.g. after overwriting the store with
+    * non-layout data under the same column names).
+    */
+  def forget(spark: SparkSession, dir: String): Unit =
+    registry.remove(qualified(spark, dir))
 
   /** Write `df` Hilbert-sorted on (`xCol`,`yCol`) with the order-16 index
     * in `hCol`, plus the layout sidecar. `files` bounds the store's file
@@ -46,7 +71,8 @@ object GraftLayout {
   def writeHilbert(df: DataFrame, dir: String, xCol: String, yCol: String,
       hCol: String, files: Int): Unit = {
     val laid = df.withColumn(hCol,
-        HilbertIndex.hilbert(col(xCol), col(yCol)))
+        HilbertIndex.hilbert(domChecked(xCol, HilbertIndex.Side - 1),
+          domChecked(yCol, HilbertIndex.Side - 1)))
       .repartitionByRange(files, col(hCol))
       .sortWithinPartitions(hCol)
     laid.write.mode(SaveMode.Overwrite).parquet(dir)
@@ -56,27 +82,44 @@ object GraftLayout {
   /** 3-D twin: order-10 index of (`xCol`,`yCol`,`zCol`) in `hCol`. */
   def writeHilbert3(df: DataFrame, dir: String, xCol: String, yCol: String,
       zCol: String, hCol: String, files: Int): Unit = {
+    val m = Hilbert3.Side - 1
     val laid = df.withColumn(hCol,
-        Hilbert3.hilbert3(col(xCol), col(yCol), col(zCol)))
+        Hilbert3.hilbert3(domChecked(xCol, m), domChecked(yCol, m),
+          domChecked(zCol, m)))
       .repartitionByRange(files, col(hCol))
       .sortWithinPartitions(hCol)
     laid.write.mode(SaveMode.Overwrite).parquet(dir)
     writeSidecar(df.sparkSession, dir, Seq(xCol, yCol, zCol, hCol))
   }
 
-  /** Read the store; declare its layout for the session if the sidecar is
-    * present (installing [[HilbertBoxCover]] idempotently).
+  /** The key column, failing the write loudly if any value leaves the
+    * curve domain [0, max]. NULL passes through (the index is null-safe).
+    */
+  private def domChecked(name: String, max: Long) =
+    when(col(name).isNull || col(name).between(0L, max), col(name))
+      .otherwise(raise_error(concat(
+        lit(s"layout key '$name' outside the curve domain [0, $max]: "),
+        col(name).cast("string"))))
+
+  /** Read the store; register its layout (path-scoped) for this JVM if
+    * the sidecar is present and names only columns the store carries,
+    * installing [[HilbertBoxCover]] idempotently.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    readSidecar(spark, dir).foreach { names =>
-      HilbertBoxCover.ensureInstalled(spark)
-      val layout = names.mkString(",")
-      val existing = spark.conf.getOption(ConfKey).getOrElse("")
-        .split(";").map(_.trim).filter(_.nonEmpty)
-      if (!existing.contains(layout))
-        spark.conf.set(ConfKey, (existing :+ layout).mkString(";"))
-    }
-    spark.read.parquet(dir)
+    val df = spark.read.parquet(dir)
+    readSidecar(spark, dir)
+      .filter(_.forall(df.schema.fieldNames.contains(_)))
+      .foreach { names =>
+        HilbertBoxCover.ensureInstalled(spark)
+        registry.put(qualified(spark, dir), names)
+      }
+    df
+  }
+
+  private def qualified(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(p).toString
   }
 
   private def writeSidecar(spark: SparkSession, dir: String,
@@ -91,9 +134,9 @@ object GraftLayout {
   }
 
   /** The declared column list, or None when absent/unreadable/invalid.
-    * Column names are restricted to identifier characters — the sidecar
-    * rides into a SESSION CONF consumed by the optimizer rule, so a
-    * hostile or corrupted sidecar must not smuggle separators through.
+    * Column names are restricted to identifier characters — defense in
+    * depth on top of path scoping: a corrupted sidecar must not smuggle
+    * structure anywhere downstream.
     */
   private def readSidecar(spark: SparkSession,
       dir: String): Option[Seq[String]] =

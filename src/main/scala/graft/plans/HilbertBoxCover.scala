@@ -33,11 +33,20 @@ import graft.functions.{HilbertIndex, HInterval}
   * [[HInterval.cover3]]; several layouts separate with `;` (one session
   * can serve tables clustered on different keys — each Filter is matched
   * against each declared layout in turn, first complete match fires).
-  * The rule fires only on a Filter whose child carries ALL the layout's
-  * columns and whose predicate conjunctively bounds every key with
-  * integral literals; a predicate already referencing the index column is
-  * left untouched (idempotence, and hand-built covers like lo_hscan's
-  * keep their exact form).
+  * Declaring a layout by conf ASSERTS the contract for any relation
+  * carrying those column names; [[GraftLayout]]'s sidecar route instead
+  * registers PATH-SCOPED layouts that this rule applies only to filters
+  * over the exact file store the sidecar sits in. The rule fires only on
+  * a Filter whose child carries ALL the layout's columns (the index
+  * column bigint, the keys integral) and whose predicate conjunctively
+  * bounds every key with integral literals; a predicate already
+  * referencing the index column is left untouched (idempotence, and
+  * hand-built covers like lo_hscan's keep their exact form). The
+  * injected conjunct is `cover OR any-key-out-of-domain`: on data that
+  * violates the declared domain contract the masked index is unrelated
+  * to the raw key, and the escape disjuncts let such rows fall through
+  * to the original predicate instead of being silently pruned (on clean
+  * stores file statistics disprove the escapes — they cost nothing).
   *
   * Scale note: the rewrite is pure driver-side math on the query
   * literals — the cover of a box is O(perimeter / cell) intervals,
@@ -47,35 +56,52 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
 
   private val ConfKey = "spark.graft.hilbert.layout"
 
-  /** Covers larger than this are a sign the box spans most of the domain —
-    * the OR chain would bloat the scan predicate for little pruning.
+  /** Hard cap on injected ranges (cover/cover3 escalate their cell size
+    * under this by construction; the check remains as a belt for custom
+    * callers). The domain-spanning case the cap used to proxy for is now
+    * declined DIRECTLY: coverPred refuses any cover spanning more than a
+    * quarter of the curve domain, where a fat OR chain would be
+    * evaluated per row for almost no pruning.
     */
   private val MaxRanges = 256
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val layouts = conf.getConfString(ConfKey, "").split(";")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
-      .filter(n => n.length == 3 || n.length == 4)
-    if (layouts.isEmpty) return plan
+    val confLayouts = conf.getConfString(ConfKey, "").split(";")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(n => n.length == 3 || n.length == 4).toSeq
 
     plan transform {
       case f @ Filter(cond, child) =>
+        // sidecar-registered layouts apply ONLY to a filter over the file
+        // scan they describe (path-scoped — a relation that merely reuses
+        // the column names is never touched); conf-declared layouts keep
+        // their documented name-matching semantics
+        val scoped = GraftLayout.layoutsFor(
+          org.apache.spark.sql.graft.Bridge.fileScanRootPaths(child))
+        val layouts = scoped ++ confLayouts
         val resolve = (n: String) =>
           child.output.find(a => conf.resolver(a.name, n))
         layouts.iterator.flatMap { names =>
           val keys = names.init.flatMap(resolve(_))
           resolve(names.last) match {
             case Some(h) if keys.length == names.length - 1 &&
+                h.dataType == LongType && keys.forall(integral) &&
                 !cond.references.contains(h) =>
               val conjuncts = splitConjuncts(cond)
               val bounds = keys.flatMap(boxBounds(conjuncts, _)).toSeq
               if (bounds.length == keys.length)
-                coverPred(h, bounds).map(p => Filter(And(p, cond), child))
+                coverPred(h, keys.toSeq, bounds)
+                  .map(p => Filter(And(p, cond), child))
               else None
             case _ => None
           }
         }.nextOption().getOrElse(f)
     }
+  }
+
+  private def integral(a: Attribute): Boolean = a.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -127,15 +153,26 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
     for (l <- lo; u <- hi) yield (l, u)
   }
 
-  /** The OR'd h-range predicate for the box clamped to the curve domain
-    * (2 bounds → 2-D order-16 quadtree cover, 3 → 3-D order-10 octree),
-    * or None when the clamped box is empty / degenerate / too coarse to
-    * be worth the predicate bloat.
+  /** The injected predicate for the box: the OR'd h-range cover of the
+    * box CLAMPED to the curve domain (2 bounds → 2-D order-16 quadtree
+    * cover, 3 → 3-D order-10 octree), OR'd with per-key out-of-domain
+    * escapes. The escapes make the clamp sound on data that VIOLATES the
+    * layout contract: the index is computed from masked bits, so a key
+    * outside [0, side) has an index unrelated to its raw value — such
+    * rows must survive the injected conjunct and fall through to the
+    * original predicate. On contract-clean stores (writeHilbert enforces
+    * the domain at write time) every file's key stats disprove the
+    * escapes, so they cost nothing and prune nothing.
+    *
+    * None when the clamped box is empty / degenerate, or when the cover
+    * spans more than a quarter of the curve domain — there the scan
+    * would evaluate a fat OR chain per row for almost no pruning.
     */
-  private def coverPred(h: Attribute,
+  private def coverPred(h: Attribute, keys: Seq[Attribute],
       bounds: Seq[(Long, Long)]): Option[Expression] = {
-    val max = (if (bounds.length == 3) graft.functions.Hilbert3.Side
-      else HilbertIndex.Side) - 1
+    val side = if (bounds.length == 3) graft.functions.Hilbert3.Side
+      else HilbertIndex.Side
+    val max = side - 1
     val clamped = bounds.map { case (lo, hi) =>
       (math.max(lo, 0L), math.min(hi, max))
     }
@@ -148,19 +185,43 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
       case _ => Seq.empty
     }
     if (ranges.isEmpty || ranges.size > MaxRanges) return None
-    Some(ranges.map { case (a, b) =>
+    val covVol = ranges.map { case (a, b) => b - a + 1 }.sum
+    val domVol = 1L << (bounds.length * (if (bounds.length == 3) 10 else 16))
+    if (covVol * 4 > domVol) return None
+    val cover = ranges.map { case (a, b) =>
       And(GreaterThanOrEqual(h, Literal(a, LongType)),
         LessThanOrEqual(h, Literal(b, LongType))): Expression
-    }.reduce(Or(_, _)))
+    }.reduce(Or(_, _))
+    val escapes = keys.map { k =>
+      // the high bound saturates at the key type's own max: a narrower
+      // type can never exceed the domain there, and the saturated
+      // comparison is equivalently never-true (no lossy literal cast)
+      Or(LessThan(k, typedLit(0L, k.dataType)),
+        GreaterThan(k, typedLit(max, k.dataType))): Expression
+    }.reduce(Or(_, _))
+    Some(Or(cover, escapes))
+  }
+
+  private def typedLit(v: Long,
+      dt: org.apache.spark.sql.types.DataType): Literal = dt match {
+    case IntegerType => Literal(math.min(v, Int.MaxValue).toInt, IntegerType)
+    case ShortType => Literal(math.min(v, Short.MaxValue).toShort, ShortType)
+    case ByteType => Literal(math.min(v, Byte.MaxValue).toByte, ByteType)
+    case _ => Literal(v, LongType)
   }
 
   /** Idempotently add the rule to a LIVE session; `GraftExtensions`
-    * covers the construction-time route.
+    * covers the construction-time route. Synchronized on the session's
+    * ExperimentalMethods: extraOptimizations is a bare var, and two
+    * concurrent readers racing the check-then-append could otherwise
+    * double-install (or drop a third party's concurrent append).
     */
   def ensureInstalled(spark: org.apache.spark.sql.SparkSession): Unit = {
     val exp = org.apache.spark.sql.graft.Bridge.experimental(spark)
-    if (!org.apache.spark.sql.graft.Bridge.hasOptimizerRule(spark, HilbertBoxCover) &&
-      !exp.extraOptimizations.contains(HilbertBoxCover))
-      exp.extraOptimizations = exp.extraOptimizations :+ HilbertBoxCover
+    exp.synchronized {
+      if (!org.apache.spark.sql.graft.Bridge.hasOptimizerRule(spark, HilbertBoxCover) &&
+        !exp.extraOptimizations.contains(HilbertBoxCover))
+        exp.extraOptimizations = exp.extraOptimizations :+ HilbertBoxCover
+    }
   }
 }

@@ -45,4 +45,21 @@ object Bridge {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Boolean =
     spark.sessionState.optimizer.extendedOperatorOptimizationRules
       .contains(rule)
+
+  /** Root paths of every file-source leaf under `plan` (`private[sql]`
+    * LogicalRelation/HadoopFsRelation access) — lets an optimizer rule
+    * scope a rewrite to the physical store a declaration describes.
+    */
+  def fileScanRootPaths(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] =
+    plan.collectLeaves().flatMap {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
 }

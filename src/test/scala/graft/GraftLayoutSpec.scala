@@ -3,31 +3,23 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.functions.HInterval
+import graft.functions.{HilbertIndex, HInterval}
 import graft.plans.GraftLayout
 
 /** The durable layout declaration: write-side helper drops the
   * `_graft_layout.json` sidecar next to the hilbert-sorted store, the
-  * read-side helper installs the layout into the session so a plain box
-  * filter gets the range injection with no manual conf — and every
-  * failure mode (no sidecar, malformed sidecar, hostile names) degrades
-  * to a plain parquet read with nothing declared.
+  * read-side helper registers the layout PATH-SCOPED so a plain box
+  * filter over that store gets the range injection with no conf — while
+  * an unrelated relation reusing the same column names is never touched.
+  * Every failure mode (no sidecar, malformed sidecar, hostile names,
+  * out-of-domain keys) either fails loudly at write or degrades to a
+  * plain parquet read with nothing registered.
   */
 class GraftLayoutSpec extends AnyFunSuite {
 
   lazy val spark = SparkTest.session
   private val sf = "/root/testdata/sf0.001"
   private val ConfKey = "spark.graft.hilbert.layout"
-
-  private def fresh[T](body: => T): T = {
-    val prior = spark.conf.getOption(ConfKey)
-    spark.conf.unset(ConfKey)
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(ConfKey, v)
-      case None => spark.conf.unset(ConfKey)
-    }
-  }
 
   private def src = spark.read.parquet(s"$sf/lineitem.parquet")
     .select(expr("l_orderkey & 65535").as("gx"),
@@ -46,71 +38,157 @@ class GraftLayoutSpec extends AnyFunSuite {
         }.size
     }.sum
 
-  test("write + read round-trip declares the 2-D layout automatically") {
-    fresh {
-      val dir = TempDirs.create("glayout2")
-      GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 8)
-      // the store is ordinary parquet for any reader (sidecar hidden)
-      val plainRows = spark.read.parquet(dir)
-        .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
-        .collect().map(_.toSeq).toSet
-      assert(plainRows.nonEmpty)
+  test("write + read registers the layout path-scoped, no session conf") {
+    val dir = TempDirs.create("glayout2")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 8)
+    // the store is ordinary parquet for any reader (sidecar hidden)
+    val plainRows = spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+      .collect().map(_.toSeq).toSet
+    assert(plainRows.nonEmpty)
+    val df = GraftLayout.read(spark, dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    // registration does NOT touch the session conf (path-scoped registry)
+    assert(!spark.conf.getOption(ConfKey).getOrElse("").contains("gx"))
+    assert(coverRanges(df, "gh") ==
+      HInterval.cover(100L, 900L, 20L, 150L).size,
+      "plain box filter gets the injected cover")
+    assert(df.collect().map(_.toSeq).toSet == plainRows)
+  }
+
+  test("an unrelated relation reusing the column names is never touched") {
+    val dir = TempDirs.create("glayout_scope")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir) // registers the PATH
+    // different store, same names — gh is NOT hilbert(gx, gy) here
+    val impostor = TempDirs.create("glayout_impostor")
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey & 65535 AS gx", "l_partkey & 65535 AS gy",
+        "l_extendedprice AS gh")
+      .write.mode("overwrite").parquet(impostor)
+    val boxed = spark.read.parquet(impostor)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(boxed, "gh") == 0,
+      "layout must not fire on a store it does not describe")
+    // and results are the plain-filter results, nothing silently dropped
+    val expect = spark.read.parquet(impostor).collect()
+      .count(r => r.getLong(0) >= 100 && r.getLong(0) <= 900 &&
+        r.getLong(1) >= 20 && r.getLong(1) <= 150)
+    assert(boxed.count() == expect)
+  }
+
+  test("3-D store registers independently; forget() drops it") {
+    val d3 = TempDirs.create("glayout3")
+    // all three keys masked to the order-10 domain (the 2-D 16-bit keys
+    // would — correctly — fail writeHilbert3's domain check)
+    val src3 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(expr("l_orderkey & 1023").as("gx"),
+        expr("l_partkey & 1023").as("gy"),
+        expr("l_suppkey & 1023").as("gz"))
+    GraftLayout.writeHilbert3(src3, d3, "gx", "gy", "gz", "gh3", 4)
+    def boxed = GraftLayout.read(spark, d3)
+      .filter(col("gx").between(100L, 400L) &&
+        col("gy").between(20L, 150L) && col("gz").between(2L, 8L))
+    assert(coverRanges(boxed, "gh3") ==
+      HInterval.cover3(100L, 400L, 20L, 150L, 2L, 8L).size)
+    assert(boxed.count() > 0)
+    GraftLayout.forget(spark, d3)
+    val after = spark.read.parquet(d3)
+      .filter(col("gx").between(100L, 400L) &&
+        col("gy").between(20L, 150L) && col("gz").between(2L, 8L))
+    assert(coverRanges(after, "gh3") == 0, "forget must drop the layout")
+  }
+
+  test("no sidecar: plain read, nothing registered") {
+    val dir = TempDirs.create("glayout_plain")
+    src.write.mode("overwrite").parquet(dir)
+    val df = GraftLayout.read(spark, dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(df, "gh") == 0)
+    assert(GraftLayout.read(spark, dir).count() == src.count())
+  }
+
+  test("malformed, hostile, and schema-mismatched sidecars fail closed") {
+    val dir = TempDirs.create("glayout_bad")
+    src.limit(10).write.mode("overwrite").parquet(dir)
+    val p = java.nio.file.Paths.get(dir, GraftLayout.SidecarName)
+    def probe(): Int = {
       val df = GraftLayout.read(spark, dir)
-        .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
-      assert(spark.conf.get(ConfKey) == "gx,gy,gh")
-      assert(coverRanges(df, "gh") ==
-        HInterval.cover(100L, 900L, 20L, 150L).size,
-        "plain box filter gets the injected cover")
-      assert(df.collect().map(_.toSeq).toSet == plainRows)
+        .filter(col("gx").between(0L, 900L) && col("gy").between(0L, 900L))
+      assert(df.count() > 0, "read must proceed regardless of the sidecar")
+      coverRanges(df, "gh") + coverRanges(df, "gz")
     }
+    java.nio.file.Files.writeString(p, "{not json")
+    assert(probe() == 0, "malformed JSON")
+    java.nio.file.Files.writeString(p, """{"columns":["a;b,c","y","h"]}""")
+    assert(probe() == 0, "separator injection")
+    java.nio.file.Files.writeString(p, """{"columns":["x","h"]}""")
+    assert(probe() == 0, "wrong arity")
+    // names valid but not all present in THIS store's schema
+    java.nio.file.Files.writeString(p, """{"columns":["gx","gy","nope"]}""")
+    assert(probe() == 0, "schema mismatch")
+    // a sidecar naming columns of a DIFFERENT table must not register
+    // a layout that then misfires on relations carrying those names:
+    // gx,gy,gz all exist here but gz is no hilbert index — registration
+    // happens (schema-valid), yet only THIS path is affected, and the
+    // injected conjunct's escapes keep the results exact is covered by
+    // the domain-escape test below; here pin the path scoping
+    java.nio.file.Files.writeString(p, """{"columns":["gx","gy","gz"]}""")
+    val other = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey & 65535 AS gx", "l_partkey & 65535 AS gy",
+        "l_suppkey & 1023 AS gz")
+      .filter(col("gx").between(0L, 900L) && col("gy").between(0L, 900L))
+    GraftLayout.read(spark, dir)
+    assert(coverRanges(other, "gz") == 0,
+      "a hostile sidecar's blast radius is its own directory")
+    GraftLayout.forget(spark, dir)
   }
 
-  test("3-D write + read; layouts accumulate deduplicated") {
-    fresh {
-      val d2 = TempDirs.create("glayout2b")
-      val d3 = TempDirs.create("glayout3")
-      GraftLayout.writeHilbert(src, d2, "gx", "gy", "gh", 4)
-      GraftLayout.writeHilbert3(src, d3, "gx", "gy", "gz", "gh3", 4)
-      GraftLayout.read(spark, d2)
-      GraftLayout.read(spark, d3)
-      GraftLayout.read(spark, d3) // repeat: no duplicate entry
-      assert(spark.conf.get(ConfKey) == "gx,gy,gh;gx,gy,gz,gh3")
-      val df3 = GraftLayout.read(spark, d3)
-        .filter(col("gx").between(100L, 400L) &&
-          col("gy").between(20L, 150L) && col("gz").between(2L, 8L))
-      assert(coverRanges(df3, "gh3") ==
-        HInterval.cover3(100L, 400L, 20L, 150L, 2L, 8L).size)
-      assert(df3.count() > 0)
+  test("out-of-domain keys fail the write loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L), (-3L, 5L)).toDF("gx", "gy")
+    val dir = TempDirs.create("glayout_dom")
+    val e = intercept[Exception] {
+      GraftLayout.writeHilbert(bad, dir, "gx", "gy", "gh", 2)
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("outside the curve domain")),
+      s"expected the domain error, got: ${messages(e).mkString(" | ")}")
   }
 
-  test("no sidecar: plain read, nothing declared") {
-    fresh {
-      val dir = TempDirs.create("glayout_plain")
-      src.write.mode("overwrite").parquet(dir)
-      assert(GraftLayout.read(spark, dir).count() == src.count())
-      assert(spark.conf.getOption(ConfKey).isEmpty)
-    }
-  }
-
-  test("malformed and hostile sidecars fail closed") {
-    fresh {
-      val dir = TempDirs.create("glayout_bad")
-      src.limit(10).write.mode("overwrite").parquet(dir)
-      val p = java.nio.file.Paths.get(dir, GraftLayout.SidecarName)
-      // malformed JSON
-      java.nio.file.Files.writeString(p, "{not json")
-      assert(GraftLayout.read(spark, dir).count() == 10)
-      assert(spark.conf.getOption(ConfKey).isEmpty)
-      // separator injection in a column name must not reach the conf
-      java.nio.file.Files.writeString(p,
-        """{"columns":["a;b,c","y","h"]}""")
-      assert(GraftLayout.read(spark, dir).count() == 10)
-      assert(spark.conf.getOption(ConfKey).isEmpty)
-      // wrong arity
-      java.nio.file.Files.writeString(p, """{"columns":["x","h"]}""")
-      assert(GraftLayout.read(spark, dir).count() == 10)
-      assert(spark.conf.getOption(ConfKey).isEmpty)
+  test("conf-declared layout on contract-violating data keeps every row") {
+    // the escape disjuncts: a store whose key column holds a value
+    // OUTSIDE the curve domain (index computed from masked bits) must
+    // not lose that row to the injected cover
+    import spark.implicits._
+    val dir = TempDirs.create("glayout_escape")
+    Seq((5L, 10L), (-3L, 10L), (70000L, 10L))
+      .toDF("ex", "ey")
+      .withColumn("eh", HilbertIndex.hilbert(col("ex"), col("ey")))
+      .write.mode("overwrite").parquet(dir)
+    graft.plans.HilbertBoxCover.ensureInstalled(spark)
+    val prior = spark.conf.getOption(ConfKey)
+    spark.conf.set(ConfKey, "ex,ey,eh")
+    try {
+      // below-domain: -3 masks to 65533, whose index is far outside the
+      // cover of the clamped [0,100]x[0,20] box — only the escape keeps it
+      val lo = spark.read.parquet(dir)
+        .filter(col("ex").between(-10L, 100L) && col("ey").between(0L, 20L))
+        .select("ex").collect().map(_.getLong(0)).toSet
+      assert(lo == Set(5L, -3L),
+        "below-domain row must survive the injected cover")
+      // above-domain: 70000 masks to 4464, outside the clamped
+      // [60000,65535]x[0,20] cover — only the escape keeps it
+      val hi = spark.read.parquet(dir)
+        .filter(col("ex").between(60000L, 80000L) &&
+          col("ey").between(0L, 20L))
+        .select("ex").collect().map(_.getLong(0)).toSet
+      assert(hi == Set(70000L),
+        "above-domain row must survive the injected cover")
+    } finally prior match {
+      case Some(v) => spark.conf.set(ConfKey, v)
+      case None => spark.conf.unset(ConfKey)
     }
   }
 }

@@ -71,15 +71,23 @@ class Hilbert3Spec extends AnyFunSuite {
     val df = rows.toDF("x", "y", "z")
     // CODEGEN_ONLY + no fallback: a janino compile error in doGenCode must
     // FAIL here, not silently degrade to interpreted eval (it did once —
-    // a brace-less loop body janino misparses as a cast)
+    // a brace-less loop body janino misparses as a cast). Restore the
+    // PRIOR values, not hard-coded defaults — the shared session may run
+    // under a different codegen profile.
+    val priorFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val priorFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    def restore(key: String, v: Option[String]): Unit = v match {
+      case Some(s) => spark.conf.set(key, s)
+      case None => spark.conf.unset(key)
+    }
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     val got =
       try df.select(col("x"), col("y"), col("z"),
         Hilbert3.hilbert3(col("x"), col("y"), col("z")).as("h")).collect()
       finally {
-        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-        spark.conf.set("spark.sql.codegen.fallback", "true")
+        restore("spark.sql.codegen.factoryMode", priorFactory)
+        restore("spark.sql.codegen.fallback", priorFallback)
       }
     got.foreach { r =>
       assert(r.getLong(3) ==
