@@ -54,9 +54,22 @@ object GraftLayout {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
-  /** Path-scoped layouts for a scan rooted at any of `paths`. */
-  private[plans] def layoutsFor(paths: Seq[String]): Seq[Seq[String]] =
-    paths.flatMap(p => Option(registry.get(p))).distinct
+  private[plans] def registryEmpty: Boolean = registry.isEmpty
+
+  /** The layout for a scan over `paths` — only when EVERY scanned root is
+    * registered with the SAME layout. A multi-path read that mixes a
+    * layout store with anything else (or with a store laid out
+    * differently) gets no injection: the cover would silently prune the
+    * foreign rows, whose identically-named columns carry no such index.
+    */
+  private[plans] def layoutFor(paths: Seq[String]): Option[Seq[String]] =
+    if (paths.isEmpty) None
+    else {
+      val found = paths.map(p => Option(registry.get(p)))
+      if (found.forall(_.isDefined) && found.distinct.size == 1)
+        found.head
+      else None
+    }
 
   /** Drop a registration (e.g. after overwriting the store with
     * non-layout data under the same column names).
@@ -103,16 +116,21 @@ object GraftLayout {
 
   /** Read the store; register its layout (path-scoped) for this JVM if
     * the sidecar is present and names only columns the store carries,
-    * installing [[HilbertBoxCover]] idempotently.
+    * installing [[HilbertBoxCover]] idempotently. A read that finds NO
+    * (or an invalid) sidecar also CLEARS any prior registration for the
+    * path — the store was overwritten with non-layout data, and a stale
+    * entry would inject covers over an index that no longer exists.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val df = spark.read.parquet(dir)
     readSidecar(spark, dir)
-      .filter(_.forall(df.schema.fieldNames.contains(_)))
-      .foreach { names =>
+      .filter(_.forall(df.schema.fieldNames.contains(_))) match {
+      case Some(names) =>
         HilbertBoxCover.ensureInstalled(spark)
         registry.put(qualified(spark, dir), names)
-      }
+      case None =>
+        registry.remove(qualified(spark, dir))
+    }
     df
   }
 
@@ -131,6 +149,10 @@ object GraftLayout {
     val out = fs.create(path, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // register eagerly: the writer's own JVM prunes immediately, and an
+    // overwrite of a previously-registered dir refreshes the entry
+    HilbertBoxCover.ensureInstalled(spark)
+    registry.put(qualified(spark, dir), names)
   }
 
   /** The declared column list, or None when absent/unreadable/invalid.
@@ -163,7 +185,11 @@ object GraftLayout {
       val names = m.group(1).split(",").map(_.trim.stripPrefix("\"")
         .stripSuffix("\"")).toSeq
       val ident = names.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
-      if (ident && (names.length == 3 || names.length == 4)) Some(names)
+      // distinctness matters for CORRECTNESS, not just hygiene: a
+      // duplicated key name would bound the cover on one key twice and
+      // the other not at all — silently pruning in-domain rows
+      if (ident && (names.length == 3 || names.length == 4) &&
+        names.distinct.length == names.length) Some(names)
       else None
     } catch { case _: Exception => None }
 }

@@ -68,17 +68,22 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val confLayouts = conf.getConfString(ConfKey, "").split(";")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(n => n.length == 3 || n.length == 4).toSeq
+      .filter(n => (n.length == 3 || n.length == 4) &&
+        n.distinct.length == n.length).toSeq
+    // cheap short-circuit: sessions that never declare a layout must not
+    // pay the per-Filter leaf traversal on every optimizer pass
+    if (confLayouts.isEmpty && GraftLayout.registryEmpty) return plan
 
     plan transform {
       case f @ Filter(cond, child) =>
-        // sidecar-registered layouts apply ONLY to a filter over the file
-        // scan they describe (path-scoped — a relation that merely reuses
-        // the column names is never touched); conf-declared layouts keep
-        // their documented name-matching semantics
-        val scoped = GraftLayout.layoutsFor(
+        // sidecar-registered layouts apply ONLY to a filter whose scanned
+        // roots ALL carry that same layout (path-scoped — a relation that
+        // merely reuses the column names, or a multi-path read mixing a
+        // layout store with foreign data, is never touched); conf-declared
+        // layouts keep their documented name-matching semantics
+        val scoped = GraftLayout.layoutFor(
           org.apache.spark.sql.graft.Bridge.fileScanRootPaths(child))
-        val layouts = scoped ++ confLayouts
+        val layouts = scoped.toSeq ++ confLayouts
         val resolve = (n: String) =>
           child.output.find(a => conf.resolver(a.name, n))
         layouts.iterator.flatMap { names =>
@@ -186,7 +191,8 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
     }
     if (ranges.isEmpty || ranges.size > MaxRanges) return None
     val covVol = ranges.map { case (a, b) => b - a + 1 }.sum
-    val domVol = 1L << (bounds.length * (if (bounds.length == 3) 10 else 16))
+    // derived from `side` so an order change cannot desynchronize it
+    val domVol = bounds.indices.foldLeft(1L)((v, _) => v * side)
     if (covVol * 4 > domVol) return None
     val cover = ranges.map { case (a, b) =>
       And(GreaterThanOrEqual(h, Literal(a, LongType)),

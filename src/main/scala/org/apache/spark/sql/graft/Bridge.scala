@@ -60,6 +60,13 @@ object Bridge {
             fs.location.rootPaths.map(_.toString)
           case _ => Nil
         }
+      // the v2 read path (useV1SourceList excluding the format)
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        v2.table match {
+          case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+            ft.fileIndex.rootPaths.map(_.toString)
+          case _ => Nil
+        }
       case _ => Nil
     }
 }

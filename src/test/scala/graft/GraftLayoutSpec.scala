@@ -64,7 +64,7 @@ class GraftLayoutSpec extends AnyFunSuite {
     val impostor = TempDirs.create("glayout_impostor")
     spark.read.parquet(s"$sf/lineitem.parquet")
       .selectExpr("l_orderkey & 65535 AS gx", "l_partkey & 65535 AS gy",
-        "l_extendedprice AS gh")
+        "CAST(l_extendedprice * 100 AS BIGINT) AS gh")
       .write.mode("overwrite").parquet(impostor)
     val boxed = spark.read.parquet(impostor)
       .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
@@ -127,12 +127,15 @@ class GraftLayoutSpec extends AnyFunSuite {
     // names valid but not all present in THIS store's schema
     java.nio.file.Files.writeString(p, """{"columns":["gx","gy","nope"]}""")
     assert(probe() == 0, "schema mismatch")
+    // duplicate names: would bound the cover on one key twice and the
+    // other not at all, silently pruning in-domain rows — must not
+    // register at all
+    java.nio.file.Files.writeString(p, """{"columns":["gx","gx","gz"]}""")
+    assert(probe() == 0, "duplicate key names")
     // a sidecar naming columns of a DIFFERENT table must not register
     // a layout that then misfires on relations carrying those names:
     // gx,gy,gz all exist here but gz is no hilbert index — registration
-    // happens (schema-valid), yet only THIS path is affected, and the
-    // injected conjunct's escapes keep the results exact is covered by
-    // the domain-escape test below; here pin the path scoping
+    // happens (schema-valid), yet ONLY this path is affected
     java.nio.file.Files.writeString(p, """{"columns":["gx","gy","gz"]}""")
     val other = spark.read.parquet(s"$sf/lineitem.parquet")
       .selectExpr("l_orderkey & 65535 AS gx", "l_partkey & 65535 AS gy",
@@ -142,6 +145,50 @@ class GraftLayoutSpec extends AnyFunSuite {
     assert(coverRanges(other, "gz") == 0,
       "a hostile sidecar's blast radius is its own directory")
     GraftLayout.forget(spark, dir)
+  }
+
+  test("multi-path read mixing a layout store with foreign data: no fire") {
+    val laid = TempDirs.create("glayout_mixa")
+    GraftLayout.writeHilbert(src, laid, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, laid)
+    // same schema as the laid store, but gh here is NOT a hilbert index
+    val foreign = TempDirs.create("glayout_mixb")
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey & 65535 AS gx", "l_partkey & 65535 AS gy",
+        "l_suppkey & 1023 AS gz",
+        "CAST(l_extendedprice * 100 AS BIGINT) AS gh")
+      .write.mode("overwrite").parquet(foreign)
+    val mixed = spark.read.parquet(laid, foreign)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(mixed, "gh") == 0,
+      "the cover must not prune rows of the foreign store")
+    // and the box answer over the union is exactly filter semantics
+    val expect = spark.read.parquet(laid).filter(
+        col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+      .count() + spark.read.parquet(foreign).filter(
+        col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+      .count()
+    assert(mixed.count() == expect)
+  }
+
+  test("overwriting a registered store with plain data clears on re-read") {
+    val dir = TempDirs.create("glayout_stale")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    // plain Overwrite deletes the sidecar; gh is no longer an index
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey & 65535 AS gx", "l_partkey & 65535 AS gy",
+        "CAST(l_extendedprice * 100 AS BIGINT) AS gh")
+      .write.mode("overwrite").parquet(dir)
+    // the official read API observes the missing sidecar and must DROP
+    // the stale registration, not keep injecting covers over plain data
+    val df = GraftLayout.read(spark, dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(df, "gh") == 0, "stale registration must clear")
+    val expect = spark.read.parquet(dir).collect()
+      .count(r => r.getLong(0) >= 100 && r.getLong(0) <= 900 &&
+        r.getLong(1) >= 20 && r.getLong(1) <= 150)
+    assert(df.count() == expect)
   }
 
   test("out-of-domain keys fail the write loudly") {
