@@ -96,6 +96,10 @@ case class TopKPairs(
   override def serialize(buf: TopKPairs.TopKBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    // state lands in streaming checkpoints, so the layout is versioned:
+    // a resume against bytes from a different layout must fail loudly at
+    // the tag, not misread counts as pair halves
+    out.writeByte(TopKPairs.StateFormat)
     out.writeInt(buf.m.size)
     val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
@@ -111,6 +115,10 @@ case class TopKPairs(
 
   override def deserialize(bytes: Array[Byte]): TopKPairs.TopKBuffer = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    require(ver == TopKPairs.StateFormat,
+      s"topk_pairs state format $ver (expected ${TopKPairs.StateFormat}); " +
+        "a checkpoint written by an incompatible build cannot be resumed")
     val buf = createAggregationBuffer()
     val entries = in.readInt()
     var i = 0
@@ -133,6 +141,12 @@ case class TopKPairs(
 
 object TopKPairs {
 
+  /** Serialized-state layout tag: 2 = multiset entries (v, id, count).
+    * Format 1 (implicit, untagged 16-byte set entries) predates the
+    * multiset buffer and is intentionally unreadable.
+    */
+  val StateFormat: Byte = 2
+
   /** Rank order: better pairs FIRST — (v desc, id asc). Overflow-safe:
     * `java.lang.Long.compare`, never negation (`-Long.MinValue` overflows
     * back to `Long.MinValue`, which would rank the SMALLEST possible value
@@ -154,10 +168,11 @@ object TopKPairs {
     /** Total pairs kept (sum of counts); invariant n <= k. */
     var n = 0L
 
-    private def bump(p: (Long, Long), by: Long): Unit = {
-      val cur = m.get(p)
-      m.put(p, if (cur == null) by else cur + by)
-    }
+    // getOrDefault, NOT get-then-null-check: the value type is a
+    // primitive scala.Long, so `m.get(absent)` already unboxes null to 0
+    // and a null test on it can never fire
+    private def bump(p: (Long, Long), by: Long): Unit =
+      m.put(p, m.getOrDefault(p, 0L) + by)
 
     /** Add `count` copies of `p`, evicting worst units to stay at k. */
     def add(p: (Long, Long), count: Long): Unit = {

@@ -79,14 +79,27 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
         // sidecar-registered layouts apply ONLY to a filter whose scanned
         // roots ALL carry that same layout (path-scoped — a relation that
         // merely reuses the column names, or a multi-path read mixing a
-        // layout store with foreign data, is never touched); conf-declared
-        // layouts keep their documented name-matching semantics
-        val scoped = GraftLayout.layoutFor(
-          org.apache.spark.sql.graft.Bridge.fileScanRootPaths(child))
-        val layouts = scoped.toSeq ++ confLayouts
-        val resolve = (n: String) =>
+        // layout store with foreign data, is never touched), and the
+        // layout's columns must reach this filter AS the store's own
+        // attributes: each name is resolved on the registered leaf and
+        // must pass through to child.output with its exprId intact, so a
+        // derived column shadowing the name (drop+withColumn, a window
+        // alias) makes the rule decline instead of covering over values
+        // that are not the curve index. Conf-declared layouts keep their
+        // documented session-wide name-matching semantics.
+        val leafInfo =
+          org.apache.spark.sql.graft.Bridge.fileScanLeafInfo(child)
+        val scoped = GraftLayout.layoutFor(leafInfo.flatMap(_._1))
+        val childById = child.output.map(a => a.exprId -> a).toMap
+        val resolveScoped = (n: String) =>
+          leafInfo.flatMap(_._2).find(a => conf.resolver(a.name, n))
+            .flatMap(a => childById.get(a.exprId))
+        val resolveConf = (n: String) =>
           child.output.find(a => conf.resolver(a.name, n))
-        layouts.iterator.flatMap { names =>
+        val layouts: Seq[(Seq[String], String => Option[Attribute])] =
+          scoped.map(_ -> resolveScoped).toSeq ++
+            confLayouts.map(_ -> resolveConf)
+        layouts.iterator.flatMap { case (names, resolve) =>
           val keys = names.init.flatMap(resolve(_))
           resolve(names.last) match {
             case Some(h) if keys.length == names.length - 1 &&

@@ -1375,8 +1375,13 @@ object StatsOps {
       val docs = tbl(s, d, "documents")
       // interpolated corpus median of n_chars from per-value counts:
       // positions (n+1) div 2 and (n+2) div 2 of the sorted multiset
-      // (equal when n is odd), averaged — matching DuckDB's median()
-      val cum = docs.groupBy(col("n_chars").as("v"))
+      // (equal when n is odd), averaged — matching DuckDB's median(),
+      // including its NULL handling: NULL lengths are excluded from the
+      // count relation OUTSIDE the window (Spark windows sort NULLS
+      // FIRST, DuckDB NULLS LAST — leaving them in would shift every
+      // cumulative count between the engines)
+      val cum = docs.filter(col("n_chars").isNotNull)
+        .groupBy(col("n_chars").as("v"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("v"), sum("cnt").over(Window.orderBy("v")).as("cc"))
         .withColumn("n", max("cc").over(Window.partitionBy()))
@@ -1404,7 +1409,8 @@ object StatsOps {
           "enc_oof", "enc_smooth")
     }, Some(s"""
       WITH vc AS (
-        SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1),
+        SELECT n_chars AS v, count(*) AS cnt FROM documents
+        WHERE n_chars IS NOT NULL GROUP BY 1),
       cum0 AS (
         SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM vc),
       cum AS (

@@ -53,20 +53,33 @@ object Bridge {
   def fileScanRootPaths(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Seq[String] =
+    fileScanLeafInfo(plan).flatMap(_._1)
+
+  /** (root paths, leaf output attributes) of every file-source leaf under
+    * `plan`. The attributes carry the leaf's own exprIds, so a rule can
+    * verify a name it resolved higher in the tree is the SAME attribute
+    * the store produced (not a derived column that merely reuses the
+    * name — exprId pass-through is the proof of provenance Catalyst
+    * itself uses).
+    */
+  def fileScanLeafInfo(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[(Seq[String],
+             Seq[org.apache.spark.sql.catalyst.expressions.Attribute])] =
     plan.collectLeaves().flatMap {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString)
-          case _ => Nil
+            Some((fs.location.rootPaths.map(_.toString).toSeq, l.output))
+          case _ => None
         }
       // the v2 read path (useV1SourceList excluding the format)
       case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
         v2.table match {
           case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
-            ft.fileIndex.rootPaths.map(_.toString)
-          case _ => Nil
+            Some((ft.fileIndex.rootPaths.map(_.toString).toSeq, v2.output))
+          case _ => None
         }
-      case _ => Nil
+      case _ => None
     }
 }

@@ -171,6 +171,31 @@ class GraftLayoutSpec extends AnyFunSuite {
     assert(mixed.count() == expect)
   }
 
+  test("a derived column shadowing the index name declines the rule") {
+    val dir = TempDirs.create("glayout_shadow")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    // drop the real index and rebuild "gh" nondeterministically: the box
+    // filter cannot be pushed below the project, so it sits over a child
+    // whose "gh" is NOT the store's index attribute. The rule must
+    // decline (exprId pass-through check) — name-matching here would
+    // inject the cover over unrelated values and silently drop rows.
+    val df = GraftLayout.read(spark, dir)
+      .drop("gh")
+      .withColumn("gh", monotonically_increasing_id())
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(df, "gh") == 0,
+      "no cover over a column that is not the store's own index")
+    val expect = spark.read.parquet(dir).filter(
+      col("gx").between(100L, 900L) && col("gy").between(20L, 150L)).count()
+    assert(df.count() == expect)
+    // the same read with the index intact still gets the injection (the
+    // decline above is the shadowing, not the sidecar)
+    val clean = GraftLayout.read(spark, dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(clean, "gh") > 0)
+    GraftLayout.forget(spark, dir)
+  }
+
   test("overwriting a registered store with plain data clears on re-read") {
     val dir = TempDirs.create("glayout_stale")
     GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
