@@ -38,9 +38,22 @@ import graft.functions.{Hilbert3, HilbertIndex}
   *    layout is simply not registered (the rewrite is an optimization;
   *    correctness never depends on it).
   *
-  * Registration lives for the JVM (the registry caches what the on-disk
-  * sidecar says); overwriting a registered directory with NON-layout
-  * data of the same column names in the same JVM should call [[forget]].
+  * Registration lives for the JVM, but is FINGERPRINT-GUARDED: the
+  * sidecar's (modificationTime, length) is captured at registration and
+  * re-validated with one driver-side `getFileStatus` each time
+  * [[HilbertBoxCover]] considers the path — an external writer that
+  * overwrites or deletes the store behind the session's back (taking the
+  * sidecar with it, as any `SaveMode.Overwrite` does) drops the
+  * registration at the next query instead of silently covering over data
+  * that no longer carries the index. [[forget]] remains for explicit
+  * same-JVM invalidation. The one hole the fingerprint cannot see is
+  * `SaveMode.Append` of NON-conforming rows INTO a layout directory: the
+  * sidecar survives untouched, so later reads still prune by an index
+  * the appended rows never computed (the escapes only rescue
+  * out-of-domain or NULL-index rows). Appending to a layout store
+  * OUTSIDE [[writeHilbert]]/[[writeHilbert3]] violates the sidecar
+  * contract — delete the sidecar (or call [[forget]] in-JVM) when such
+  * an append is intentional.
   *
   * Scale note: the sidecar is one tiny driver-side file per store, via
   * the Hadoop FileSystem API — works unchanged against HDFS/object
@@ -50,22 +63,49 @@ object GraftLayout {
 
   val SidecarName = "_graft_layout.json"
 
-  /** Qualified-root-path → declared columns (keys..., index). */
+  /** A registration: the declared columns (keys..., index) plus the
+    * sidecar fingerprint captured when they were read/written, and the
+    * FileSystem to re-stat against (Hadoop caches FS instances, so the
+    * reference is shared, not a leak).
+    */
+  private final case class Reg(names: Seq[String], modTime: Long, len: Long,
+      fs: org.apache.hadoop.fs.FileSystem)
+
+  /** Qualified-root-path → registration. */
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Reg]()
 
   private[plans] def registryEmpty: Boolean = registry.isEmpty
 
+  /** The sidecar still matches what was registered — one driver-side
+    * metadata call per registered root per query compile (a HEAD on an
+    * object store), which is what keeps a stale registration from
+    * injecting covers after an external writer replaced the store.
+    */
+  private def stillValid(root: String, r: Reg): Boolean =
+    try {
+      val st = r.fs.getFileStatus(new Path(new Path(root), SidecarName))
+      st.getModificationTime == r.modTime && st.getLen == r.len
+    } catch { case _: Exception => false }
+
   /** The layout for a scan over `paths` — only when EVERY scanned root is
-    * registered with the SAME layout. A multi-path read that mixes a
-    * layout store with anything else (or with a store laid out
-    * differently) gets no injection: the cover would silently prune the
-    * foreign rows, whose identically-named columns carry no such index.
+    * registered with the SAME layout AND its sidecar fingerprint still
+    * holds on disk (a mismatch drops the registration on the spot — the
+    * store was rewritten behind the session's back). A multi-path read
+    * that mixes a layout store with anything else (or with a store laid
+    * out differently) gets no injection: the cover would silently prune
+    * the foreign rows, whose identically-named columns carry no such
+    * index.
     */
   private[plans] def layoutFor(paths: Seq[String]): Option[Seq[String]] =
     if (paths.isEmpty) None
     else {
-      val found = paths.map(p => Option(registry.get(p)))
+      val found = paths.map { p =>
+        Option(registry.get(p)).flatMap { r =>
+          if (stillValid(p, r)) Some(r.names)
+          else { registry.remove(p); None }
+        }
+      }
       if (found.forall(_.isDefined) && found.distinct.size == 1)
         found.head
       else None
@@ -127,7 +167,7 @@ object GraftLayout {
       .filter(_.forall(df.schema.fieldNames.contains(_))) match {
       case Some(names) =>
         HilbertBoxCover.ensureInstalled(spark)
-        registry.put(qualified(spark, dir), names)
+        register(spark, dir, names)
       case None =>
         registry.remove(qualified(spark, dir))
     }
@@ -140,6 +180,22 @@ object GraftLayout {
     fs.makeQualified(p).toString
   }
 
+  /** Record the layout with the sidecar's current fingerprint; a sidecar
+    * that cannot be stat'ed registers nothing (fail closed — the rewrite
+    * is an optimization).
+    */
+  private def register(spark: SparkSession, dir: String,
+      names: Seq[String]): Unit =
+    try {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(new Path(root, SidecarName))
+      registry.put(fs.makeQualified(root).toString,
+        Reg(names, st.getModificationTime, st.getLen, fs))
+    } catch { case _: Exception =>
+      registry.remove(qualified(spark, dir))
+    }
+
   private def writeSidecar(spark: SparkSession, dir: String,
       names: Seq[String]): Unit = {
     val json = names.map(n => "\"" + n + "\"")
@@ -150,9 +206,10 @@ object GraftLayout {
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // register eagerly: the writer's own JVM prunes immediately, and an
-    // overwrite of a previously-registered dir refreshes the entry
+    // overwrite of a previously-registered dir refreshes the entry (with
+    // the fresh sidecar's fingerprint)
     HilbertBoxCover.ensureInstalled(spark)
-    registry.put(qualified(spark, dir), names)
+    register(spark, dir, names)
   }
 
   /** The declared column list, or None when absent/unreadable/invalid.

@@ -39,14 +39,17 @@ import graft.functions.{HilbertIndex, HInterval}
   * over the exact file store the sidecar sits in. The rule fires only on
   * a Filter whose child carries ALL the layout's columns (the index
   * column bigint, the keys integral) and whose predicate conjunctively
-  * bounds every key with integral literals; a predicate already
+  * bounds every key with integral literals — closed ranges, equalities
+  * (null-safe included), and `IN`-lists, an IN being a union of
+  * degenerate boxes covered sub-box by sub-box; a predicate already
   * referencing the index column is left untouched (idempotence, and
   * hand-built covers like lo_hscan's keep their exact form). The
-  * injected conjunct is `cover OR any-key-out-of-domain`: on data that
-  * violates the declared domain contract the masked index is unrelated
-  * to the raw key, and the escape disjuncts let such rows fall through
-  * to the original predicate instead of being silently pruned (on clean
-  * stores file statistics disprove the escapes — they cost nothing).
+  * injected conjunct is `cover OR any-key-out-of-domain OR index-NULL`:
+  * on data that violates the declared domain contract the masked index
+  * is unrelated to the raw key (or not computed at all), and the escape
+  * disjuncts let such rows fall through to the original predicate
+  * instead of being silently pruned (on clean stores file statistics
+  * disprove the escapes — they cost nothing).
   *
   * Scale note: the rewrite is pure driver-side math on the query
   * literals — the cover of a box is O(perimeter / cell) intervals,
@@ -135,16 +138,49 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Closed [lo, hi] bounds for `attr` from the conjunct list, or None if
-    * either side is unbounded. Tightest bound wins when repeated; both
-    * operand orientations and strict comparisons are normalized.
+  /** `InSet` carries raw JVM values, not Literals. */
+  private def rawLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Per-key IN-list expansions are capped: past this many surviving
+    * values the key collapses to its hull `[min, max]` (one interval) —
+    * a giant IN would otherwise cross-product into thousands of sub-box
+    * covers for marginal extra pruning.
+    */
+  private val MaxInValues = 32
+
+  /** Cross-product cap on sub-boxes (an IN on each of two keys multiplies
+    * interval choices). Past it every key collapses to its hull — one box,
+    * coarser but sound, and still the envelope file stats can prune with.
+    */
+  private val MaxBoxes = 64
+
+  /** Closed, sorted, disjoint [lo, hi] interval list for `attr` from the
+    * conjunct list, or None if the key is unbounded. Range comparisons
+    * tighten a single interval (tightest bound wins; both operand
+    * orientations and strict comparisons normalized); `IN`-lists — and
+    * the `InSet` form the main optimizer batch rewrites long lists into —
+    * intersect a membership set, yielding one degenerate interval per
+    * surviving value (hull-collapsed past [[MaxInValues]]); a NULL-SAFE
+    * equality against a non-null literal bounds exactly like `EqualTo`
+    * (`k <=> 5` holds iff k = 5 — the null case is false either way,
+    * while `k <=> NULL` matches no litLong and adds no bound). An IN set
+    * emptied by the range bounds returns None — the predicate is
+    * unsatisfiable and the rule declines rather than reasoning about it.
     */
   private def boxBounds(conjuncts: Seq[Expression],
-      attr: Attribute): Option[(Long, Long)] = {
+      attr: Attribute): Option[Seq[(Long, Long)]] = {
     var lo: Option[Long] = None
     var hi: Option[Long] = None
+    var inSet: Option[Set[Long]] = None
     def raiseLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
     def lowerHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    def meet(vs: Set[Long]): Unit = inSet = Some(inSet.fold(vs)(_ intersect vs))
     conjuncts.foreach {
       case GreaterThanOrEqual(a: Attribute, l) if a.semanticEquals(attr) =>
         litLong(l).foreach(raiseLo)
@@ -166,42 +202,96 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
         litLong(l).foreach { v => raiseLo(v); lowerHi(v) }
       case EqualTo(l, a: Attribute) if a.semanticEquals(attr) =>
         litLong(l).foreach { v => raiseLo(v); lowerHi(v) }
+      case EqualNullSafe(a: Attribute, l) if a.semanticEquals(attr) =>
+        litLong(l).foreach { v => raiseLo(v); lowerHi(v) }
+      case EqualNullSafe(l, a: Attribute) if a.semanticEquals(attr) =>
+        litLong(l).foreach { v => raiseLo(v); lowerHi(v) }
+      case In(a: Attribute, vs) if a.semanticEquals(attr) =>
+        val longs = vs.map(litLong)
+        if (longs.nonEmpty && longs.forall(_.isDefined)) meet(longs.flatten.toSet)
+      case InSet(a: Attribute, hset) if a.semanticEquals(attr) =>
+        val longs = hset.toSeq.map(rawLong)
+        if (longs.nonEmpty && longs.forall(_.isDefined)) meet(longs.flatten.toSet)
       case _ =>
     }
-    for (l <- lo; u <- hi) yield (l, u)
+    inSet match {
+      case Some(vs) =>
+        val kept = vs.filter(v => lo.forall(v >= _) && hi.forall(v <= _))
+          .toSeq.sorted
+        if (kept.isEmpty) None
+        else if (kept.length > MaxInValues) Some(Seq((kept.head, kept.last)))
+        else Some(mergeRanges(kept.map(v => (v, v))))
+      case None => for (l <- lo; u <- hi) yield Seq((l, u))
+    }
   }
 
-  /** The injected predicate for the box: the OR'd h-range cover of the
-    * box CLAMPED to the curve domain (2 bounds → 2-D order-16 quadtree
-    * cover, 3 → 3-D order-10 octree), OR'd with per-key out-of-domain
-    * escapes. The escapes make the clamp sound on data that VIOLATES the
-    * layout contract: the index is computed from masked bits, so a key
-    * outside [0, side) has an index unrelated to its raw value — such
-    * rows must survive the injected conjunct and fall through to the
-    * original predicate. On contract-clean stores (writeHilbert enforces
-    * the domain at write time) every file's key stats disprove the
-    * escapes, so they cost nothing and prune nothing.
+  /** Sort + coalesce overlapping/adjacent ranges (inputs stay far below
+    * Long.MaxValue — curve indexes top out at 2^32 — so `+ 1` is safe).
+    */
+  private def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    rs.sortBy(_._1).foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc, (lo, hi)) => acc.lastOption match {
+        case Some((plo, phi)) if lo <= phi + 1 =>
+          acc.init :+ ((plo, math.max(phi, hi)))
+        case _ => acc :+ ((lo, hi))
+      }
+    }
+
+  /** The injected predicate for the box(es): the OR'd h-range cover of
+    * the per-key intervals CLAMPED to the curve domain (2 keys → 2-D
+    * order-16 quadtree cover, 3 → 3-D order-10 octree; IN-lists make a
+    * key contribute several intervals, whose cross product is covered
+    * sub-box by sub-box and the ranges union-merged — falling back to the
+    * per-key hulls past [[MaxBoxes]] sub-boxes or [[MaxRanges]] merged
+    * ranges, coarser but still a superset), OR'd with escape disjuncts.
+    * The escapes make the clamp sound on data that VIOLATES the layout
+    * contract: the index is computed from masked bits, so a key outside
+    * [0, side) has an index unrelated to its raw value, and a NULL index
+    * (possible under a conf-declared layout over arbitrary data even when
+    * every key is in-domain and non-null) would turn the whole cover
+    * disjunction NULL and silently prune a row the original predicate
+    * keeps — both kinds of row must survive the injected conjunct and
+    * fall through to the original predicate, so the escape is
+    * `any-key-out-of-domain OR h IS NULL`. On contract-clean stores
+    * (writeHilbert enforces the domain and computes the index itself)
+    * file statistics disprove the escapes, so they cost nothing.
     *
     * None when the clamped box is empty / degenerate, or when the cover
     * spans more than a quarter of the curve domain — there the scan
     * would evaluate a fat OR chain per row for almost no pruning.
     */
   private def coverPred(h: Attribute, keys: Seq[Attribute],
-      bounds: Seq[(Long, Long)]): Option[Expression] = {
+      bounds: Seq[Seq[(Long, Long)]]): Option[Expression] = {
     val side = if (bounds.length == 3) graft.functions.Hilbert3.Side
       else HilbertIndex.Side
     val max = side - 1
-    val clamped = bounds.map { case (lo, hi) =>
-      (math.max(lo, 0L), math.min(hi, max))
+    val clamped = bounds.map(_.flatMap { case (lo0, hi0) =>
+      val lo = math.max(lo0, 0L); val hi = math.min(hi0, max)
+      if (lo <= hi) Some((lo, hi)) else None
+    })
+    if (clamped.exists(_.isEmpty)) return None
+    def hullOf(ks: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      Seq((ks.head._1, ks.last._2)) // per-key lists are sorted
+    def coverOf(kss: Seq[Seq[(Long, Long)]]): Seq[(Long, Long)] = {
+      val boxes = kss.foldLeft(Seq(Seq.empty[(Long, Long)])) { (acc, ks) =>
+        for (a <- acc; k <- ks) yield a :+ k
+      }
+      mergeRanges(boxes.flatMap {
+        case Seq((xlo, xhi), (ylo, yhi)) =>
+          HInterval.cover(xlo, xhi, ylo, yhi)
+        case Seq((xlo, xhi), (ylo, yhi), (zlo, zhi)) =>
+          HInterval.cover3(xlo, xhi, ylo, yhi, zlo, zhi)
+        case _ => Seq.empty
+      })
     }
-    if (clamped.exists { case (lo, hi) => lo > hi }) return None
-    val ranges = clamped match {
-      case Seq((xlo, xhi), (ylo, yhi)) =>
-        HInterval.cover(xlo, xhi, ylo, yhi)
-      case Seq((xlo, xhi), (ylo, yhi), (zlo, zhi)) =>
-        HInterval.cover3(xlo, xhi, ylo, yhi, zlo, zhi)
-      case _ => Seq.empty
-    }
+    val boxed =
+      if (clamped.map(_.length.toLong).product <= MaxBoxes) clamped
+      else clamped.map(hullOf)
+    var ranges = coverOf(boxed)
+    // per-value sub-box covers can fragment past the range cap where the
+    // single hull box stays under it — coarsen before declining
+    if (ranges.size > MaxRanges && boxed.exists(_.length > 1))
+      ranges = coverOf(clamped.map(hullOf))
     if (ranges.isEmpty || ranges.size > MaxRanges) return None
     val covVol = ranges.map { case (a, b) => b - a + 1 }.sum
     // derived from `side` so an order change cannot desynchronize it
@@ -211,13 +301,13 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
       And(GreaterThanOrEqual(h, Literal(a, LongType)),
         LessThanOrEqual(h, Literal(b, LongType))): Expression
     }.reduce(Or(_, _))
-    val escapes = keys.map { k =>
+    val escapes = (keys.map { k =>
       // the high bound saturates at the key type's own max: a narrower
       // type can never exceed the domain there, and the saturated
       // comparison is equivalently never-true (no lossy literal cast)
       Or(LessThan(k, typedLit(0L, k.dataType)),
         GreaterThan(k, typedLit(max, k.dataType))): Expression
-    }.reduce(Or(_, _))
+    } :+ (IsNull(h): Expression)).reduce(Or(_, _))
     Some(Or(cover, escapes))
   }
 

@@ -232,6 +232,57 @@ object Relabel3Rel {
     SELECT gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
     FROM lab WHERE gz = 1 GROUP BY gy, gx"""
 
+  private lazy val zarrBoxDir: String = graft.TempDirs.create("graft_zarr3bx")
+
+  /** A PLAIN 3-axis box filter over the SHARDED 3-D tile store, pruned at
+    * plan time by the source's own filter pushdown — the tile-grid twin
+    * of the parquet Hilbert path (`lo_hscan3_auto`): there the store
+    * needs a curve index + injected range cover to win min/max skipping;
+    * here the grid coordinates ARE the chunk keys, so the DSv2 scan
+    * prunes the box EXACTLY (`ZarrScanBuilder.pushFilters` →
+    * `ZarrScan.planInputPartitions`), planning only the 2x2x2 = 8 inner
+    * chunks of the 36-chunk grid and ranged-reading them out of the 8
+    * shard objects via their indexes. Both facts are guarded in-query:
+    * the physical plan must carry all three pushed bounds, and the
+    * pruned scan must plan exactly the box's partitions — a silent
+    * pushdown regression cannot pass on row equality alone, since the
+    * unpruned scan returns the same rows, just reading 4.5x the chunks.
+    * At 100 TB this is the flagship read: a viewport/ROI box over a
+    * petapixel volume opens only the shards it intersects.
+    */
+  def zarrBox3(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.tiles.GridSpec(
+      Array(G(0).toLong * L3, G(1).toLong * L3, G(2).toLong * L3),
+      Array(L3, L3, L3))
+    graft.sources.Zarr3IO.writeSharded(tiles3(s, d), spec,
+      Array(2 * L3, 2 * L3, 2 * L3), zarrBoxDir, "uint16", gzip = true)
+    val scanned = s.read.format("zarr").load(zarrBoxDir)
+      .filter(col("g0").between(1L, 2L) && col("g1").between(1L, 2L) &&
+        col("g2").between(0L, 1L))
+    // plan guard 1: chunk pruning — the box is 8 of 36 grid chunks
+    require(scanned.rdd.getNumPartitions == 8,
+      s"expected the 2x2x2 box to plan 8 chunk partitions of 36, " +
+        s"got ${scanned.rdd.getNumPartitions}")
+    val df = scanned.filter(col("value") =!= 0)
+      .select(col("g0").as("gz"), col("g1").as("gy"), col("g2").as("gx"),
+        col("value"))
+      .groupBy("gz", "gy", "gx")
+      .agg(count(lit(1)).as("n_px"), sum("value").as("sum_label"))
+    // plan guard 2: all three bounds reached the scan (visible in the
+    // ZarrScan description), none left as a residual driver-side filter
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("g0 in [1, 2]") && plan.contains("g1 in [1, 2]") &&
+      plan.contains("g2 in [0, 1]"),
+      s"3-axis box bounds not pushed to the zarr scan:\n$plan")
+    df
+  }
+
+  private val ZARR_BOX_3D_SQL: String = PIXELS3_SQL + """
+    SELECT gz, gy, gx, count(*) AS n_px, CAST(sum(label) AS BIGINT) AS sum_label
+    FROM lab WHERE gz BETWEEN 1 AND 2 AND gy BETWEEN 1 AND 2
+      AND gx BETWEEN 0 AND 1
+    GROUP BY gz, gy, gx"""
+
   /** 3D region properties — px_regionprops' volumetric sibling over the
     * voxel relation: per (tile, label) voxel volume, the 3D bounding box,
     * exact centroid numerators with single-division centroids, and
@@ -273,5 +324,6 @@ object Relabel3Rel {
     Q("px3_remove", remove3, Some(REMOVE3_SQL)),
     Q("px3_pipeline", pipeline3, Some(PIPELINE3_SQL)),
     Q("px3_zarr_dsv2", zarrDsv23d, Some(ZARR_DSV2_3D_SQL)),
+    Q("px3_zarr_box", zarrBox3, Some(ZARR_BOX_3D_SQL)),
     Q("px3_regionprops", regionProps3, Some(REGIONPROPS3_SQL)))
 }

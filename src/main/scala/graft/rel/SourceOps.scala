@@ -410,9 +410,9 @@ object SourceOps {
       FROM h3 GROUP BY 1""")),
 
     // 3-D Hilbert-range scan, AUTOMATIC form: lo_hscan_auto one dimension
-    // up — hilbert3-sorted layout, user query is the plain 3-D box
-    // filter, and a FOUR-name spark.graft.hilbert.layout declaration
-    // routes HilbertBoxCover through the octree HInterval.cover3 (the
+    // up — hilbert3-sorted layout written through GraftLayout, whose
+    // path-scoped sidecar registration (no session conf involved) routes
+    // HilbertBoxCover through the octree HInterval.cover3 (the
     // suppkey dimension is a thin slab at every SF, so this also drives
     // the cover's escalation policy: ~115 merged ranges, ~1.2x volume
     // overshoot, ~0.5% of the curve domain actually read). Hash equality
@@ -433,6 +433,29 @@ object SourceOps {
       SELECT x0 AS cx, y0 AS cy, z0 AS cz, d AS ch FROM h3
       WHERE x0 BETWEEN 100 AND 400 AND y0 BETWEEN 50 AND 300
         AND z0 BETWEEN 5 AND 60""")),
+
+    // Hilbert-range scan, IN-LIST form: the same sidecar-registered
+    // layout as lo_hscan_auto, but one key is constrained by a plain
+    // IN-list instead of a range — a union of degenerate boxes, which
+    // HilbertBoxCover covers sub-box by sub-box and union-merges into
+    // index ranges far tighter than the list's hull (the hull of
+    // {1056, 1057, 2021} spans 966 key columns; the per-value covers
+    // span 3). Hash equality against the raw-table oracle proves the
+    // multi-box cover is a true superset of the IN x range region;
+    // HilbertCoverRuleSpec pins the plan shape and the pruning win.
+    Q("lo_hscan_in", (s, d) => {
+      val dir = stage("hsort_in")
+      graft.plans.GraftLayout.writeHilbert(
+        tbl(s, d, "lineitem")
+          .select(expr("l_orderkey & 65535").as("bx"),
+            expr("l_partkey & 65535").as("by")),
+        dir, "bx", "by", "bh", 8)
+      graft.plans.GraftLayout.read(s, dir)
+        .filter(col("bx").isin(1056L, 1057L, 2021L) &&
+          col("by").between(10L, 180L))
+    }, Some(HILBERT_CTES + """
+      SELECT x0 AS bx, y0 AS by, d AS bh FROM h16
+      WHERE x0 IN (1056, 1057, 2021) AND y0 BETWEEN 10 AND 180""")),
 
     // Curve-locality head-to-head: bucket the SAME 16-bit key pairs by
     // their top-8 curve bits under Morton and under Hilbert, and total the

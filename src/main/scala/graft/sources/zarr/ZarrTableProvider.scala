@@ -151,8 +151,14 @@ object ZarrTableProvider {
   )
 }
 
-final class ZarrTable(dir: String, dims: Int) extends Table with SupportsRead
-    with SupportsWrite {
+/** `dir` is public so plan-walking code (e.g. the scope resolution behind
+  * [[graft.plans.HilbertBoxCover]], via `Bridge.fileScanLeafInfo`) can
+  * treat a zarr relation as a file-store leaf with a root path — a query
+  * mixing a path-scoped parquet layout with a zarr scan must see the zarr
+  * root as a FOREIGN store and decline, not overlook it.
+  */
+final class ZarrTable(val dir: String, dims: Int) extends Table
+    with SupportsRead with SupportsWrite {
   // reads need the full store metadata; writes to a fresh dir must not
   // touch it (dims alone drives the schema)
   private lazy val meta = ZarrTableProvider.metaOf(dir)

@@ -78,6 +78,16 @@ object Bridge {
         v2.table match {
           case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
             Some((ft.fileIndex.rootPaths.map(_.toString).toSeq, v2.output))
+          // the engine's own tile store is a file-store leaf too: its
+          // root path makes a scan over it visibly FOREIGN to any
+          // path-scoped parquet layout (a rule must decline a multi-store
+          // read, not prune rows the zarr side never indexed). No layout
+          // ever registers FOR a zarr root — box filters on its grid
+          // columns push down natively and exactly
+          // (ZarrScanBuilder.pushFilters), which is strictly stronger
+          // than a cover superset.
+          case zt: graft.sources.zarr.ZarrTable =>
+            Some((Seq(zt.dir), v2.output))
           case _ => None
         }
       case _ => None

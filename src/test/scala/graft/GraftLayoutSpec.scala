@@ -216,6 +216,52 @@ class GraftLayoutSpec extends AnyFunSuite {
     assert(df.count() == expect)
   }
 
+  test("external overwrite invalidates the registration WITHOUT a re-read") {
+    val dir = TempDirs.create("glayout_extern")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir) // registered, fingerprint captured
+    // an EXTERNAL writer replaces the store behind the session's back
+    // (any SaveMode.Overwrite takes the sidecar with it); the session
+    // never calls GraftLayout.read again — the next PLAIN query must
+    // neither prune by the dead index nor error
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey & 65535 AS gx", "l_partkey & 65535 AS gy",
+        "CAST(l_extendedprice * 100 AS BIGINT) AS gh")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(df, "gh") == 0,
+      "fingerprint mismatch must drop the registration at rule-fire time")
+    val expect = spark.read.parquet(dir).collect()
+      .count(r => r.getLong(0) >= 100 && r.getLong(0) <= 900 &&
+        r.getLong(1) >= 20 && r.getLong(1) <= 150)
+    assert(df.count() == expect, "no rows lost, no error")
+  }
+
+  test("a swapped sidecar invalidates too; re-read re-registers") {
+    val dir = TempDirs.create("glayout_swap")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    def boxed = spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(boxed, "gh") > 0, "registered layout fires")
+    // an external writer rewrites the sidecar itself (content + length
+    // change); the cached names no longer describe what's on disk
+    val p = java.nio.file.Paths.get(dir, GraftLayout.SidecarName)
+    val original = java.nio.file.Files.readAllBytes(p)
+    java.nio.file.Files.writeString(p,
+      """{"columns":["gx","gy","gz","gh_other"]}""")
+    assert(coverRanges(boxed, "gh") == 0,
+      "stale fingerprint must stop the injection without a re-read")
+    // restoring the sidecar does NOT resurrect the dropped registration…
+    java.nio.file.Files.write(p, original)
+    assert(coverRanges(boxed, "gh") == 0, "dropped is dropped")
+    // …but the official read API re-registers from what's on disk
+    GraftLayout.read(spark, dir)
+    assert(coverRanges(boxed, "gh") > 0)
+    GraftLayout.forget(spark, dir)
+  }
+
   test("out-of-domain keys fail the write loudly") {
     import spark.implicits._
     val bad = Seq((1L, 2L), (-3L, 5L)).toDF("gx", "gy")

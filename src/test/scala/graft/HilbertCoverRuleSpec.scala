@@ -233,6 +233,114 @@ class HilbertCoverRuleSpec extends AnyFunSuite {
     }
   }
 
+  private def bhRanges(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[(Long, Long)] = plan.collect {
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      f.condition.collect {
+        case org.apache.spark.sql.catalyst.expressions.And(
+          org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+            org.apache.spark.sql.catalyst.expressions.Literal(lo: Long, _)),
+          org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+            b: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+            org.apache.spark.sql.catalyst.expressions.Literal(hi: Long, _)))
+          if a.name == "bh" && b.name == "bh" => (lo, hi)
+      }
+  }.flatten.toSet
+
+  // the rule's union-merge, replicated for expectation-building
+  private def merged(rs: Seq[(Long, Long)]): Set[(Long, Long)] =
+    rs.sortBy(_._1).foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc, (lo, hi)) => acc.lastOption match {
+        case Some((plo, phi)) if lo <= phi + 1 =>
+          acc.init :+ ((plo, math.max(phi, hi)))
+        case _ => acc :+ ((lo, hi))
+      }
+    }.toSet
+
+  test("IN-list: per-value sub-box covers injected, results unchanged") {
+    // narrow by-range keeps every cover EXACT (no cell escalation), so
+    // the union-of-unit-covers expectation is range-for-range comparable
+    def inBox = spark.read.parquet(dir)
+      .filter(col("bx").isin(150L, 151L, 900L) &&
+        col("by").between(50L, 60L))
+    val plain = inBox.collect().map(_.toSeq).toSet
+    withLayout("bx,by,bh") {
+      assert(inBox.collect().map(_.toSeq).toSet == plain,
+        "multi-box cover must be a superset")
+      val got = bhRanges(inBox.queryExecution.optimizedPlan)
+      val expect = merged(Seq(150L, 151L, 900L)
+        .flatMap(v => HInterval.cover(v, v, 50L, 60L)))
+      assert(got == expect,
+        s"expected the union-merged per-value covers, got $got")
+      // the win over the hull: three degenerate boxes cover far less
+      // curve than the hull box the old rule would have needed
+      val hullVol = HInterval.cover(150L, 900L, 50L, 60L)
+        .map { case (a, b) => b - a + 1 }.sum
+      val gotVol = got.toSeq.map { case (a, b) => b - a + 1 }.sum
+      assert(gotVol < hullVol / 10,
+        s"per-value covers should be far tighter than the hull: $gotVol vs $hullVol")
+    }
+  }
+
+  test("long IN-list arrives as InSet and still covers; >cap collapses to hull") {
+    // 12 values: past spark.sql.optimizer.inSetConversionThreshold (10),
+    // the main batch rewrites In -> InSet before this rule runs
+    val twelve = (100L to 111L)
+    def inSetBox = spark.read.parquet(dir)
+      .filter(col("bx").isin(twelve: _*) && col("by").between(50L, 300L))
+    withLayout("bx,by,bh") {
+      val got = bhRanges(inSetBox.queryExecution.optimizedPlan)
+      // contiguous values merge into ONE interval -> a single box cover
+      assert(got == HInterval.cover(100L, 111L, 50L, 300L).toSet,
+        "InSet of contiguous values must cover as one box")
+    }
+    // 40 scattered values: past MaxInValues, the key collapses to its
+    // hull [min, max] — coarser, still a superset
+    val forty = (0 until 40).map(i => 100L + i * 37L)
+    def bigBox = spark.read.parquet(dir)
+      .filter(col("bx").isin(forty: _*) && col("by").between(50L, 300L))
+    val plain = bigBox.collect().map(_.toSeq).toSet
+    withLayout("bx,by,bh") {
+      assert(bigBox.collect().map(_.toSeq).toSet == plain)
+      val got = bhRanges(bigBox.queryExecution.optimizedPlan)
+      assert(got == HInterval.cover(forty.min, forty.max, 50L, 300L).toSet,
+        "past the IN cap the cover is the hull box")
+    }
+  }
+
+  test("null-safe equality bounds a key exactly like EqualTo") {
+    def nsBox = spark.read.parquet(dir)
+      .filter(col("bx") <=> 150L && col("by").between(50L, 300L))
+    val plain = nsBox.collect().map(_.toSeq).toSet
+    withLayout("bx,by,bh") {
+      assert(nsBox.collect().map(_.toSeq).toSet == plain)
+      assert(bhRanges(nsBox.queryExecution.optimizedPlan) ==
+        HInterval.cover(150L, 150L, 50L, 300L).toSet)
+    }
+  }
+
+  test("a NULL index with in-domain keys survives via the IsNull escape") {
+    // a conf-declared layout over arbitrary data can carry a NULL index
+    // on a row whose keys are in-domain and non-null; without the
+    // IsNull(h) escape the injected conjunct evaluates Or(NULL, false) =
+    // NULL and the Filter silently drops the row
+    import spark.implicits._
+    val d = TempDirs.create("hcover_nullh")
+    Seq((5L, 10L), (6L, 11L)).toDF("nx", "ny")
+      .withColumn("nh",
+        when(col("nx") === 5L, HilbertIndex.hilbert(col("nx"), col("ny"))))
+      .write.mode("overwrite").parquet(d)
+    withLayout("nx,ny,nh") {
+      val got = spark.read.parquet(d)
+        .filter(col("nx").between(0L, 100L) && col("ny").between(0L, 20L))
+        .select("nx").collect().map(_.getLong(0)).toSet
+      assert(got == Set(5L, 6L),
+        "NULL-index row must fall through to the original predicate")
+    }
+  }
+
   test("strict and reversed comparisons normalize to the same closed box") {
     val a = withLayout("bx,by,bh") {
       spark.read.parquet(dir)
