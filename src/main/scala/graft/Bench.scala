@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
   * Each query is timed TWICE (second pass in reverse order) and reports
   * the min, with `/proc/loadavg` captured at each measurement start —
   * per-query `load` and run-wide `load_max` ride along in the JSON, so a
-  * co-tenant contention episode is visible in the artifact itself.
+  * co-tenant contention episode is visible in the artifact itself, and a
+  * fixed CPU+shuffle micro-run is timed once per run (`calib_s`) so
+  * cross-round tables can normalize away host-speed drift mechanically.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,6 +51,24 @@ object Bench {
     // measure the co-located join, not the write that happens once per
     // warehouse lifetime
     graft.rel.BucketedRel.warm(spark, sfDir)
+    // Host calibration constant: a FIXED CPU+shuffle micro-run (48 M-row
+    // arithmetic map, 3 M-group hash aggregate across one exchange, global
+    // roll-up), timed min-of-3 AFTER warmup and recorded as `calib_s` in
+    // the artifact. Cross-round comparisons divide per-gate seconds by the
+    // two artifacts' calib ratio instead of arguing host speed by hand —
+    // the shape must therefore NEVER change across rounds (it is the
+    // ruler). On the round-11 reference host class calib_s ≈ low seconds;
+    // a 1.3x slower host shows ~1.3x here and ~1.3x on the gate medians.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(48000000L)
+        .selectExpr("(id * 2654435761) % 3000000 AS k", "id % 1000003 AS v")
+        .groupBy("k").count()
+        .selectExpr("sum(count) AS s", "count(*) AS n")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibS = (1 to 3).map(_ => calibOnce()).min
     // Host-noise protocol: this box has multi-minute co-tenant contention
     // episodes (round-5 artifact: identical code timed 144 s on a quiet
     // host and 1275 s under load ~6). Two defenses, so the artifact
@@ -106,7 +126,7 @@ object Bench {
     val total = results.collect { case (_, r) if r.sec >= 0 => r.sec }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"queries":$qs,"load":$loads,"load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"load":$loads,"load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
     // the full per-query map no longer fits the driver's bounded tail
     // capture (truncated at ~115 queries in round 4), so it goes to a FILE
     // (committed per round) and stdout carries it best-effort…
@@ -119,7 +139,7 @@ object Bench {
     // …while the LAST line is a short, always-complete JSON summary: a tail
     // capture that truncates the map line still ends with one parseable
     // object carrying the headline total
-    println(s"""{"queries_file":"$outFile","load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
+    println(s"""{"queries_file":"$outFile","load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -22,6 +22,47 @@ import org.apache.spark.sql.functions._
   */
 object CurveScale {
 
+  /** FILE-count pruning: of the store's parquet files, how many carry at
+    * least one row group whose [min, max] envelope on `colName` intersects
+    * any cover range — i.e. how many files a stats-driven scanner opens
+    * for data at all. Footers are read directly (parquet-hadoop), so the
+    * number is the layout's own property, independent of which engine
+    * scans it — the per-FILE skip is what an object store monetizes
+    * (whole GET requests never issued), where recordsRead only shows the
+    * post-row-group residue.
+    */
+  private def filesOverlapping(dir: String, colName: String,
+      ranges: Seq[(Long, Long)]): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    var hit = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(f.getPath, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val overlaps = reader.getFooter.getBlocks.asScala.exists { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == colName)
+            .map(_.getStatistics)
+            .collect { case s: org.apache.parquet.column.statistics
+                .LongStatistics if s.hasNonNullValue =>
+              ranges.exists { case (lo, hi) =>
+                !(s.getMax < lo || s.getMin > hi) }
+            }
+            // a row group without usable stats cannot be skipped: count it
+            .getOrElse(true)
+        }
+        if (overlaps) hit += 1
+      } finally reader.close()
+    }
+    (hit, files.length)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 4000000L
     val files = if (args.length > 1) args(1).toInt else 64
@@ -100,6 +141,12 @@ object CurveScale {
     runs.foreach { case (label, _, r) =>
       println(f"$label recordsRead=$r%12d  (${r / baseRecs * 100}%6.2f%% of unsorted)")
     }
+    val (mFiles, mTot) = filesOverlapping(bymorton, "morton",
+      graft.functions.ZInterval.cover(xlo, xhi, ylo, yhi))
+    val (hFiles, hTot) = filesOverlapping(byhilbert, "h",
+      graft.functions.HInterval.cover(xlo, xhi, ylo, yhi))
+    println(f"morton   filesRead=$mFiles%5d of $mTot%5d")
+    println(f"hilbert  filesRead=$hFiles%5d of $hTot%5d")
 
     // ---- 3-D: the same probe one dimension up (order-10 keys, octree
     // cover3, via the GraftLayout sidecar + rule — the lo_hscan3_auto
@@ -131,5 +178,8 @@ object CurveScale {
     runs3.foreach { case (label, _, r) =>
       println(f"$label recordsRead=$r%12d  (${r / base3Recs * 100}%6.2f%% of unsorted)")
     }
+    val (h3Files, h3Tot) = filesOverlapping(h3dir, "ch", cov3)
+    println(f"hilbert3 filesRead=$h3Files%5d of $h3Tot%5d " +
+      f"(cover ranges=${cov3.size}%d, cap 256)")
   }
 }
