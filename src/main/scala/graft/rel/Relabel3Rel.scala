@@ -241,8 +241,9 @@ object Relabel3Rel {
     * here the grid coordinates ARE the chunk keys, so the DSv2 scan
     * prunes the box EXACTLY (`ZarrScanBuilder.pushFilters` →
     * `ZarrScan.planInputPartitions`), planning only the 2x2x2 = 8 inner
-    * chunks of the 36-chunk grid and ranged-reading them out of the 8
-    * shard objects via their indexes. Both facts are guarded in-query:
+    * chunks of the 36-chunk grid — ranged-read via shard indexes out of
+    * just the 4 shard objects (of 8) the box intersects, the other 4
+    * never opened. Both plan facts are guarded in-query:
     * the physical plan must carry all three pushed bounds, and the
     * pruned scan must plan exactly the box's partitions — a silent
     * pushdown regression cannot pass on row equality alone, since the

@@ -32,6 +32,19 @@ class ZarrDsv2Spec extends AnyFunSuite {
     d
   }
 
+  test("fileScanLeafInfo exposes the zarr relation as a file-store leaf") {
+    // the scope resolution behind HilbertBoxCover must SEE a zarr scan's
+    // root: a path-scoped parquet layout mixed with a zarr read then
+    // resolves to differing roots and declines, instead of overlooking
+    // the zarr store entirely (no layout ever registers FOR a zarr root —
+    // its grid predicates push down natively and exactly)
+    val df = spark.read.format("zarr").load(dir)
+    val info = org.apache.spark.sql.graft.Bridge
+      .fileScanLeafInfo(df.queryExecution.analyzed)
+    assert(info.map(_._1) == Seq(Seq(dir)), s"zarr root not surfaced: $info")
+    assert(info.head._2.map(_.name) == Seq("g0", "g1", "p0", "p1", "value"))
+  }
+
   test("schema inference: g/p coordinates + value, all BIGINT") {
     val df = spark.read.format("zarr").load(dir)
     assert(df.schema.fieldNames.toSeq ==
