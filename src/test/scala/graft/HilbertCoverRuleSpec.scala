@@ -341,6 +341,69 @@ class HilbertCoverRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("3-D IN-list routes through per-value octree covers") {
+    def inBox3 = spark.read.parquet(dir3)
+      .filter(col("cz").isin(2L, 8L) && col("cx").between(100L, 400L) &&
+        col("cy").between(20L, 150L))
+    val plain = inBox3.collect().map(_.toSeq).toSet
+    withLayout("cx,cy,cz,ch") {
+      assert(inBox3.collect().map(_.toSeq).toSet == plain && plain.nonEmpty)
+      val got = inBox3.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case org.apache.spark.sql.catalyst.expressions.And(
+              org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+                a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+                org.apache.spark.sql.catalyst.expressions.Literal(lo: Long, _)),
+              org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+                b: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+                org.apache.spark.sql.catalyst.expressions.Literal(hi: Long, _)))
+              if a.name == "ch" && b.name == "ch" => (lo, hi)
+          }
+      }.flatten.toSet
+      // two disjoint z-slabs -> two sub-box octree covers, union-merged
+      // (identical cover3 calls on both sides, so escalation cancels out)
+      val expect = merged(
+        HInterval.cover3(100L, 400L, 20L, 150L, 2L, 2L) ++
+          HInterval.cover3(100L, 400L, 20L, 150L, 8L, 8L))
+      assert(got == expect, s"expected merged per-slab covers, got $got")
+    }
+  }
+
+  test("fuzz: random box/IN predicates — rewrite never changes results") {
+    // fixed-seed adversarial sweep over the predicate shapes the rule
+    // accepts, INCLUDING bounds outside the curve domain (clamp + escape
+    // paths) and empty IN-x-range intersections (decline path). The one
+    // invariant that may never break: with the layout declared, every
+    // query returns exactly the plain-filter rows.
+    val rnd = new scala.util.Random(12)
+    def rb(lo: Long, hi: Long): Long = lo + rnd.nextLong(hi - lo + 1)
+    val preds = (1 to 15).map { i =>
+      val shape = i % 5
+      val (xl, xh) = (rb(-200L, 1500L), rb(-200L, 70000L))
+      val (yl, yh) = (rb(-50L, 200L), rb(-50L, 400L))
+      val ins = Seq.fill(1 + rnd.nextInt(6))(rb(0L, 2200L))
+      shape match {
+        case 0 => col("bx").between(xl, xh) && col("by").between(yl, yh)
+        case 1 => col("bx").isin(ins: _*) && col("by").between(yl, yh)
+        case 2 => col("by").isin(ins: _*) && col("bx").between(xl, xh)
+        case 3 => col("bx").isin(ins: _*) &&
+          col("by").isin(Seq.fill(3)(rb(0L, 250L)): _*)
+        case _ => (col("bx") <=> rb(0L, 1500L)) && col("by") > yl &&
+          col("by") <= yh
+      }
+    }
+    val plains = preds.map(p =>
+      spark.read.parquet(dir).filter(p).collect().map(_.toSeq).toSet)
+    withLayout("bx,by,bh") {
+      preds.zip(plains).zipWithIndex.foreach { case ((p, want), i) =>
+        val got = spark.read.parquet(dir).filter(p)
+          .collect().map(_.toSeq).toSet
+        assert(got == want, s"fuzz predicate #$i changed the result set")
+      }
+    }
+  }
+
   test("strict and reversed comparisons normalize to the same closed box") {
     val a = withLayout("bx,by,bh") {
       spark.read.parquet(dir)
