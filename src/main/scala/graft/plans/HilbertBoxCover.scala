@@ -77,6 +77,14 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
     // pay the per-Filter leaf traversal on every optimizer pass
     if (confLayouts.isEmpty && GraftLayout.registryEmpty) return plan
 
+    // sidecar fingerprint re-validation (inside layoutFor) costs one FS
+    // stat per registered root — memoized per path-set for THIS apply()
+    // so the fixed-point optimizer batch and multi-Filter plans pay it
+    // once per query compile, not once per rule firing (staleness is a
+    // cross-query concern; within one compile the answer cannot change)
+    val scopedCache =
+      scala.collection.mutable.Map.empty[Seq[String], Option[Seq[String]]]
+
     plan transform {
       case f @ Filter(cond, child) =>
         // sidecar-registered layouts apply ONLY to a filter whose scanned
@@ -92,7 +100,9 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
         // documented session-wide name-matching semantics.
         val leafInfo =
           org.apache.spark.sql.graft.Bridge.fileScanLeafInfo(child)
-        val scoped = GraftLayout.layoutFor(leafInfo.flatMap(_._1))
+        val leafPaths = leafInfo.flatMap(_._1)
+        val scoped =
+          scopedCache.getOrElseUpdate(leafPaths, GraftLayout.layoutFor(leafPaths))
         val childById = child.output.map(a => a.exprId -> a).toMap
         val resolveScoped = (n: String) =>
           leafInfo.flatMap(_._2).find(a => conf.resolver(a.name, n))
