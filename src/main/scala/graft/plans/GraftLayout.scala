@@ -77,33 +77,51 @@ object GraftLayout {
 
   private[plans] def registryEmpty: Boolean = registry.isEmpty
 
+  private sealed trait Check
+  private case object Valid extends Check
+  private case object Stale extends Check   // proven: gone or rewritten
+  private case object Unknown extends Check // transient FS error: no proof
+
   /** The sidecar still matches what was registered — one driver-side
-    * metadata call per registered root per query compile (a HEAD on an
+    * metadata call per registered root per rule invocation (a HEAD on an
     * object store), which is what keeps a stale registration from
-    * injecting covers after an external writer replaced the store.
+    * injecting covers after an external writer replaced the store. Only
+    * a PROVEN change (missing sidecar, or a fingerprint mismatch) is
+    * staleness; a transient FS error (an object-store throttle, say)
+    * proves nothing and must not durably evict the registration — it
+    * just declines injection for this compile.
     */
-  private def stillValid(root: String, r: Reg): Boolean =
+  private def check(root: String, r: Reg): Check =
     try {
       val st = r.fs.getFileStatus(new Path(new Path(root), SidecarName))
-      st.getModificationTime == r.modTime && st.getLen == r.len
-    } catch { case _: Exception => false }
+      if (st.getModificationTime == r.modTime && st.getLen == r.len) Valid
+      else Stale
+    } catch {
+      case _: java.io.FileNotFoundException => Stale
+      case _: Exception => Unknown
+    }
 
   /** The layout for a scan over `paths` — only when EVERY scanned root is
     * registered with the SAME layout AND its sidecar fingerprint still
-    * holds on disk (a mismatch drops the registration on the spot — the
-    * store was rewritten behind the session's back). A multi-path read
-    * that mixes a layout store with anything else (or with a store laid
-    * out differently) gets no injection: the cover would silently prune
-    * the foreign rows, whose identically-named columns carry no such
-    * index.
+    * holds on disk (a PROVEN mismatch drops the registration on the spot
+    * — the store was rewritten behind the session's back; eviction is
+    * conditional on the exact entry we checked, so a concurrent
+    * writeHilbert's fresh registration can never be the casualty of a
+    * race with its own stale predecessor). A multi-path read that mixes
+    * a layout store with anything else (or with a store laid out
+    * differently) gets no injection: the cover would silently prune the
+    * foreign rows, whose identically-named columns carry no such index.
     */
   private[plans] def layoutFor(paths: Seq[String]): Option[Seq[String]] =
     if (paths.isEmpty) None
     else {
       val found = paths.map { p =>
         Option(registry.get(p)).flatMap { r =>
-          if (stillValid(p, r)) Some(r.names)
-          else { registry.remove(p); None }
+          check(p, r) match {
+            case Valid => Some(r.names)
+            case Stale => registry.remove(p, r); None
+            case Unknown => None
+          }
         }
       }
       if (found.forall(_.isDefined) && found.distinct.size == 1)

@@ -44,12 +44,14 @@ import graft.functions.{HilbertIndex, HInterval}
   * degenerate boxes covered sub-box by sub-box; a predicate already
   * referencing the index column is left untouched (idempotence, and
   * hand-built covers like lo_hscan's keep their exact form). The
-  * injected conjunct is `cover OR any-key-out-of-domain OR index-NULL`:
-  * on data that violates the declared domain contract the masked index
-  * is unrelated to the raw key (or not computed at all), and the escape
-  * disjuncts let such rows fall through to the original predicate
-  * instead of being silently pruned (on clean stores file statistics
-  * disprove the escapes — they cost nothing).
+  * injected conjunct is `cover OR any-key-out-of-domain` (conf-declared
+  * layouts, which assert the contract over data the engine never wrote,
+  * additionally get `OR index-NULL`): on data that violates the declared
+  * contract the masked index is unrelated to the raw key (or not
+  * computed at all), and the escape disjuncts let such rows fall through
+  * to the original predicate instead of being silently pruned (on clean
+  * stores file statistics disprove the escapes — they cost nothing; see
+  * coverPred for why the sidecar route must NOT carry the IsNull form).
   *
   * Scale note: the rewrite is pure driver-side math on the query
   * literals — the cover of a box is O(perimeter / cell) intervals,
@@ -79,9 +81,11 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
 
     // sidecar fingerprint re-validation (inside layoutFor) costs one FS
     // stat per registered root — memoized per path-set for THIS apply()
-    // so the fixed-point optimizer batch and multi-Filter plans pay it
-    // once per query compile, not once per rule firing (staleness is a
-    // cross-query concern; within one compile the answer cannot change)
+    // so multi-Filter plans pay it once per rule INVOCATION. The
+    // fixed-point "User Provided Optimizers" batch still re-invokes the
+    // rule until the plan stops changing, so a firing compile pays ~2
+    // stats per root (more if other user rules keep the batch
+    // iterating) — bounded and driver-side, but not literally once
     val scopedCache =
       scala.collection.mutable.Map.empty[Seq[String], Option[Seq[String]]]
 
@@ -109,10 +113,16 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
             .flatMap(a => childById.get(a.exprId))
         val resolveConf = (n: String) =>
           child.output.find(a => conf.resolver(a.name, n))
-        val layouts: Seq[(Seq[String], String => Option[Attribute])] =
-          scoped.map(_ -> resolveScoped).toSeq ++
-            confLayouts.map(_ -> resolveConf)
-        layouts.iterator.flatMap { case (names, resolve) =>
+        // the third element: whether the layout describes ARBITRARY data
+        // (conf route) — scoped sidecars are written by writeHilbert*,
+        // whose index is computed FROM the keys, so h IS NULL only when
+        // a key is NULL and the bounded original predicate drops the row
+        // anyway; conf declarations carry no such guarantee and need the
+        // IsNull escape (see coverPred)
+        val layouts: Seq[(Seq[String], String => Option[Attribute], Boolean)] =
+          scoped.map((_, resolveScoped, false)).toSeq ++
+            confLayouts.map((_, resolveConf, true))
+        layouts.iterator.flatMap { case (names, resolve, arbitraryData) =>
           val keys = names.init.flatMap(resolve(_))
           resolve(names.last) match {
             case Some(h) if keys.length == names.length - 1 &&
@@ -121,7 +131,7 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
               val conjuncts = splitConjuncts(cond)
               val bounds = keys.flatMap(boxBounds(conjuncts, _)).toSeq
               if (bounds.length == keys.length)
-                coverPred(h, keys.toSeq, bounds)
+                coverPred(h, keys.toSeq, bounds, arbitraryData)
                   .map(p => Filter(And(p, cond), child))
               else None
             case _ => None
@@ -237,8 +247,11 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
 
   /** Sort + coalesce overlapping/adjacent ranges (inputs stay far below
     * Long.MaxValue — curve indexes top out at 2^32 — so `+ 1` is safe).
+    * Package-visible so specs build their expected covers with the SAME
+    * merge the rule applies, instead of a re-implementation that could
+    * silently diverge.
     */
-  private def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+  private[graft] def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] =
     rs.sortBy(_._1).foldLeft(Vector.empty[(Long, Long)]) {
       case (acc, (lo, hi)) => acc.lastOption match {
         case Some((plo, phi)) if lo <= phi + 1 =>
@@ -256,22 +269,30 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
     * ranges, coarser but still a superset), OR'd with escape disjuncts.
     * The escapes make the clamp sound on data that VIOLATES the layout
     * contract: the index is computed from masked bits, so a key outside
-    * [0, side) has an index unrelated to its raw value, and a NULL index
-    * (possible under a conf-declared layout over arbitrary data even when
-    * every key is in-domain and non-null) would turn the whole cover
-    * disjunction NULL and silently prune a row the original predicate
-    * keeps — both kinds of row must survive the injected conjunct and
-    * fall through to the original predicate, so the escape is
-    * `any-key-out-of-domain OR h IS NULL`. On contract-clean stores
-    * (writeHilbert enforces the domain and computes the index itself)
-    * file statistics disprove the escapes, so they cost nothing.
+    * [0, side) has an index unrelated to its raw value — such rows must
+    * survive the injected conjunct and fall through to the original
+    * predicate. On contract-clean stores file statistics (which ignore
+    * nulls) disprove the out-of-domain escapes, so they cost nothing.
+    * Under `arbitraryData` (a CONF-declared layout, which asserts the
+    * contract over data the engine never wrote) the escape also includes
+    * `h IS NULL`: there a NULL index can coexist with in-domain non-null
+    * keys, and without the escape the cover disjunction evaluates
+    * Or(NULL, false) = NULL and silently prunes a row the original
+    * predicate keeps. The SIDECAR route deliberately omits it — its
+    * stores are written by writeHilbert*, whose index is computed FROM
+    * the keys (NULL index ⟺ some NULL key, and every key-bounding
+    * conjunct already rejects NULL keys, so pruning those rows is
+    * sound), and an IsNull disjunct is the one escape file stats cannot
+    * disprove on a store whose null keys all sort into one file — it
+    * would make that file unprunable for every box query.
     *
     * None when the clamped box is empty / degenerate, or when the cover
     * spans more than a quarter of the curve domain — there the scan
     * would evaluate a fat OR chain per row for almost no pruning.
     */
   private def coverPred(h: Attribute, keys: Seq[Attribute],
-      bounds: Seq[Seq[(Long, Long)]]): Option[Expression] = {
+      bounds: Seq[Seq[(Long, Long)]],
+      arbitraryData: Boolean): Option[Expression] = {
     val side = if (bounds.length == 3) graft.functions.Hilbert3.Side
       else HilbertIndex.Side
     val max = side - 1
@@ -311,13 +332,16 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
       And(GreaterThanOrEqual(h, Literal(a, LongType)),
         LessThanOrEqual(h, Literal(b, LongType))): Expression
     }.reduce(Or(_, _))
-    val escapes = (keys.map { k =>
+    val domainEscapes = keys.map { k =>
       // the high bound saturates at the key type's own max: a narrower
       // type can never exceed the domain there, and the saturated
       // comparison is equivalently never-true (no lossy literal cast)
       Or(LessThan(k, typedLit(0L, k.dataType)),
         GreaterThan(k, typedLit(max, k.dataType))): Expression
-    } :+ (IsNull(h): Expression)).reduce(Or(_, _))
+    }
+    val escapes =
+      (if (arbitraryData) domainEscapes :+ (IsNull(h): Expression)
+       else domainEscapes).reduce(Or(_, _))
     Some(Or(cover, escapes))
   }
 

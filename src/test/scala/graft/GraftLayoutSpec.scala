@@ -216,6 +216,30 @@ class GraftLayoutSpec extends AnyFunSuite {
     assert(df.count() == expect)
   }
 
+  test("sidecar-route injection carries no IsNull escape (stats-skippable)") {
+    // writeHilbert's index is computed FROM the keys (NULL index iff a
+    // NULL key, which every key-bounding conjunct already rejects), so
+    // the scoped route must not carry the IsNull(h) escape: it is the
+    // one disjunct file statistics cannot disprove on a store whose
+    // null-key rows sort into some file — that file would become
+    // unprunable for EVERY box query
+    val dir = TempDirs.create("glayout_noisnull")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    val df = GraftLayout.read(spark, dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(df, "gh") > 0, "the scoped injection fires")
+    val isNulls = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case org.apache.spark.sql.catalyst.expressions.IsNull(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference)
+            if a.name == "gh" => 1
+        }.size
+    }.sum
+    assert(isNulls == 0, "no IsNull(gh) escape on the sidecar route")
+    GraftLayout.forget(spark, dir)
+  }
+
   test("external overwrite invalidates the registration WITHOUT a re-read") {
     val dir = TempDirs.create("glayout_extern")
     GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)

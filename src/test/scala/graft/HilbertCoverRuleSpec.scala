@@ -233,9 +233,9 @@ class HilbertCoverRuleSpec extends AnyFunSuite {
     }
   }
 
-  private def bhRanges(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Set[(Long, Long)] = plan.collect {
+  private def rangesOf(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      name: String): Set[(Long, Long)] = plan.collect {
     case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
       f.condition.collect {
         case org.apache.spark.sql.catalyst.expressions.And(
@@ -245,19 +245,18 @@ class HilbertCoverRuleSpec extends AnyFunSuite {
           org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
             b: org.apache.spark.sql.catalyst.expressions.AttributeReference,
             org.apache.spark.sql.catalyst.expressions.Literal(hi: Long, _)))
-          if a.name == "bh" && b.name == "bh" => (lo, hi)
+          if a.name == name && b.name == name => (lo, hi)
       }
   }.flatten.toSet
 
-  // the rule's union-merge, replicated for expectation-building
+  private def bhRanges(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[(Long, Long)] = rangesOf(plan, "bh")
+
+  // expectation-building uses the rule's OWN union-merge, so the two
+  // can never silently diverge
   private def merged(rs: Seq[(Long, Long)]): Set[(Long, Long)] =
-    rs.sortBy(_._1).foldLeft(Vector.empty[(Long, Long)]) {
-      case (acc, (lo, hi)) => acc.lastOption match {
-        case Some((plo, phi)) if lo <= phi + 1 =>
-          acc.init :+ ((plo, math.max(phi, hi)))
-        case _ => acc :+ ((lo, hi))
-      }
-    }.toSet
+    HilbertBoxCover.mergeRanges(rs).toSet
 
   test("IN-list: per-value sub-box covers injected, results unchanged") {
     // narrow by-range keeps every cover EXACT (no cell escalation), so
@@ -348,19 +347,7 @@ class HilbertCoverRuleSpec extends AnyFunSuite {
     val plain = inBox3.collect().map(_.toSeq).toSet
     withLayout("cx,cy,cz,ch") {
       assert(inBox3.collect().map(_.toSeq).toSet == plain && plain.nonEmpty)
-      val got = inBox3.queryExecution.optimizedPlan.collect {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition.collect {
-            case org.apache.spark.sql.catalyst.expressions.And(
-              org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
-                a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
-                org.apache.spark.sql.catalyst.expressions.Literal(lo: Long, _)),
-              org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
-                b: org.apache.spark.sql.catalyst.expressions.AttributeReference,
-                org.apache.spark.sql.catalyst.expressions.Literal(hi: Long, _)))
-              if a.name == "ch" && b.name == "ch" => (lo, hi)
-          }
-      }.flatten.toSet
+      val got = rangesOf(inBox3.queryExecution.optimizedPlan, "ch")
       // two disjoint z-slabs -> two sub-box octree covers, union-merged
       // (identical cover3 calls on both sides, so escalation cancels out)
       val expect = merged(
