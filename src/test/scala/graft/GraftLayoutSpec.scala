@@ -286,6 +286,42 @@ class GraftLayoutSpec extends AnyFunSuite {
     GraftLayout.forget(spark, dir)
   }
 
+  test("fuzz: sidecar-route 3-D predicates never change results") {
+    // the scoped route end to end (fingerprint check on every compile,
+    // octree covers, domain escapes WITHOUT the IsNull form) under a
+    // fixed-seed sweep of accepted predicate shapes, including
+    // out-of-domain bounds and IN-lists: with the layout registered,
+    // every query must return exactly the plain-filter rows
+    val d3 = TempDirs.create("glayout_fuzz3")
+    val src3 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(expr("l_orderkey & 1023").as("fx"),
+        expr("l_partkey & 1023").as("fy"),
+        expr("l_suppkey & 1023").as("fz"))
+    GraftLayout.writeHilbert3(src3, d3, "fx", "fy", "fz", "fh", 6)
+    GraftLayout.forget(spark, d3) // compute the plain truth unregistered
+    val rnd = new scala.util.Random(7)
+    def rb(lo: Long, hi: Long): Long = lo + rnd.nextLong(hi - lo + 1)
+    val preds = (1 to 12).map { i =>
+      val box = col("fx").between(rb(-100L, 600L), rb(300L, 1400L)) &&
+        col("fy").between(rb(-100L, 150L), rb(50L, 1200L))
+      i % 3 match {
+        case 0 => box && col("fz").between(rb(-5L, 5L), rb(3L, 1100L))
+        case 1 => box && col("fz").isin(Seq.fill(1 + rnd.nextInt(5))(
+          rb(0L, 12L)): _*)
+        case _ => box && (col("fz") <=> rb(0L, 10L))
+      }
+    }
+    val plains = preds.map(p =>
+      spark.read.parquet(d3).filter(p).collect().map(_.toSeq).toSet)
+    GraftLayout.read(spark, d3) // register: every query below is rewritten
+    preds.zip(plains).zipWithIndex.foreach { case ((p, want), i) =>
+      val got = spark.read.parquet(d3).filter(p).collect().map(_.toSeq).toSet
+      assert(got == want, s"sidecar fuzz predicate #$i changed the result")
+    }
+    assert(plains.exists(_.nonEmpty), "fuzz must exercise non-empty results")
+    GraftLayout.forget(spark, d3)
+  }
+
   test("out-of-domain keys fail the write loudly") {
     import spark.implicits._
     val bad = Seq((1L, 2L), (-3L, 5L)).toDF("gx", "gy")
