@@ -126,7 +126,7 @@ object Bench {
     val total = results.collect { case (_, r) if r.sec >= 0 => r.sec }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"queries":$qs,"load":$loads,"load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"cpus":$cpus,"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"load":$loads,"load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"cpus":${cpus.trim.toInt},"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
     // the full per-query map no longer fits the driver's bounded tail
     // capture (truncated at ~115 queries in round 4), so it goes to a FILE
     // (committed per round) and stdout carries it best-effort…
@@ -139,7 +139,7 @@ object Bench {
     // …while the LAST line is a short, always-complete JSON summary: a tail
     // capture that truncates the map line still ends with one parseable
     // object carrying the headline total
-    println(s"""{"queries_file":"$outFile","load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"cpus":$cpus,"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
+    println(s"""{"queries_file":"$outFile","load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"cpus":${cpus.trim.toInt},"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }
 }

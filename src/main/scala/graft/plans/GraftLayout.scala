@@ -49,8 +49,10 @@ import graft.functions.{Hilbert3, HilbertIndex}
   * same-JVM invalidation. The one hole the fingerprint cannot see is
   * `SaveMode.Append` of NON-conforming rows INTO a layout directory: the
   * sidecar survives untouched, so later reads still prune by an index
-  * the appended rows never computed (the escapes only rescue
-  * out-of-domain or NULL-index rows). Appending to a layout store
+  * the appended rows never computed (the scoped escapes rescue ONLY
+  * out-of-domain keys — in particular, appended rows with a NULL index
+  * but in-domain keys are silently pruned, since the sidecar route
+  * omits the IsNull escape by design). Appending to a layout store
   * OUTSIDE [[writeHilbert]]/[[writeHilbert3]] violates the sidecar
   * contract — delete the sidecar (or call [[forget]] in-JVM) when such
   * an append is intentional.
