@@ -45,6 +45,39 @@ class ZarrDsv2Spec extends AnyFunSuite {
     assert(info.head._2.map(_.name) == Seq("g0", "g1", "p0", "p1", "value"))
   }
 
+  test("fuzz: random grid/pixel predicates — pushdown never changes rows") {
+    // seeded sweep over the filter shapes consume() accepts (strict and
+    // closed bounds, =, IN, empty boxes, bounds beyond the grid) mixed
+    // with residual p/value predicates: the DSv2 answer must equal the
+    // same predicate applied to the full in-memory relation, whatever
+    // portion pushed down
+    val all = spark.read.format("zarr").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val rnd = new scala.util.Random(21)
+    def rb(lo: Int, hi: Int): Long = (lo + rnd.nextInt(hi - lo + 1)).toLong
+    (1 to 18).foreach { i =>
+      val (c, v1, v2) = (Seq("g0", "g1", "p0", "p1")(rnd.nextInt(4)),
+        rb(-2, 7), rb(-2, 7))
+      val pred = i % 6 match {
+        case 0 => col(c) >= v1 && col(c) < v2
+        case 1 => col(c) > v1 && col(c) <= v2
+        case 2 => col(c) === v1
+        case 3 => col(c).isin(v1, v2, rb(-2, 7))
+        case 4 => col("g0") >= v1 && col("g1") < v2 && col("value") % 3 === 0
+        case _ => col(c).between(v1, v2) && col("p0") =!= v1
+      }
+      val got = spark.read.format("zarr").load(dir).filter(pred)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      import spark.implicits._
+      val want = all.toSeq.toDF("g0", "g1", "p0", "p1", "value")
+        .filter(pred).collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == want, s"fuzz predicate #$i changed the zarr result")
+    }
+  }
+
   test("schema inference: g/p coordinates + value, all BIGINT") {
     val df = spark.read.format("zarr").load(dir)
     assert(df.schema.fieldNames.toSeq ==
