@@ -38,40 +38,63 @@ import graft.functions.{Hilbert3, HilbertIndex}
   *    layout is simply not registered (the rewrite is an optimization;
   *    correctness never depends on it).
   *
-  * Registration lives for the JVM, but is FINGERPRINT-GUARDED: the
-  * sidecar's (modificationTime, length) is captured at registration and
-  * re-validated with one driver-side `getFileStatus` each time
-  * [[HilbertBoxCover]] considers the path — an external writer that
-  * overwrites or deletes the store behind the session's back (taking the
-  * sidecar with it, as any `SaveMode.Overwrite` does) drops the
-  * registration at the next query instead of silently covering over data
-  * that no longer carries the index. [[forget]] remains for explicit
-  * same-JVM invalidation. The one hole the fingerprint cannot see is
-  * `SaveMode.Append` of NON-conforming rows INTO a layout directory: the
-  * sidecar survives untouched, so later reads still prune by an index
-  * the appended rows never computed (the scoped escapes rescue ONLY
-  * out-of-domain keys — in particular, appended rows with a NULL index
-  * but in-domain keys are silently pruned, since the sidecar route
-  * omits the IsNull escape by design). Appending to a layout store
-  * OUTSIDE [[writeHilbert]]/[[writeHilbert3]] violates the sidecar
-  * contract — delete the sidecar (or call [[forget]] in-JVM) when such
-  * an append is intentional.
+  * Registration lives for the JVM, but is FINGERPRINT-GUARDED on two
+  * axes, both re-validated each time [[HilbertBoxCover]] considers the
+  * path (memoized per optimizer pass — one tiny GET + one LIST per
+  * registered root):
+  *
+  *  - the sidecar's CONTENT HASH, captured at registration — an external
+  *    writer that overwrites or deletes the store behind the session's
+  *    back (taking the sidecar with it, as any `SaveMode.Overwrite`
+  *    does) or rewrites the sidecar itself drops the registration at
+  *    the next query. A content hash, not (mtime, length): a same-length
+  *    rewrite inside the filesystem's mtime granularity (1 s on some
+  *    stores) would pass a stat-only check.
+  *  - the DATA-FILE fingerprint (file count + total bytes + a hash of
+  *    the sorted (name, length) pairs), recorded INSIDE the sidecar by
+  *    [[writeHilbert]]/[[writeHilbert3]] at write time and re-checked
+  *    against a fresh directory listing. This mechanically closes the
+  *    `SaveMode.Append` hole: appending rows into a layout directory
+  *    outside the official writers leaves the sidecar intact but adds
+  *    part files the recorded fingerprint has never seen, so the next
+  *    box query DECLINES pruning (filter semantics, no error, no row
+  *    ever silently pruned) — and [[read]] likewise declines to
+  *    (re-)register until an official write refreshes the store. This
+  *    matters because the scoped escapes rescue ONLY out-of-domain
+  *    keys: an appended row with a NULL index but in-domain keys would
+  *    otherwise be silently pruned (the sidecar route omits the IsNull
+  *    escape by design). Sidecars written before the fingerprint
+  *    existed (no `files` field) register with a fingerprint computed
+  *    at registration time — append detection then starts at that
+  *    moment rather than at write time.
+  *
+  * [[forget]] remains for explicit same-JVM invalidation.
   *
   * Scale note: the sidecar is one tiny driver-side file per store, via
   * the Hadoop FileSystem API — works unchanged against HDFS/object
-  * stores, never touches executors.
+  * stores, never touches executors. The per-pass LIST is the same
+  * operation the file index itself performs to plan the scan.
   */
 object GraftLayout {
 
   val SidecarName = "_graft_layout.json"
 
-  /** A registration: the declared columns (keys..., index) plus the
-    * sidecar fingerprint captured when they were read/written, and the
-    * FileSystem to re-stat against (Hadoop caches FS instances, so the
-    * reference is shared, not a leak).
+  /** Directory-content fingerprint over the DATA files only (underscore/
+    * dot-prefixed names are metadata — `_SUCCESS`, the sidecar itself):
+    * count + total bytes + an order-independent-by-sorting hash of the
+    * (name, length) pairs. Spark part files carry write-unique UUIDs, so
+    * any append, replace, or delete perturbs at least one component.
     */
-  private final case class Reg(names: Seq[String], modTime: Long, len: Long,
-      fs: org.apache.hadoop.fs.FileSystem)
+  private final case class DirFp(count: Int, bytes: Long, namesHash: Long)
+
+  /** A registration: the declared columns (keys..., index), the sidecar's
+    * content hash captured when they were read/written, the data-file
+    * fingerprint the store must still match, and the FileSystem to
+    * re-validate against (Hadoop caches FS instances, so the reference is
+    * shared, not a leak).
+    */
+  private final case class Reg(names: Seq[String], sidecarHash: Long,
+      dirFp: DirFp, fs: org.apache.hadoop.fs.FileSystem)
 
   /** Qualified-root-path → registration. */
   private val registry =
@@ -84,24 +107,87 @@ object GraftLayout {
   private case object Stale extends Check   // proven: gone or rewritten
   private case object Unknown extends Check // transient FS error: no proof
 
-  /** The sidecar still matches what was registered — one driver-side
-    * metadata call per registered root per rule invocation (a HEAD on an
-    * object store), which is what keeps a stale registration from
-    * injecting covers after an external writer replaced the store. Only
-    * a PROVEN change (missing sidecar, or a fingerprint mismatch) is
+  /** The store still matches what was registered — one tiny driver-side
+    * GET (the sidecar's content hash) plus one LIST (the data-file
+    * fingerprint) per registered root per rule invocation, which is what
+    * keeps a stale registration from injecting covers after an external
+    * writer replaced, rewrote, or APPENDED TO the store. Only a PROVEN
+    * change (missing sidecar, or either fingerprint mismatching) is
     * staleness; a transient FS error (an object-store throttle, say)
     * proves nothing and must not durably evict the registration — it
-    * just declines injection for this compile.
+    * just declines injection for this compile. `NonFatal`, not
+    * `Exception`: a thread interrupt or OOM during the driver-side
+    * validation must propagate, not silently read as Unknown.
     */
   private def check(root: String, r: Reg): Check =
     try {
-      val st = r.fs.getFileStatus(new Path(new Path(root), SidecarName))
-      if (st.getModificationTime == r.modTime && st.getLen == r.len) Valid
-      else Stale
+      val rootP = new Path(root)
+      val bytes = readSmall(r.fs, new Path(rootP, SidecarName))
+      if (contentHash(bytes) != r.sidecarHash) Stale
+      else if (dirFingerprint(r.fs, rootP) != r.dirFp) Stale
+      else Valid
     } catch {
       case _: java.io.FileNotFoundException => Stale
-      case _: Exception => Unknown
+      // a checksum failure is PROVEN divergence, not a transient error:
+      // the bytes on disk are not the bytes that were registered (an
+      // external writer bypassed the FS's CRC bookkeeping, or the file
+      // rotted) — evict, exactly like a hash mismatch
+      case _: org.apache.hadoop.fs.ChecksumException => Stale
+      case scala.util.control.NonFatal(_) => Unknown
     }
+
+  /** FNV-1a over the bytes — collision resistance against ACCIDENTAL
+    * divergence is all the fingerprint needs (the sidecar is defense in
+    * depth for cooperating writers, not a cryptographic boundary; a
+    * hostile actor with write access to the store can simply corrupt the
+    * data files themselves).
+    */
+  private def contentHash(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def dirFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): DirFp = {
+    val data = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.getName)
+    var h = 0xcbf29ce484222325L
+    def mix(v: Long): Unit = {
+      var x = v; var i = 0
+      while (i < 8) { h = (h ^ (x & 0xff)) * 0x100000001b3L; x >>>= 8; i += 1 }
+    }
+    var bytes = 0L
+    data.foreach { st =>
+      st.getPath.getName.foreach(c => mix(c.toLong))
+      mix(st.getLen)
+      bytes += st.getLen
+    }
+    DirFp(data.length, bytes, h)
+  }
+
+  /** Read a small metadata file fully (bounded — the sidecar parser caps
+    * at 64 KiB anyway, and layout sidecars are under 200 bytes).
+    */
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0 && buf.size <= 65536) {
+        buf.write(chunk, 0, n); n = in.read(chunk)
+      }
+      buf.toByteArray
+    } finally in.close()
+  }
 
   /** The layout for a scan over `paths` — only when EVERY scanned root is
     * registered with the SAME layout AND its sidecar fingerprint still
@@ -175,19 +261,36 @@ object GraftLayout {
         col(name).cast("string"))))
 
   /** Read the store; register its layout (path-scoped) for this JVM if
-    * the sidecar is present and names only columns the store carries,
-    * installing [[HilbertBoxCover]] idempotently. A read that finds NO
-    * (or an invalid) sidecar also CLEARS any prior registration for the
-    * path — the store was overwritten with non-layout data, and a stale
-    * entry would inject covers over an index that no longer exists.
+    * the sidecar is present, names only columns the store carries, AND
+    * the directory's data files still match the fingerprint the sidecar
+    * recorded at write time (an appended store must NOT re-register:
+    * the appended rows never computed the index), installing
+    * [[HilbertBoxCover]] idempotently. A read that finds NO (or an
+    * invalid, or a fingerprint-mismatching) sidecar also CLEARS any
+    * prior registration for the path — a stale entry would inject
+    * covers over an index the data no longer carries.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val df = spark.read.parquet(dir)
-    readSidecar(spark, dir)
-      .filter(_.forall(df.schema.fieldNames.contains(_))) match {
-      case Some(names) =>
+    val reg = readSidecar(spark, dir)
+      .filter(_.names.forall(df.schema.fieldNames.contains(_)))
+      .flatMap { sc =>
+        try {
+          val root = new Path(dir)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val actual = dirFingerprint(fs, root)
+          // legacy sidecar (no recorded fingerprint): adopt the current
+          // listing — append detection starts now instead of at write time
+          if (sc.declaredFp.forall(_ == actual))
+            Some((fs.makeQualified(root).toString,
+              Reg(sc.names, sc.hash, actual, fs)))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    reg match {
+      case Some((root, r)) =>
         HilbertBoxCover.ensureInstalled(spark)
-        register(spark, dir, names)
+        registry.put(root, r)
       case None =>
         registry.remove(qualified(spark, dir))
     }
@@ -200,73 +303,66 @@ object GraftLayout {
     fs.makeQualified(p).toString
   }
 
-  /** Record the layout with the sidecar's current fingerprint; a sidecar
-    * that cannot be stat'ed registers nothing (fail closed — the rewrite
-    * is an optimization).
+  /** Write the sidecar — column names plus the data-file fingerprint of
+    * the store as it stands right now (the writers call this immediately
+    * after the parquet commit, so the fingerprint describes exactly the
+    * officially-written file set) — and register eagerly: the writer's
+    * own JVM prunes immediately, and an overwrite of a previously-
+    * registered dir refreshes the entry with the fresh fingerprints.
     */
-  private def register(spark: SparkSession, dir: String,
-      names: Seq[String]): Unit =
-    try {
-      val root = new Path(dir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(new Path(root, SidecarName))
-      registry.put(fs.makeQualified(root).toString,
-        Reg(names, st.getModificationTime, st.getLen, fs))
-    } catch { case _: Exception =>
-      registry.remove(qualified(spark, dir))
-    }
-
   private def writeSidecar(spark: SparkSession, dir: String,
       names: Seq[String]): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = dirFingerprint(fs, root)
     val json = names.map(n => "\"" + n + "\"")
-      .mkString("{\"columns\":[", ",", "]}")
-    val path = new Path(dir, SidecarName)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // register eagerly: the writer's own JVM prunes immediately, and an
-    // overwrite of a previously-registered dir refreshes the entry (with
-    // the fresh sidecar's fingerprint)
+      .mkString("{\"columns\":[", ",",
+        s"""],"files":{"count":${fp.count},"bytes":${fp.bytes},"hash":${fp.namesHash}}}""")
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = fs.create(new Path(root, SidecarName), true)
+    try out.write(bytes) finally out.close()
     HilbertBoxCover.ensureInstalled(spark)
-    register(spark, dir, names)
+    registry.put(fs.makeQualified(root).toString,
+      Reg(names, contentHash(bytes), fp, fs))
   }
 
-  /** The declared column list, or None when absent/unreadable/invalid.
-    * Column names are restricted to identifier characters — defense in
-    * depth on top of path scoping: a corrupted sidecar must not smuggle
-    * structure anywhere downstream.
+  /** What a sidecar parse yields: the declared columns, the data-file
+    * fingerprint recorded at write time (None for sidecars that predate
+    * it), and the content hash of the bytes read.
+    */
+  private final case class Sidecar(names: Seq[String],
+      declaredFp: Option[DirFp], hash: Long)
+
+  /** The parsed sidecar, or None when absent/unreadable/invalid. Column
+    * names are restricted to identifier characters — defense in depth on
+    * top of path scoping: a corrupted sidecar must not smuggle structure
+    * anywhere downstream.
     */
   private def readSidecar(spark: SparkSession,
-      dir: String): Option[Seq[String]] =
+      dir: String): Option[Sidecar] =
     try {
       val path = new Path(dir, SidecarName)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(path)) return None
-      val in = fs.open(path)
-      val bytes =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](4096)
-          var n = in.read(chunk)
-          while (n >= 0 && buf.size <= 65536) {
-            buf.write(chunk, 0, n); n = in.read(chunk)
-          }
-          buf.toByteArray
-        } finally in.close()
+      val bytes = readSmall(fs, path)
       val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       val m = java.util.regex.Pattern
-        .compile("""\{\s*"columns"\s*:\s*\[([^\]]*)\]\s*\}""")
+        .compile("""\{\s*"columns"\s*:\s*\[([^\]]*)\]\s*(?:,\s*"files"\s*:\s*\{\s*"count"\s*:\s*(\d+)\s*,\s*"bytes"\s*:\s*(\d+)\s*,\s*"hash"\s*:\s*(-?\d+)\s*\}\s*)?\}""")
         .matcher(text.trim)
       if (!m.matches()) return None
       val names = m.group(1).split(",").map(_.trim.stripPrefix("\"")
         .stripSuffix("\"")).toSeq
       val ident = names.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      val fp =
+        if (m.group(2) == null) None
+        else Some(DirFp(m.group(2).toInt, m.group(3).toLong,
+          m.group(4).toLong))
       // distinctness matters for CORRECTNESS, not just hygiene: a
       // duplicated key name would bound the cover on one key twice and
       // the other not at all — silently pruning in-domain rows
       if (ident && (names.length == 3 || names.length == 4) &&
-        names.distinct.length == names.length) Some(names)
+        names.distinct.length == names.length)
+        Some(Sidecar(names, fp, contentHash(bytes)))
       else None
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

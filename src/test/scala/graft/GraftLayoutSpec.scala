@@ -322,6 +322,66 @@ class GraftLayoutSpec extends AnyFunSuite {
     GraftLayout.forget(spark, d3)
   }
 
+  test("SaveMode.Append into a layout dir: pruning declines, no rows lost") {
+    val dir = TempDirs.create("glayout_append")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir) // registered, fingerprints captured
+    def boxed = spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(boxed, "gh") > 0, "registered layout fires")
+    // an external SaveMode.Append of non-conforming rows: in-domain keys,
+    // NULL index — exactly the rows the (correctly) escape-free sidecar
+    // cover would silently prune; the sidecar itself survives the append
+    import spark.implicits._
+    Seq((150L, 50L, Option.empty[Long]), (880L, 140L, Option.empty[Long]))
+      .toDF("gx", "gy", "gh").write.mode("append").parquet(dir)
+    // same JVM, no re-read: the per-pass data-file fingerprint must stop
+    // the injection — the next box query neither prunes nor errors
+    assert(coverRanges(boxed, "gh") == 0,
+      "append must decline the injection at rule-fire time")
+    val rows = boxed.collect()
+    assert(rows.exists(r => r.getLong(0) == 150L && r.isNullAt(2)) &&
+      rows.exists(r => r.getLong(0) == 880L && r.isNullAt(2)),
+      "the appended rows must survive the box query")
+    // the official read API must DECLINE to re-register too: the sidecar
+    // is intact but its recorded fingerprint no longer matches the store
+    val reread = GraftLayout.read(spark, dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(reread, "gh") == 0,
+      "a re-read must not resurrect pruning over appended rows")
+    assert(reread.collect()
+      .exists(r => r.getLong(0) == 150L && r.isNullAt(2)))
+    // only an official writeHilbert (full rewrite, fresh fingerprint)
+    // re-enables pruning
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    val fresh = GraftLayout.read(spark, dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(fresh, "gh") > 0, "official rewrite restores pruning")
+    GraftLayout.forget(spark, dir)
+  }
+
+  test("a same-length same-mtime sidecar rewrite is caught (content hash)") {
+    val dir = TempDirs.create("glayout_samelen")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    def boxed = spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(boxed, "gh") > 0)
+    // rewrite the sidecar byte-for-byte-length-preserving AND restore the
+    // mtime — the adversarial case a (mtime, length) stat cannot see
+    val p = java.nio.file.Paths.get(dir, GraftLayout.SidecarName)
+    val orig = java.nio.file.Files.readAllBytes(p)
+    val mtime = java.nio.file.Files.getLastModifiedTime(p)
+    val swapped = new String(orig, "UTF-8").replace("\"gx\"", "\"gq\"")
+      .getBytes("UTF-8")
+    assert(swapped.length == orig.length, "the rewrite must preserve length")
+    java.nio.file.Files.write(p, swapped)
+    java.nio.file.Files.setLastModifiedTime(p, mtime)
+    assert(coverRanges(boxed, "gh") == 0,
+      "the content hash must catch a stat-invisible sidecar rewrite")
+    GraftLayout.forget(spark, dir)
+  }
+
   test("out-of-domain keys fail the write loudly") {
     import spark.implicits._
     val bad = Seq((1L, 2L), (-3L, 5L)).toDF("gx", "gy")
