@@ -198,29 +198,41 @@ object Annotate {
   }
 
   /** Executor-side O6 scale path: each partition writes its tiles'
-    * `{loc}.geojson` files directly into `outDir` (a shared filesystem on a
-    * cluster) — no driver streaming. Returns the number of rows written
-    * (a duplicated tile location overwrites its file and still counts).
-    * The directory is NOT cleared first — pass a fresh directory when an
-    * exact listing matters, exactly like the reference's behavior on
-    * pre-existing directories (`relabeling.py:136-139`).
+    * `{loc}.geojson` files directly into `outDir` — no driver streaming.
+    * All I/O goes through the Hadoop `FileSystem` API, so the directory
+    * can live on HDFS or any object store (`s3a://`, `abfs://`, ...) as
+    * well as a local/shared POSIX mount; on an object store each tile is
+    * one PUT, issued from the executor that holds the tile. Returns the
+    * number of rows written (a duplicated tile location overwrites its
+    * file and still counts). The directory is NOT cleared first — pass a
+    * fresh directory when an exact listing matters, exactly like the
+    * reference's behavior on pre-existing directories
+    * (`relabeling.py:136-139`). On checksummed filesystems (plain local
+    * paths) Hadoop leaves hidden `.{name}.crc` siblings, as in any Spark
+    * local output dir — listers should skip dot/underscore names per the
+    * standard convention.
     */
   def writeAnnotationDir(annotations: Dataset[TileAnnotation],
-                         outDir: java.nio.file.Path): Long = {
-    java.nio.file.Files.createDirectories(outDir)
-    // absolutize before capture: executors must not resolve a relative path
-    // against their own working directories
-    val dir = outDir.toAbsolutePath.toString
+                         outDir: String): Long = {
     val spark = annotations.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    // qualify on the DRIVER before capture: executors must not resolve a
+    // relative (or defaultFS-relative) path against their own working
+    // directories; the qualified URI also pins the scheme, so every
+    // executor opens the same store the driver validated
+    val dir = fs.makeQualified(root).toString
+    val sconf = graft.sources.StoreIO.ser(conf)
     import spark.implicits._
     annotations
       .filter(_.geojson != null)
       .mapPartitions { it =>
         var n = 0L
         it.foreach { a =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"${a.locKey}.geojson"),
-            a.geojson.getBytes("UTF-8"))
+          graft.sources.StoreIO.write(sconf.value,
+            s"$dir/${a.locKey}.geojson", a.geojson.getBytes("UTF-8"))
           n += 1
         }
         Iterator.single(n)
@@ -229,6 +241,11 @@ object Annotate {
       .sum
   }
 
+  /** Local-path convenience overload (the shape the golden specs drive). */
+  def writeAnnotationDir(annotations: Dataset[TileAnnotation],
+                         outDir: java.nio.file.Path): Long =
+    writeAnnotationDir(annotations, outDir.toAbsolutePath.toString)
+
   /** O6 as a streaming sink: each microbatch's annotations land as
     * `{loc}.geojson` files through the same executor-side dir writer the
     * batch scale path uses — `foreachBatch` is the bridge, so a scanner feed
@@ -236,7 +253,7 @@ object Annotate {
     * at-least-once redelivery overwrites the same file idempotently.
     */
   def streamAnnotationDir(annotations: Dataset[TileAnnotation],
-                          outDir: java.nio.file.Path,
+                          outDir: String,
                           queryName: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     annotations.writeStream.outputMode("append")
@@ -244,6 +261,14 @@ object Annotate {
         writeAnnotationDir(batch, outDir); ()
       }
       .queryName(queryName).start()
+
+  /** Local-path convenience overload of [[streamAnnotationDir]]. */
+  def streamAnnotationDir(annotations: Dataset[TileAnnotation],
+                          outDir: java.nio.file.Path,
+                          queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamAnnotationDir(annotations, outDir.toAbsolutePath.toString,
+      queryName)
 
   /** O6 zip sink for streams: one `part-<batch>.zip` per non-empty
     * microbatch (a single append-only zip cannot span batches), each

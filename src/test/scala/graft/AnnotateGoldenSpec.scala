@@ -89,12 +89,39 @@ class AnnotateGoldenSpec extends AnyFunSuite {
     } finally zf.close()
   }
 
+  test("annotation dir sink writes through a non-default Hadoop scheme") {
+    // the 100 TB deployment's sink target is HDFS/an object store, not a
+    // POSIX mount: drive the executor-side writer through the test-only
+    // `cfs:` Hadoop filesystem (the exact code path an `s3a://` URI takes
+    // — scheme resolution on the driver, per-file creates from executors
+    // via the serialized Hadoop conf) and golden-check what landed
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", "graft.CountingFileSystem")
+    val backing = java.nio.file.Files.createTempDirectory("graft-anncfs")
+    val in = Goldens.tiles(spark, "rem_2d", Goldens.grid2d)
+    val ann = Annotate.annotateLabeledTiles(in, ov)
+    val n = Annotate.writeAnnotationDir(ann, "cfs:" + backing.toAbsolutePath)
+    val files = backing.toFile.listFiles()
+      .map(_.getName).filterNot(_.endsWith(".crc")).toSet
+    val expected = golden.collect { case (k, v) if v != null => s"$k.geojson" }.toSet
+    assert(n == expected.size && files == expected,
+      s"cfs sink wrote $files, expected $expected")
+    for (f <- files) {
+      val body = new String(
+        java.nio.file.Files.readAllBytes(backing.resolve(f)), "UTF-8")
+      assert(mapper.readTree(body) ==
+        mapper.readTree(golden(f.stripSuffix(".geojson"))))
+    }
+  }
+
   test("executor-side annotation dir matches the zip members") {
     val in = Goldens.tiles(spark, "rem_2d", Goldens.grid2d)
     val ann = Annotate.annotateLabeledTiles(in, ov)
     val dir = java.nio.file.Files.createTempDirectory("graft-anndir")
     val n = Annotate.writeAnnotationDir(ann, dir)
-    val files = dir.toFile.listFiles().map(_.getName).toSet
+    // hidden `.crc` siblings are local-ChecksumFileSystem metadata
+    val files = dir.toFile.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
     val expected = golden.collect { case (k, v) if v != null => s"$k.geojson" }.toSet
     assert(n == expected.size && files == expected)
     for (f <- files) {

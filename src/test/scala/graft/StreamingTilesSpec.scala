@@ -147,7 +147,11 @@ class StreamingTilesSpec extends AnyFunSuite {
       tiles.grouped((tiles.size + 1) / 2).foreach { b =>
         mem.addData(b: _*); query.processAllAvailable()
       }
+      // skip hidden files: the Hadoop-FS sink leaves `.{name}.crc`
+      // siblings on checksummed local filesystems (like any Spark local
+      // output dir) — metadata by the standard dot/underscore convention
       val written = Option(dir.toFile.listFiles()).get
+        .filterNot(_.getName.startsWith("."))
         .map(f => f.getName.stripSuffix(".geojson") ->
           new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
         .toMap
