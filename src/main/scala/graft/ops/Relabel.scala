@@ -150,21 +150,45 @@ object Relabel {
   def mergeOverlappedTiles(tiles: Dataset[Tile], overlaps: Array[Int]): Dataset[Tile] =
     Halo.mergeAndTrim(tiles, overlaps)
 
+  /** Session conf key: label-cardinality cap for [[sortLabelIndices]]'s
+    * broadcast rank map. The driver materializes at most cap+1 labels (a
+    * `limit` probe, never the unbounded label space), and a space that
+    * exceeds the cap auto-switches to [[sortLabelIndicesDistributed]] —
+    * same output contract, no driver round-trip — in the AQE spirit of
+    * deciding the physical strategy from the observed size (the
+    * `componentsDriverMaxEdges` precedent). Default 4M labels: the rank
+    * map is a boxed java HashMap (~100 B/entry → ~400 MB transient on
+    * the driver plus one broadcast copy per executor JVM), which fits
+    * default driver heaps; the reference's own collect
+    * (`relabeling.py:331`) has no such guard, so a 100× label space
+    * OOMs there and silently switches strategy here.
+    */
+  val SortBroadcastCapKey = "graft.relabel.sortBroadcastMaxLabels"
+
   /** O10 `sort_label_indices` (`relabeling.py:312-346`): global distinct of
     * the label space (eager, like the reference's `da.unique(...).compute()`
     * at `relabeling.py:331`) broadcast back as a dense-rank map. Persist the
     * input first if it is expensive to recompute — the reference's docstring
-    * gives the same advice.
+    * gives the same advice. Label spaces above [[SortBroadcastCapKey]]
+    * never reach the driver: the call degrades to the distributed variant.
     */
   def sortLabelIndices(tiles: Dataset[Tile]): Dataset[Tile] = {
     val spark = tiles.sparkSession
     import spark.implicits._
+    val cap = spark.conf.get(SortBroadcastCapKey, "4000000").toLong
+    require(cap > 0, s"$SortBroadcastCapKey must be positive, got $cap")
+    val probeN = math.min(cap, Int.MaxValue - 1L).toInt + 1
     // per-tile distinct first: shrinks the shuffle to O(labels), not O(pixels)
-    val distinctLabels = tiles
+    val probe = tiles
       .flatMap(t => t.data.distinct.iterator)
       .distinct()
+      .limit(probeN)
       .collect()
-      .sorted
+    if (probe.length >= probeN)
+      // over the cap: the probe saw cap+1 distinct labels, so the full
+      // collect would be the driver OOM this guard exists to prevent
+      return sortLabelIndicesDistributed(tiles)
+    val distinctLabels = probe.sorted
     val rank = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     var i = 0L
     distinctLabels.foreach { l => rank.put(l, i); i += 1 }

@@ -107,6 +107,30 @@ class RelabelGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("sort_label_indices cap: broadcast below, auto-distributed above") {
+    val in = Goldens.tiles(spark, "trim_2d", Goldens.grid2d)
+    val golden = Goldens.localTiles("sort_2d", Goldens.grid2d)
+    def planOf(ds: org.apache.spark.sql.Dataset[_]): String =
+      ds.queryExecution.executedPlan.toString
+    // BELOW the cap (the fixture's label space is tiny vs the 4M default):
+    // the driver round-trip runs — no CoGroup anywhere in the plan
+    val below = Relabel.sortLabelIndices(in)
+    assert(!planOf(below).contains("CoGroup"),
+      "below the cap the broadcast remap must run, not the cogroup")
+    Goldens.assertSameTiles(below.collect().toSeq, golden)
+    // ABOVE the cap (forced with a 1-label cap): the guard's limit probe
+    // sees cap+1 labels, collects nothing more, and the call must
+    // auto-switch to the distributed variant — same output contract,
+    // observable as the cogroup remap in the physical plan
+    spark.conf.set(Relabel.SortBroadcastCapKey, "1")
+    try {
+      val above = Relabel.sortLabelIndices(in)
+      assert(planOf(above).contains("CoGroup"),
+        "above the cap the distributed remap must run")
+      Goldens.assertSameTiles(above.collect().toSeq, golden)
+    } finally spark.conf.unset(Relabel.SortBroadcastCapKey)
+  }
+
   test("sort_label_indices matches sort_3d") {
     val in = Goldens.tiles(spark, "trim_3d", Goldens.grid3d)
     val got = Relabel.sortLabelIndices(in).collect().toSeq
