@@ -23,9 +23,14 @@ object Bench {
       catch { case _: Exception => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parse cpus ONCE, up front: `local[*]` is a valid master but not a
+    // number, and a NumberFormatException at JSON-build time (after every
+    // query already ran) would discard the whole artifact
+    val cpusN = scala.util.Try(cpus.trim.toInt).toOption
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[${cpus.trim}]")
+      .config("spark.sql.shuffle.partitions", cpusN.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // the timestamp contract (rel/Q) is UTC-conditional; pin it here too
@@ -53,12 +58,18 @@ object Bench {
     graft.rel.BucketedRel.warm(spark, sfDir)
     // Host calibration constant: a FIXED CPU+shuffle micro-run (48 M-row
     // arithmetic map, 3 M-group hash aggregate across one exchange, global
-    // roll-up), timed min-of-3 AFTER warmup and recorded as `calib_s` in
-    // the artifact. Cross-round comparisons divide per-gate seconds by the
-    // two artifacts' calib ratio instead of arguing host speed by hand —
-    // the shape must therefore NEVER change across rounds (it is the
-    // ruler). On the round-11 reference host class calib_s ≈ low seconds;
-    // a 1.3x slower host shows ~1.3x here and ~1.3x on the gate medians.
+    // roll-up), timed min-of-3 AFTER warmup and recorded in the artifact.
+    // Cross-round comparisons divide per-gate seconds by the two
+    // artifacts' calib ratio instead of arguing host speed by hand — the
+    // shape must therefore NEVER change across rounds (it is the ruler).
+    // On the round-11 reference host class calib_s ≈ low seconds; a 1.3x
+    // slower host shows ~1.3x here and ~1.3x on the gate medians.
+    // BRACKETED since round 13: the same min-of-3 runs at bench START
+    // (`calib_start_s`) and END (`calib_end_s`) — same-host calib noise
+    // measured ~16% in round 12, so a mid-run contention episode shows up
+    // as a start/end gap in the artifact itself instead of being inferred
+    // from load_max. `calib_s` stays the cross-round ruler field and is
+    // the MIN of the two brackets (protocol: min across idle runs).
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(48000000L)
@@ -68,7 +79,8 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibS = (1 to 3).map(_ => calibOnce()).min
+    def calibMin3(): Double = (1 to 3).map(_ => calibOnce()).min
+    val calibStartS = calibMin3()
     // Host-noise protocol: this box has multi-minute co-tenant contention
     // episodes (round-5 artifact: identical code timed 144 s on a quiet
     // host and 1275 s under load ~6). Two defenses, so the artifact
@@ -113,6 +125,10 @@ object Bench {
       n -> (if (a.sec < 0 || b.sec < 0) Run(-1.0, math.max(a.load, b.load))
             else if (a.sec <= b.sec) a else b)
     }
+    // closing bracket: same fixed shape, timed after the last query so a
+    // mid-run slowdown is visible as calib_end_s >> calib_start_s
+    val calibEndS = calibMin3()
+    val calibS = math.min(calibStartS, calibEndS)
     val loadMax = (results.map(_._2.load) ++ Seq(loadavg())).max
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator would break the driver's JSON parse
@@ -126,7 +142,7 @@ object Bench {
     val total = results.collect { case (_, r) if r.sec >= 0 => r.sec }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"queries":$qs,"load":$loads,"load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"cpus":${cpus.trim.toInt},"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"load":$loads,"load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStartS)},"calib_end_s":${fmt(calibEndS)},"cpus":$cpusN,"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
     // the full per-query map no longer fits the driver's bounded tail
     // capture (truncated at ~115 queries in round 4), so it goes to a FILE
     // (committed per round) and stdout carries it best-effort…
@@ -139,7 +155,7 @@ object Bench {
     // …while the LAST line is a short, always-complete JSON summary: a tail
     // capture that truncates the map line still ends with one parseable
     // object carrying the headline total
-    println(s"""{"queries_file":"$outFile","load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"cpus":${cpus.trim.toInt},"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
+    println(s"""{"queries_file":"$outFile","load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStartS)},"calib_end_s":${fmt(calibEndS)},"cpus":$cpusN,"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }
 }
