@@ -278,28 +278,44 @@ object Annotate {
     * member name when unpacking (contents are identical by construction).
     */
   def streamAnnotationZips(annotations: Dataset[TileAnnotation],
-                           outDir: java.nio.file.Path,
+                           outDir: String,
                            queryName: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    java.nio.file.Files.createDirectories(outDir)
+    val conf = annotations.sparkSession.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val dir = fs.makeQualified(root).toString
     annotations.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[TileAnnotation], batchId: Long) =>
         if (!batch.isEmpty)
-          zipAnnotations(batch, outDir.resolve(f"part-$batchId%05d.zip"))
+          zipAnnotations(batch, f"$dir/part-$batchId%05d.zip")
         ()
       }
       .queryName(queryName).start()
   }
 
+  /** Local-path convenience overload of [[streamAnnotationZips]]. */
+  def streamAnnotationZips(annotations: Dataset[TileAnnotation],
+                           outDir: java.nio.file.Path,
+                           queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamAnnotationZips(annotations, outDir.toAbsolutePath.toString,
+      queryName)
+
   /** O6 `zip_annotated_labeled_tiles` (`relabeling.py:126-163`): write one
     * `{y}-{x}.geojson` member per non-empty tile into a single zip. This is
     * an action (the reference computes here too, `relabeling.py:150`);
-    * annotations stream through the driver via `toLocalIterator`.
+    * annotations stream through the driver via `toLocalIterator`. The zip
+    * is created through the Hadoop `FileSystem` API, so `outZip` may be an
+    * HDFS/object-store URI — one streamed PUT on such stores.
     */
   def zipAnnotations(annotations: Dataset[TileAnnotation],
-                     outZip: java.nio.file.Path): java.nio.file.Path = {
+                     outZip: String): String = {
+    val conf = annotations.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(outZip)
     val zos = new java.util.zip.ZipOutputStream(
-      java.nio.file.Files.newOutputStream(outZip))
+      p.getFileSystem(conf).create(p, true))
     zos.setLevel(9)
     try {
       val it = annotations.toLocalIterator()
@@ -312,6 +328,13 @@ object Annotate {
         }
       }
     } finally zos.close()
+    outZip
+  }
+
+  /** Local-path convenience overload of [[zipAnnotations]]. */
+  def zipAnnotations(annotations: Dataset[TileAnnotation],
+                     outZip: java.nio.file.Path): java.nio.file.Path = {
+    zipAnnotations(annotations, outZip.toAbsolutePath.toString)
     outZip
   }
 }
