@@ -360,6 +360,55 @@ class GraftLayoutSpec extends AnyFunSuite {
     GraftLayout.forget(spark, dir)
   }
 
+  test("legacy sidecar (no files fingerprint) still registers and prunes") {
+    // stores written before the data-file fingerprint existed carry only
+    // {"columns":[...]} — they must keep pruning (fingerprint adopted at
+    // registration time), and a SUBSEQUENT same-JVM append must still be
+    // caught by the adopted fingerprint
+    val dir = TempDirs.create("glayout_legacy")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    // strip the sidecar down to the legacy shape
+    val p = java.nio.file.Paths.get(dir, GraftLayout.SidecarName)
+    java.nio.file.Files.writeString(p, """{"columns":["gx","gy","gh"]}""")
+    // the nio rewrite bypassed Hadoop's CRC bookkeeping; a legacy store
+    // has no stale sibling, so drop it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "." + GraftLayout.SidecarName + ".crc"))
+    GraftLayout.forget(spark, dir)
+    def boxed = spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    GraftLayout.read(spark, dir)
+    assert(coverRanges(boxed, "gh") > 0, "legacy sidecar must register")
+    import spark.implicits._
+    Seq((150L, 50L, Option.empty[Long])).toDF("gx", "gy", "gh")
+      .write.mode("append").parquet(dir)
+    assert(coverRanges(boxed, "gh") == 0,
+      "append after a legacy registration must still decline pruning")
+    assert(boxed.collect().exists(r => r.getLong(0) == 150L && r.isNullAt(2)))
+    GraftLayout.forget(spark, dir)
+  }
+
+  test("a data-file swap preserving count and total bytes is caught") {
+    // the adversarial append shape the (count, bytes) pair alone cannot
+    // see: replace a data file with a DIFFERENT same-length file under a
+    // new name — the sorted (name, length) hash must catch it
+    val dir = TempDirs.create("glayout_swapfile")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    def boxed = spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(boxed, "gh") > 0)
+    val d = java.nio.file.Paths.get(dir)
+    val part = java.nio.file.Files.list(d).filter(f =>
+      !f.getFileName.toString.startsWith("_") &&
+        !f.getFileName.toString.startsWith(".")).findFirst().get()
+    java.nio.file.Files.move(part,
+      d.resolve("part-99999-renamed.snappy.parquet"))
+    assert(coverRanges(boxed, "gh") == 0,
+      "same count+bytes but a renamed member must read as stale")
+    GraftLayout.forget(spark, dir)
+  }
+
   test("a same-length same-mtime sidecar rewrite is caught (content hash)") {
     val dir = TempDirs.create("glayout_samelen")
     GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
