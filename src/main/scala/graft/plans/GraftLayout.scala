@@ -84,6 +84,11 @@ object GraftLayout {
     * count + total bytes + an order-independent-by-sorting hash of the
     * (name, length) pairs. Spark part files carry write-unique UUIDs, so
     * any append, replace, or delete perturbs at least one component.
+    * Top-level files only, which is exactly the layout contract —
+    * writeHilbert* emits a FLAT store — and an append that instead
+    * introduces subdirectories (a partitionBy append, say) makes the
+    * directory unreadable as one table for every consumer (Spark's
+    * conflicting-directory-structures error), loud rather than silent.
     */
   private final case class DirFp(count: Int, bytes: Long, namesHash: Long)
 

@@ -79,13 +79,16 @@ object HilbertBoxCover extends Rule[LogicalPlan] {
     // pay the per-Filter leaf traversal on every optimizer pass
     if (confLayouts.isEmpty && GraftLayout.registryEmpty) return plan
 
-    // sidecar fingerprint re-validation (inside layoutFor) costs one FS
-    // stat per registered root — memoized per path-set for THIS apply()
-    // so multi-Filter plans pay it once per rule INVOCATION. The
-    // fixed-point "User Provided Optimizers" batch still re-invokes the
-    // rule until the plan stops changing, so a firing compile pays ~2
-    // stats per root (more if other user rules keep the batch
-    // iterating) — bounded and driver-side, but not literally once
+    // store fingerprint re-validation (inside layoutFor) costs one tiny
+    // sidecar GET + one directory LIST per registered root (content hash
+    // + data-file fingerprint — the append/overwrite/rewrite guards) —
+    // memoized per path-set for THIS apply() so multi-Filter plans pay
+    // it once per rule INVOCATION. The fixed-point "User Provided
+    // Optimizers" batch still re-invokes the rule until the plan stops
+    // changing, so a firing compile pays ~2 GET+LIST pairs per root
+    // (more if other user rules keep the batch iterating) — bounded and
+    // driver-side, but not literally once; the LIST is the same call the
+    // file index itself makes to plan the scan
     val scopedCache =
       scala.collection.mutable.Map.empty[Seq[String], Option[Seq[String]]]
 
