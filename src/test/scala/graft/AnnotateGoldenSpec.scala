@@ -114,6 +114,30 @@ class AnnotateGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("zip sink writes through a non-default Hadoop scheme; empty is a no-op row count") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", "graft.CountingFileSystem")
+    val backing = java.nio.file.Files.createTempDirectory("graft-zipcfs")
+    val in = Goldens.tiles(spark, "rem_2d", Goldens.grid2d)
+    val ann = Annotate.annotateLabeledTiles(in, ov)
+    Annotate.zipAnnotations(ann, "cfs:" + backing.resolve("a.zip"))
+    val zf = new java.util.zip.ZipFile(backing.resolve("a.zip").toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSet
+      val expected = golden.collect { case (k, v) if v != null => s"$k.geojson" }.toSet
+      assert(names == expected, "cfs zip members must match the golden set")
+    } finally zf.close()
+    // and the dir sink on an EMPTY dataset: directory created, 0 written
+    import spark.implicits._
+    val empty = spark.emptyDataset[Annotate.TileAnnotation]
+    val emptyDir = backing.resolve("empty")
+    assert(Annotate.writeAnnotationDir(empty,
+      "cfs:" + emptyDir.toAbsolutePath) == 0L)
+    assert(java.nio.file.Files.isDirectory(emptyDir) &&
+      emptyDir.toFile.listFiles().isEmpty)
+  }
+
   test("executor-side annotation dir matches the zip members") {
     val in = Goldens.tiles(spark, "rem_2d", Goldens.grid2d)
     val ann = Annotate.annotateLabeledTiles(in, ov)
