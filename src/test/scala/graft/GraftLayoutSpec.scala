@@ -431,6 +431,50 @@ class GraftLayoutSpec extends AnyFunSuite {
     GraftLayout.forget(spark, dir)
   }
 
+  test("fuzz: store-mutation lifecycle never changes a result set") {
+    // the round-13 guard end to end under a seeded mutation sequence:
+    // appends of non-conforming rows (NULL index, and WRONG index — the
+    // row a guard failure would silently prune), external part-file
+    // deletes, and official rewrites, each followed by a random box
+    // query executed FIRST under whatever registration is live (possibly
+    // stale) and then against the forgotten-plain truth. Any divergence
+    // is a silent-prune (or over-return) bug in the fingerprint guard.
+    import spark.implicits._
+    val dir = TempDirs.create("glayout_lifecycle")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    val rnd = new scala.util.Random(23)
+    def rb(lo: Long, hi: Long): Long = lo + rnd.nextLong(hi - lo + 1)
+    for (step <- 1 to 10) {
+      rnd.nextInt(4) match {
+        case 0 => // append: in-domain keys, NULL index
+          Seq((rb(0L, 1000L), rb(0L, 200L), Option.empty[Long]))
+            .toDF("gx", "gy", "gh").write.mode("append").parquet(dir)
+        case 1 => // append: in-domain keys, WRONG (non-curve) index
+          Seq((rb(0L, 1000L), rb(0L, 200L), Option(rb(0L, 3L))))
+            .toDF("gx", "gy", "gh").write.mode("append").parquet(dir)
+        case 2 => // external delete of one data part file
+          val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+            .filter { f =>
+              val n = f.getFileName.toString
+              !n.startsWith("_") && !n.startsWith(".")
+            }.iterator()
+          if (parts.hasNext) java.nio.file.Files.delete(parts.next())
+        case _ => // official rewrite: fresh store + sidecar, re-registers
+          GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+      }
+      val box = col("gx").between(rb(-50L, 500L), rb(200L, 1200L)) &&
+        col("gy").between(rb(-20L, 100L), rb(50L, 400L))
+      val got = spark.read.parquet(dir).filter(box)
+        .collect().map(_.toSeq).toSet
+      GraftLayout.forget(spark, dir)
+      val truth = spark.read.parquet(dir).filter(box)
+        .collect().map(_.toSeq).toSet
+      assert(got == truth, s"lifecycle step $step changed the result set")
+      GraftLayout.read(spark, dir) // re-register when the store conforms
+    }
+  }
+
   test("out-of-domain keys fail the write loudly") {
     import spark.implicits._
     val bad = Seq((1L, 2L), (-3L, 5L)).toDF("gx", "gy")
