@@ -431,6 +431,35 @@ class GraftLayoutSpec extends AnyFunSuite {
     GraftLayout.forget(spark, dir)
   }
 
+  test("per-compile validation cost is bounded: a few GET+LIST, no scans") {
+    // the scale contract behind the fingerprint guard: compiling a box
+    // query over a registered store costs a handful of driver-side
+    // sidecar opens + directory lists (the fixed-point optimizer batch
+    // fires the rule a small constant number of times), never a data
+    // read — pinned through the counting filesystem so a future change
+    // that accidentally validates per-Filter-node or per-file fails here
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", "graft.CountingFileSystem")
+    val backing = java.nio.file.Files.createTempDirectory("glayout_cost")
+    val dir = "cfs:" + backing.toAbsolutePath
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    CountingFileSystem.reset()
+    val df = spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(df, "gh") > 0, "the registered layout fires")
+    val opens = CountingFileSystem.opens.get()
+    val lists = CountingFileSystem.lists.get()
+    // one GET+LIST per rule invocation; the optimizer batch plus the
+    // read-side file index account for a small constant — anything
+    // beyond 16 means per-node or per-file validation crept in
+    assert(opens <= 16 && lists <= 16,
+      s"compile-time validation cost exploded: opens=$opens lists=$lists")
+    assert(CountingFileSystem.rangedBytes(_.endsWith(".parquet")) == 0L,
+      "plan compilation must not read data bytes")
+    GraftLayout.forget(spark, dir)
+  }
+
   test("fuzz: store-mutation lifecycle never changes a result set") {
     // the round-13 guard end to end under a seeded mutation sequence:
     // appends of non-conforming rows (NULL index, and WRONG index — the
