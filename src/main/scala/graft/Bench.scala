@@ -22,25 +22,12 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
       catch { case _: Exception => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // parse cpus ONCE, up front: `local[*]` is a valid master but not a
-    // number, and a NumberFormatException at JSON-build time (after every
-    // query already ran) would discard the whole artifact
-    val cpusN = scala.util.Try(cpus.trim.toInt).toOption
-      .getOrElse(Runtime.getRuntime.availableProcessors)
-    val spark = SparkSession.builder()
-      .master(s"local[${cpus.trim}]")
-      .config("spark.sql.shuffle.partitions", cpusN.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // the timestamp contract (rel/Q) is UTC-conditional; pin it here too
-      // so bench timings exercise the same plans Verify gates
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // session + calib + loadavg all come from BenchProtocol — ONE code path
+    // shared with the adjudication probe (tools/TimeQueries), so the ruler
+    // cannot drift between the artifact and a re-time
+    val (cpus, cpusN) = BenchProtocol.cpusEnv()
+    val spark = BenchProtocol.session(cpus, cpusN)
     spark.sparkContext.setLogLevel("WARN")
-    graft.plans.DotProductFusion.ensureInstalled(spark)
     // JVM/codegen/parquet-footer warmup so the first timed query measures the
     // query, not session bring-up: exercise the operator shapes the suite
     // leans on (hash agg, shuffle join, window, explode) once, untimed
@@ -56,30 +43,21 @@ object Bench {
     // measure the co-located join, not the write that happens once per
     // warehouse lifetime
     graft.rel.BucketedRel.warm(spark, sfDir)
-    // Host calibration constant: a FIXED CPU+shuffle micro-run (48 M-row
-    // arithmetic map, 3 M-group hash aggregate across one exchange, global
-    // roll-up), timed min-of-3 AFTER warmup and recorded in the artifact.
-    // Cross-round comparisons divide per-gate seconds by the two
-    // artifacts' calib ratio instead of arguing host speed by hand — the
-    // shape must therefore NEVER change across rounds (it is the ruler).
-    // On the round-11 reference host class calib_s ≈ low seconds; a 1.3x
-    // slower host shows ~1.3x here and ~1.3x on the gate medians.
+    // Host calibration constant: BenchProtocol's FIXED micro-run, timed
+    // min-of-3 AFTER warmup and recorded in the artifact (the shape must
+    // NEVER change across rounds — it is the ruler; see BenchProtocol).
     // BRACKETED since round 13: the same min-of-3 runs at bench START
     // (`calib_start_s`) and END (`calib_end_s`) — same-host calib noise
     // measured ~16% in round 12, so a mid-run contention episode shows up
     // as a start/end gap in the artifact itself instead of being inferred
-    // from load_max. `calib_s` stays the cross-round ruler field and is
-    // the MIN of the two brackets (protocol: min across idle runs).
-    def calibOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(48000000L)
-        .selectExpr("(id * 2654435761) % 3000000 AS k", "id % 1000003 AS v")
-        .groupBy("k").count()
-        .selectExpr("sum(count) AS s", "count(*) AS n")
-        .collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    def calibMin3(): Double = (1 to 3).map(_ => calibOnce()).min
+    // from load_max. ESTIMATOR (since round 14, per the r13 ADVICE):
+    // `calib_s` = the START bracket, matching every pre-r13 artifact's
+    // statistic — the end bracket runs in a fully JIT/cache-warmed JVM and
+    // is systematically low, so r13's min-of-brackets quietly skewed the
+    // cross-round ratio. The r13 artifacts carry `calib_start_s`
+    // explicitly, so r13-vs-anything comparisons use the start brackets on
+    // both sides (r13 bench_full.json: calib_start_s 3.433).
+    def calibMin3(): Double = BenchProtocol.calibMin3(spark)
     val calibStartS = calibMin3()
     // Host-noise protocol: this box has multi-minute co-tenant contention
     // episodes (round-5 artifact: identical code timed 144 s on a quiet
@@ -90,10 +68,7 @@ object Bench {
     //  - /proc/loadavg recorded at the start of every measurement, with
     //    the per-query load of the winning pass and the run-wide max
     //    emitted alongside the seconds.
-    def loadavg(): Double =
-      try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
-      catch { case _: Exception => -1.0 }
+    def loadavg(): Double = BenchProtocol.loadavg()
     // NOTE on `load` semantics: the per-query samples include the bench's
     // OWN 32-thread Spark execution (a local[32] run keeps 1-min loadavg
     // at ~3-9 even on an otherwise idle host), so `load_max < 2` is
@@ -128,7 +103,9 @@ object Bench {
     // closing bracket: same fixed shape, timed after the last query so a
     // mid-run slowdown is visible as calib_end_s >> calib_start_s
     val calibEndS = calibMin3()
-    val calibS = math.min(calibStartS, calibEndS)
+    // ruler field = START bracket (see the estimator note above); the end
+    // bracket rides along purely as the mid-run contention signal
+    val calibS = calibStartS
     val loadMax = (results.map(_._2.load) ++ Seq(loadavg())).max
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator would break the driver's JSON parse

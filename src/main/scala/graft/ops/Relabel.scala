@@ -179,6 +179,17 @@ object Relabel {
     require(cap > 0, s"$SortBroadcastCapKey must be positive, got $cap")
     val probeN = math.min(cap, Int.MaxValue - 1L).toInt + 1
     // per-tile distinct first: shrinks the shuffle to O(labels), not O(pixels)
+    // COST NOTE (accepted trade, r13 ADVICE): limit(cap+1) compiles to
+    // CollectLimit, whose below-cap path (the limit is never satisfied, so
+    // it exhausts the input) runs ~log4(P) scale-up jobs (1, 4, 16, ...
+    // reduce partitions). The upstream per-tile-distinct MAP stage is one
+    // shared shuffle write reused by every retry — each retry re-reads
+    // shuffled label ids (O(distinct labels), tiny vs the pixel scan), so
+    // the worst case over the old unbounded collect() is a few extra
+    // reduce-side passes over the label set, bought against the driver-OOM
+    // guarantee. A count()-first probe would pin it to exactly two passes
+    // but pays a full extra aggregate even for tiny label spaces — the
+    // common case here.
     val probe = tiles
       .flatMap(t => t.data.distinct.iterator)
       .distinct()

@@ -79,6 +79,107 @@ object GraftLayout {
 
   val SidecarName = "_graft_layout.json"
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Paths already warned about (→ their emit count, which the spec pins
+    * at 1): pruning decline is deliberately silent in RESULTS (filter
+    * semantics, never a wrong row), but permanently-lost pruning after an
+    * external append was invisible to the operator — queries just got
+    * slower. One driver-log WARN per store (not per optimizer pass: the
+    * rule re-validates on every compile, and a per-pass warn would storm
+    * the log) names the path and the remedy. An official rewrite clears
+    * the entry, so a LATER external mutation warns afresh.
+    */
+  private val warned =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[graft] def warnCount(root: String): Int =
+    Option(warned.get(root)).fold(0)(_.intValue)
+
+  private def warnDeclined(root: String, why: String): Unit =
+    // putIfAbsent guards the emit, so the stored value IS the emit count
+    if (warned.putIfAbsent(root, 1) == null)
+      log.warn(s"graft layout pruning DECLINED for $root: $why — box " +
+        "queries on this store now scan unpruned; re-run writeHilbert/" +
+        "writeHilbert3 (then read) to restore pruning")
+
+  /** What [[status]] reports for a directory. */
+  sealed trait LayoutStatus
+  object LayoutStatus {
+    /** Registered in this JVM and still valid on disk: box filters over
+      * the store are being rewritten into curve-range scans.
+      */
+    final case class Registered(columns: Seq[String]) extends LayoutStatus
+    /** A layout sidecar exists but pruning is NOT active, with the reason
+      * — the observable form of the silent decline.
+      */
+    final case class Declined(reason: String) extends LayoutStatus
+    /** No sidecar and no registration: a plain parquet directory (or a
+      * valid layout store simply not yet `read` in this JVM — the reason
+      * string distinguishes the two).
+      */
+    final case class Unregistered(detail: String) extends LayoutStatus
+  }
+
+  /** Operability probe: is pruning active for `dir`, and if not, why not?
+    * Read-only — observes the registry and the store without evicting,
+    * registering, or logging, so calling it in a monitoring loop perturbs
+    * nothing. The three states mirror exactly what [[HilbertBoxCover]]
+    * will do on the next query over the store.
+    */
+  def status(spark: SparkSession, dir: String): LayoutStatus = {
+    import LayoutStatus._
+    val root = qualified(spark, dir)
+    Option(registry.get(root)) match {
+      case Some(r) =>
+        check(root, r) match {
+          case Valid => Registered(r.names)
+          case Stale => Declined(
+            "registered, but the store changed on disk since registration " +
+              "(sidecar rewritten/removed, or data files appended/replaced) " +
+              "— the next query declines pruning; re-run writeHilbert* to " +
+              "restore it")
+          case Unknown => Declined(
+            "registered, but the store could not be re-validated " +
+              "(transient filesystem error) — pruning declines per-query " +
+              "until validation succeeds")
+        }
+      case None =>
+        readSidecar(spark, dir) match {
+          case None =>
+            val hasSidecar =
+              try {
+                val p = new Path(dir, SidecarName)
+                p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .exists(p)
+              } catch { case scala.util.control.NonFatal(_) => false }
+            if (hasSidecar)
+              Declined("sidecar present but unreadable or invalid — the " +
+                "store reads as plain parquet; re-run writeHilbert* to " +
+                "restore pruning")
+            else Unregistered("no layout sidecar: plain parquet")
+          case Some(sc) =>
+            try {
+              val p = new Path(dir)
+              val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val actual = dirFingerprint(fs, p)
+              if (sc.declaredFp.forall(_ == actual))
+                Unregistered("valid layout sidecar, not registered in " +
+                  "this JVM — GraftLayout.read(spark, dir) activates pruning")
+              else
+                Declined("data files no longer match the fingerprint the " +
+                  "sidecar recorded at write time (appended/replaced " +
+                  "outside writeHilbert*) — read() will refuse to " +
+                  "register; re-run writeHilbert* to restore pruning")
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                Declined("store could not be listed (transient filesystem " +
+                  "error)")
+            }
+        }
+    }
+  }
+
   /** Directory-content fingerprint over the DATA files only (underscore/
     * dot-prefixed names are metadata — `_SUCCESS`, the sidecar itself):
     * count + total bytes + an order-independent-by-sorting hash of the
@@ -177,19 +278,32 @@ object GraftLayout {
     DirFp(data.length, bytes, h)
   }
 
-  /** Read a small metadata file fully (bounded — the sidecar parser caps
-    * at 64 KiB anyway, and layout sidecars are under 200 bytes).
+  /** Size cap for [[readSmall]]: far above any real sidecar (~200 bytes),
+    * far below anything worth streaming.
+    */
+  private val ReadSmallCap = 65536L
+
+  /** Read a small metadata file FULLY, or refuse: a file over the 64 KiB
+    * cap throws `FileNotFoundException` (= proven staleness to [[check]],
+    * = unparseable to [[readSidecar]]) instead of hashing a truncated
+    * prefix — a prefix hash could read two differing oversized files as
+    * equal, silently keeping a stale registration alive. The length is
+    * checked up front via `getFileStatus` (the same stat `exists` already
+    * paid), so the read itself stays one bounded GET.
     */
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen
+    if (len > ReadSmallCap)
+      throw new java.io.FileNotFoundException(
+        s"$p: metadata file exceeds the ${ReadSmallCap}B cap ($len bytes) — " +
+          "not a graft sidecar")
     val in = fs.open(p)
     try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](4096)
       var n = in.read(chunk)
-      while (n >= 0 && buf.size <= 65536) {
-        buf.write(chunk, 0, n); n = in.read(chunk)
-      }
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       buf.toByteArray
     } finally in.close()
   }
@@ -212,7 +326,12 @@ object GraftLayout {
         Option(registry.get(p)).flatMap { r =>
           check(p, r) match {
             case Valid => Some(r.names)
-            case Stale => registry.remove(p, r); None
+            case Stale =>
+              registry.remove(p, r)
+              warnDeclined(p, "store changed on disk since registration " +
+                "(sidecar rewritten/removed, or data files appended/" +
+                "replaced outside the official writers)")
+              None
             case Unknown => None
           }
         }
@@ -289,7 +408,13 @@ object GraftLayout {
           if (sc.declaredFp.forall(_ == actual))
             Some((fs.makeQualified(root).toString,
               Reg(sc.names, sc.hash, actual, fs)))
-          else None
+          else {
+            warnDeclined(fs.makeQualified(root).toString,
+              "data files no longer match the fingerprint the sidecar " +
+                "recorded at write time (appended/replaced outside the " +
+                "official writers)")
+            None
+          }
         } catch { case scala.util.control.NonFatal(_) => None }
       }
     reg match {
@@ -327,8 +452,11 @@ object GraftLayout {
     val out = fs.create(new Path(root, SidecarName), true)
     try out.write(bytes) finally out.close()
     HilbertBoxCover.ensureInstalled(spark)
-    registry.put(fs.makeQualified(root).toString,
-      Reg(names, contentHash(bytes), fp, fs))
+    val qroot = fs.makeQualified(root).toString
+    registry.put(qroot, Reg(names, contentHash(bytes), fp, fs))
+    // an official rewrite makes the store healthy again: re-arm the
+    // warn-once so a FUTURE external mutation is reported afresh
+    warned.remove(qroot)
   }
 
   /** What a sidecar parse yields: the declared columns, the data-file

@@ -504,6 +504,115 @@ class GraftLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("status() reports Registered / Declined(reason) / Unregistered") {
+    import GraftLayout.LayoutStatus._
+    // plain parquet, no sidecar
+    val plain = TempDirs.create("glayout_st_plain")
+    src.limit(10).write.mode("overwrite").parquet(plain)
+    assert(GraftLayout.status(spark, plain)
+      .isInstanceOf[Unregistered], "no sidecar -> Unregistered")
+    // healthy registered store
+    val dir = TempDirs.create("glayout_st_ok")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    GraftLayout.status(spark, dir) match {
+      case Registered(cols) => assert(cols == Seq("gx", "gy", "gh"))
+      case other => fail(s"healthy store must report Registered, got $other")
+    }
+    // valid sidecar on disk but not registered in this JVM
+    GraftLayout.forget(spark, dir)
+    GraftLayout.status(spark, dir) match {
+      case Unregistered(detail) => assert(detail.contains("read"),
+        "the detail must name the remedy (read to activate)")
+      case other => fail(s"unread valid store must report Unregistered, got $other")
+    }
+    // appended store: Declined with the append diagnosis + remedy, from
+    // BOTH sides — while still registered, and after the eviction
+    GraftLayout.read(spark, dir)
+    import spark.implicits._
+    Seq((150L, 50L, Option.empty[Long])).toDF("gx", "gy", "gh")
+      .write.mode("append").parquet(dir)
+    GraftLayout.status(spark, dir) match {
+      case Declined(reason) => assert(reason.contains("writeHilbert"),
+        "the reason must carry the remedy")
+      case other => fail(s"appended registered store must Decline, got $other")
+    }
+    // status() is read-only: the registration must still be live (the
+    // NEXT QUERY evicts, not the probe)
+    spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+      .count()
+    GraftLayout.status(spark, dir) match {
+      case Declined(reason) => assert(reason.contains("writeHilbert"))
+      case other => fail(s"evicted appended store must Decline, got $other")
+    }
+    // official rewrite + read: healthy again
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    assert(GraftLayout.status(spark, dir).isInstanceOf[Registered])
+    GraftLayout.forget(spark, dir)
+  }
+
+  test("pruning decline warns ONCE per store; official rewrite re-arms") {
+    val dir = TempDirs.create("glayout_warn")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    val root = "file:" + dir
+    assert(GraftLayout.warnCount(root) == 0, "healthy store: no warning")
+    import spark.implicits._
+    Seq((150L, 50L, Option.empty[Long])).toDF("gx", "gy", "gh")
+      .write.mode("append").parquet(dir)
+    def boxed = spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    // several queries -> several optimizer passes over the declined store
+    // (plus a declining re-read): ONE warning total, no log storm
+    assert(coverRanges(boxed, "gh") == 0)
+    boxed.count(); boxed.count()
+    GraftLayout.read(spark, dir)
+    assert(GraftLayout.warnCount(root) == 1,
+      s"expected exactly one warn emit, got ${GraftLayout.warnCount(root)}")
+    // the official rewrite re-arms the warn-once: a LATER external
+    // mutation must be reported afresh
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    assert(GraftLayout.warnCount(root) == 0, "rewrite must re-arm")
+    Seq((151L, 51L, Option.empty[Long])).toDF("gx", "gy", "gh")
+      .write.mode("append").parquet(dir)
+    assert(coverRanges(boxed, "gh") == 0)
+    assert(GraftLayout.warnCount(root) == 1, "fresh mutation warns afresh")
+    GraftLayout.forget(spark, dir)
+  }
+
+  test("an oversized sidecar fails closed instead of prefix-hashing") {
+    // readSmall used to truncate at ~64 KiB, so the content hash of an
+    // oversized sidecar was a PREFIX hash — two differing oversized files
+    // could read as equal. Now: over the cap = unparseable at read time
+    // and proven-stale at check time
+    val dir = TempDirs.create("glayout_big")
+    GraftLayout.writeHilbert(src, dir, "gx", "gy", "gh", 4)
+    GraftLayout.read(spark, dir)
+    def boxed = spark.read.parquet(dir)
+      .filter(col("gx").between(100L, 900L) && col("gy").between(20L, 150L))
+    assert(coverRanges(boxed, "gh") > 0)
+    // an external writer replaces the sidecar with a >64 KiB file whose
+    // PREFIX is the legitimate sidecar content
+    val p = java.nio.file.Paths.get(dir, GraftLayout.SidecarName)
+    val orig = java.nio.file.Files.readAllBytes(p)
+    val pad = new Array[Byte](70000)
+    java.util.Arrays.fill(pad, ' '.toByte)
+    java.nio.file.Files.write(p, orig ++ pad)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "." + GraftLayout.SidecarName + ".crc"))
+    assert(coverRanges(boxed, "gh") == 0,
+      "an oversized sidecar must read as stale, not prefix-valid")
+    // and the read API must not register from it either
+    GraftLayout.forget(spark, dir)
+    GraftLayout.read(spark, dir)
+    assert(coverRanges(boxed, "gh") == 0,
+      "an oversized sidecar must not register")
+    GraftLayout.forget(spark, dir)
+  }
+
   test("out-of-domain keys fail the write loudly") {
     import spark.implicits._
     val bad = Seq((1L, 2L), (-3L, 5L)).toDF("gx", "gy")
