@@ -131,8 +131,11 @@ object TextOps {
 
   /** The band self-join over a minima relation; caches `mins` (read by all
     * four band values on both join sides) for the action's lifetime.
+    * `private[graft]`: tools/ShuffleScale drives THIS code path (not a
+    * replica) at synthetic 1x/4x/16x corpus sizes, so the measured scaling
+    * exponent and plan shape are the production gate's own.
     */
-  private[rel] def candFromMins(mins: DataFrame): DataFrame = {
+  private[graft] def candFromMins(mins: DataFrame): DataFrame = {
     val sig = sigOf(mins)
     val a = sig.as("a"); val b = sig.as("b")
     Caching.releaseAfterAction(

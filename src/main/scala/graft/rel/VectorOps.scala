@@ -93,24 +93,39 @@ object VectorOps {
     * the centroid id, the partition-pruned plan that survives 100 TB.
     * Output: per (query, cluster) the best in-cluster neighbor.
     */
-  private def annIvf(s: SparkSession, d: String): DataFrame = {
+  private def annIvf(s: SparkSession, d: String): DataFrame =
+    annIvfCore(qvec(s, d), centEvery = 100L, queryEvery = 50L)
+
+  /** The IVF pipeline over an arbitrary quantized-vector relation
+    * `(vec_id, qv)`, with the centroid stride and query stride as
+    * parameters. The gate uses corpus-proportional strides (1-in-100
+    * centroids, 1-in-50 queries — right for a fixed benchmark table);
+    * tools/ShuffleScale drives the SAME code path with a fixed centroid
+    * COUNT and a fixed query workload (the 100 TB parametrization: the
+    * codebook and the query stream don't grow with the corpus), so the
+    * measured exponent is this pipeline's own.
+    */
+  private[graft] def annIvfCore(qvRel: DataFrame, centEvery: Long,
+      queryEvery: Long): DataFrame = {
     // argmax via max(struct(score, -tiebreak, payload)) instead of a
     // row_number window: the window form shuffles and sorts every
     // (vector, centroid) candidate row; the aggregate form map-side-combines
     // each vector's candidates down to one row before the exchange — at
     // cluster scale the shuffle is O(vectors), not O(vectors x centroids)
-    val cents = qvec(s, d).filter(col("vec_id") % 100 === 7)
+    // phase 7 mod the stride (the gate's 1-in-100 phase-7 sample exactly;
+    // still satisfiable when a probe passes a stride <= 7)
+    val cents = qvRel.filter(col("vec_id") % centEvery === (7L % centEvery))
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    val assign = qvec(s, d).crossJoin(broadcast(cents))
+    val assign = qvRel.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("cid"),
         long_dot(col("qv"), col("cv")).as("cdot"))
       .groupBy("vec_id")
       .agg(max(struct(col("cdot"), (-col("cid")).as("nc"),
         col("cid"), col("qv"))).as("m"))
       .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"))
-    // queries are a 1-in-50 stratum: broadcast them so the probe side never
+    // queries are a strided stratum: broadcast them so the probe side never
     // shuffles; the final top-1 is again an aggregate argmax
-    val queries = assign.filter(col("vec_id") % 50 === 0)
+    val queries = assign.filter(col("vec_id") % queryEvery === 0)
       .select(col("vec_id").as("id_q"), col("qv").as("query_qv"), col("cid"))
     assign.withColumnRenamed("vec_id", "id_n").join(broadcast(queries), Seq("cid"))
       .filter(col("id_q") =!= col("id_n"))

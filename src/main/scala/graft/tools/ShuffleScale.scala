@@ -1,0 +1,275 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.BenchProtocol
+import graft.ops.{CCLSegmentation, Relabel}
+import graft.tiles.{GridSpec, Tile}
+
+/** Scale-trend probe for the three shuffle-heavy families (CurveScale's
+  * sibling, per the r13 verdict): each family runs THE PRODUCTION CODE
+  * PATH — `TextOps.candFromMins` (the `dd_minhash_lsh` band equi-join),
+  * `VectorOps.annIvfCore` (the `ann_ivf` cell-probe join), and
+  * `Relabel.image2labels` (the O1/O4 halo exchanges) — over deterministic
+  * synthetic inputs at 1x/4x/16x, quiet min-of-3 each, and fits the
+  * scaling exponent (log-log least squares). An exponent near 1 is the
+  * 100 TB claim made measurable; anything superlinear names a structural
+  * cost the plan-shape audits cannot see.
+  *
+  * Inputs are staged to parquet FIRST (outside the timed region), so the
+  * timed query is the production shape: scan -> shuffle-heavy operator.
+  * All synthesis is hash-seeded (fixed), never `Random`:
+  *
+  *  - LSH corpus: n docs of 40 words drawn from a 50 k-token vocabulary
+  *    by murmur3 — cross-doc band collisions are ~0 (a full 3-gram
+  *    shingle collision needs three consecutive vocab hits), so candidate
+  *    volume is driven by the PLANTED twins (1 in 5 docs, suffix-mutated
+  *    like the gate's near-dup corpus) and stays linear in n. The cost
+  *    under measurement is the 4-band signature self-join: a 4n-row
+  *    exchange per side at every scale.
+  *  - IVF corpus: n 64-dim quantized vectors; the probe pins the 100 TB
+  *    parametrization the gate (on a fixed benchmark table) does not
+  *    need to: a FIXED ~256-centroid codebook and a FIXED ~2048-query
+  *    workload, so assignment is n x 256 broadcast dots and the probe
+  *    join fans out 2048 x (n/256) candidates — both linear in n. (The
+  *    gate's own corpus-proportional strides would make assignment
+  *    O(n^2/100): correct for its fixed table, wrong for a growth
+  *    study — exactly the distinction this probe exists to document.)
+  *  - Halo: an NxN grid (16/32/64 — the largest is the verdict's
+  *    ~64x64-tile grid, 170x the 6x4 golden) of 128x128 tiles carrying
+  *    the ScaleSmoke blob field (radius-5 blobs on a 24-px lattice, so
+  *    objects cross tile borders and both exchanges carry real margins).
+  *
+  * At the largest size each family's physical plan is asserted: the band
+  * join is still a hash equi-join on (band, bandval), the IVF probe join
+  * is still a broadcast hash join (the only BNLJ is the adjudicated
+  * centroid-codebook broadcast), and the pipeline plans EXACTLY TWO
+  * exchanges (SURVEY §3.1's two neighbor exchanges; the reference's only
+  * scale datum is `examples/test_relabeling_3D.ipynb` cell 20).
+  *
+  * `sbt "runMain graft.tools.ShuffleScale"` (optional arg: base doc/vec
+  * count, default 50000).
+  */
+object ShuffleScale {
+
+  private def fitExponent(scales: Seq[Long], secs: Seq[Double]): Double = {
+    val xs = scales.map(s => math.log(s.toDouble))
+    val ys = secs.map(math.log)
+    val xm = xs.sum / xs.size; val ym = ys.sum / ys.size
+    val num = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum
+    num / xs.map(x => (x - xm) * (x - xm)).sum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0).toLong else 50000L
+    val gridBase = if (args.length > 1) args(1).toInt else 16
+    val scales = Seq(1L, 4L, 16L)
+    val (cpus, cpusN) = BenchProtocol.cpusEnv()
+    val spark = BenchProtocol.session(cpus, cpusN)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // warmup (Bench's discipline), then the ruler
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    println(f"CALIB ${BenchProtocol.calibMin3(spark)}%.3f s (min-of-3)  " +
+      f"load_start ${BenchProtocol.loadavg()}%.2f  cpus $cpusN%d")
+
+    val root = graft.TempDirs.create("graft_shufflescale")
+
+    def minOf3(mk: () => DataFrame): (Double, Long) = {
+      var best = Double.MaxValue; var rows = 0L
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        rows = mk().count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        spark.catalog.clearCache()
+      }
+      (best, rows)
+    }
+
+    final case class Fam(name: String, times: Seq[Double], rows: Seq[Long]) {
+      def report(): Unit = {
+        val e = fitExponent(scales, times)
+        // the top leg (4x -> 16x) is the work-dominated slope: at 1x the
+        // per-job scheduler floor (~0.3-0.5 s on local[32]) inflates the
+        // small point and DEFLATES the 3-point fit, so the top leg is the
+        // honest scaling statistic; the 3-point fit rides along
+        val top = math.log(times(2) / times(1)) / math.log(4.0)
+        val ts = scales.zip(times).zip(rows).map { case ((s, t), r) =>
+          f"${s}x=${t}%.2fs/${r}" }.mkString("  ")
+        println(f"EXPONENT $name%-6s top-leg ${top}%.3f  (3-pt ${e}%.3f)   $ts")
+        // the regression net: superlinear growth in the shuffle families
+        // is the 100 TB failure mode this probe exists to catch (1.25
+        // allows measured-noise wobble above linear, never a quadratic)
+        require(top <= 1.25,
+          f"$name scales superlinearly: top-leg exponent ${top}%.3f")
+      }
+    }
+
+    // ---- family 1: dd_minhash_lsh band equi-join ------------------------
+    val lsh = {
+      def stage(scale: Long): String = {
+        val n = base * scale
+        val dir = s"$root/lsh_$scale"
+        val docs = spark.range(n).selectExpr("id AS doc_id",
+          "concat_ws(' ', transform(sequence(0, 39), j -> " +
+            "substr(md5(CAST(pmod(hash(id * 40 + j), 50000) AS STRING)), 1, 7))) AS text")
+        // planted near-dup twins, the gate's nearCorpusDf shape: 1 in 5
+        // docs gets a suffix-mutated copy far up the id space
+        docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + n * 10).as("doc_id"),
+              concat(col("text"), lit(" xtra")).as("text")))
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+        dir
+      }
+      def cand(dir: String): DataFrame = {
+        import graft.functions.MinHashSlices.minhash_slices
+        val mins = spark.read.parquet(dir)
+          .select(col("doc_id"), minhash_slices(col("text")).as("mh"))
+          .filter(col("mh").isNotNull)
+          .select(col("doc_id") +:
+            (0 until 8).map(j => col("mh").getItem(j).as(s"mh$j")): _*)
+        graft.rel.TextOps.candFromMins(mins)
+      }
+      val runs = scales.map { s =>
+        val dir = stage(s)
+        val (t, r) = minOf3(() => cand(dir))
+        println(f"RUN lsh   ${s}%2dx  n=${base * s}%8d  min3=${t}%7.2f s  " +
+          f"pairs=$r%8d  load=${BenchProtocol.loadavg()}%.2f")
+        // LSH recall over the planted twins is high but not 1.0 (the gate
+        // measures ~0.99); anything below 0.9 means the probe corpus broke
+        require(r >= base * s / 5 * 9 / 10,
+          s"candidate pairs $r lost planted twins (~${base * s / 5} planted)")
+        (t, r)
+      }
+      // plan shape at the largest size: a hash equi-join on the band key,
+      // never a cartesian/nested-loop (the LSH scale claim itself)
+      val plan = cand(s"$root/lsh_16").queryExecution.executedPlan.toString
+      require(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "band join degraded to a non-equi join at 16x")
+      val equi = plan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")) && l.contains("bandval"))
+      require(equi, "no hash equi-join on (band, bandval) in the 16x plan")
+      println("PLAN lsh   16x: hash equi-join on (band, bandval); no " +
+        "cartesian, no BNLJ")
+      Fam("lsh", runs.map(_._1), runs.map(_._2))
+    }
+
+    // ---- family 2: ann_ivf cell-probe join ------------------------------
+    val ivf = {
+      def stage(scale: Long): String = {
+        val n = base * scale
+        val dir = s"$root/ivf_$scale"
+        spark.range(n).selectExpr("id AS vec_id",
+          "transform(sequence(0, 63), j -> " +
+            "CAST(pmod(hash(id * 67 + j), 2001) - 1000 AS BIGINT)) AS qv")
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+        dir
+      }
+      def ivfQ(dir: String, n: Long): DataFrame =
+        graft.rel.VectorOps.annIvfCore(spark.read.parquet(dir),
+          centEvery = math.max(1L, n / 256), queryEvery = math.max(1L, n / 2048))
+      val runs = scales.map { s =>
+        val n = base * s
+        val dir = stage(s)
+        val (t, r) = minOf3(() => ivfQ(dir, n))
+        println(f"RUN ivf   ${s}%2dx  n=$n%8d  min3=${t}%7.2f s  " +
+          f"queries=$r%8d  load=${BenchProtocol.loadavg()}%.2f")
+        require(r > 1500, s"query stratum collapsed: $r rows")
+        (t, r)
+      }
+      val plan = ivfQ(s"$root/ivf_16", base * 16)
+        .queryExecution.executedPlan.toString
+      require(!plan.contains("CartesianProduct"),
+        "IVF probe planned a cartesian at 16x")
+      require(plan.contains("BroadcastHashJoin"),
+        "the cell-probe join is no longer a broadcast hash join at 16x")
+      // the one sanctioned BNLJ is the centroid-codebook broadcast inside
+      // the assign subtree — which the plan instantiates TWICE (it feeds
+      // both the query stratum and the probe side), so <= 2 textual sites
+      val bnlj = plan.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin")
+      require(bnlj <= 2, s"unadjudicated BNLJ crept in: $bnlj sites " +
+        "(only the centroid-codebook broadcast, planned twice, is " +
+        "sanctioned)")
+      println("PLAN ivf   16x: probe join is BroadcastHashJoin on cid; " +
+        s"BNLJ sites=$bnlj (the centroid codebook, x2 assign subtrees); " +
+        "no cartesian")
+      Fam("ivf", runs.map(_._1), runs.map(_._2))
+    }
+
+    // ---- family 3: O1/O4 halo exchange (image2labels) -------------------
+    val halo = {
+      val cs = 128; val ov = 16
+      def blob(gy: Int, gx: Int): Array[Long] = {
+        val data = new Array[Long](cs * cs)
+        var y = 0
+        while (y < cs) {
+          val iy = gy * cs + y
+          var x = 0
+          while (x < cs) {
+            val ix = gx * cs + x
+            val cy = (iy / 24) * 24 + 12 + ((iy / 24 * 31 + ix / 24 * 17) % 7 - 3)
+            val cx = (ix / 24) * 24 + 12 + ((iy / 24 * 13 + ix / 24 * 29) % 7 - 3)
+            val dy = iy - cy; val dx = ix - cx
+            if (dy * dy + dx * dx <= 25) data(y * cs + x) = 1L
+            x += 1
+          }
+          y += 1
+        }
+        data
+      }
+      def stage(grid: Int): String = {
+        val dir = s"$root/halo_$grid"
+        graft.sources.TileIO.write(spark.range(grid.toLong * grid).map { lin =>
+          val (gy, gx) = ((lin / grid).toInt, (lin % grid).toInt)
+          Tile(Array(gy, gx), Array(grid, grid), Array(cs, cs), blob(gy, gx))
+        }, dir)
+        dir
+      }
+      def pipeline(dir: String, grid: Int) = {
+        val tiles = spark.read.parquet(dir)
+          .select("loc", "grid", "shape", "data", "classes").as[Tile]
+        Relabel.image2labels(tiles,
+          GridSpec(Array(grid.toLong * cs, grid.toLong * cs), Array(cs, cs)),
+          CCLSegmentation(), Array(ov, ov), 0.05)
+      }
+      val grids = scales.map(s => gridBase * math.sqrt(s.toDouble).toInt)
+      val runs = grids.map { g =>
+        val dir = stage(g)
+        var best = Double.MaxValue; var rows = 0L
+        for (_ <- 1 to 3) {
+          val t0 = System.nanoTime()
+          rows = pipeline(dir, g).count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          spark.catalog.clearCache()
+        }
+        println(f"RUN halo  ${g * g / (gridBase * gridBase)}%2dx  " +
+          f"grid=${g}%2dx$g%-2d  min3=${best}%7.2f s  tiles=$rows%6d  " +
+          f"load=${BenchProtocol.loadavg()}%.2f")
+        require(rows == g.toLong * g, s"pipeline lost tiles: $rows")
+        (best, rows)
+      }
+      // the scale claim: EXACTLY two exchanges at the largest grid — the
+      // prepare (O1) halo and the merge (O4) re-halo, nothing else
+      val gMax = grids.last
+      val plan = pipeline(s"$root/halo_$gMax", gMax)
+        .queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      require(exchanges == 2,
+        s"expected exactly 2 exchanges in the ${gMax}x$gMax pipeline, " +
+          s"got $exchanges")
+      println(s"PLAN halo  16x: exactly 2 exchanges (O1 halo, O4 merge) " +
+        s"on the ${gMax}x$gMax-tile grid")
+      Fam("halo", runs.map(_._1), runs.map(_._2))
+    }
+
+    println(f"CALIB_END ${BenchProtocol.calibMin3(spark)}%.3f s  " +
+      f"load_end ${BenchProtocol.loadavg()}%.2f")
+    lsh.report(); ivf.report(); halo.report()
+    spark.stop()
+  }
+}
