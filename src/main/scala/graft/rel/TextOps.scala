@@ -89,7 +89,7 @@ object TextOps {
     * all (the signature relation is born document-sized). Parity with the
     * relational form is pinned by `MinHashSlicesSpec`.
     */
-  private[rel] def minhashCand(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashCand(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MinHashSlices.minhash_slices
     val mins = nearCorpusDf(s, d)
       .select(col("doc_id"), minhash_slices(col("text")).as("mh"))
@@ -147,6 +147,32 @@ object TextOps {
 
   private def minhashCandFrom(shingles: DataFrame): DataFrame =
     candFromMins(bandSig(shingles)._2)
+
+  /** `dd_lsh_recall`'s exact ground truth: every pair with shingle-set
+    * Jaccard >= 0.5 over the near-dup corpus, found via the co-shingle
+    * equi-join (any pair with J > 0 shares a shingle — never an
+    * all-pairs product). Returns (truth, shd): callers must hand `shd`
+    * to `Caching.releaseAfterAction` with their terminal frame (the
+    * distinct shingle relation feeds the pair join AND both size
+    * lookups). `private[graft]`: the round-14 adjudication probe
+    * (tools/LshRecallProfile) times this subquery through the gate's own
+    * code path to name the gate's cost center.
+    */
+  private[graft] def lshTruthPairs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val shd = shinglesDf(nearCorpusDf(s, d)).distinct()
+    val dsh = shd.select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = dsh.as("x").join(dsh.as("y"),
+        expr("x.hs = y.hs AND x.doc_id < y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select("id_a", "id_b")
+    (truth, shd)
+  }
 
   /** Nibble value expression shared by both engines' simhash: position k
     * (1-based) of the md5 hex digest as 0..15.
@@ -718,17 +744,7 @@ object TextOps {
     // the query shape (hash equi-joins + aggregates) is already the
     // sample-sized one.
     Q("dd_lsh_recall", (s, d) => {
-      val shd = shinglesDf(nearCorpusDf(s, d)).distinct()
-      val dsh = shd.select(col("doc_id"), xxhash64(col("shingle")).as("hs"))
-      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val truth = dsh.as("x").join(dsh.as("y"),
-          expr("x.hs = y.hs AND x.doc_id < y.doc_id"))
-        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
-        .select("id_a", "id_b")
+      val (truth, shd) = lshTruthPairs(s, d)
       val cand = minhashCand(s, d)
       val caught = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
       Caching.releaseAfterAction(
