@@ -19,19 +19,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * The relational form shuffles every shingle of every document into a
   * corpus-wide aggregate: O(tokens) exchanged rows just to produce one
   * 8-slot row per document. This expression computes the same 8 minima —
-  * `min(substr(md5(shingle), 4j+1, 4))` over the document's word 3-gram
-  * shingles, j = 0..7 — in a single pass inside the scan stage, so the
-  * signature relation is born document-sized and the ONLY exchange left in
-  * candidate generation is the band equi-join. On a 100 TB corpus that
-  * removes the largest shuffle of the whole dedup pipeline.
+  * 32-bit slices of two MD5 digests per shingle, minimized over the
+  * document's word 3-gram shingles — in a single pass inside the scan
+  * stage, so the signature relation is born document-sized and the ONLY
+  * exchange left in candidate generation is the band equi-join. On a
+  * 100 TB corpus that removes the largest shuffle of the whole dedup
+  * pipeline.
+  *
+  * Slice width is a SCALE parameter, not a detail: with the original
+  * 16-bit slices (`substr(md5(shingle), 4j+1, 4)`), the minimum of ~40
+  * draws from a 65 536-value space collides between two UNRELATED
+  * documents with p ≈ 3e-4 per slice, so a two-slice band collides with
+  * p ≈ 1e-7 and spurious candidates grow as 4·C(n,2)·1e-7 — measured by
+  * `tools/ShuffleScale` as an exactly quadratic excess that overtakes the
+  * planted pairs at ~3 M documents (2.57 M spurious of 3.21 M pairs at
+  * n = 3.2 M). 32-bit slices push the per-band collision to ~2.5e-17:
+  * spurious pairs stay negligible past 10^8 documents, which is the
+  * regime a 100 TB corpus actually occupies. MD5 yields 128 bits = four
+  * 32-bit slices, so the 8 functions take slices 0-3 from `md5(shingle)`
+  * and 4-7 from `md5(shingle || '#2')` (both engines can compute both).
   *
   * Parity contract (verified by `MinHashSlicesSpec` against the relational
   * form): words split on single spaces keeping empties, shingles are
   * consecutive word triples joined by spaces, digests are MD5 over UTF-8
-  * bytes, slice j is hex chars [4j, 4j+4) — compared as strings, which for
-  * fixed-width lowercase hex is numeric order. Documents with fewer than
-  * 3 words have no shingles and yield NULL (= absent from the relational
-  * signature).
+  * bytes, slice j < 4 is hex chars [8j, 8j+8) of md5(shingle), slice
+  * j >= 4 is hex chars [8(j-4), 8(j-4)+8) of md5(shingle || "#2") —
+  * compared as strings, which for fixed-width lowercase hex is numeric
+  * order. Documents with fewer than 3 words have no shingles and yield
+  * NULL (= absent from the relational signature).
   */
 case class MinHashSlices(child: Expression) extends UnaryExpression {
 
@@ -77,18 +92,29 @@ object MinHashSlices {
     val words = text.toString.split(" ", -1)
     if (words.length < 3) return null
     val md = MD5.get()
-    val mins = Array.fill(8)(0x10000) // sentinel above any 16-bit slice
+    val mins = Array.fill(8)(0x100000000L) // sentinel above any 32-bit slice
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i + 2 < words.length) {
       sb.setLength(0)
       sb.append(words(i)).append(' ').append(words(i + 1)).append(' ')
         .append(words(i + 2))
-      val digest = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+      val d1 = md.digest(bytes)
+      md.reset()
+      // second hash function family: md5(shingle || "#2") — '#' and '2'
+      // are single-byte in UTF-8, so appending to the byte array equals
+      // appending to the string before encoding
+      val bytes2 = java.util.Arrays.copyOf(bytes, bytes.length + 2)
+      bytes2(bytes.length) = '#'; bytes2(bytes.length + 1) = '2'
+      val d2 = md.digest(bytes2)
       md.reset()
       var j = 0
       while (j < 8) {
-        val v = ((digest(2 * j) & 0xff) << 8) | (digest(2 * j + 1) & 0xff)
+        val d = if (j < 4) d1 else d2
+        val o = (j % 4) * 4
+        val v = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+          ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -97,13 +123,13 @@ object MinHashSlices {
     val out = new Array[Any](8)
     var j = 0
     while (j < 8) {
-      out(j) = UTF8String.fromString(f"${mins(j)}%04x")
+      out(j) = UTF8String.fromString(f"${mins(j)}%08x")
       j += 1
     }
     new GenericArrayData(out)
   }
 
-  /** Column builder: 8-element array of 4-hex-char slice minima, NULL for
+  /** Column builder: 8-element array of 8-hex-char slice minima, NULL for
     * documents with fewer than 3 words.
     */
   def minhash_slices(text: Column): Column =

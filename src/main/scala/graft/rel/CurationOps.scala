@@ -1059,7 +1059,7 @@ object CurationOps {
             .when(col("fc").isNotNull, "contaminated")
             .otherwise("kept").as("verdict"))
       graft.Caching.releaseAfterAction(out, shd)
-    }, Some("""
+    }, Some(s"""
       WITH tc AS (SELECT doc_id, lang, text FROM documents
                   WHERE doc_id % 100 != 0),
       st AS (
@@ -1082,10 +1082,7 @@ object CurationOps {
       shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
       mins AS (
         SELECT doc_id,
-               min(substr(md5(shingle), 1, 4)) AS mh0, min(substr(md5(shingle), 5, 4)) AS mh1,
-               min(substr(md5(shingle), 9, 4)) AS mh2, min(substr(md5(shingle), 13, 4)) AS mh3,
-               min(substr(md5(shingle), 17, 4)) AS mh4, min(substr(md5(shingle), 21, 4)) AS mh5,
-               min(substr(md5(shingle), 25, 4)) AS mh6, min(substr(md5(shingle), 29, 4)) AS mh7
+               ${TextOps.MINHASH_MINS_SQL}
         FROM shd GROUP BY doc_id),
       sig AS (
         SELECT doc_id, 0 AS band, mh0 || mh1 AS bandval FROM mins

@@ -117,10 +117,15 @@ object TextOps {
     * go through [[minhashCand]]'s fused expression instead.
     */
   private def bandSig(shingles: DataFrame): (DataFrame, DataFrame) = {
+    // 32-bit slice minima from two digests per shingle (see the slice-width
+    // scale note on graft.functions.MinHashSlices: 16-bit minima saturate
+    // and go quadratic in spurious band collisions at ~1 M documents)
     val sh = shingles
       .withColumn("h", md5(col("shingle")))
+      .withColumn("h2", md5(concat(col("shingle"), lit("#2"))))
     val aggs = (0 until 8).map(j =>
-      min(expr(s"substr(h, ${4 * j + 1}, 4)")).as(s"mh$j"))
+      min(expr(s"substr(${if (j < 4) "h" else "h2"}, ${8 * (j % 4) + 1}, 8)"))
+        .as(s"mh$j"))
     // the band join reads this more than once; materialize once (no
     // DataFrame CSE). Tiny: one 8-slot row per document. Callers release
     // it via Caching once their action completes.
@@ -223,14 +228,23 @@ object TextOps {
                .mkString(" + ")} AS BIGINT) AS simhash
       FROM bs)"""
 
+  /** The 8 minhash slice-minimum aggregate expressions — 32-bit slices
+    * from two digests per shingle (see the slice-width scale note on
+    * [[graft.functions.MinHashSlices]]). ONE definition spliced into every
+    * oracle `mins` CTE (here, dd_lsh_recall's, dd_lsh_tuning's,
+    * CurationOps' fuzzy decontam, StreamingOps' st_dd_minhash) so the
+    * fused engine expression and its five SQL mirrors cannot drift.
+    */
+  private[graft] val MINHASH_MINS_SQL: String = (0 until 8).map { j =>
+    val src = if (j < 4) "md5(shingle)" else "md5(shingle || '#2')"
+    s"min(substr($src, ${8 * (j % 4) + 1}, 8)) AS mh$j"
+  }.grouped(2).map(_.mkString(", ")).mkString(",\n             ")
+
   private[rel] val MINHASH_CAND_SQL = s"""
     WITH $NEAR_SQL, $SHINGLES_SQL,
     mins AS (
       SELECT doc_id,
-             min(substr(md5(shingle), 1, 4)) AS mh0, min(substr(md5(shingle), 5, 4)) AS mh1,
-             min(substr(md5(shingle), 9, 4)) AS mh2, min(substr(md5(shingle), 13, 4)) AS mh3,
-             min(substr(md5(shingle), 17, 4)) AS mh4, min(substr(md5(shingle), 21, 4)) AS mh5,
-             min(substr(md5(shingle), 25, 4)) AS mh6, min(substr(md5(shingle), 29, 4)) AS mh7
+             $MINHASH_MINS_SQL
       FROM sh GROUP BY doc_id),
     sig AS (
       SELECT doc_id, 0 AS band, mh0 || mh1 AS bandval FROM mins
@@ -769,10 +783,7 @@ object TextOps {
         WHERE i.inter * 2 >= na.n + nb.n - i.inter),
       mins AS (
         SELECT doc_id,
-               min(substr(md5(shingle), 1, 4)) AS mh0, min(substr(md5(shingle), 5, 4)) AS mh1,
-               min(substr(md5(shingle), 9, 4)) AS mh2, min(substr(md5(shingle), 13, 4)) AS mh3,
-               min(substr(md5(shingle), 17, 4)) AS mh4, min(substr(md5(shingle), 21, 4)) AS mh5,
-               min(substr(md5(shingle), 25, 4)) AS mh6, min(substr(md5(shingle), 29, 4)) AS mh7
+               $MINHASH_MINS_SQL
         FROM shd GROUP BY doc_id),
       sig AS (
         SELECT doc_id, 0 AS band, mh0 || mh1 AS bandval FROM mins
@@ -831,10 +842,7 @@ object TextOps {
       shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
       mins AS (
         SELECT doc_id,
-               min(substr(md5(shingle), 1, 4)) AS mh0, min(substr(md5(shingle), 5, 4)) AS mh1,
-               min(substr(md5(shingle), 9, 4)) AS mh2, min(substr(md5(shingle), 13, 4)) AS mh3,
-               min(substr(md5(shingle), 17, 4)) AS mh4, min(substr(md5(shingle), 21, 4)) AS mh5,
-               min(substr(md5(shingle), 25, 4)) AS mh6, min(substr(md5(shingle), 29, 4)) AS mh7
+               $MINHASH_MINS_SQL
         FROM shd GROUP BY doc_id),
       sig AS (
         SELECT doc_id, 0 AS band, mh0 || mh1 AS bandval FROM mins

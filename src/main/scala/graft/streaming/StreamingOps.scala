@@ -644,7 +644,7 @@ object StreamingOps {
     s.table(qn)
   }
 
-  private val MINHASH_STREAM_SQL = """
+  private val MINHASH_STREAM_SQL = s"""
       WITH sh AS (
         SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
@@ -652,10 +652,7 @@ object StreamingOps {
         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
       mins AS (
         SELECT doc_id,
-               min(substr(md5(shingle), 1, 4)) AS mh0, min(substr(md5(shingle), 5, 4)) AS mh1,
-               min(substr(md5(shingle), 9, 4)) AS mh2, min(substr(md5(shingle), 13, 4)) AS mh3,
-               min(substr(md5(shingle), 17, 4)) AS mh4, min(substr(md5(shingle), 21, 4)) AS mh5,
-               min(substr(md5(shingle), 25, 4)) AS mh6, min(substr(md5(shingle), 29, 4)) AS mh7
+               ${graft.rel.TextOps.MINHASH_MINS_SQL}
         FROM sh GROUP BY doc_id),
       sig AS (
         SELECT doc_id, 0 AS band, mh0 || mh1 AS bandval FROM mins

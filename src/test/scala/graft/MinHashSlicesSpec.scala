@@ -13,7 +13,10 @@ class MinHashSlicesSpec extends AnyFunSuite {
   lazy val spark = SparkTest.session
   private val sf = "/root/testdata/sf0.001"
 
-  /** The relational signature: word-3-gram shingles, md5, 8 slice minima. */
+  /** The relational signature: word-3-gram shingles, two md5 digests per
+    * shingle (`md5(shingle)` for slices 0-3, `md5(shingle || "#2")` for
+    * 4-7), 8 minima of 8-hex-char (32-bit) slices.
+    */
   private def relationalMins(corpus: DataFrame): DataFrame = {
     val sh = corpus
       .withColumn("words", split(col("text"), " "))
@@ -24,8 +27,10 @@ class MinHashSlicesSpec extends AnyFunSuite {
                             element_at(words, i + 1), element_at(words, i + 2)))"""))
           .as("shingle"))
       .withColumn("h", md5(col("shingle")))
+      .withColumn("h2", md5(concat(col("shingle"), lit("#2"))))
     val aggs = (0 until 8).map(j =>
-      min(expr(s"substr(h, ${4 * j + 1}, 4)")).as(s"mh$j"))
+      min(expr(s"substr(${if (j < 4) "h" else "h2"}, ${8 * (j % 4) + 1}, 8)"))
+        .as(s"mh$j"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
