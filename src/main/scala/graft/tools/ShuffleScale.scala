@@ -75,6 +75,13 @@ object ShuffleScale {
     println(f"CALIB ${BenchProtocol.calibMin3(spark)}%.3f s (min-of-3)  " +
       f"load_start ${BenchProtocol.loadavg()}%.2f  cpus $cpusN%d")
 
+    // optional third arg: comma-separated family subset ("lsh,ivf,halo") —
+    // re-adjudicating one family's timing on a quiet host shouldn't cost a
+    // full three-family pass
+    val fams: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set("lsh", "ivf", "halo")
+
     val root = graft.TempDirs.create("graft_shufflescale")
 
     def minOf3(mk: () => DataFrame): (Double, Long) = {
@@ -108,7 +115,7 @@ object ShuffleScale {
     }
 
     // ---- family 1: dd_minhash_lsh band equi-join ------------------------
-    val lsh = {
+    val lsh = if (!fams("lsh")) None else Some {
       def stage(scale: Long): String = {
         val n = base * scale
         val dir = s"$root/lsh_$scale"
@@ -159,7 +166,7 @@ object ShuffleScale {
     }
 
     // ---- family 2: ann_ivf cell-probe join ------------------------------
-    val ivf = {
+    val ivf = if (!fams("ivf")) None else Some {
       def stage(scale: Long): String = {
         val n = base * scale
         val dir = s"$root/ivf_$scale"
@@ -202,7 +209,7 @@ object ShuffleScale {
     }
 
     // ---- family 3: O1/O4 halo exchange (image2labels) -------------------
-    val halo = {
+    val halo = if (!fams("halo")) None else Some {
       val cs = 128; val ov = 16
       def blob(gy: Int, gx: Int): Array[Long] = {
         val data = new Array[Long](cs * cs)
@@ -269,7 +276,7 @@ object ShuffleScale {
 
     println(f"CALIB_END ${BenchProtocol.calibMin3(spark)}%.3f s  " +
       f"load_end ${BenchProtocol.loadavg()}%.2f")
-    lsh.report(); ivf.report(); halo.report()
+    lsh.foreach(_.report()); ivf.foreach(_.report()); halo.foreach(_.report())
     spark.stop()
   }
 }
