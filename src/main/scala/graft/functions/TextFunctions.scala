@@ -100,15 +100,13 @@ object MinHashSlices {
       sb.append(words(i)).append(' ').append(words(i + 1)).append(' ')
         .append(words(i + 2))
       val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
-      val d1 = md.digest(bytes)
-      md.reset()
+      val d1 = md.digest(bytes) // digest() auto-resets the instance
       // second hash function family: md5(shingle || "#2") — '#' and '2'
       // are single-byte in UTF-8, so appending to the byte array equals
       // appending to the string before encoding
       val bytes2 = java.util.Arrays.copyOf(bytes, bytes.length + 2)
       bytes2(bytes.length) = '#'; bytes2(bytes.length + 1) = '2'
       val d2 = md.digest(bytes2)
-      md.reset()
       var j = 0
       while (j < 8) {
         val d = if (j < 4) d1 else d2

@@ -72,15 +72,28 @@ object ShuffleScale {
 
     // warmup (Bench's discipline), then the ruler
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    println(f"CALIB ${BenchProtocol.calibMin3(spark)}%.3f s (min-of-3)  " +
-      f"load_start ${BenchProtocol.loadavg()}%.2f  cpus $cpusN%d")
+    val calibStart = BenchProtocol.calibMin3(spark)
+    val loadStart = BenchProtocol.loadavg()
+    println(f"CALIB $calibStart%.3f s (min-of-3)  " +
+      f"load_start $loadStart%.2f  cpus $cpusN%d")
 
     // optional third arg: comma-separated family subset ("lsh,ivf,halo") —
     // re-adjudicating one family's timing on a quiet host shouldn't cost a
-    // full three-family pass
+    // full three-family pass. Validated fail-fast: a typo ('LSH',
+    // 'minhash') would otherwise silently deselect EVERY family and the
+    // probe would run calibration then exit with no EXPONENT lines and no
+    // regression net — an empty pass masquerading as a green one.
+    val known = Set("lsh", "ivf", "halo")
     val fams: Set[String] =
-      if (args.length > 2) args(2).split(",").map(_.trim).toSet
-      else Set("lsh", "ivf", "halo")
+      if (args.length > 2) {
+        val asked = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = asked -- known
+        require(unknown.isEmpty,
+          s"unknown ShuffleScale families: ${unknown.mkString(",")} " +
+            s"(valid: ${known.toSeq.sorted.mkString(",")})")
+        require(asked.nonEmpty, "empty family selection")
+        asked
+      } else known
 
     val root = graft.TempDirs.create("graft_shufflescale")
 
@@ -95,8 +108,9 @@ object ShuffleScale {
       (best, rows)
     }
 
-    final case class Fam(name: String, times: Seq[Double], rows: Seq[Long]) {
-      def report(): Unit = {
+    final case class Fam(name: String, sizes: Seq[Long], times: Seq[Double],
+        rows: Seq[Long], planAssert: String) {
+      def report(): (Double, Double) = {
         val e = fitExponent(scales, times)
         // the top leg (4x -> 16x) is the work-dominated slope: at 1x the
         // per-job scheduler floor (~0.3-0.5 s on local[32]) inflates the
@@ -111,6 +125,7 @@ object ShuffleScale {
         // allows measured-noise wobble above linear, never a quadratic)
         require(top <= 1.25,
           f"$name scales superlinearly: top-leg exponent ${top}%.3f")
+        (top, e)
       }
     }
 
@@ -160,9 +175,9 @@ object ShuffleScale {
         (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
           l.contains("BroadcastHashJoin")) && l.contains("bandval"))
       require(equi, "no hash equi-join on (band, bandval) in the 16x plan")
-      println("PLAN lsh   16x: hash equi-join on (band, bandval); no " +
-        "cartesian, no BNLJ")
-      Fam("lsh", runs.map(_._1), runs.map(_._2))
+      val note = "hash equi-join on (band, bandval); no cartesian, no BNLJ"
+      println(s"PLAN lsh   16x: $note")
+      Fam("lsh", scales.map(base * _), runs.map(_._1), runs.map(_._2), note)
     }
 
     // ---- family 2: ann_ivf cell-probe join ------------------------------
@@ -202,10 +217,11 @@ object ShuffleScale {
       require(bnlj <= 2, s"unadjudicated BNLJ crept in: $bnlj sites " +
         "(only the centroid-codebook broadcast, planned twice, is " +
         "sanctioned)")
-      println("PLAN ivf   16x: probe join is BroadcastHashJoin on cid; " +
+      val note = "probe join is BroadcastHashJoin on cid; " +
         s"BNLJ sites=$bnlj (the centroid codebook, x2 assign subtrees); " +
-        "no cartesian")
-      Fam("ivf", runs.map(_._1), runs.map(_._2))
+        "no cartesian"
+      println(s"PLAN ivf   16x: $note")
+      Fam("ivf", scales.map(base * _), runs.map(_._1), runs.map(_._2), note)
     }
 
     // ---- family 3: O1/O4 halo exchange (image2labels) -------------------
@@ -269,14 +285,57 @@ object ShuffleScale {
       require(exchanges == 2,
         s"expected exactly 2 exchanges in the ${gMax}x$gMax pipeline, " +
           s"got $exchanges")
-      println(s"PLAN halo  16x: exactly 2 exchanges (O1 halo, O4 merge) " +
-        s"on the ${gMax}x$gMax-tile grid")
-      Fam("halo", runs.map(_._1), runs.map(_._2))
+      val note = s"exactly 2 exchanges (O1 halo, O4 merge) on the " +
+        s"${gMax}x$gMax-tile grid"
+      println(s"PLAN halo  16x: $note")
+      Fam("halo", grids.map(g => g.toLong * g), runs.map(_._1),
+        runs.map(_._2), note)
     }
 
-    println(f"CALIB_END ${BenchProtocol.calibMin3(spark)}%.3f s  " +
-      f"load_end ${BenchProtocol.loadavg()}%.2f")
-    lsh.foreach(_.report()); ivf.foreach(_.report()); halo.foreach(_.report())
+    val calibEnd = BenchProtocol.calibMin3(spark)
+    val loadEnd = BenchProtocol.loadavg()
+    println(f"CALIB_END $calibEnd%.3f s  load_end $loadEnd%.2f")
+    val famLines = Seq(lsh, ivf, halo).flatten.map { f =>
+      val (top, e) = f.report()
+      f.name -> (f"""{"sizes": [${f.sizes.mkString(", ")}], """ +
+        f""""secs": [${f.times.map(t => f"$t%.3f").mkString(", ")}], """ +
+        f""""rows": [${f.rows.mkString(", ")}], """ +
+        f""""top_leg_exponent": $top%.3f, "exponent_3pt": $e%.3f, """ +
+        f""""calib_start": $calibStart%.3f, "calib_end": $calibEnd%.3f, """ +
+        f""""load_start": $loadStart%.2f, "load_end": $loadEnd%.2f, """ +
+        f""""unix": ${System.currentTimeMillis / 1000}, """ +
+        s""""plan_assert": "${f.planAssert}"}""")
+    }.toMap
+    writeScaleJson(famLines)
     spark.stop()
+  }
+
+  /** Persist the run as a MACHINE artifact (`SCALE.json`, repo root) so the
+    * next round can diff exponents mechanically instead of re-reading
+    * SCALE.md prose. Partial runs (the family filter) MERGE: each family is
+    * serialized on its own line keyed by name, and families absent from
+    * this run keep their previous line — a one-family quiet re-adjudication
+    * must not discard the other two families' certified numbers. The merge
+    * reads back only lines this writer itself emitted (one
+    * `"name": {...}` per line), so no general JSON parser is needed.
+    */
+  private def writeScaleJson(fresh: Map[String, String]): Unit = {
+    val path = java.nio.file.Paths.get("SCALE.json")
+    val famLine = """^    "(\w+)": (\{.*\}),?$""".r
+    val previous: Map[String, String] =
+      if (java.nio.file.Files.exists(path))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(path)).asScala.collect {
+            case famLine(name, body) => name -> body
+          }.toMap
+      else Map.empty
+    val merged = previous ++ fresh
+    val body = Seq("lsh", "ivf", "halo").flatMap(n =>
+      merged.get(n).map(b => s"""    "$n": $b""")).mkString(",\n")
+    java.nio.file.Files.write(path,
+      (s"""{\n  "generated_by": "graft.tools.ShuffleScale",\n""" +
+        s"""  "families": {\n$body\n  }\n}\n""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE.json updated: ${fresh.keys.toSeq.sorted.mkString(",")}")
   }
 }

@@ -47,7 +47,16 @@ def main(sfdir: str, pairs_dir: str, clusters_dir: str) -> int:
             parent[x], x = r, parent[x]
         return r
 
+    known = set(docs)
     for a, b in pairs:
+        # pairs and documents must come from the SAME mirror; a mismatched
+        # dir pairing would otherwise surface as an opaque KeyError inside
+        # find() instead of a diagnostic
+        if a not in known or b not in known:
+            print(f"[FAIL] pair ({a}, {b}) references a doc_id absent from "
+                  f"{sfdir}/documents.parquet — pairs/clusters dirs don't "
+                  f"match the mirror")
+            return 1
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
