@@ -26,13 +26,62 @@ object ImageCodec {
 
   /** Closed-form pixel channels; all operands non-negative so `%` agrees
     * between Scala and SQL.
+    *
+    * Each channel is the original affine gradient PLUS a per-seed bilinear
+    * texture term `(x + t1)(y + t2) % 256`, where t1/t2 are multiplicative
+    * residues of the seed under coprime moduli. The texture is the scale
+    * fix for the aHash family: an affine gradient's block-mean bit pattern
+    * is a near-constant half-plane (the hash had only ~2^16 effective
+    * classes — seed mod 256/17/13), so on a 50 k-doc mirror the banded
+    * Hamming pair graph collapsed into ONE 27.4 M-pair component and
+    * cross-copy collisions grew quadratically in the upscale factor K.
+    * The bilinear term wraps mod 256 many times per block, making block
+    * means seed-diverse, so unrelated documents hash apart and near-dup
+    * pair volume is driven by [[visualSeed]]'s PLANTED twins — linear in
+    * corpus size, the property the 100 TB dedup path needs.
     */
-  def red(seed: Long, x: Int, y: Int): Int = ((x * 7 + y * 3 + seed) % 256).toInt
-  def green(seed: Long, x: Int, y: Int): Int = ((x * 5 + y * 11 + seed * 2) % 256).toInt
-  def blue(seed: Long, x: Int, y: Int): Int = ((x * 13 + y * 7 + seed * 3) % 256).toInt
+  def tex1(seed: Long): Long = (seed * 73 + 11) % 251
+  def tex2(seed: Long): Long = (seed * 149 + 29) % 241
+
+  def red(seed: Long, x: Int, y: Int): Int =
+    ((x * 7 + y * 3 + seed + (x + tex1(seed)) * (y + tex2(seed))) % 256).toInt
+  def green(seed: Long, x: Int, y: Int): Int =
+    ((x * 5 + y * 11 + seed * 2 + (x + tex2(seed)) * (y + tex1(seed) + 7)) % 256).toInt
+  def blue(seed: Long, x: Int, y: Int): Int =
+    ((x * 13 + y * 7 + seed * 3 + (x + tex1(seed) + 3) * (y + tex2(seed) + 5)) % 256).toInt
 
   def width(seed: Long): Int = 16 + (seed % 17).toInt
   def height(seed: Long): Int = 16 + (seed % 13).toInt
+
+  /** Visual seed of a DOCUMENT's image: documents with `doc_id % 19 == 7`
+    * render the raster of `doc_id - 3` — deterministic planted visual
+    * twins (the image corpus's analog of the text corpus's planted
+    * near-dup residues), so the phash gates find a pair population that
+    * is exactly linear in corpus size at every scale factor and under the
+    * K-times mirror (`tools/make_upscaled.py`), where each copy's twins
+    * stay within-copy because key offsets move pairs together. Video /
+    * audio / mux payloads key off raw per-frame seeds and are NOT
+    * twinned.
+    */
+  def visualSeed(docId: Long): Long =
+    if (docId % 19 == 7) docId - 3 else docId
+
+  /** The SAME definitions as SQL snippets, parameterized by the seed
+    * expression — the single source every DuckDB oracle interpolates
+    * (PipelineOps / AudioOps), so engine and oracle formulas cannot
+    * drift (the MINHASH_MINS_SQL discipline applied to pixels). DuckDB
+    * `%` on the non-negative BIGINTs here matches Scala Long `%`.
+    */
+  def tex1Sql(s: String): String = s"(($s) * 73 + 11) % 251"
+  def tex2Sql(s: String): String = s"(($s) * 149 + 29) % 241"
+  def rSql(s: String): String =
+    s"(x * 7 + y * 3 + ($s) + (x + ${tex1Sql(s)}) * (y + ${tex2Sql(s)})) % 256"
+  def gSql(s: String): String =
+    s"(x * 5 + y * 11 + ($s) * 2 + (x + ${tex2Sql(s)}) * (y + ${tex1Sql(s)} + 7)) % 256"
+  def bSql(s: String): String =
+    s"(x * 13 + y * 7 + ($s) * 3 + (x + ${tex1Sql(s)} + 3) * (y + ${tex2Sql(s)} + 5)) % 256"
+  def visualSeedSql(id: String): String =
+    s"CASE WHEN ($id) % 19 = 7 THEN ($id) - 3 ELSE ($id) END"
 
   /** Deterministic RGB image -> real PNG bytes (ImageIO encoder). */
   def synthPng(seed: Long): Array[Byte] = {

@@ -259,7 +259,7 @@ object AudioOps {
       .toDF("doc_id", "seg_idx", "kind", "elems", "msum")
   }
 
-  private val MM_MUX_SQL = """
+  private val MM_MUX_SQL = s"""
     WITH segs AS (
       SELECT d.doc_id, kk.k FROM documents d, range(0, 7) kk(k)
       WHERE kk.k < 2 + d.doc_id % 5),
@@ -275,7 +275,7 @@ object AudioOps {
     vout AS (
       SELECT doc_id, k AS seg_idx, 'v' AS kind,
              any_value(w * h) AS elems,
-             CAST(sum((x * 7 + y * 3 + fs) % 256) AS BIGINT) AS msum
+             CAST(sum(${graft.mm.ImageCodec.rSql("fs")}) AS BIGINT) AS msum
       FROM vpx GROUP BY doc_id, k),
     aseg AS (
       SELECT doc_id, k, doc_id + 131 * k AS es FROM segs WHERE k % 2 = 1),

@@ -477,28 +477,33 @@ object PipelineOps {
   /** Shared SQL: the per-pixel relation of the synthetic image corpus.
     * MUST stay in sync with graft.mm.ImageCodec's formula constants.
     */
-  private val MM_RGB_CTES = """
+  private val MM_RGB_CTES = s"""
+    mm_vs AS (
+      SELECT doc_id, ${graft.mm.ImageCodec.visualSeedSql("doc_id")} AS vs
+      FROM documents),
     mm_px AS (
-      SELECT d.doc_id,
-             CAST(16 + d.doc_id % 17 AS BIGINT) AS w,
-             CAST(16 + d.doc_id % 13 AS BIGINT) AS h,
+      SELECT d.doc_id, d.vs,
+             CAST(16 + d.vs % 17 AS BIGINT) AS w,
+             CAST(16 + d.vs % 13 AS BIGINT) AS h,
              tx.x AS x, ty.y AS y
-      FROM documents d, range(0, 32) tx(x), range(0, 28) ty(y)
-      WHERE tx.x < 16 + d.doc_id % 17 AND ty.y < 16 + d.doc_id % 13),
+      FROM mm_vs d, range(0, 32) tx(x), range(0, 28) ty(y)
+      WHERE tx.x < 16 + d.vs % 17 AND ty.y < 16 + d.vs % 13),
     mm_rgb AS (
       SELECT doc_id, w, h, x, y,
-             (x * 7 + y * 3 + doc_id) % 256 AS r,
-             (x * 5 + y * 11 + doc_id * 2) % 256 AS g,
-             (x * 13 + y * 7 + doc_id * 3) % 256 AS b
+             ${graft.mm.ImageCodec.rSql("vs")} AS r,
+             ${graft.mm.ImageCodec.gSql("vs")} AS g,
+             ${graft.mm.ImageCodec.bSql("vs")} AS b
       FROM mm_px)"""
 
   /** documents -> (doc_id, real PNG bytes): the opaque binary column every
-    * decode query below starts from.
+    * decode query below starts from. Rasters render from the VISUAL seed
+    * (planted-twin indirection — see [[graft.mm.ImageCodec.visualSeed]]).
     */
   private def pngPayloads(s: SparkSession, d: String) = {
     import s.implicits._
     tbl(s, d, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, graft.mm.ImageCodec.synthPng(id))))
+      .mapPartitions(_.map(id => (id,
+        graft.mm.ImageCodec.synthPng(graft.mm.ImageCodec.visualSeed(id)))))
   }
 
   /** Decode metadata + per-channel pixel sums from the decoded raster. */
@@ -765,7 +770,7 @@ object PipelineOps {
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val (hi, lo, n) = ImageCodec.aHash(
-          ImageCodec.decode(ImageCodec.synthPng(id)))
+          ImageCodec.decode(ImageCodec.synthPng(ImageCodec.visualSeed(id))))
         (id, hi, lo, n)
       })
       .toDF("doc_id", "hash_hi", "hash_lo", "n_bits")
@@ -795,7 +800,7 @@ object PipelineOps {
         it.foreach { id =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(dir, f"doc_$id%06d.png"),
-            ImageCodec.synthPng(id))
+            ImageCodec.synthPng(ImageCodec.visualSeed(id)))
         }
       }
     // a decoy non-matching file the glob must skip
@@ -833,7 +838,7 @@ object PipelineOps {
       .toDF("doc_id", "frame_idx", "width", "height", "sum_r")
   }
 
-  private val MM_FRAME_SAMPLE_SQL = """
+  private val MM_FRAME_SAMPLE_SQL = s"""
     WITH fr AS (
       SELECT d.doc_id, tf.f AS frame_idx, d.doc_id + 997 * tf.f AS fs
       FROM documents d, range(0, 7) tf(f)
@@ -846,7 +851,7 @@ object PipelineOps {
       FROM fr, range(0, 32) tx(x), range(0, 28) ty(y)
       WHERE tx.x < 16 + fs % 17 AND ty.y < 16 + fs % 13)
     SELECT doc_id, frame_idx, any_value(w) AS width, any_value(h) AS height,
-           CAST(sum((x * 7 + y * 3 + fs) % 256) AS BIGINT) AS sum_r
+           CAST(sum(${graft.mm.ImageCodec.rSql("fs")}) AS BIGINT) AS sum_r
     FROM fpx GROUP BY doc_id, frame_idx"""
 
   /** Keyframe detection over the video container — the scene-cut signal a
@@ -912,7 +917,7 @@ object PipelineOps {
     s.table(qn)
   }
 
-  private val MM_KEYFRAMES_SQL = """
+  private val MM_KEYFRAMES_SQL = s"""
     WITH fr AS (
       SELECT d.doc_id, tf.f AS frame_idx, d.doc_id + 997 * tf.f AS fs
       FROM documents d, range(0, 7) tf(f)
@@ -923,9 +928,9 @@ object PipelineOps {
       WHERE tx.x < 16 + fs % 17 AND ty.y < 16 + fs % 13),
     ls AS (
       SELECT doc_id, frame_idx,
-             CAST(sum(((x * 7 + y * 3 + fs) % 256 * 299
-                     + (x * 5 + y * 11 + fs * 2) % 256 * 587
-                     + (x * 13 + y * 7 + fs * 3) % 256 * 114) // 1000)
+             CAST(sum(((${graft.mm.ImageCodec.rSql("fs")}) * 299
+                     + (${graft.mm.ImageCodec.gSql("fs")}) * 587
+                     + (${graft.mm.ImageCodec.bSql("fs")}) * 114) // 1000)
                   AS BIGINT) AS lsum
       FROM fpx GROUP BY doc_id, frame_idx),
     lg AS (

@@ -129,8 +129,8 @@ class MmCodecSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     val ids = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).sorted
-    val hs = ids.map(id =>
-      id -> ImageCodec.aHash(ImageCodec.decode(ImageCodec.synthPng(id)))).toMap
+    val hs = ids.map(id => id -> ImageCodec.aHash(ImageCodec.decode(
+      ImageCodec.synthPng(ImageCodec.visualSeed(id))))).toMap
     val want = (for {
       i <- ids.indices; j <- (i + 1) until ids.length
       (ha, la, _) = hs(ids(i)); (hb, lb, _) = hs(ids(j))
