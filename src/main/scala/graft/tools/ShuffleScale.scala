@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.BenchProtocol
@@ -52,6 +52,136 @@ import graft.tiles.{GridSpec, Tile}
   * count, default 50000).
   */
 object ShuffleScale {
+
+  // ---- family stage/build/assert trios, object-level so the sbt-test
+  // smoke (ShuffleScaleSmokeSpec) drives the SAME production wiring and
+  // plan assertions at minimal sizes every run — the probe's plumbing
+  // can't rot between evidence rounds. main() adds timing and the
+  // exponent regression net on top of exactly these methods.
+
+  /** Stage the LSH corpus: n docs of 40 words from a 50 k-token vocab by
+    * murmur3, plus planted near-dup twins (1 in 5 docs, suffix-mutated).
+    */
+  def lshStage(spark: SparkSession, n: Long, dir: String): Unit = {
+    val docs = spark.range(n).selectExpr("id AS doc_id",
+      "concat_ws(' ', transform(sequence(0, 39), j -> " +
+        "substr(md5(CAST(pmod(hash(id * 40 + j), 50000) AS STRING)), 1, 7))) AS text")
+    docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + n * 10).as("doc_id"),
+          concat(col("text"), lit(" xtra")).as("text")))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** The dd_minhash_lsh candidate query over a staged corpus — the
+    * PRODUCTION path (`TextOps.candFromMins` on `MinHashSlices` minima).
+    */
+  def lshCand(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashSlices.minhash_slices
+    val mins = spark.read.parquet(dir)
+      .select(col("doc_id"), minhash_slices(col("text")).as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 8).map(j => col("mh").getItem(j).as(s"mh$j")): _*)
+    graft.rel.TextOps.candFromMins(mins)
+  }
+
+  /** The LSH scale claim: a hash equi-join on the band key, never a
+    * cartesian/nested-loop.
+    */
+  def assertLshPlan(plan: String): Unit = {
+    require(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "band join degraded to a non-equi join")
+    val equi = plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("bandval"))
+    require(equi, "no hash equi-join on (band, bandval) in the plan")
+  }
+
+  /** Stage the IVF corpus: n 64-dim quantized vectors. */
+  def ivfStage(spark: SparkSession, n: Long, dir: String): Unit =
+    spark.range(n).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), j -> " +
+        "CAST(pmod(hash(id * 67 + j), 2001) - 1000 AS BIGINT)) AS qv")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** The ann_ivf cell-probe query — the PRODUCTION `annIvfCore` pinned to
+    * the 100 TB parametrization: FIXED ~256-centroid codebook and FIXED
+    * ~2048-query workload (see the class doc).
+    */
+  def ivfQuery(spark: SparkSession, dir: String, n: Long): DataFrame =
+    graft.rel.VectorOps.annIvfCore(spark.read.parquet(dir),
+      centEvery = math.max(1L, n / 256), queryEvery = math.max(1L, n / 2048))
+
+  /** The IVF scale claim: the probe join stays a broadcast hash join; the
+    * only BNLJ is the centroid-codebook broadcast, planned at most twice
+    * (it feeds both the query stratum and the probe side).
+    */
+  def assertIvfPlan(plan: String): Unit = {
+    require(!plan.contains("CartesianProduct"), "IVF probe planned a cartesian")
+    require(plan.contains("BroadcastHashJoin"),
+      "the cell-probe join is no longer a broadcast hash join")
+    val bnlj = plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    require(bnlj <= 2, s"unadjudicated BNLJ crept in: $bnlj sites " +
+      "(only the centroid-codebook broadcast, planned twice, is sanctioned)")
+  }
+
+  private val haloCs = 128
+  private val haloOv = 16
+
+  /** The ScaleSmoke blob field: radius-5 blobs on a 24-px lattice, so
+    * objects cross tile borders and both halo exchanges carry real margins.
+    */
+  def haloBlob(gy: Int, gx: Int): Array[Long] = {
+    val cs = haloCs
+    val data = new Array[Long](cs * cs)
+    var y = 0
+    while (y < cs) {
+      val iy = gy * cs + y
+      var x = 0
+      while (x < cs) {
+        val ix = gx * cs + x
+        val cy = (iy / 24) * 24 + 12 + ((iy / 24 * 31 + ix / 24 * 17) % 7 - 3)
+        val cx = (ix / 24) * 24 + 12 + ((iy / 24 * 13 + ix / 24 * 29) % 7 - 3)
+        val dy = iy - cy; val dx = ix - cx
+        if (dy * dy + dx * dx <= 25) data(y * cs + x) = 1L
+        x += 1
+      }
+      y += 1
+    }
+    data
+  }
+
+  /** Stage an NxN grid of 128x128 blob tiles. */
+  def haloStage(spark: SparkSession, grid: Int, dir: String): Unit = {
+    import spark.implicits._
+    graft.sources.TileIO.write(spark.range(grid.toLong * grid).map { lin =>
+      val (gy, gx) = ((lin / grid).toInt, (lin % grid).toInt)
+      Tile(Array(gy, gx), Array(grid, grid), Array(haloCs, haloCs),
+        haloBlob(gy, gx))
+    }, dir)
+  }
+
+  /** The O1/O4 halo pipeline — the PRODUCTION `Relabel.image2labels`. */
+  def haloPipeline(spark: SparkSession, dir: String, grid: Int) = {
+    import spark.implicits._
+    val tiles = spark.read.parquet(dir)
+      .select("loc", "grid", "shape", "data", "classes").as[Tile]
+    Relabel.image2labels(tiles,
+      GridSpec(Array(grid.toLong * haloCs, grid.toLong * haloCs),
+        Array(haloCs, haloCs)),
+      CCLSegmentation(), Array(haloOv, haloOv), 0.05)
+  }
+
+  /** The halo scale claim: EXACTLY two exchanges — the prepare (O1) halo
+    * and the merge (O4) re-halo, nothing else (SURVEY §3.1).
+    */
+  def assertHaloPlan(plan: String): Unit = {
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    require(exchanges == 2,
+      s"expected exactly 2 exchanges in the halo pipeline, got $exchanges")
+  }
 
   private def fitExponent(scales: Seq[Long], secs: Seq[Double]): Double = {
     val xs = scales.map(s => math.log(s.toDouble))
@@ -131,32 +261,10 @@ object ShuffleScale {
 
     // ---- family 1: dd_minhash_lsh band equi-join ------------------------
     val lsh = if (!fams("lsh")) None else Some {
-      def stage(scale: Long): String = {
-        val n = base * scale
-        val dir = s"$root/lsh_$scale"
-        val docs = spark.range(n).selectExpr("id AS doc_id",
-          "concat_ws(' ', transform(sequence(0, 39), j -> " +
-            "substr(md5(CAST(pmod(hash(id * 40 + j), 50000) AS STRING)), 1, 7))) AS text")
-        // planted near-dup twins, the gate's nearCorpusDf shape: 1 in 5
-        // docs gets a suffix-mutated copy far up the id space
-        docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + n * 10).as("doc_id"),
-              concat(col("text"), lit(" xtra")).as("text")))
-          .write.mode(SaveMode.Overwrite).parquet(dir)
-        dir
-      }
-      def cand(dir: String): DataFrame = {
-        import graft.functions.MinHashSlices.minhash_slices
-        val mins = spark.read.parquet(dir)
-          .select(col("doc_id"), minhash_slices(col("text")).as("mh"))
-          .filter(col("mh").isNotNull)
-          .select(col("doc_id") +:
-            (0 until 8).map(j => col("mh").getItem(j).as(s"mh$j")): _*)
-        graft.rel.TextOps.candFromMins(mins)
-      }
       val runs = scales.map { s =>
-        val dir = stage(s)
-        val (t, r) = minOf3(() => cand(dir))
+        val dir = s"$root/lsh_$s"
+        lshStage(spark, base * s, dir)
+        val (t, r) = minOf3(() => lshCand(spark, dir))
         println(f"RUN lsh   ${s}%2dx  n=${base * s}%8d  min3=${t}%7.2f s  " +
           f"pairs=$r%8d  load=${BenchProtocol.loadavg()}%.2f")
         // LSH recall over the planted twins is high but not 1.0 (the gate
@@ -165,16 +273,9 @@ object ShuffleScale {
           s"candidate pairs $r lost planted twins (~${base * s / 5} planted)")
         (t, r)
       }
-      // plan shape at the largest size: a hash equi-join on the band key,
-      // never a cartesian/nested-loop (the LSH scale claim itself)
-      val plan = cand(s"$root/lsh_16").queryExecution.executedPlan.toString
-      require(!plan.contains("CartesianProduct") &&
-        !plan.contains("BroadcastNestedLoopJoin"),
-        "band join degraded to a non-equi join at 16x")
-      val equi = plan.linesIterator.exists(l =>
-        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
-          l.contains("BroadcastHashJoin")) && l.contains("bandval"))
-      require(equi, "no hash equi-join on (band, bandval) in the 16x plan")
+      // plan shape at the largest size (the LSH scale claim itself)
+      assertLshPlan(lshCand(spark, s"$root/lsh_16")
+        .queryExecution.executedPlan.toString)
       val note = "hash equi-join on (band, bandval); no cartesian, no BNLJ"
       println(s"PLAN lsh   16x: $note")
       Fam("lsh", scales.map(base * _), runs.map(_._1), runs.map(_._2), note)
@@ -182,43 +283,20 @@ object ShuffleScale {
 
     // ---- family 2: ann_ivf cell-probe join ------------------------------
     val ivf = if (!fams("ivf")) None else Some {
-      def stage(scale: Long): String = {
-        val n = base * scale
-        val dir = s"$root/ivf_$scale"
-        spark.range(n).selectExpr("id AS vec_id",
-          "transform(sequence(0, 63), j -> " +
-            "CAST(pmod(hash(id * 67 + j), 2001) - 1000 AS BIGINT)) AS qv")
-          .write.mode(SaveMode.Overwrite).parquet(dir)
-        dir
-      }
-      def ivfQ(dir: String, n: Long): DataFrame =
-        graft.rel.VectorOps.annIvfCore(spark.read.parquet(dir),
-          centEvery = math.max(1L, n / 256), queryEvery = math.max(1L, n / 2048))
       val runs = scales.map { s =>
         val n = base * s
-        val dir = stage(s)
-        val (t, r) = minOf3(() => ivfQ(dir, n))
+        val dir = s"$root/ivf_$s"
+        ivfStage(spark, n, dir)
+        val (t, r) = minOf3(() => ivfQuery(spark, dir, n))
         println(f"RUN ivf   ${s}%2dx  n=$n%8d  min3=${t}%7.2f s  " +
           f"queries=$r%8d  load=${BenchProtocol.loadavg()}%.2f")
         require(r > 1500, s"query stratum collapsed: $r rows")
         (t, r)
       }
-      val plan = ivfQ(s"$root/ivf_16", base * 16)
-        .queryExecution.executedPlan.toString
-      require(!plan.contains("CartesianProduct"),
-        "IVF probe planned a cartesian at 16x")
-      require(plan.contains("BroadcastHashJoin"),
-        "the cell-probe join is no longer a broadcast hash join at 16x")
-      // the one sanctioned BNLJ is the centroid-codebook broadcast inside
-      // the assign subtree — which the plan instantiates TWICE (it feeds
-      // both the query stratum and the probe side), so <= 2 textual sites
-      val bnlj = plan.sliding("BroadcastNestedLoopJoin".length)
-        .count(_ == "BroadcastNestedLoopJoin")
-      require(bnlj <= 2, s"unadjudicated BNLJ crept in: $bnlj sites " +
-        "(only the centroid-codebook broadcast, planned twice, is " +
-        "sanctioned)")
+      assertIvfPlan(ivfQuery(spark, s"$root/ivf_16", base * 16)
+        .queryExecution.executedPlan.toString)
       val note = "probe join is BroadcastHashJoin on cid; " +
-        s"BNLJ sites=$bnlj (the centroid codebook, x2 assign subtrees); " +
+        "BNLJ sites<=2 (the centroid codebook, x2 assign subtrees); " +
         "no cartesian"
       println(s"PLAN ivf   16x: $note")
       Fam("ivf", scales.map(base * _), runs.map(_._1), runs.map(_._2), note)
@@ -226,47 +304,14 @@ object ShuffleScale {
 
     // ---- family 3: O1/O4 halo exchange (image2labels) -------------------
     val halo = if (!fams("halo")) None else Some {
-      val cs = 128; val ov = 16
-      def blob(gy: Int, gx: Int): Array[Long] = {
-        val data = new Array[Long](cs * cs)
-        var y = 0
-        while (y < cs) {
-          val iy = gy * cs + y
-          var x = 0
-          while (x < cs) {
-            val ix = gx * cs + x
-            val cy = (iy / 24) * 24 + 12 + ((iy / 24 * 31 + ix / 24 * 17) % 7 - 3)
-            val cx = (ix / 24) * 24 + 12 + ((iy / 24 * 13 + ix / 24 * 29) % 7 - 3)
-            val dy = iy - cy; val dx = ix - cx
-            if (dy * dy + dx * dx <= 25) data(y * cs + x) = 1L
-            x += 1
-          }
-          y += 1
-        }
-        data
-      }
-      def stage(grid: Int): String = {
-        val dir = s"$root/halo_$grid"
-        graft.sources.TileIO.write(spark.range(grid.toLong * grid).map { lin =>
-          val (gy, gx) = ((lin / grid).toInt, (lin % grid).toInt)
-          Tile(Array(gy, gx), Array(grid, grid), Array(cs, cs), blob(gy, gx))
-        }, dir)
-        dir
-      }
-      def pipeline(dir: String, grid: Int) = {
-        val tiles = spark.read.parquet(dir)
-          .select("loc", "grid", "shape", "data", "classes").as[Tile]
-        Relabel.image2labels(tiles,
-          GridSpec(Array(grid.toLong * cs, grid.toLong * cs), Array(cs, cs)),
-          CCLSegmentation(), Array(ov, ov), 0.05)
-      }
       val grids = scales.map(s => gridBase * math.sqrt(s.toDouble).toInt)
       val runs = grids.map { g =>
-        val dir = stage(g)
+        val dir = s"$root/halo_$g"
+        haloStage(spark, g, dir)
         var best = Double.MaxValue; var rows = 0L
         for (_ <- 1 to 3) {
           val t0 = System.nanoTime()
-          rows = pipeline(dir, g).count()
+          rows = haloPipeline(spark, dir, g).count()
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
           spark.catalog.clearCache()
         }
@@ -279,12 +324,8 @@ object ShuffleScale {
       // the scale claim: EXACTLY two exchanges at the largest grid — the
       // prepare (O1) halo and the merge (O4) re-halo, nothing else
       val gMax = grids.last
-      val plan = pipeline(s"$root/halo_$gMax", gMax)
-        .queryExecution.executedPlan.toString
-      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-      require(exchanges == 2,
-        s"expected exactly 2 exchanges in the ${gMax}x$gMax pipeline, " +
-          s"got $exchanges")
+      assertHaloPlan(haloPipeline(spark, s"$root/halo_$gMax", gMax)
+        .queryExecution.executedPlan.toString)
       val note = s"exactly 2 exchanges (O1 halo, O4 merge) on the " +
         s"${gMax}x$gMax-tile grid"
       println(s"PLAN halo  16x: $note")
