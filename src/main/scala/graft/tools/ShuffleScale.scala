@@ -174,13 +174,26 @@ object ShuffleScale {
       CCLSegmentation(), Array(haloOv, haloOv), 0.05)
   }
 
-  /** The halo scale claim: EXACTLY two exchanges — the prepare (O1) halo
-    * and the merge (O4) re-halo, nothing else (SURVEY §3.1).
+  /** The halo scale claim: EXACTLY two shuffles — the prepare (O1) halo
+    * and the merge (O4) re-halo, nothing else (SURVEY §3.1). Counts only
+    * `Exchange hashpartitioning` nodes and excludes `ReusedExchange`
+    * (r15 ADVICE: a bare "Exchange" substring count also matches reuse /
+    * AQE plan-text variants, so a harmless exchange-reuse rewrite would
+    * red the CI smoke without a real extra shuffle). A separate guard
+    * keeps the claim honest: no OTHER shuffle flavor (range / single /
+    * round-robin partitioning) may appear, so a shuffle can't hide from
+    * the hash count by changing partitioning.
     */
   def assertHaloPlan(plan: String): Unit = {
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    require(exchanges == 2,
-      s"expected exactly 2 exchanges in the halo pipeline, got $exchanges")
+    val lines = plan.linesIterator.toSeq.filterNot(_.contains("ReusedExchange"))
+    val hash = lines.count(_.contains("Exchange hashpartitioning"))
+    require(hash == 2,
+      s"expected exactly 2 hash-partitioned exchanges in the halo pipeline, got $hash")
+    val other = lines.filter(l => l.contains("Exchange rangepartitioning") ||
+      l.contains("Exchange SinglePartition") ||
+      l.contains("Exchange RoundRobinPartitioning"))
+    require(other.isEmpty,
+      s"unexpected non-hash shuffle in the halo pipeline: ${other.head.trim}")
   }
 
   private def fitExponent(scales: Seq[Long], secs: Seq[Double]): Double = {
@@ -240,7 +253,11 @@ object ShuffleScale {
 
     final case class Fam(name: String, sizes: Seq[Long], times: Seq[Double],
         rows: Seq[Long], planAssert: String) {
-      def report(): (Double, Double) = {
+      // stats only, NO require (r15 ADVICE): the exponent regression net
+      // runs AFTER SCALE.json is written, so a superlinear family fails
+      // the run without discarding the freshly measured sizes/secs/rows —
+      // the very data needed to diagnose the regression.
+      def stats(): (Double, Double) = {
         val e = fitExponent(scales, times)
         // the top leg (4x -> 16x) is the work-dominated slope: at 1x the
         // per-job scheduler floor (~0.3-0.5 s on local[32]) inflates the
@@ -250,13 +267,14 @@ object ShuffleScale {
         val ts = scales.zip(times).zip(rows).map { case ((s, t), r) =>
           f"${s}x=${t}%.2fs/${r}" }.mkString("  ")
         println(f"EXPONENT $name%-6s top-leg ${top}%.3f  (3-pt ${e}%.3f)   $ts")
-        // the regression net: superlinear growth in the shuffle families
-        // is the 100 TB failure mode this probe exists to catch (1.25
-        // allows measured-noise wobble above linear, never a quadratic)
-        require(top <= 1.25,
-          f"$name scales superlinearly: top-leg exponent ${top}%.3f")
         (top, e)
       }
+      // the regression net: superlinear growth in the shuffle families
+      // is the 100 TB failure mode this probe exists to catch (1.25
+      // allows measured-noise wobble above linear, never a quadratic)
+      def assertLinear(top: Double): Unit =
+        require(top <= 1.25,
+          f"$name scales superlinearly: top-leg exponent ${top}%.3f")
     }
 
     // ---- family 1: dd_minhash_lsh band equi-join ------------------------
@@ -336,32 +354,79 @@ object ShuffleScale {
     val calibEnd = BenchProtocol.calibMin3(spark)
     val loadEnd = BenchProtocol.loadavg()
     println(f"CALIB_END $calibEnd%.3f s  load_end $loadEnd%.2f")
-    val famLines = Seq(lsh, ivf, halo).flatten.map { f =>
-      val (top, e) = f.report()
-      f.name -> (f"""{"sizes": [${f.sizes.mkString(", ")}], """ +
-        f""""secs": [${f.times.map(t => f"$t%.3f").mkString(", ")}], """ +
-        f""""rows": [${f.rows.mkString(", ")}], """ +
-        f""""top_leg_exponent": $top%.3f, "exponent_3pt": $e%.3f, """ +
-        f""""calib_start": $calibStart%.3f, "calib_end": $calibEnd%.3f, """ +
-        f""""load_start": $loadStart%.2f, "load_end": $loadEnd%.2f, """ +
-        f""""unix": ${System.currentTimeMillis / 1000}, """ +
+    // Locale.ROOT for every number in the artifact (r15 ADVICE): the
+    // f-interpolator honors the default JVM locale, and a comma decimal
+    // separator would emit invalid JSON that the merge regex then drops.
+    def jd(v: Double, pat: String): String =
+      String.format(java.util.Locale.ROOT, pat, Double.box(v))
+    val withStats = Seq(lsh, ivf, halo).flatten.map(f => (f, f.stats()))
+    val famLines = withStats.map { case (f, (top, e)) =>
+      f.name -> (s"""{"sizes": [${f.sizes.mkString(", ")}], """ +
+        s""""secs": [${f.times.map(t => jd(t, "%.3f")).mkString(", ")}], """ +
+        s""""rows": [${f.rows.mkString(", ")}], """ +
+        s""""top_leg_exponent": ${jd(top, "%.3f")}, """ +
+        s""""exponent_3pt": ${jd(e, "%.3f")}, """ +
+        s""""calib_start": ${jd(calibStart, "%.3f")}, """ +
+        s""""calib_end": ${jd(calibEnd, "%.3f")}, """ +
+        s""""load_start": ${jd(loadStart, "%.2f")}, """ +
+        s""""load_end": ${jd(loadEnd, "%.2f")}, """ +
+        s""""unix": ${System.currentTimeMillis / 1000}, """ +
         s""""plan_assert": "${f.planAssert}"}""")
     }.toMap
+    // bank the artifact FIRST, then run the regression net (r15 ADVICE):
+    // a superlinear exponent must fail the run, not destroy its evidence
     writeScaleJson(famLines)
+    withStats.foreach { case (f, (top, _)) => f.assertLinear(top) }
     spark.stop()
   }
+
+  /** Resolve the repo root the artifact belongs to (r15 ADVICE medium): a
+    * cwd-relative "SCALE.json" silently forks the evidence history when the
+    * probe is launched from any other directory — the merge reads nothing
+    * and the artifact lands outside the repo. Resolution order:
+    * `GRAFT_REPO_ROOT` env, else walk up from cwd to the first directory
+    * holding `build.sbt`; fail loudly rather than write to a guessed spot.
+    */
+  private[tools] def repoRoot(): java.nio.file.Path =
+    sys.env.get("GRAFT_REPO_ROOT")
+      .map(java.nio.file.Paths.get(_).toAbsolutePath) match {
+      case Some(r) =>
+        require(java.nio.file.Files.isDirectory(r),
+          s"GRAFT_REPO_ROOT is not a directory: $r")
+        r
+      case None =>
+        var d = java.nio.file.Paths.get("").toAbsolutePath
+        while (d != null &&
+            !java.nio.file.Files.exists(d.resolve("build.sbt")))
+          d = d.getParent
+        require(d != null, "cannot locate the repo root (no build.sbt on " +
+          "any ancestor of cwd); set GRAFT_REPO_ROOT explicitly")
+        d
+    }
+
+  /** The max certified input size in a serialized family line — the merge
+    * key that decides whether a fresh run may displace a banked one.
+    */
+  private def maxSize(body: String): Long =
+    """"sizes": \[([^\]]*)\]""".r.findFirstMatchIn(body)
+      .map(_.group(1).split(",").map(_.trim.toLong).max).getOrElse(0L)
 
   /** Persist the run as a MACHINE artifact (`SCALE.json`, repo root) so the
     * next round can diff exponents mechanically instead of re-reading
     * SCALE.md prose. Partial runs (the family filter) MERGE: each family is
     * serialized on its own line keyed by name, and families absent from
     * this run keep their previous line — a one-family quiet re-adjudication
-    * must not discard the other two families' certified numbers. The merge
-    * reads back only lines this writer itself emitted (one
-    * `"name": {...}` per line), so no general JSON parser is needed.
+    * must not discard the other two families' certified numbers. Within a
+    * family, the row certified at the LARGEST input size wins (r15 verdict
+    * #3: a 50 k-base validation pass must not displace the 3.2 M-doc
+    * flagship evidence; the max-certified row IS the scale claim). Set
+    * `GRAFT_SCALE_FORCE=1` to overwrite regardless — e.g. when a banked row
+    * is known-contaminated and a smaller clean re-measurement should
+    * replace it. The merge reads back only lines this writer itself emitted
+    * (one `"name": {...}` per line), so no general JSON parser is needed.
     */
   private def writeScaleJson(fresh: Map[String, String]): Unit = {
-    val path = java.nio.file.Paths.get("SCALE.json")
+    val path = repoRoot().resolve("SCALE.json")
     val famLine = """^    "(\w+)": (\{.*\}),?$""".r
     val previous: Map[String, String] =
       if (java.nio.file.Files.exists(path))
@@ -370,13 +435,32 @@ object ShuffleScale {
             case famLine(name, body) => name -> body
           }.toMap
       else Map.empty
-    val merged = previous ++ fresh
+    // a family-filtered run with no banked artifact would write a PARTIAL
+    // SCALE.json that reads as the whole evidence — fail instead
+    require(previous.nonEmpty || fresh.keySet == Set("lsh", "ivf", "halo"),
+      s"partial run (${fresh.keys.toSeq.sorted.mkString(",")}) found no " +
+        s"existing $path to merge into — refusing to write a partial artifact")
+    val force = sys.env.get("GRAFT_SCALE_FORCE").contains("1")
+    val merged: Map[String, String] =
+      (previous.keySet ++ fresh.keySet).map { n =>
+        n -> ((previous.get(n), fresh.get(n)) match {
+          case (Some(p), Some(f)) if !force && maxSize(p) > maxSize(f) =>
+            println(s"SCALE.json: kept the banked $n row (certified to " +
+              s"${maxSize(p)} > this run's ${maxSize(f)}); " +
+              "GRAFT_SCALE_FORCE=1 overrides")
+            p
+          case (_, Some(f)) => f
+          case (Some(p), None) => p
+          case _ => sys.error("unreachable: key from neither map")
+        })
+      }.toMap
     val body = Seq("lsh", "ivf", "halo").flatMap(n =>
       merged.get(n).map(b => s"""    "$n": $b""")).mkString(",\n")
     java.nio.file.Files.write(path,
       (s"""{\n  "generated_by": "graft.tools.ShuffleScale",\n""" +
         s"""  "families": {\n$body\n  }\n}\n""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"SCALE.json updated: ${fresh.keys.toSeq.sorted.mkString(",")}")
+    println(s"SCALE.json updated at $path: " +
+      fresh.keys.toSeq.sorted.mkString(","))
   }
 }

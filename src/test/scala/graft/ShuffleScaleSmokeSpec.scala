@@ -18,12 +18,20 @@ class ShuffleScaleSmokeSpec extends AnyFunSuite {
   test("lsh smoke: band join plans a hash equi-join and keeps the twins") {
     val spark = SparkTest.session
     val dir = TempDirs.create("smoke_lsh")
-    ShuffleScale.lshStage(spark, 5000L, dir)
+    val n = 5000L
+    ShuffleScale.lshStage(spark, n, dir)
     val cand = ShuffleScale.lshCand(spark, dir)
     ShuffleScale.assertLshPlan(cand.queryExecution.executedPlan.toString)
-    // ~1000 planted twins; candidate recall below 0.9 means the corpus or
-    // the minhash path broke (same net as the probe's RUN require)
-    assert(cand.count() >= 5000 / 5 * 9 / 10)
+    // recall on the PLANTED twin subset only (lshStage plants twin_id =
+    // doc_id + n*10 for every doc_id % 5 == 0): a bare total-count floor
+    // would also be satisfied by background band collisions between
+    // unrelated docs, so twin planting or minhash recall could break while
+    // the old assertion still passed (r15 ADVICE)
+    val twinHits = cand.filter(
+      org.apache.spark.sql.functions.expr(
+        s"id_b = id_a + ${n * 10} AND id_a % 5 = 0")).count()
+    assert(twinHits >= n / 5 * 9 / 10,
+      s"twin recall collapsed: $twinHits of ${n / 5} planted twins recalled")
   }
 
   test("ivf smoke: cell-probe join is a broadcast hash join, no cartesian") {

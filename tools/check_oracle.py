@@ -1,9 +1,15 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py SFDIR OUTDIR
+Usage: python3 tools/check_oracle.py SFDIR OUTDIR [CACHEDIR]
   SFDIR  = /root/testdata/sf0.01   (parquet tables)
   OUTDIR = dir written by `sbt "runMain graft.Verify SFDIR OUTDIR"`
+  CACHEDIR (optional) = directory to materialize each oracle result set as
+    parquet (`CACHEDIR/<name>.parquet`) plus a `manifest.json` keyed by the
+    md5 of the oracle SQL. check_strict.py reads this cache instead of
+    re-executing the SQL — the iterated-fold graph oracles cost CPU-hours
+    at mirror scale, and before round 16 the strict pass paid that price a
+    second time (r15 verdict #4).
 
 For each query parquet in OUTDIR with an entry in oracle_sql.json, runs the
 SQL in DuckDB over views named after the tables and compares: schema (sorted
@@ -42,6 +48,14 @@ def table_hash(cols, rows):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    cachedir = sys.argv[3] if len(sys.argv) > 3 else None
+    manifest = {}
+    if cachedir:
+        os.makedirs(cachedir, exist_ok=True)
+        mp = os.path.join(cachedir, "manifest.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                manifest = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
@@ -61,8 +75,19 @@ def main():
             print(f"[rows-only] {name}: rows={len(got)} cols={sorted(gcols)}")
             continue
         try:
-            want = con.execute(oracle[name]).fetchall()
-            wcols = [d[0] for d in con.description]
+            if cachedir:
+                # materialize ONCE, then fetch + export from the temp table:
+                # the expensive oracle SQL must not run again in check_strict
+                con.execute(
+                    f"CREATE OR REPLACE TEMP TABLE _oracle_res AS {oracle[name]}")
+                want = con.execute("SELECT * FROM _oracle_res").fetchall()
+                wcols = [d[0] for d in con.description]
+                pq = os.path.join(cachedir, f"{name}.parquet")
+                con.execute(f"COPY _oracle_res TO '{pq}' (FORMAT PARQUET)")
+                manifest[name] = hashlib.md5(oracle[name].encode()).hexdigest()
+            else:
+                want = con.execute(oracle[name]).fetchall()
+                wcols = [d[0] for d in con.description]
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -88,6 +113,10 @@ def main():
                         print(f"        first diff:\n        got  {a}\n        want {b}")
                         break
             n_fail += 1
+    if cachedir:
+        with open(os.path.join(cachedir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        print(f"== oracle cache: {len(manifest)} result sets in {cachedir}")
     print(f"== {n_pass} ok, {n_fail} fail, {len(names)} outputs")
     sys.exit(1 if n_fail else 0)
 
