@@ -583,24 +583,31 @@ object RankOps {
     graft.Caching.releaseAfterAction(out, deps.toSeq: _*)
   }
 
+  // MATERIALIZED on every CTE (round 16): each normalization level
+  // references its predecessor TWICE (the scalar max() subquery plus the
+  // outer scan), so an inlining engine re-derives the 6-level chain
+  // 2^6 times from the multi-million-edge base join — measured as
+  // CPU-hours on the 10x mirror, where the fenced form runs in 34 s with
+  // bit-identical output. Pure optimizer fence (DuckDB/Postgres keyword);
+  // the relational content is unchanged.
   private val HITS_SQL = """
-      WITH ed AS (
+      WITH ed AS MATERIALIZED (
         SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-      h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM ed),
-      a1 AS (SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a
+      h0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM ed),
+      a1 AS MATERIALIZED (SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a
              FROM ed e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
-      a1n AS (SELECT dst, (a * 1000000) // (SELECT max(a) FROM a1) AS a FROM a1),
-      h1 AS (SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h
+      a1n AS MATERIALIZED (SELECT dst, (a * 1000000) // (SELECT max(a) FROM a1) AS a FROM a1),
+      h1 AS MATERIALIZED (SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h
              FROM ed e JOIN a1n a ON e.dst = a.dst GROUP BY e.src),
-      h1n AS (SELECT src AS node, (h * 1000000) // (SELECT max(h) FROM h1) AS h
+      h1n AS MATERIALIZED (SELECT src AS node, (h * 1000000) // (SELECT max(h) FROM h1) AS h
               FROM h1),
-      a2 AS (SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a
+      a2 AS MATERIALIZED (SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a
              FROM ed e JOIN h1n h ON e.src = h.node GROUP BY e.dst),
-      a2n AS (SELECT dst, (a * 1000000) // (SELECT max(a) FROM a2) AS a FROM a2),
-      h2 AS (SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h
+      a2n AS MATERIALIZED (SELECT dst, (a * 1000000) // (SELECT max(a) FROM a2) AS a FROM a2),
+      h2 AS MATERIALIZED (SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h
              FROM ed e JOIN a2n a ON e.dst = a.dst GROUP BY e.src),
-      h2n AS (SELECT src AS node, (h * 1000000) // (SELECT max(h) FROM h2) AS h
+      h2n AS MATERIALIZED (SELECT src AS node, (h * 1000000) // (SELECT max(h) FROM h2) AS h
               FROM h2)
       SELECT node, 'hub' AS side, h AS score FROM h2n
       UNION ALL

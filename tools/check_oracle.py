@@ -85,6 +85,11 @@ def main():
                 pq = os.path.join(cachedir, f"{name}.parquet")
                 con.execute(f"COPY _oracle_res TO '{pq}' (FORMAT PARQUET)")
                 manifest[name] = hashlib.md5(oracle[name].encode()).hexdigest()
+                # write-through per gate: an interrupted run keeps every
+                # result set it already paid for (the gr_* oracles are the
+                # expensive ones precisely when interruption is likely)
+                with open(os.path.join(cachedir, "manifest.json"), "w") as f:
+                    json.dump(manifest, f, indent=1, sort_keys=True)
             else:
                 want = con.execute(oracle[name]).fetchall()
                 wcols = [d[0] for d in con.description]
