@@ -354,11 +354,6 @@ object ShuffleScale {
     val calibEnd = BenchProtocol.calibMin3(spark)
     val loadEnd = BenchProtocol.loadavg()
     println(f"CALIB_END $calibEnd%.3f s  load_end $loadEnd%.2f")
-    // Locale.ROOT for every number in the artifact (r15 ADVICE): the
-    // f-interpolator honors the default JVM locale, and a comma decimal
-    // separator would emit invalid JSON that the merge regex then drops.
-    def jd(v: Double, pat: String): String =
-      String.format(java.util.Locale.ROOT, pat, Double.box(v))
     val withStats = Seq(lsh, ivf, halo).flatten.map(f => (f, f.stats()))
     val famLines = withStats.map { case (f, (top, e)) =>
       f.name -> (s"""{"sizes": [${f.sizes.mkString(", ")}], """ +
@@ -380,6 +375,13 @@ object ShuffleScale {
     spark.stop()
   }
 
+  /** Locale.ROOT for every number in the artifact (r15 ADVICE): the
+    * f-interpolator honors the default JVM locale, and a comma decimal
+    * separator would emit invalid JSON that the merge regex then drops.
+    */
+  private[graft] def jd(v: Double, pat: String): String =
+    String.format(java.util.Locale.ROOT, pat, Double.box(v))
+
   /** Resolve the repo root the artifact belongs to (r15 ADVICE medium): a
     * cwd-relative "SCALE.json" silently forks the evidence history when the
     * probe is launched from any other directory — the merge reads nothing
@@ -387,7 +389,7 @@ object ShuffleScale {
     * `GRAFT_REPO_ROOT` env, else walk up from cwd to the first directory
     * holding `build.sbt`; fail loudly rather than write to a guessed spot.
     */
-  private[tools] def repoRoot(): java.nio.file.Path =
+  private[graft] def repoRoot(): java.nio.file.Path =
     sys.env.get("GRAFT_REPO_ROOT")
       .map(java.nio.file.Paths.get(_).toAbsolutePath) match {
       case Some(r) =>
@@ -407,7 +409,7 @@ object ShuffleScale {
   /** The max certified input size in a serialized family line — the merge
     * key that decides whether a fresh run may displace a banked one.
     */
-  private def maxSize(body: String): Long =
+  private[graft] def maxSize(body: String): Long =
     """"sizes": \[([^\]]*)\]""".r.findFirstMatchIn(body)
       .map(_.group(1).split(",").map(_.trim.toLong).max).getOrElse(0L)
 
@@ -425,8 +427,9 @@ object ShuffleScale {
     * replace it. The merge reads back only lines this writer itself emitted
     * (one `"name": {...}` per line), so no general JSON parser is needed.
     */
-  private def writeScaleJson(fresh: Map[String, String]): Unit = {
-    val path = repoRoot().resolve("SCALE.json")
+  private[graft] def writeScaleJson(fresh: Map[String, String],
+      root: java.nio.file.Path = repoRoot()): Unit = {
+    val path = root.resolve("SCALE.json")
     val famLine = """^    "(\w+)": (\{.*\}),?$""".r
     val previous: Map[String, String] =
       if (java.nio.file.Files.exists(path))
