@@ -76,6 +76,14 @@ object Bench {
     // `load_start` — the co-tenant load the run actually started under,
     // captured as main's first statement.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // `load` = max of the loadavg sampled at the START and END of the
+    // measurement (r16 ADVICE: a contention episode that begins mid-gate on
+    // a long-running gate — exactly the multi-second gates adjudication
+    // weights most — escaped a start-only sample entirely). The end sample
+    // lands before cache teardown, so it reads the load the timed region
+    // actually ran under. Clean-band note: consecutive gates mean gate N's
+    // end sample ≈ gate N+1's start sample, so the empirical 2–11
+    // clean-host band (and the 12.0 episode threshold) holds unchanged.
     final case class Run(sec: Double, load: Double)
     def timeOne(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Run = {
@@ -87,10 +95,11 @@ object Bench {
                  failed += name; false }
       // failures report -1 so a broken query can never pass as a fast one
       val sec = (System.nanoTime() - t0) / 1e9
+      val loadEnd = loadavg()
       // cache teardown happens OUTSIDE the timed region: dropping a query's
       // persist()ed intermediates must not bill the next round's comparison
       spark.catalog.clearCache()
-      Run(if (ok) sec else -1.0, load)
+      Run(if (ok) sec else -1.0, math.max(load, loadEnd))
     }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = named.map { case (n, fn) => n -> timeOne(n, fn) }.toMap
@@ -117,8 +126,20 @@ object Bench {
     // comparable) but the artifact now names the contaminated measurements
     // at measurement time, so adjudication is a grep, not a forensic re-run.
     val EpisodeLoad = 12.0
+    // Run-level contamination verdict (round 17, per the r16 verdict #1):
+    // the per-gate flagger catches spikes, but the r16 driver run inflated
+    // 1.53x across the board with only 3/312 gates flagged — slow-burn
+    // contention keeps per-gate loadavg in the 2–9 band. The window tests
+    // (calib drift > 1.3x, load_max > episode threshold, load_start > 2)
+    // live in BenchProtocol.runVerdict so the spec can replay historical
+    // artifact headers through the exact predicate the artifact emits.
+    // A run that fails them carries a "run-level" entry in `flagged` (one
+    // grep point for adjudication) plus `run_quiet`/`run_quiet_why` fields.
+    val verdict = BenchProtocol.runVerdict(loadStart, loadMax,
+      calibStartS, calibEndS, EpisodeLoad)
     val flagged = results.collect {
-      case (n, r) if r.load > EpisodeLoad => n }
+      case (n, r) if r.load > EpisodeLoad => n
+    } ++ (if (verdict.quiet) Nil else Seq("run-level"))
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator would break the driver's JSON parse
     def fmt(v: Double) =
@@ -131,8 +152,12 @@ object Bench {
     val total = results.collect { case (_, r) if r.sec >= 0 => r.sec }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // reason strings are built by runVerdict from fixed tokens and
+    // Locale.ROOT numbers — no quotes/backslashes, safe to embed verbatim
+    val quietJson = s""""run_quiet":${verdict.quiet},"run_quiet_why":""" +
+      verdict.reasons.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"queries":$qs,"load":$loads,"load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStartS)},"calib_end_s":${fmt(calibEndS)},"episode_load_threshold":${fmt(EpisodeLoad)},"flagged":$flaggedJson,"cpus":$cpusN,"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
+      s"""{"queries":$qs,"load":$loads,"load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStartS)},"calib_end_s":${fmt(calibEndS)},"episode_load_threshold":${fmt(EpisodeLoad)},$quietJson,"flagged":$flaggedJson,"cpus":$cpusN,"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
     // the full per-query map no longer fits the driver's bounded tail
     // capture (truncated at ~115 queries in round 4), so it goes to a FILE
     // (committed per round) and stdout carries it best-effort…
@@ -145,7 +170,7 @@ object Bench {
     // …while the LAST line is a short, always-complete JSON summary: a tail
     // capture that truncates the map line still ends with one parseable
     // object carrying the headline total
-    println(s"""{"queries_file":"$outFile","load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStartS)},"calib_end_s":${fmt(calibEndS)},"episode_load_threshold":${fmt(EpisodeLoad)},"flagged":$flaggedJson,"cpus":$cpusN,"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
+    println(s"""{"queries_file":"$outFile","load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStartS)},"calib_end_s":${fmt(calibEndS)},"episode_load_threshold":${fmt(EpisodeLoad)},$quietJson,"flagged":$flaggedJson,"cpus":$cpusN,"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -73,4 +73,59 @@ object BenchProtocol {
   /** The protocol statistic: min-of-3 of [[calibOnce]], run after warmup. */
   def calibMin3(spark: SparkSession): Double =
     (1 to 3).map(_ => calibOnce(spark)).min
+
+  /** Run-level contamination verdict (round 17, per the r16 verdict #1).
+    *
+    * The per-gate loadavg flagger catches contention SPIKES, but the r16
+    * driver run proved the evasion mode it cannot see: slow-burn co-tenant
+    * contention kept every per-gate sample in the 2–9 band while inflating
+    * the whole suite 1.53x — the only artifact-visible symptoms were the
+    * calib bracket (4.72 → 11.08 s, 2.3x) and the launch load (10.25).
+    * This predicate names that failure mode AT RUN LEVEL, in the artifact,
+    * so a contaminated run labels itself not-a-ruler instead of waiting for
+    * a forensic cross-round diff. Three independent window tests:
+    *
+    *  - `calib_drift`: end bracket vs start bracket > [[CalibDriftMax]].
+    *    Same-host calib noise measured ~16 % (r12), and clean runs drift
+    *    0.5–1.1x (r14: 0.56, r16: 0.94) while contaminated runs read
+    *    2.2–2.5x (r15: 2.46, r16 driver: 2.35) — 1.3 splits the
+    *    populations with margin on both sides.
+    *  - `load_max` > the episode threshold: at least one winning-pass
+    *    sample sat inside a contention episode (clean-run max ≈ 10.7).
+    *  - `load_start` > [[LoadStartMax]]: the run LAUNCHED under co-tenant
+    *    load, so the quiet-window precondition was never verified. NOTE:
+    *    this is the weakest signal — a driver that runs the bench right
+    *    after `sbt compile` inherits its own compile's 1-min residue (the
+    *    r14 272.2 s ruler started at 9.45 and was adjudicated clean gate
+    *    by gate) — which is why the verdict carries per-criterion reasons
+    *    instead of a bare boolean: a load_start-only failure means
+    *    "launch window unverified", not "measurements contaminated".
+    *
+    * `quiet` = all three pass. Consumed by [[graft.Bench]] (the `run_quiet`
+    * artifact field) and mirrored by `tools/compare_bench.py` (which reads
+    * the same fields out of banked artifacts, including pre-r17 ones).
+    */
+  final case class RunVerdict(quiet: Boolean, reasons: Seq[String])
+
+  /** Clean runs drift 0.5–1.1x, contaminated 2.2–2.5x; 1.3 splits them. */
+  val CalibDriftMax = 1.3
+
+  /** Co-tenant 1-min load above this at launch = unverified quiet window. */
+  val LoadStartMax = 2.0
+
+  def runVerdict(loadStart: Double, loadMax: Double, calibStart: Double,
+      calibEnd: Double, episodeLoad: Double): RunVerdict = {
+    def f2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val reasons = Seq.newBuilder[String]
+    if (calibStart > 0 && calibEnd / calibStart > CalibDriftMax)
+      reasons += s"calib_drift ${f2(calibEnd / calibStart)}x > " +
+        s"${f2(CalibDriftMax)}x"
+    if (loadMax > episodeLoad)
+      reasons += s"load_max ${f2(loadMax)} > ${f2(episodeLoad)}"
+    if (loadStart > LoadStartMax)
+      reasons += s"load_start ${f2(loadStart)} > ${f2(LoadStartMax)}"
+    val r = reasons.result()
+    RunVerdict(r.isEmpty, r)
+  }
 }

@@ -365,6 +365,7 @@ object ShuffleScale {
         s""""calib_end": ${jd(calibEnd, "%.3f")}, """ +
         s""""load_start": ${jd(loadStart, "%.2f")}, """ +
         s""""load_end": ${jd(loadEnd, "%.2f")}, """ +
+        s""""heap_gib": ${heapGib()}, """ +
         s""""unix": ${System.currentTimeMillis / 1000}, """ +
         s""""plan_assert": "${f.planAssert}"}""")
     }.toMap
@@ -381,6 +382,18 @@ object ShuffleScale {
     */
   private[graft] def jd(v: Double, pat: String): String =
     String.format(java.util.Locale.ROOT, pat, Double.box(v))
+
+  /** The measuring JVM's max heap in GiB (round 17, per the r16 verdict
+    * #2): round 16 measured an 18.9 → 26.4 s swing on the lsh 16x leg from
+    * heap geometry ALONE (one shared local[32] driver arena — GC pressure
+    * scales with -Xmx), so the heap configuration is load-bearing evidence
+    * and every banked row must carry it. `maxMemory` is what the JVM
+    * actually got (-Xmx / default ergonomic fraction), not what an env var
+    * asked for — the honest number when SPARK_DRIVER_MEM and sbt's own
+    * -Xmx disagree.
+    */
+  private[graft] def heapGib(): String =
+    jd(Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024), "%.1f")
 
   /** Resolve the repo root the artifact belongs to (r15 ADVICE medium): a
     * cwd-relative "SCALE.json" silently forks the evidence history when the
@@ -421,14 +434,22 @@ object ShuffleScale {
     * must not discard the other two families' certified numbers. Within a
     * family, the row certified at the LARGEST input size wins (r15 verdict
     * #3: a 50 k-base validation pass must not displace the 3.2 M-doc
-    * flagship evidence; the max-certified row IS the scale claim). Set
-    * `GRAFT_SCALE_FORCE=1` to overwrite regardless — e.g. when a banked row
-    * is known-contaminated and a smaller clean re-measurement should
-    * replace it. The merge reads back only lines this writer itself emitted
+    * flagship evidence; the max-certified row IS the scale claim). At
+    * EQUAL max size the banked row ALSO wins (round 17, per the r16
+    * verdict #2 / ADVICE: the old fresh-wins tie-break let any same-size
+    * re-run — including a contaminated one — silently displace certified
+    * flagship evidence; r16's 8 g-vs-16 g lsh swap went through exactly
+    * this hole, defensible only in prose). Set `GRAFT_SCALE_FORCE=1` to
+    * overwrite regardless — e.g. when a banked row is known-contaminated
+    * and a smaller or same-size clean re-measurement should replace it;
+    * the displacement is then a deliberate, logged act instead of a side
+    * effect. The merge reads back only lines this writer itself emitted
     * (one `"name": {...}` per line), so no general JSON parser is needed.
     */
   private[graft] def writeScaleJson(fresh: Map[String, String],
-      root: java.nio.file.Path = repoRoot()): Unit = {
+      root: java.nio.file.Path = repoRoot(),
+      force: Boolean = sys.env.get("GRAFT_SCALE_FORCE").contains("1"))
+      : Unit = {
     val path = root.resolve("SCALE.json")
     val famLine = """^    "(\w+)": (\{.*\}),?$""".r
     val previous: Map[String, String] =
@@ -443,7 +464,6 @@ object ShuffleScale {
     require(previous.nonEmpty || fresh.keySet == Set("lsh", "ivf", "halo"),
       s"partial run (${fresh.keys.toSeq.sorted.mkString(",")}) found no " +
         s"existing $path to merge into — refusing to write a partial artifact")
-    val force = sys.env.get("GRAFT_SCALE_FORCE").contains("1")
     val merged: Map[String, String] =
       (previous.keySet ++ fresh.keySet).map { n =>
         n -> ((previous.get(n), fresh.get(n)) match {
@@ -451,6 +471,12 @@ object ShuffleScale {
             println(s"SCALE.json: kept the banked $n row (certified to " +
               s"${maxSize(p)} > this run's ${maxSize(f)}); " +
               "GRAFT_SCALE_FORCE=1 overrides")
+            p
+          case (Some(p), Some(f)) if !force && maxSize(p) == maxSize(f) =>
+            println(s"SCALE.json: refused equal-size displacement of the " +
+              s"banked $n row (both certified to ${maxSize(p)}); a same-" +
+              "size re-run must displace evidence deliberately — set " +
+              "GRAFT_SCALE_FORCE=1")
             p
           case (_, Some(f)) => f
           case (Some(p), None) => p

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI pin for the run-level contamination verdict (round 17, per the r16
+  * verdict #1): each case replays the header of a REAL banked artifact —
+  * the numbers below are copied from committed bench_full.json versions —
+  * through the exact predicate `Bench` now emits as `run_quiet`, so the
+  * classifier is certified against the runs whose misreading cost judge
+  * time, not against synthetic inputs.
+  */
+class BenchVerdictSpec extends AnyFunSuite {
+
+  private val Threshold = 12.0 // Bench.EpisodeLoad, fixed since round 16
+
+  test("the r16 clean ruler self-labels quiet") {
+    // bench_full.json @ 19572f4: load_start 0.96, load_max 10.67,
+    // calib 4.538 -> 4.282, flagged [] — the round-16 verified ruler
+    val v = BenchProtocol.runVerdict(0.96, 10.67, 4.538, 4.282, Threshold)
+    assert(v.quiet, s"clean ruler misclassified: ${v.reasons}")
+    assert(v.reasons.isEmpty)
+  }
+
+  test("the r16 driver run self-labels contaminated on all three windows") {
+    // BENCH_r16.json / bench_full.json @ f9f74be: load_start 10.25,
+    // load_max 17.82, calib 4.719 -> 11.079 — inflated 1.53x across the
+    // board with only 3/312 gates flagged (the slow-burn evasion mode this
+    // predicate exists to name)
+    val v = BenchProtocol.runVerdict(10.25, 17.82, 4.719, 11.079, Threshold)
+    assert(!v.quiet)
+    assert(v.reasons.size == 3, v.reasons.toString)
+    assert(v.reasons.exists(_.startsWith("calib_drift 2.35x")))
+    assert(v.reasons.exists(_.startsWith("load_max 17.82")))
+    assert(v.reasons.exists(_.startsWith("load_start 10.25")))
+  }
+
+  test("the r15 driver run self-labels contaminated") {
+    // bench_full.json @ d859589: load_start 15.0, load_max 42.32,
+    // calib 4.273 -> 10.52 (total 370.8 s, r15's contaminated artifact)
+    val v = BenchProtocol.runVerdict(15.0, 42.32, 4.273, 10.52, Threshold)
+    assert(!v.quiet)
+    assert(v.reasons.size == 3)
+  }
+
+  test("the r14 ruler fails ONLY the launch window (compile residue)") {
+    // bench_full.json @ b57115d: load_start 9.45 — the driver ran Bench
+    // straight after its own sbt compile, so the 1-min loadavg still
+    // carried the compile — but calib 5.339 -> 2.714 and load_max 11.93
+    // are clean, and r16 adjudicated the run clean gate by gate. The
+    // verdict must carry the distinction: `quiet` is false (the window was
+    // never VERIFIED), but the only reason is load_start, which
+    // compare_bench.py downgrades to "launch window unverified" instead of
+    // "contaminated".
+    val v = BenchProtocol.runVerdict(9.45, 11.93, 5.339, 2.714, Threshold)
+    assert(!v.quiet)
+    assert(v.reasons == Seq("load_start 9.45 > 2.00"), v.reasons.toString)
+  }
+
+  test("boundary behavior: drift at exactly 1.3x and load at threshold pass") {
+    val v = BenchProtocol.runVerdict(2.0, Threshold, 4.0, 4.0 * 1.3,
+      Threshold)
+    assert(v.quiet, v.reasons.toString)
+    // an unreadable /proc/loadavg start (-1) must not flag
+    assert(BenchProtocol.runVerdict(-1.0, 10.0, 4.0, 4.0, Threshold).quiet)
+  }
+}

@@ -66,6 +66,53 @@ class ScaleJsonWriterSpec extends AnyFunSuite {
     assert(node.get("families").get("ivf").get("sizes").get(2).asLong() == 16L)
   }
 
+  test("an equal-size re-run cannot silently displace the banked row") {
+    val root = tmpRoot()
+    ShuffleScale.writeScaleJson(full(Seq(200000L, 800000L, 3200000L),
+      top = 1.179), root)
+    // the r16 hole (verdict #2 / ADVICE): fresh-wins at EQUAL max size let
+    // a same-size re-run — the exact shape of a contaminated re-measure —
+    // displace certified flagship evidence with no force flag
+    ShuffleScale.writeScaleJson(
+      Map("lsh" -> row(Seq(200000L, 800000L, 3200000L), 0.892)), root,
+      force = false)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(root.resolve("SCALE.json").toFile)
+    assert(node.get("families").get("lsh").get("top_leg_exponent")
+      .asDouble() == 1.179, "equal-size re-run displaced the banked row")
+  }
+
+  test("GRAFT_SCALE_FORCE displaces at equal (and smaller) size") {
+    val root = tmpRoot()
+    ShuffleScale.writeScaleJson(full(Seq(200000L, 800000L, 3200000L),
+      top = 1.179), root)
+    ShuffleScale.writeScaleJson(
+      Map("lsh" -> row(Seq(200000L, 800000L, 3200000L), 0.892)), root,
+      force = true)
+    ShuffleScale.writeScaleJson(
+      Map("ivf" -> row(Seq(5L, 20L, 80L), 0.5)), root, force = true)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(root.resolve("SCALE.json").toFile)
+    assert(node.get("families").get("lsh").get("top_leg_exponent")
+      .asDouble() == 0.892, "forced equal-size displacement did not land")
+    assert(node.get("families").get("ivf").get("sizes").get(2).asLong()
+      == 80L, "forced smaller-size displacement did not land")
+  }
+
+  test("heap_gib renders locale-proof and reads back the real max heap") {
+    // the field is evidence (r16: 18.9 -> 26.4 s on heap geometry alone),
+    // so pin that it is a '.'-decimal JSON number near the JVM's actual
+    // -Xmx rather than an env-var echo
+    val prev = Locale.getDefault
+    Locale.setDefault(Locale.GERMANY)
+    try {
+      val s = ShuffleScale.heapGib()
+      assert(s.matches("""\d+\.\d"""), s"heap_gib not a plain decimal: $s")
+      val gib = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+      assert(math.abs(s.toDouble - gib) < 0.06, s"heap_gib $s vs JVM $gib")
+    } finally Locale.setDefault(prev)
+  }
+
   test("a partial run with no banked artifact refuses to write") {
     val root = tmpRoot()
     intercept[IllegalArgumentException] {

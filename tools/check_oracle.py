@@ -5,11 +5,18 @@ Usage: python3 tools/check_oracle.py SFDIR OUTDIR [CACHEDIR]
   SFDIR  = /root/testdata/sf0.01   (parquet tables)
   OUTDIR = dir written by `sbt "runMain graft.Verify SFDIR OUTDIR"`
   CACHEDIR (optional) = directory to materialize each oracle result set as
-    parquet (`CACHEDIR/<name>.parquet`) plus a `manifest.json` keyed by the
-    md5 of the oracle SQL. check_strict.py reads this cache instead of
-    re-executing the SQL — the iterated-fold graph oracles cost CPU-hours
-    at mirror scale, and before round 16 the strict pass paid that price a
-    second time (r15 verdict #4).
+    parquet (`CACHEDIR/<name>.parquet`) plus a `manifest.json`. Each entry
+    records the md5 of the oracle SQL, the ABSOLUTE SFDIR the result was
+    materialized against (round 17, per the r16 ADVICE: an md5-only key let
+    one CACHEDIR reused across scale factors silently compare the wrong
+    dataset's oracle rows), and the pandas dtypes a DIRECT `.df()` yields
+    (so check_strict can verify the parquet round-trip reproduced them
+    rather than trusting the docstring's claim that it does).
+    check_strict.py treats any mismatch — or a pre-r17 string-valued
+    entry — as a cache miss and re-executes the SQL. The cache exists
+    because the iterated-fold graph oracles cost CPU-hours at mirror
+    scale, and before round 16 the strict pass paid that price a second
+    time (r15 verdict #4).
 
 For each query parquet in OUTDIR with an entry in oracle_sql.json, runs the
 SQL in DuckDB over views named after the tables and compares: schema (sorted
@@ -84,7 +91,17 @@ def main():
                 wcols = [d[0] for d in con.description]
                 pq = os.path.join(cachedir, f"{name}.parquet")
                 con.execute(f"COPY _oracle_res TO '{pq}' (FORMAT PARQUET)")
-                manifest[name] = hashlib.md5(oracle[name].encode()).hexdigest()
+                # record what a DIRECT .df() yields for this result set —
+                # the dtype sensitivity check_strict exists to reproduce —
+                # so the cached round-trip can be verified against it
+                dtypes = {c: str(t) for c, t in
+                          con.execute("SELECT * FROM _oracle_res").df()
+                          .dtypes.items()}
+                manifest[name] = {
+                    "md5": hashlib.md5(oracle[name].encode()).hexdigest(),
+                    "sfdir": os.path.abspath(sfdir),
+                    "dtypes": dtypes,
+                }
                 # write-through per gate: an interrupted run keeps every
                 # result set it already paid for (the gr_* oracles are the
                 # expensive ones precisely when interruption is likely)

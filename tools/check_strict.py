@@ -19,16 +19,28 @@ bit-identical values — the output-type discipline SparkEntry enforces
 Usage: python3 tools/check_strict.py SFDIR OUTDIR [CACHEDIR]
 
 CACHEDIR (optional): an oracle-result cache written by
-`check_oracle.py SFDIR OUTDIR CACHEDIR`. When a query's cached parquet
-exists AND its manifest md5 matches the current oracle SQL, the oracle side
-is read from the cache instead of re-executing the SQL — the iterated-fold
-graph oracles cost CPU-hours at mirror scale, and running them twice per
-mirror pass (once per checker) is what stalled the r15 strict tail at
-`gr_hits` (r15 verdict #4). Dtype note: the strict discipline pins oracle
-outputs to BIGINT / DOUBLE / VARCHAR / BOOLEAN / lists, all of which
-round-trip DuckDB->parquet->`.df()` bit- and dtype-identically to a direct
-`.df()`, so the cached path reproduces the driver's hasher sensitivity; a
-stale or missing cache entry falls back to executing the SQL (and says so).
+`check_oracle.py SFDIR OUTDIR CACHEDIR`. A cache hit requires ALL of
+(round 17, per the r16 ADVICE — before this the key was the SQL md5 alone):
+
+  - the manifest entry is the r17 dict form (pre-r17 string entries miss),
+  - its md5 matches the current oracle SQL,
+  - its sfdir matches THIS run's SFDIR (absolute) — an md5-only key let a
+    CACHEDIR reused across scale factors (the documented workflow: sf0.001
+    validation, then the 10x mirror) silently compare against the wrong
+    dataset's oracle rows,
+  - the cached parquet's round-tripped dtypes equal the recorded
+    direct-`.df()` dtypes — the strict discipline pins oracle outputs to
+    BIGINT / DOUBLE / VARCHAR / BOOLEAN / lists, which round-trip
+    DuckDB->parquet->`.df()` dtype-identically, but that claim is now
+    ENFORCED per entry instead of asserted in this docstring (an oracle
+    emitting e.g. HUGEINT would otherwise make cached and uncached strict
+    runs disagree silently).
+
+Any miss falls back to executing the SQL (and says why) — the cache can
+produce spurious slowness, never a wrong verdict. It exists because the
+iterated-fold graph oracles cost CPU-hours at mirror scale, and running
+them twice per mirror pass (once per checker) is what stalled the r15
+strict tail at `gr_hits` (r15 verdict #4).
 """
 import sys, os, json, hashlib
 import duckdb
@@ -101,12 +113,29 @@ def main():
         try:
             pq = os.path.join(cachedir, f"{name}.parquet") if cachedir else None
             sqlmd5 = hashlib.md5(oracle[name].encode()).hexdigest()
-            if pq and os.path.exists(pq) and manifest.get(name) == sqlmd5:
-                want = con.execute(
+            ent = manifest.get(name)
+            want = None
+            if (pq and os.path.exists(pq) and isinstance(ent, dict)
+                    and ent.get("md5") == sqlmd5
+                    and ent.get("sfdir") == os.path.abspath(sfdir)):
+                cached = con.execute(
                     f"SELECT * FROM read_parquet('{pq}')").df()
-            else:
-                if cachedir:
-                    print(f"[cache-miss] {name}: executing oracle SQL")
+                got_dt = {c: str(t) for c, t in cached.dtypes.items()}
+                if got_dt == ent.get("dtypes"):
+                    want = cached
+                else:
+                    print(f"[cache-dtype-drift] {name}: round-trip dtypes "
+                          f"differ from recorded ({got_dt} vs "
+                          f"{ent.get('dtypes')}); executing oracle SQL")
+            elif cachedir:
+                why = ("no entry" if ent is None
+                       else "pre-r17 entry" if not isinstance(ent, dict)
+                       else "sql changed" if ent.get("md5") != sqlmd5
+                       else "sfdir mismatch"
+                       if ent.get("sfdir") != os.path.abspath(sfdir)
+                       else "no parquet")
+                print(f"[cache-miss] {name} ({why}): executing oracle SQL")
+            if want is None:
                 want = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
