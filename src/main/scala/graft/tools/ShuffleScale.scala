@@ -205,6 +205,12 @@ object ShuffleScale {
   }
 
   def main(args: Array[String]): Unit = {
+    // first statement, matching Bench: the co-tenant load BEFORE this
+    // probe's own 32-thread warmup inflates the 1-min average — sampled
+    // after warmup (as until round 17) the field read the probe's
+    // self-load (7-9) and could never certify a quiet launch window,
+    // which is exactly what the r16 ADVICE faulted the banked lsh row for
+    val loadStart = BenchProtocol.loadavg()
     val base = if (args.nonEmpty) args(0).toLong else 50000L
     val gridBase = if (args.length > 1) args(1).toInt else 16
     val scales = Seq(1L, 4L, 16L)
@@ -216,7 +222,6 @@ object ShuffleScale {
     // warmup (Bench's discipline), then the ruler
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val calibStart = BenchProtocol.calibMin3(spark)
-    val loadStart = BenchProtocol.loadavg()
     println(f"CALIB $calibStart%.3f s (min-of-3)  " +
       f"load_start $loadStart%.2f  cpus $cpusN%d")
 
