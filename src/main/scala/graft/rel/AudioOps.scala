@@ -27,7 +27,8 @@ object AudioOps {
     */
   private def wavPayloads(s: SparkSession, d: String) = {
     import s.implicits._
-    tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    // spread before the per-row codec work (guide §2.5) — see Q.spreadSmallScan
+    Q.spreadSmallScan(tbl(s, d, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id, AudioCodec.synthWav(id))))
   }
 
@@ -241,7 +242,7 @@ object AudioOps {
   def muxDemux(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.mm.{ImageCodec, MuxCodec}
-    tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    Q.spreadSmallScan(tbl(s, d, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions(_.flatMap { id =>
         MuxCodec.demux(MuxCodec.synthMux(id)).map { case (k, kind, payload) =>
           if (kind == MuxCodec.KindVideo) {

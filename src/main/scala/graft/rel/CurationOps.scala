@@ -143,7 +143,7 @@ object CurationOps {
     // gate pins the full rebuilt string, not just counts.
     Q("dd_paragraph", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val sents = tbl(s, d, "documents")
+      val sents = Q.spreadSmallScan(tbl(s, d, "documents"))
         .withColumn("words", split(col("text"), " "))
         .select(col("doc_id"),
           posexplode(expr(
@@ -199,7 +199,9 @@ object CurationOps {
     // a 64-bit collision inside the corpus). Short docs (< 8 tokens) carry
     // no grams and are emitted unflagged via the left join, not dropped.
     Q("dd_substring", (s, d) => {
-      val docs = tbl(s, d, "documents")
+      // spread the scan before the 8-gram explode (guide §2.5; see
+      // Q.spreadSmallScan — no-op on a production-width input)
+      val docs = Q.spreadSmallScan(tbl(s, d, "documents"))
         .withColumn("words", split(col("text"), " "))
       val byDocGram = docs
         .select(col("doc_id"), explode(expr(
@@ -243,7 +245,7 @@ object CurationOps {
     // per-partition heaps), and (n DESC, bigram ASC) is a total order so the
     // cut is deterministic.
     Q("tx_ngrams", (s, d) => {
-      tbl(s, d, "documents")
+      Q.spreadSmallScan(tbl(s, d, "documents"))
         .withColumn("words", split(col("text"), " "))
         .select(explode(expr(
           """transform(sequence(1, size(words) - 1),
@@ -270,7 +272,7 @@ object CurationOps {
     // The corpus size reaches the plan as a broadcast 1-row aggregate, not
     // a collected literal.
     Q("tx_tfidf", (s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = Q.spreadSmallScan(tbl(s, d, "documents"))
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -323,7 +325,7 @@ object CurationOps {
                     i -> concat_ws(' ', slice(words, i, 4)))
                ELSE array() END""")).as("g"))
         .distinct()
-      val docs = tbl(s, d, "documents")
+      val docs = Q.spreadSmallScan(tbl(s, d, "documents"))
       val ev = grams8(docs.filter(col("doc_id") % 100 === 0), "eval_id")
       val tr = grams8(docs.filter(col("doc_id") % 100 =!= 0), "doc_id")
       tr.join(broadcast(ev), "g")
@@ -353,7 +355,7 @@ object CurationOps {
     // contaminated-pair counts. Reading the three rows together is how
     // the threshold is actually chosen.
     Q("tx_decontam_sweep", (s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = Q.spreadSmallScan(tbl(s, d, "documents"))
         .withColumn("words", split(col("text"), " "))
       def gramsN(df: org.apache.spark.sql.DataFrame, idCol: String, n: Int) = df
         .select(col("doc_id").as(idCol),
@@ -407,7 +409,7 @@ object CurationOps {
     // doubles agree bit-for-bit across engines. One explode + per-doc hash
     // aggregates — map-side combinable, no window, linear at any scale.
     Q("tx_repetition", (s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = Q.spreadSmallScan(tbl(s, d, "documents"))
       val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       val wstats = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
@@ -473,7 +475,7 @@ object CurationOps {
     // 1-row aggregate.
     Q("tx_bm25", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = tbl(s, d, "documents")
+      val docs = Q.spreadSmallScan(tbl(s, d, "documents"))
       val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -746,7 +748,7 @@ object CurationOps {
     // (20*max_tf vs 3*n_words etc.) so no ratio ever materializes — the
     // decision is exact in both engines. One explode + per-doc aggregates.
     Q("tx_c4_filter", (s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = Q.spreadSmallScan(tbl(s, d, "documents"))
       val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
@@ -885,7 +887,7 @@ object CurationOps {
     // the un-hashed key keeps the oracle engine-exact (cf. dd_substring).
     // Docs with <2 tokens carry no grams and score 0 via the left join.
     Q("tx_dsir", (s, d) => {
-      val dg = tbl(s, d, "documents")
+      val dg = Q.spreadSmallScan(tbl(s, d, "documents"))
         .withColumn("words", split(col("text"), " "))
         .select(col("doc_id"), col("lang"), explode(expr(
           """CASE WHEN size(words) >= 2 THEN
@@ -940,7 +942,7 @@ object CurationOps {
     // is one bigram-keyed equi-join back plus a per-doc sum. A larger-order
     // LM swaps the key width, not the shape.
     Q("tx_perplexity", (s, d) => {
-      val dg = tbl(s, d, "documents")
+      val dg = Q.spreadSmallScan(tbl(s, d, "documents"))
         .withColumn("words", split(col("text"), " "))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(words) >= 2 THEN
@@ -1005,7 +1007,8 @@ object CurationOps {
     // pipeline is exactly as 100 TB-shaped as its pieces.
     Q("tx_curate_full", (s, d) => {
       import graft.functions.MinHashSlices.minhash_slices
-      val docs = tbl(s, d, "documents").filter(col("doc_id") % 100 =!= 0)
+      val docs =
+        Q.spreadSmallScan(tbl(s, d, "documents").filter(col("doc_id") % 100 =!= 0))
       val evd = tbl(s, d, "documents").filter(col("doc_id") % 100 === 0)
       val st = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))

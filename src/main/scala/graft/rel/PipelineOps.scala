@@ -501,7 +501,10 @@ object PipelineOps {
     */
   private def pngPayloads(s: SparkSession, d: String) = {
     import s.implicits._
-    tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    // spread the scan before the per-row codec work: a single-row-group
+    // corpus file otherwise pins every synth+encode+decode below to the
+    // scan's 1-2 splits (guide §2.5); no-op when the input is already wide
+    Q.spreadSmallScan(tbl(s, d, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id,
         graft.mm.ImageCodec.synthPng(graft.mm.ImageCodec.visualSeed(id)))))
   }
@@ -795,7 +798,7 @@ object PipelineOps {
     import graft.mm.ImageCodec
     val inv = sinkCounter.incrementAndGet()
     val dir = graft.TempDirs.create(s"graft_binimg_$inv")
-    tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    Q.spreadSmallScan(tbl(s, d, "documents").select(col("doc_id"))).as[Long]
       .foreachPartition { (it: Iterator[Long]) =>
         it.foreach { id =>
           java.nio.file.Files.write(
@@ -827,7 +830,7 @@ object PipelineOps {
   def frameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.mm.ImageCodec
-    tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    Q.spreadSmallScan(tbl(s, d, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions(_.flatMap { id =>
         val video = ImageCodec.synthVideo(id)
         ImageCodec.sampleFrames(video, 2).map { case (idx, dec) =>
@@ -866,7 +869,8 @@ object PipelineOps {
   def keyframes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.mm.ImageCodec
-    val perFrame = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    val perFrame =
+      Q.spreadSmallScan(tbl(s, d, "documents").select(col("doc_id"))).as[Long]
       .mapPartitions(_.flatMap { id =>
         val video = ImageCodec.synthVideo(id)
         ImageCodec.sampleFrames(video, 1).map { case (idx, dec) =>

@@ -23,6 +23,31 @@ object Q {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a scan-shaped relation across the cluster when its file layout
+    * yields far fewer splits than there are cores (optimization guide §2.5
+    * "input skew … repartition immediately after the read"): a single-row-
+    * group parquet file is unsplittable, so every CPU-heavy derivation
+    * downstream of the scan (shingle explode + per-shingle digests, fused
+    * minhash/simhash expressions, codec work) otherwise runs at the file's
+    * parallelism — 1-2 tasks here — while the rest of the machine idles.
+    *
+    * Scale-adaptive by construction, not a local[32] constant: the round-
+    * robin exchange is added ONLY when the scan's split count is under half
+    * of `defaultParallelism`, i.e. exactly when the input is small enough
+    * that the exchange is pennies (a production 100 TB corpus arrives in
+    * thousands of splits and passes through untouched). Row order changes,
+    * which every consumer tolerates (aggregates/joins; the oracle check is
+    * order-insensitive). `repartition(n)` with an explicit count is pinned
+    * against AQE re-coalescing (REPARTITION_BY_NUM), so the fan-out
+    * survives adaptive planning. Callers must hand this a scan/union shape
+    * (no exchanges) — `.rdd` on such a plan only lists files, it runs no
+    * job.
+    */
+  def spreadSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   /** THE timestamp contract, in one place. The harness writes `events.ts`
     * as parquet `timestamp[us]` with no timezone, which Spark reads as
     * TIMESTAMP_NTZ; the DuckDB oracles compute `epoch(ts)` treating the

@@ -72,7 +72,7 @@ object RagOps {
     // sharded index build bounds its skew at scale. n reaches the plan as
     // a broadcast 1-row aggregate, not a collected literal.
     Q("tx_postings", (s, d) => {
-      val td = tbl(s, d, "documents")
+      val td = Q.spreadSmallScan(tbl(s, d, "documents"))
         .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
         .distinct()
       val n = tbl(s, d, "documents").agg(count(lit(1)).as("nn"))

@@ -36,7 +36,7 @@ object SketchOps {
     * eliminates the false positives. Same oracle as tx_decontam.
     */
   def decontamBloom(s: SparkSession, d: String): DataFrame = {
-    val docs = tbl(s, d, "documents")
+    val docs = Q.spreadSmallScan(tbl(s, d, "documents"))
     val ev = grams8(docs.filter(col("doc_id") % 100 === 0), "eval_id")
     // one action over the SMALL side; at corpus scale you would size
     // expectedNumItems from the eval-set count — here a fixed generous cap.

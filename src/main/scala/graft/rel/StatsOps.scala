@@ -469,7 +469,7 @@ object StatsOps {
       // releaseAfterAction) and feeds bigram counts, unigram counts, and
       // the bigram total; the unigram table is persisted too (it is both
       // broadcast join sides)
-      val toks = tbl(s, d, "documents")
+      val toks = Q.spreadSmallScan(tbl(s, d, "documents"))
         .select(split(col("text"), " ").as("w"))
       val bigrams = toks.filter(size(col("w")) >= 2)
         .select(explode(expr(

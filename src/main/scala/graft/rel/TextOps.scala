@@ -58,7 +58,7 @@ object TextOps {
 
   /** Word 3-gram shingles, 1-based positions (parity with DuckDB lists). */
   private def shinglesDf(corpus: DataFrame): DataFrame =
-    corpus
+    Q.spreadSmallScan(corpus)
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"),
         explode(expr(
@@ -91,7 +91,7 @@ object TextOps {
     */
   private[graft] def minhashCand(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MinHashSlices.minhash_slices
-    val mins = nearCorpusDf(s, d)
+    val mins = Q.spreadSmallScan(nearCorpusDf(s, d))
       .select(col("doc_id"), minhash_slices(col("text")).as("mh"))
       .filter(col("mh").isNotNull)
       .select(col("doc_id") +:

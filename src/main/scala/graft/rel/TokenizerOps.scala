@@ -31,7 +31,7 @@ object TokenizerOps {
 
   /** Word-frequency relation in armored-symbol form: (word, sym, wc). */
   private def wordFreq(s: SparkSession, d: String): DataFrame =
-    tbl(s, d, "documents")
+    Q.spreadSmallScan(tbl(s, d, "documents"))
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("wc"))
@@ -121,7 +121,7 @@ object TokenizerOps {
     val ntoks = syms.select(col("word"),
       size(split(expr("trim(BOTH '|' FROM sym)"), raw"\|\|"))
         .cast("long").as("wt"))
-    val out = tbl(s, d, "documents")
+    val out = Q.spreadSmallScan(tbl(s, d, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .join(broadcast(ntoks), "word")
