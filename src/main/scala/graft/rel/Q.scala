@@ -44,6 +44,7 @@ object Q {
     * job.
     */
   def spreadSmallScan(df: DataFrame): DataFrame = {
+    if (sys.env.contains("GRAFT_NO_SPREAD")) return df // A/B probe switch
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }

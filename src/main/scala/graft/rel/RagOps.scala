@@ -200,7 +200,7 @@ object RagOps {
     // both engines, and the final order tie-breaks on candidate id.
     Q("rag_rrf", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val td = tbl(s, d, "documents")
+      val td = Q.spreadSmallScan(tbl(s, d, "documents"))
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("term"))
       val qt = td.filter(col("doc_id") % 50 === 0)
@@ -214,7 +214,7 @@ object RagOps {
         .withColumn("r_lex", row_number().over(wl))
         .filter(col("r_lex") <= 10)
         .select("q_id", "cand", "r_lex")
-      val qv = tbl(s, d, "embeddings")
+      val qv = Q.spreadSmallScan(tbl(s, d, "embeddings"))
         .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
         .select(col("vec_id"), expr(VectorOps.quant).as("qv"))
       val wv = Window.partitionBy("q_id")

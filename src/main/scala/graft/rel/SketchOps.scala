@@ -118,7 +118,7 @@ object SketchOps {
     * survives a 100x scan scale-up. Output long-form (vec_id, k, proj).
     */
   def rpProject(s: SparkSession, d: String): DataFrame =
-    tbl(s, d, "embeddings")
+    Q.spreadSmallScan(tbl(s, d, "embeddings"))
       .select(col("vec_id"), posexplode(expr(
         """transform(sequence(0, 7), k -> aggregate(
              transform(sequence(0, 63), j ->

@@ -31,7 +31,10 @@ object VectorOps {
     * list_inner_product rejects NULL-bearing lists outright).
     */
   private def qvec(s: SparkSession, d: String): DataFrame =
-    tbl(s, d, "embeddings").filter(col("embedding").isNotNull)
+    // spread the single-row-group scan before the quantize map and the
+    // dot-product stages every consumer runs (guide §2.5) — see
+    // Q.spreadSmallScan; no-op on a production-width corpus
+    Q.spreadSmallScan(tbl(s, d, "embeddings").filter(col("embedding").isNotNull))
       .select(col("vec_id"), expr(quant).as("qv"))
 
   /** Exact upper-triangle Gram cells (i, j, n, s_ij) over the quantized
@@ -48,7 +51,7 @@ object VectorOps {
   private def gramCells(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val D = 64
-    tbl(s, d, "embeddings").filter(col("embedding").isNotNull)
+    Q.spreadSmallScan(tbl(s, d, "embeddings").filter(col("embedding").isNotNull))
       .select(expr(quant).as("qv")).as[Seq[Long]]
       .mapPartitions { it =>
         val sums = new Array[Long](D * D)
@@ -565,8 +568,9 @@ object VectorOps {
     */
   private def nearCorpus(s: SparkSession, d: String): DataFrame = {
     // NULL-vector contract (see qvec): missing embeddings join no cluster
-    val base = tbl(s, d, "embeddings").filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"))
+    val base =
+      Q.spreadSmallScan(tbl(s, d, "embeddings").filter(col("embedding").isNotNull))
+        .select(col("vec_id"), col("embedding"))
     base.unionByName(
       base.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
@@ -694,7 +698,7 @@ object VectorOps {
     * Two small strata cross-joined (broadcast) keep the pair set bounded.
     */
   private def vecCosFloat(s: SparkSession, d: String): DataFrame = {
-    val e = tbl(s, d, "embeddings")
+    val e = Q.spreadSmallScan(tbl(s, d, "embeddings"))
     val a = e.filter(col("vec_id") % 97 === 3)
       .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = e.filter(col("vec_id") % 89 === 7)
@@ -1046,8 +1050,8 @@ object VectorOps {
          CAST(pow(2, k) AS BIGINT), 0L))"""
 
   private def annRpBucket(s: SparkSession, d: String): DataFrame = {
-    val coded = tbl(s, d, "embeddings")
-      .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
+    val coded = Q.spreadSmallScan(tbl(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)) // NULL-vector contract (see qvec)
       .select(col("vec_id"), expr(RP_CODE).as("code"), expr(quant).as("qv"))
     val qs = coded.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("code"), col("qv").as("q_qv"))
@@ -1234,8 +1238,8 @@ object VectorOps {
 
   def binaryAnn(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = tbl(s, d, "embeddings")
-      .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
+    val vecs = Q.spreadSmallScan(tbl(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)) // NULL-vector contract (see qvec)
       .select(col("vec_id"), expr(SIGN_SQL_SPARK).as("w"),
         expr(quant).as("qv"))
     val wq = Window.partitionBy("q_id")
@@ -1262,8 +1266,8 @@ object VectorOps {
     */
   def binaryRecall(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = tbl(s, d, "embeddings")
-      .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
+    val vecs = Q.spreadSmallScan(tbl(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)) // NULL-vector contract (see qvec)
       .select(col("vec_id"), expr(SIGN_SQL_SPARK).as("w"),
         expr(quant).as("qv"))
     val joined = vecs.as("b")
@@ -1617,8 +1621,8 @@ object VectorOps {
     // escape hatch, not needed at gate scale.)
     Q("vec_gram", (s, d) => {
       val cells = gramCells(s, d)
-      val marg = tbl(s, d, "embeddings")
-        .filter(col("embedding").isNotNull) // the oracle's marg reads FROM qv
+      val marg = Q.spreadSmallScan(tbl(s, d, "embeddings")
+          .filter(col("embedding").isNotNull)) // the oracle's marg reads FROM qv
         .select(posexplode(expr(quant)).as(Seq("pos", "q")))
         .groupBy((col("pos") + 1).cast("long").as("dim"))
         .agg(sum("q").as("s_dim"))
@@ -1666,8 +1670,8 @@ object VectorOps {
     // relation (the house scalar pattern).
     Q("vec_pca_power", (s, d) => {
       val cells = gramCells(s, d)
-      val marg = tbl(s, d, "embeddings")
-        .filter(col("embedding").isNotNull) // the oracle's marg reads FROM qv
+      val marg = Q.spreadSmallScan(tbl(s, d, "embeddings")
+          .filter(col("embedding").isNotNull)) // the oracle's marg reads FROM qv
         .select(posexplode(expr(quant)).as(Seq("pos", "q")))
         .groupBy((col("pos") + 1).cast("long").as("dim"))
         .agg(sum("q").as("s_dim"))
