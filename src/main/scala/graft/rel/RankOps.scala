@@ -541,8 +541,15 @@ object RankOps {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000L)).as("dst"))
       .distinct()
-    var hub = ed.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(1000000L))
+    // Round-1 strength reduction (optimization round 17): h0 is the
+    // CONSTANT 1000000 on exactly the distinct srcs of `ed`, and every
+    // edge's src is by construction in that set — so round 1's
+    // ed ⋈ h0 → sum(h) is algebraically count(*) × 1000000 per dst. The
+    // first half-step therefore skips building/joining the h0 relation
+    // entirely (one distinct exchange + one join removed; bit-identical
+    // integers, gate re-certified vs the oracle). `hub` is None only for
+    // that first half-step; later rounds carry the real normalized scores.
+    var hub: Option[DataFrame] = None
     var auth: DataFrame = null
     // every per-round relation feeds TWO consumers (its max aggregate and
     // the next half-step) — each is persisted EAGERLY because the max is
@@ -555,8 +562,13 @@ object RankOps {
     val deps = scala.collection.mutable.ArrayBuffer[DataFrame](ed.persist())
     try {
       for (_ <- 1 to 2) {
-        val a = ed.join(hub, col("src") === col("node"))
-          .groupBy("dst").agg(sum("h").as("a")).persist()
+        val a = (hub match {
+          case None =>
+            ed.groupBy("dst").agg((count(lit(1)) * 1000000L).as("a"))
+          case Some(hb) =>
+            ed.join(hb, col("src") === col("node"))
+              .groupBy("dst").agg(sum("h").as("a"))
+        }).persist()
         deps += a
         // max over an empty slice is NULL; the divisor is then never applied
         // to any row, so 1 keeps the fold total (result: zero hub/auth rows)
@@ -569,14 +581,14 @@ object RankOps {
         deps += h
         val hmaxRow = h.agg(max("h")).collect()(0)
         val hmax = if (hmaxRow.isNullAt(0)) 1L else hmaxRow.getLong(0)
-        hub = h.select(col("src").as("node"),
-          expr(s"(h * 1000000) div $hmax").as("h"))
+        hub = Some(h.select(col("src").as("node"),
+          expr(s"(h * 1000000) div $hmax").as("h")))
       }
     } catch {
       case e: Throwable =>
         deps.foreach(_.unpersist(blocking = false)); throw e
     }
-    val out = hub.select(col("node"), lit("hub").as("side"),
+    val out = hub.get.select(col("node"), lit("hub").as("side"),
         col("h").as("score"))
       .unionByName(auth.select(col("dst").as("node"), lit("auth").as("side"),
         col("a").as("score")))
@@ -636,21 +648,30 @@ object RankOps {
       .distinct()
     val edges = ed.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(ed.select(col("b").as("src"), col("a").as("dst")))
-    var alive = edges.select(col("src").as("node")).distinct()
+    // Round-1 strength reduction (optimization round 17): the initial
+    // survivor set is the distinct endpoints of the symmetrized edge list,
+    // so both round-1 semi-joins are no-op filters (every src AND every dst
+    // is in it — `edges` is the union of both directions). Round 1 is
+    // therefore a plain degree count; the endpoint distinct and two joins
+    // are never built. Bit-identical survivors, gate re-certified.
+    var alive: Option[DataFrame] = None
     var out: DataFrame = null
     // each survivor set feeds BOTH endpoint joins of the next round —
     // persist per round or the reuse compounds into 2^rounds re-execution
     val deps = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
     for (_ <- 1 to 4) {
-      out = edges
-        .join(alive, col("src") === col("node")).drop("node")
-        .join(alive.withColumnRenamed("node", "node2"),
-          col("dst") === col("node2"))
+      out = (alive match {
+        case None => edges
+        case Some(al) => edges
+          .join(al, col("src") === col("node")).drop("node")
+          .join(al.withColumnRenamed("node", "node2"),
+            col("dst") === col("node2"))
+      })
         .groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= K)
         .select(col("src").as("node"), col("deg"))
       deps += out
-      alive = out.select("node")
+      alive = Some(out.select("node"))
     }
     graft.Caching.releaseAfterAction(out, deps.toSeq: _*)
   }
