@@ -125,7 +125,20 @@ object Bench {
     // A flagged gate's seconds are still reported (the driver's totals stay
     // comparable) but the artifact now names the contaminated measurements
     // at measurement time, so adjudication is a grep, not a forensic re-run.
-    val EpisodeLoad = 12.0
+    // RECALIBRATED in round 17 (12.0 -> 22.0), with the derivation the
+    // original threshold had: the 2-11 clean self-load band was measured
+    // when the suite's scan stages ran 1-2 tasks (single-row-group inputs).
+    // Round 17's input-parallelism spread makes those stages genuinely
+    // 32-wide, and two quiet-launch runs (load_start 0.85/0.86, calib
+    // drift 1.19x/1.27x — both inside the 0.5-1.3 clean band, totals DOWN
+    // vs the ruler, which contamination cannot do) measured the new
+    // self-load band: per-gate max 19.1, run-wide max 20.5, p90 ~11. 22.0
+    // sits above that band; co-tenant episodes in the 14-22 range are now
+    // covered by the run-level calib-drift + load_start window instead of
+    // the per-gate flag (the r16 driver proof case still self-labels via
+    // calib_drift 2.35x and load_start 10.25 — replayed in
+    // BenchVerdictSpec).
+    val EpisodeLoad = 22.0
     // Run-level contamination verdict (round 17, per the r16 verdict #1):
     // the per-gate flagger catches spikes, but the r16 driver run inflated
     // 1.53x across the board with only 3/312 gates flagged — slow-burn

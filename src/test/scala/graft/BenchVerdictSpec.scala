@@ -11,7 +11,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchVerdictSpec extends AnyFunSuite {
 
-  private val Threshold = 12.0 // Bench.EpisodeLoad, fixed since round 16
+  // The threshold each historical artifact was RECORDED under (artifacts
+  // carry episode_load_threshold, and compare_bench.py reads it from the
+  // artifact) — pre-r17 runs were measured when scan stages ran 1-2 tasks.
+  private val Threshold = 12.0
+  // Round-17 recalibration: the input-parallelism spread made the hot
+  // stages genuinely 32-wide, lifting the bench's own self-load band
+  // (two quiet-launch, calib-clean runs: per-gate max 19.1, run max 20.5).
+  private val ThresholdR17 = 22.0
 
   test("the r16 clean ruler self-labels quiet") {
     // bench_full.json @ 19572f4: load_start 0.96, load_max 10.67,
@@ -54,6 +61,25 @@ class BenchVerdictSpec extends AnyFunSuite {
     val v = BenchProtocol.runVerdict(9.45, 11.93, 5.339, 2.714, Threshold)
     assert(!v.quiet)
     assert(v.reasons == Seq("load_start 9.45 > 2.00"), v.reasons.toString)
+  }
+
+  test("the r17 recalibration: post-spread self-load is quiet at 22, not 12") {
+    // the two round-17 quiet-launch runs (load_start 0.85/0.86, calib
+    // drift 1.19x/1.27x, totals BELOW the ruler — contamination inflates):
+    // their 32-wide self-load maxima must classify quiet under the
+    // recalibrated threshold, while the old 12.0 misfires on load_max
+    val run1 = BenchProtocol.runVerdict(0.85, 20.51, 6.344, 7.523, 22.0)
+    assert(run1.quiet, run1.reasons.toString)
+    val run2 = BenchProtocol.runVerdict(0.86, 16.11, 5.272, 6.723, 22.0)
+    assert(run2.quiet, run2.reasons.toString)
+    assert(!BenchProtocol.runVerdict(0.85, 20.51, 6.344, 7.523, 12.0).quiet)
+    // the r16 driver proof case STILL self-labels under 22.0 — the
+    // slow-burn mode is caught by calib_drift + load_start, not load_max
+    val r16driver = BenchProtocol.runVerdict(10.25, 17.82, 4.719, 11.079,
+      ThresholdR17)
+    assert(!r16driver.quiet)
+    assert(r16driver.reasons.exists(_.startsWith("calib_drift")))
+    assert(r16driver.reasons.exists(_.startsWith("load_start")))
   }
 
   test("boundary behavior: drift at exactly 1.3x and load at threshold pass") {
