@@ -475,7 +475,13 @@ object CurationOps {
     // 1-row aggregate.
     Q("tx_bm25", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Q.spreadSmallScan(tbl(s, d, "documents"))
+      // NO spread here (measured, r17): unlike tx_tfidf, the four
+      // consumers of `words` (tf, dl, df-via-tf, corpus totals) each
+      // materialize the spread exchange subtree, and the quiet bench read
+      // the spread form at 1.5x (1.39 -> 2.1-2.4 s across three runs /
+      // probes) — the explode here is cheap enough that scan-parallelism
+      // never repays four extra exchange materializations.
+      val docs = tbl(s, d, "documents")
       val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

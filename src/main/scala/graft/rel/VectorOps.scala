@@ -30,11 +30,16 @@ object VectorOps {
     * fails differently (codegen'd dot NPEs, k-means sentinels, DuckDB's
     * list_inner_product rejects NULL-bearing lists outright).
     */
+  // NO spread here (measured, r17): qvec feeds a dozen sub-second
+  // latency-bound gates, most of which build it twice (corpus + query
+  // side); the spread's fixed cost (an exchange materialized per subtree
+  // plus the split-count probe) read +0.2-0.45 s per gate in quiet A/B
+  // (ann_topk 0.71 vs 1.09, ann_ivf 0.85 vs 1.20, ann_mmr 0.73 vs 0.89)
+  // while the per-gate dot work is too small to repay it. The CPU-dense
+  // vector paths that DO repay it keep their own spread (gramCells,
+  // annRpBucket, vecCosFloat, rag_rrf, vec_rp_project).
   private def qvec(s: SparkSession, d: String): DataFrame =
-    // spread the single-row-group scan before the quantize map and the
-    // dot-product stages every consumer runs (guide §2.5) — see
-    // Q.spreadSmallScan; no-op on a production-width corpus
-    Q.spreadSmallScan(tbl(s, d, "embeddings").filter(col("embedding").isNotNull))
+    tbl(s, d, "embeddings").filter(col("embedding").isNotNull)
       .select(col("vec_id"), expr(quant).as("qv"))
 
   /** Exact upper-triangle Gram cells (i, j, n, s_ij) over the quantized
@@ -568,9 +573,10 @@ object VectorOps {
     */
   private def nearCorpus(s: SparkSession, d: String): DataFrame = {
     // NULL-vector contract (see qvec): missing embeddings join no cluster
-    val base =
-      Q.spreadSmallScan(tbl(s, d, "embeddings").filter(col("embedding").isNotNull))
-        .select(col("vec_id"), col("embedding"))
+    // (no spread — same measured rationale as qvec: dd_semantic 1.57 vs
+    // 1.74, dd_embed_cos 1.46 vs 1.61 in the quiet A/B)
+    val base = tbl(s, d, "embeddings").filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
     base.unionByName(
       base.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
@@ -1238,8 +1244,8 @@ object VectorOps {
 
   def binaryAnn(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = Q.spreadSmallScan(tbl(s, d, "embeddings")
-        .filter(col("embedding").isNotNull)) // NULL-vector contract (see qvec)
+    val vecs = tbl(s, d, "embeddings")
+      .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
       .select(col("vec_id"), expr(SIGN_SQL_SPARK).as("w"),
         expr(quant).as("qv"))
     val wq = Window.partitionBy("q_id")
@@ -1266,8 +1272,8 @@ object VectorOps {
     */
   def binaryRecall(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = Q.spreadSmallScan(tbl(s, d, "embeddings")
-        .filter(col("embedding").isNotNull)) // NULL-vector contract (see qvec)
+    val vecs = tbl(s, d, "embeddings")
+      .filter(col("embedding").isNotNull) // NULL-vector contract (see qvec)
       .select(col("vec_id"), expr(SIGN_SQL_SPARK).as("w"),
         expr(quant).as("qv"))
     val joined = vecs.as("b")
