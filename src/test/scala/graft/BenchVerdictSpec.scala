@@ -18,7 +18,11 @@ class BenchVerdictSpec extends AnyFunSuite {
   // Round-17 recalibration: the input-parallelism spread made the hot
   // stages genuinely 32-wide, lifting the bench's own self-load band
   // (two quiet-launch, calib-clean runs: per-gate max 19.1, run max 20.5).
-  private val ThresholdR17 = 22.0
+  // References Bench.EpisodeLoad directly (r17 ADVICE): a future
+  // recalibration must fail these pins instead of silently testing a stale
+  // literal. The pre-r17 12.0 stays a literal above — it documents what
+  // those artifacts were RECORDED under, not the current constant.
+  private val ThresholdR17 = Bench.EpisodeLoad
 
   test("the r16 clean ruler self-labels quiet") {
     // bench_full.json @ 19572f4: load_start 0.96, load_max 10.67,

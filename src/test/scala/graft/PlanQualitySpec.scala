@@ -23,7 +23,13 @@ class PlanQualitySpec extends AnyFunSuite {
     * count exchanges with the spread lines removed.
     */
   private def noSpread(p: String): String =
-    p.linesIterator.filterNot(_.contains("Exchange RoundRobinPartitioning"))
+    // only the spread's exact signature is exempt (r17 ADVICE): a stray
+    // round-robin exchange from any OTHER source (an AQE rebalance, a
+    // repartition() without an explicit count) must still trip the
+    // keyed-shuffle assertions below
+    p.linesIterator.filterNot(l =>
+      l.contains("Exchange RoundRobinPartitioning") &&
+        l.contains("REPARTITION_BY_NUM"))
       .mkString("\n")
 
   test("q1_agg scan is pruned to the referenced columns with partial aggregation") {
