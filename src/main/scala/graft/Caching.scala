@@ -26,6 +26,20 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Caching {
 
+  // NOTE on a measured-and-rejected variant (optimization round 18): lazy
+  // persistence does NOT fully deduplicate work when the same cached
+  // relation feeds several independent subtrees of one action — AQE
+  // materializes independent query stages CONCURRENTLY and the block
+  // manager's getOrCompute has no in-flight dedup, so racing stages
+  // recompute the cached plan until the first blocks land (profiled on
+  // dd_lsh_recall: 120 s cumulative task time for ~45 s of distinct
+  // work). An `eager(dep)` helper (persist + count before consumers are
+  // built) removed the duplication but LOST wall-time in quiet A/B on all
+  // 12 gates tried (geomean ~1.09x, gr_kcore 1.61x): the extra job
+  // barriers serialize work that 32 idle cores absorb for free at this
+  // data size. At cluster scale with saturated executors the trade
+  // reverses — revisit there, not here.
+
   def releaseAfterAction[T](result: Dataset[T], deps: Dataset[_]*): Dataset[T] = {
     deps.foreach(_.persist())
     val spark = result.sparkSession

@@ -758,6 +758,13 @@ object TextOps {
     // the query shape (hash equi-joins + aggregates) is already the
     // sample-sized one.
     Q("dd_lsh_recall", (s, d) => {
+      // truth feeds two consumers (its own count + the semi-join) and cand
+      // feeds two more — cache BOTH for the action's lifetime (they were
+      // unpersisted through r17, so the expensive intersection pipeline ran
+      // twice per action). Lazy persist only: the eager-materialization
+      // variant (persist + count before building the consumers) was A/B'd
+      // this round and LOST — the extra job barriers serialize work that
+      // idle cores absorb at this scale (see OPTIMIZATION_r18.md §5).
       val (truth, shd) = lshTruthPairs(s, d)
       val cand = minhashCand(s, d)
       val caught = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
@@ -765,7 +772,7 @@ object TextOps {
         truth.agg(count(lit(1)).as("n_truth"))
           .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
           .crossJoin(cand.agg(count(lit(1)).as("n_cand"))),
-        shd)
+        shd, truth, cand)
     }, Some(s"""
       WITH $NEAR_SQL, $SHINGLES_SQL,
       shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
